@@ -1,0 +1,133 @@
+package graft.cli
+
+import graft.backup.BackupEngine
+import graft.compact.CompactionEngine
+import graft.model._
+import graft.restore.RestoreEngine
+import org.apache.spark.sql.SparkSession
+
+import java.time.OffsetDateTime
+import java.time.temporal.ChronoUnit
+
+/** Thin CLI over the engines, mirroring the reference's flag surface
+  * (cli-backup/.../Main.scala:30-137, cli-restore/.../Main.scala:30-183)
+  * minus Kafka connectivity (batch in/out over files here; the Kafka
+  * source/sink paths are library calls).
+  *
+  * Usage:
+  *   backup  --in <parquet> --out <dir> [--slice hours|minutes|seconds|days]
+  *           [--period-from-first <millis>] [--gzip [--compression-level N]]
+  *           [--topic <name>] [--partitions N]
+  *   restore --dir <dir> --topics a,b[,...] [--from-when ISO_OFFSET_DATE_TIME]
+  *           [--override-topics old:new[,old2:new2]] [--show N] [--out <parquet>]
+  *   compact --dir <backupDir> --topics a,b [--out <parquet>] [--show N]
+  */
+object Main {
+  private def parseArgs(args: Seq[String]): Map[String, String] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
+      case Nil => acc
+      case flag :: v :: tail if flag.startsWith("--") && !v.startsWith("--") =>
+        loop(tail, acc + (flag.drop(2) -> v))
+      case flag :: tail if flag.startsWith("--") =>
+        loop(tail, acc + (flag.drop(2) -> "true"))
+      case other :: _ =>
+        die(s"unexpected argument '$other'")
+    }
+    loop(args.toList, Map.empty)
+  }
+
+  private def die(msg: String): Nothing = {
+    System.err.println(s"error: $msg")
+    System.err.println("commands: backup | restore | compact (see scaladoc for flags)")
+    sys.exit(2)
+  }
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // events.parquet stores TIMESTAMP(NANOS) which Spark otherwise rejects
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "backup" :: rest =>
+      val o = parseArgs(rest)
+      val in = o.getOrElse("in", die("--in <parquet> is required"))
+      val out = o.getOrElse("out", die("--out <dir> is required"))
+      val timeConf: TimeConfiguration = (o.get("period-from-first"), o.get("slice")) match {
+        case (Some(ms), None) =>
+          PeriodFromFirst(ms.toLongOption.getOrElse(die(s"--period-from-first must be millis, got '$ms'")))
+        case (None, s) =>
+          val unit = s.getOrElse("hours") match {
+            case "hours" => ChronoUnit.HOURS
+            case "days" => ChronoUnit.DAYS
+            case "minutes" => ChronoUnit.MINUTES
+            case "seconds" => ChronoUnit.SECONDS
+            case other => die(s"unsupported --slice '$other'")
+          }
+          ChronoUnitSlice(unit)
+        case _ => die("--slice and --period-from-first are mutually exclusive")
+      }
+      val gzip = if (o.contains("gzip")) Some(Gzip) else None
+      val level = o.get("compression-level").map(_.toIntOption.getOrElse(die("--compression-level must be an int")))
+      val spark = session()
+      val records = ReducedConsumerRecord.fromEvents(
+        spark.read.parquet(in),
+        topic = o.getOrElse("topic", "events"),
+        partitions = o.get("partitions").flatMap(_.toIntOption).getOrElse(8))
+      val written = BackupEngine.backupBatch(records, out, timeConf, gzip, level)
+      written.foreach { case (k, n) => println(s"$k\t$n") }
+      println(s"backed up ${written.map(_._2).sum} records into ${written.size} objects under $out")
+      spark.stop()
+
+    case "restore" :: rest =>
+      val o = parseArgs(rest)
+      val dir = o.getOrElse("dir", die("--dir <dir> is required"))
+      val topics = o.getOrElse("topics", die("--topics is required")).split(',').toSet
+      val fromWhen = o.get("from-when").map { s =>
+        try OffsetDateTime.parse(s)
+        catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }
+      }
+      val overrides = o.get("override-topics").map { s =>
+        s.split(',').map { kv =>
+          kv.split(':') match {
+            case Array(k, v) => k -> v
+            case _ => die(s"--override-topics entries must be old:new, got '$kv'")
+          }
+        }.toMap
+      }.getOrElse(Map.empty[String, String])
+      val spark = session()
+      val df = RestoreEngine.restore(spark, dir, topics, fromWhen, overrides)
+      o.get("out").foreach(p => df.write.mode("overwrite").parquet(p))
+      val n = o.get("show").flatMap(_.toIntOption).getOrElse(20)
+      df.orderBy("timestamp", "topic", "partition", "offset").show(n, truncate = false)
+      println(s"restored ${df.count()} records from $dir")
+      spark.stop()
+
+    case "compact" :: rest =>
+      val o = parseArgs(rest)
+      val dir = o.getOrElse("dir", die("--dir <backupDir> is required"))
+      val topics = o.getOrElse("topics", die("--topics is required")).split(',').toSet
+      val spark = session()
+      val compacted = CompactionEngine.latestPerKey(
+        RestoreEngine.restore(spark, dir, topics))
+      o.get("out").foreach(p => compacted.write.mode("overwrite").parquet(p))
+      compacted.orderBy("topic", "partition", "key")
+        .show(o.get("show").flatMap(_.toIntOption).getOrElse(20), truncate = false)
+      println(s"compacted to ${compacted.count()} records")
+      spark.stop()
+
+    case cmd :: _ => die(s"unknown command '$cmd'")
+    case Nil => die("a command is required")
+  }
+}
