@@ -1,13 +1,154 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY §2 (or an
+  * additive LLM-pipeline operator); [[oracleSql]] carries the equivalent
+  * DuckDB SQL the driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AnalyticsQueries.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Guardian core operator surface (SURVEY §2)
+    "g_ingest_project" -> (GuardianQueries.ingestProject _),
+    "g_window_hour" -> (GuardianQueries.windowHour _),
+    "g_window_period_from_first" -> (GuardianQueries.windowPeriodFromFirst _),
+    "g_window_boundaries" -> (GuardianQueries.windowBoundaries _),
+    "g_restore_filter" -> (GuardianQueries.restoreFilter _),
+    "g_topic_rename" -> (GuardianQueries.topicRename _),
+    "g_key_prefilter" -> (GuardianQueries.keyPrefilter _),
+    "g_compact_latest" -> (GuardianQueries.compactLatest _),
+    "g_offset_commit" -> (GuardianQueries.offsetCommit _),
+    "g_backup_roundtrip" -> (GuardianQueries.backupRoundtrip _),
+    // Analytics surface
+    "q1_pricing" -> (AnalyticsQueries.q1Pricing _),
+    "q3_revenue" -> (AnalyticsQueries.q3Revenue _),
+    "q5_nation_revenue" -> (AnalyticsQueries.q5NationRevenue _),
+    "q_top_orders_per_customer" -> (AnalyticsQueries.topOrdersPerCustomer _),
+    "e_sessionize" -> (AnalyticsQueries.sessionize _),
+    "e_event_stats" -> (AnalyticsQueries.eventStats _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = {
+    val rcte = GuardianQueries.recordsCte
+    Map(
+      "g_ingest_project" ->
+        s"""$rcte SELECT * FROM records ORDER BY "partition", "offset"""",
+      "g_window_hour" ->
+        s"""$rcte
+           |SELECT ("timestamp" // 3600000) * 3600000 AS slice_ms,
+           |       count(*) AS n_records, min("timestamp") AS min_ts, max("timestamp") AS max_ts
+           |FROM records GROUP BY 1 ORDER BY 1""".stripMargin,
+      "g_window_period_from_first" ->
+        s"""$rcte, anch AS (SELECT min("timestamp") AS a FROM records)
+           |SELECT ("timestamp" - a) // 21600000 AS period,
+           |       count(*) AS n_records, min("timestamp") AS min_ts, max("timestamp") AS max_ts
+           |FROM records, anch GROUP BY 1 ORDER BY 1""".stripMargin,
+      "g_window_boundaries" ->
+        s"""$rcte, sliced AS (
+           |  SELECT "partition", "offset", ("timestamp" // 3600000) * 3600000 AS slice_ms,
+           |         lag(("timestamp" // 3600000) * 3600000) OVER (PARTITION BY "partition" ORDER BY "offset") AS prev_slice_ms
+           |  FROM records)
+           |SELECT * FROM sliced WHERE prev_slice_ms IS NULL OR slice_ms > prev_slice_ms
+           |ORDER BY "partition", "offset"""".stripMargin,
+      "g_restore_filter" ->
+        s"""$rcte SELECT * FROM records
+           |WHERE topic IN ('events') AND "timestamp" >= 1706140800000
+           |ORDER BY "partition", "offset"""".stripMargin,
+      "g_topic_rename" ->
+        s"""$rcte
+           |SELECT CASE WHEN topic = 'events' THEN 'events-restored' ELSE topic END AS topic,
+           |       count(*) AS n_records
+           |FROM records GROUP BY 1 ORDER BY 1""".stripMargin,
+      "g_key_prefilter" ->
+        s"""$rcte, keys AS (
+           |  SELECT DISTINCT ("timestamp" // 3600000) * 3600000 AS key_ms FROM records),
+           |idx AS (SELECT key_ms, CAST(row_number() OVER (ORDER BY key_ms) AS INT) AS rn FROM keys),
+           |cut AS (SELECT coalesce(greatest(min(rn) - 1, 1), (SELECT max(rn) FROM idx)) AS keep_from
+           |        FROM idx WHERE key_ms >= 1706140800000)
+           |SELECT key_ms, rn FROM idx, cut WHERE rn >= keep_from ORDER BY key_ms""".stripMargin,
+      "g_compact_latest" ->
+        s"""$rcte
+           |SELECT topic, "partition",
+           |       max("offset") AS "offset",
+           |       key,
+           |       arg_max(value, "offset") AS value,
+           |       arg_max("timestamp", "offset") AS "timestamp",
+           |       arg_max(timestamp_type, "offset") AS timestamp_type
+           |FROM records GROUP BY topic, "partition", key
+           |ORDER BY topic, "partition", key""".stripMargin,
+      "g_offset_commit" ->
+        s"""$rcte
+           |SELECT topic, "partition", max("offset") AS committed_offset, count(*) AS n_records
+           |FROM records GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "g_backup_roundtrip" ->
+        s"""$rcte SELECT * FROM records ORDER BY "partition", "offset"""",
+      "q1_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       count(*) AS count_order,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q3_revenue" ->
+        """SELECT l_orderkey,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+          |       min(epoch_ms(o_orderdate)) AS order_date_ms
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      "q5_nation_revenue" ->
+        """SELECT r_name, n_name,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_top_orders_per_customer" ->
+        """SELECT o_custkey, rnk, o_orderkey, total_price FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
+          |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+          |  FROM orders)
+          |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+      "e_sessionize" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+          |flagged AS (
+          |  SELECT user_id, event_id, ts_ms,
+          |         CASE WHEN lag(ts_ms) OVER w IS NULL
+          |                   OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+          |sessions AS (
+          |  SELECT user_id, ts_ms,
+          |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM flagged),
+          |per_session AS (
+          |  SELECT user_id, session_id, count(*) AS n_events, max(ts_ms) - min(ts_ms) AS duration_ms
+          |  FROM sessions GROUP BY 1, 2)
+          |SELECT user_id, max(session_id) AS n_sessions, sum(n_events) AS n_events,
+          |       max(duration_ms) AS max_session_ms
+          |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin,
+      "e_event_stats" ->
+        """SELECT event_type,
+          |       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  }
 }

@@ -63,7 +63,9 @@ object ReducedConsumerRecord {
     // events.ts is TIMESTAMP(NANOS) in the harness parquet; with
     // spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType nanos.
     val tsMillis = events.schema("ts").dataType match {
-      case LongType => floor(col("ts") / 1000000L).cast(LongType)
+      // integer division (not `/` which is double and can misround at
+      // integer boundaries vs the DuckDB oracle's epoch_ms truncation)
+      case LongType => expr("ts div 1000000")
       case _        => unix_millis(col("ts"))
     }
     events

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Headline analytics over the TPC-H-ish harness tables: the aggregate /
+  * join / window / sessionization surface a general engine needs, tuned
+  * for scale (broadcast dims, partial aggregation, single-shuffle plans).
+  *
+  * Float determinism: money sums go through DECIMAL casts (exact,
+  * order-independent) and are emitted as DOUBLE at the end, so Spark and
+  * the DuckDB oracle agree bit-for-bit.
+  */
+object AnalyticsQueries {
+
+  private def pq(spark: SparkSession, dir: String, t: String): DataFrame =
+    spark.read.parquet(s"$dir/$t.parquet")
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  // Exact decimal revenue term: double products round differently in
+  // Spark (exact BigDecimal) vs DuckDB (double-scaled), so multiply in
+  // decimal space where both are exact. Rates fit DECIMAL(4,2).
+  private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  private def discPrice: Column = dec(col("l_extendedprice")) * rate(lit(1) - col("l_discount"))
+  private def charge: Column = discPrice * rate(lit(1) + col("l_tax"))
+  private def tsMillis(c: Column): Column = unix_millis(c.cast(TimestampType))
+
+  /** TPC-H Q1-style pricing summary: scan + partial-agg + single shuffle. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("count_order"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+        sum(charge).cast(DoubleType).as("sum_charge"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: broadcast the filtered dims into the fact scan,
+    * aggregate revenue, top 10.
+    */
+  def q3Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = pq(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = pq(spark, dir, "orders")
+    val li = pq(spark, dir, "lineitem")
+    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        sum(discPrice).cast(DoubleType).as("revenue"),
+        min(tsMillis(col("o_orderdate"))).as("order_date_ms"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue per nation through the supplier side;
+    * all dims broadcast, one shuffle on the aggregation key.
+    */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = pq(spark, dir, "region")
+    val nation = pq(spark, dir, "nation")
+    val supplier = pq(spark, dir, "supplier")
+    val li = pq(spark, dir, "lineitem")
+    val dims = supplier
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"), col("r_name"))
+    li.join(broadcast(dims), li("l_suppkey") === dims("s_suppkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(discPrice).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Ranking window: top-3 orders per customer by total price. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    pq(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast(DoubleType).as("total_price"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Gap-based sessionization over the event stream: a new session starts
+    * after >30 min of inactivity per user. One shuffle (by user), two
+    * windows over the same partitioning — no extra exchange.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pq(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("prev_ts", lag("ts_ms", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max("ts_ms") - min("ts_ms")).as("duration_ms"))
+      .groupBy("user_id")
+      .agg(
+        max("session_id").as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("duration_ms").as("max_session_ms"))
+      .orderBy("user_id")
+  }
+
+  /** Event-type hourly rollup (streaming-aggregation shape in batch). */
+  def eventStats(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("day_ms", expr("(ts_ms div 86400000) * 86400000"))
+      .groupBy("event_type", "day_ms")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec4(col("value"))).cast(DoubleType).as("sum_value"))
+      .orderBy("event_type", "day_ms")
+}

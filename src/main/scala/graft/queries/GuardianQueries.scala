@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.backup.BackupEngine
+import graft.model._
+import graft.restore.RestoreEngine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.time.temporal.ChronoUnit
+
+/** The reference's operator surface (SURVEY §2) as verifiable queries over
+  * the harness `events` table, each paired with a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  */
+object GuardianQueries {
+
+  /** Shared DuckDB fragment: the ingest projection (S2) as SQL. */
+  val recordsCte: String =
+    """WITH records AS (
+      |  SELECT 'events' AS topic,
+      |         CAST(user_id % 8 AS INT) AS "partition",
+      |         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
+      |         base64(encode(CAST(user_id AS VARCHAR))) AS key,
+      |         base64(encode(props)) AS value,
+      |         epoch_ms(ts) AS "timestamp",
+      |         0 AS timestamp_type
+      |  FROM events
+      |)""".stripMargin
+
+  def records(spark: SparkSession, dir: String): DataFrame =
+    ReducedConsumerRecord.fromEvents(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** S1/S2: Kafka-shaped ingest projection (KafkaConsumer.scala:127-138). */
+  def ingestProject(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir).orderBy("partition", "offset")
+
+  /** W2 ChronoUnitSlice(HOURS): calendar-aligned window assignment +
+    * per-slice stats (BackupClientInterface.scala:521-524).
+    */
+  def windowHour(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .withColumn("slice_ms", BackupEngine.chronoSliceCol(col("timestamp"), ChronoUnit.HOURS))
+      .groupBy("slice_ms")
+      .agg(
+        count(lit(1)).as("n_records"),
+        min("timestamp").as("min_ts"),
+        max("timestamp").as("max_ts"))
+      .orderBy("slice_ms")
+
+  /** W1+W2 PeriodFromFirst: windows anchored at the first record's
+    * timestamp (BackupClientInterface.scala:176-205, :551-563).
+    */
+  def windowPeriodFromFirst(spark: SparkSession, dir: String): DataFrame = {
+    val periodMs = 6L * 3600 * 1000
+    BackupEngine.withPeriodFromFirst(records(spark, dir), periodMs)
+      .groupBy("period")
+      .agg(
+        count(lit(1)).as("n_records"),
+        min("timestamp").as("min_ts"),
+        max("timestamp").as("max_ts"))
+      .orderBy("period")
+  }
+
+  /** W3 boundary detection: the reference's sliding-pair comparison
+    * (isAtBoundary, BackupClientInterface.scala:543-549) re-expressed as a
+    * lag window — emit one row per window-open event per partition.
+    */
+  def windowBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("partition").orderBy("offset")
+    records(spark, dir)
+      .withColumn("slice_ms", BackupEngine.chronoSliceCol(col("timestamp"), ChronoUnit.HOURS))
+      .withColumn("prev_slice_ms", lag("slice_ms", 1).over(w))
+      .filter(col("prev_slice_ms").isNull || col("slice_ms") > col("prev_slice_ms"))
+      .select("partition", "offset", "slice_ms", "prev_slice_ms")
+      .orderBy("partition", "offset")
+  }
+
+  /** P1+P2: restore record filters — topic membership + event-time lower
+    * bound (RestoreClientInterface.scala:83-91). Cutoff = 2024-01-25T00:00Z.
+    */
+  val fromWhenMs: Long = 1706140800000L
+  def restoreFilter(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .filter(col("topic").isin("events") && col("timestamp") >= lit(fromWhenMs))
+      .orderBy("partition", "offset")
+
+  /** P5: topic rename map applied at the producer sink
+    * (KafkaProducer.scala:34-38).
+    */
+  def topicRename(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .withColumn("topic",
+        when(col("topic") === "events", lit("events-restored")).otherwise(col("topic")))
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n_records"))
+      .orderBy("topic")
+
+  /** P4/O1: key-level time prefilter with the straddling-file rule
+    * (finalKeys, RestoreClientInterface.scala:50-81): hour-slice keys
+    * sorted by time, kept from one before the first key >= fromWhen.
+    */
+  def keyPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val keys = records(spark, dir)
+      .select(BackupEngine.chronoSliceCol(col("timestamp"), ChronoUnit.HOURS).as("key_ms"))
+      .distinct()
+    val w = Window.orderBy("key_ms")
+    val indexed = keys.withColumn("rn", row_number().over(w))
+    val nKeys = indexed.agg(max("rn")).head().getInt(0)
+    val cutRow = indexed.filter(col("key_ms") >= lit(fromWhenMs)).agg(min("rn")).head()
+    val keepFrom = if (cutRow.isNullAt(0)) nKeys else math.max(cutRow.getInt(0) - 1, 1)
+    indexed.filter(col("rn") >= keepFrom).select("key_ms", "rn").orderBy("key_ms")
+  }
+
+  /** §2.9 compaction: latest value per (topic, partition, key) — completes
+    * the reference's stubbed pipeline with its intended semantics.
+    */
+  def compactLatest(spark: SparkSession, dir: String): DataFrame =
+    graft.compact.CompactionEngine.latestPerKey(records(spark, dir))
+      .orderBy("topic", "partition", "key")
+
+  /** K3 analog: committed offset per (topic, partition) = max offset
+    * (CommittableOffsetBatch semantics, KafkaConsumer.scala:122-123).
+    */
+  def offsetCommit(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .groupBy("topic", "partition")
+      .agg(max("offset").as("committed_offset"), count(lit(1)).as("n_records"))
+      .orderBy("topic", "partition")
+
+  /** End-to-end: backup to hour-sliced JSON objects, restore, project.
+    * The result must equal the ingest projection — the reference's
+    * round-trip oracle (RestoreClientInterfaceTest.scala:85-110) expressed
+    * as a driver-checkable query.
+    */
+  def backupRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-roundtrip").toString
+    BackupEngine.backupBatch(records(spark, dir), out, ChronoUnitSlice(ChronoUnit.DAYS))
+    RestoreEngine.restore(spark, out, Set("events"))
+      .orderBy("partition", "offset")
+  }
+}
