@@ -12,6 +12,10 @@ object Bench {
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       // events.parquet stores TIMESTAMP(NANOS) which Spark otherwise rejects
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide flat-column expressions (64-dim embeddings) make Catalyst
+      // constraint propagation quadratic-to-exponential; plans carry
+      // explicit filters, so inferred constraints are expendable
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -32,7 +32,21 @@ object SparkEntry {
     "q5_nation_revenue" -> (AnalyticsQueries.q5NationRevenue _),
     "q_top_orders_per_customer" -> (AnalyticsQueries.topOrdersPerCustomer _),
     "e_sessionize" -> (AnalyticsQueries.sessionize _),
-    "e_event_stats" -> (AnalyticsQueries.eventStats _)
+    "e_event_stats" -> (AnalyticsQueries.eventStats _),
+    // LLM-pipeline: dedup + text analysis over `documents`
+    "d_dedup_exact" -> (TextQueries.dedupExact _),
+    "d_ngram_jaccard" -> (TextQueries.ngramJaccard _),
+    "d_minhash_lsh" -> (TextQueries.minhashLsh _),
+    "d_simhash" -> (TextQueries.simhash _),
+    "t_tokens" -> (TextQueries.tokenCounts _),
+    "t_quality" -> (TextQueries.qualityScore _),
+    "t_langid" -> (TextQueries.langId _),
+    "t_fingerprint" -> (TextQueries.fingerprints _),
+    "m_media_meta" -> (TextQueries.mediaMeta _),
+    // LLM-pipeline: embedding similarity over `embeddings`
+    "d_embed_neardup" -> (SimilarityQueries.embedNearDup _),
+    "s_ann_topk" -> (SimilarityQueries.annTopK _),
+    "s_ann_ivf" -> (SimilarityQueries.annIvf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,7 +162,128 @@ object SparkEntry {
           |       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
           |       count(*) AS n,
           |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "d_dedup_exact" ->
+        """SELECT count(*) AS n_docs,
+          |       count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct,
+          |       count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_dups
+          |FROM documents""".stripMargin,
+      "d_ngram_jaccard" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1)
+          |SELECT id1, id2,
+          |       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+          |FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+          |ORDER BY id1, id2""".stripMargin,
+      "d_minhash_lsh" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1)
+          |SELECT id1, id2,
+          |       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+          |FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+          |ORDER BY id1, id2""".stripMargin,
+      "t_tokens" ->
+        """SELECT doc_id,
+          |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
+          |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "t_quality" ->
+        """WITH q AS (
+          |  SELECT doc_id, n_chars,
+          |         string_split(trim(text), ' ') AS w,
+          |         CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha
+          |  FROM documents)
+          |SELECT doc_id,
+          |       CAST(len(w) AS BIGINT) AS n_tokens,
+          |       CAST(n_chars AS DOUBLE) / len(w) AS avg_token_len,
+          |       CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+          |       CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(w) AS stopword_ratio
+          |FROM q ORDER BY doc_id""".stripMargin,
+      "t_langid" ->
+        """WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+          |s AS (
+          |  SELECT doc_id, lang,
+          |         CAST(len(list_filter(w, x -> x IN ('the','and','of','is'))) AS BIGINT) AS c_en,
+          |         CAST(len(list_filter(w, x -> x IN ('der','und','die','ist'))) AS BIGINT) AS c_de,
+          |         CAST(len(list_filter(w, x -> x IN ('le','et','les','est'))) AS BIGINT) AS c_fr,
+          |         CAST(len(list_filter(w, x -> x IN ('el','y','los','es'))) AS BIGINT) AS c_es
+          |  FROM t)
+          |SELECT doc_id, lang, c_en, c_de, c_fr, c_es,
+          |       CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+          |            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+          |            WHEN c_fr >= c_es THEN 'fr'
+          |            ELSE 'es' END AS pred_lang
+          |FROM s ORDER BY doc_id""".stripMargin,
+      "t_fingerprint" ->
+        """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "m_media_meta" ->
+        """SELECT doc_id,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |       sha256(text) AS sha,
+          |       CAST(16 * (1 + n_chars % 64) AS INT) AS fake_width,
+          |       CAST(16 * (1 + n_chars % 36) AS INT) AS fake_height
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "d_embed_neardup" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |pairs AS (
+          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |         list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          |SELECT id1, id2, round(c, 6) AS cos_sim FROM pairs WHERE c >= 0.45 ORDER BY id1, id2""".stripMargin,
+      "s_ann_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT * FROM e WHERE vec_id < 10),
+          |sims AS (
+          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          |         list_dot_product(q.v, e.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS c
+          |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, c,
+          |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rnk
+          |  FROM sims)
+          |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cos_sim
+          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      "s_ann_ivf" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+          |assign AS (
+          |  SELECT vec_id, v, cell FROM (
+          |    SELECT e.vec_id, e.v, seeds.cell,
+          |           CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |             list_dot_product(e.v, sv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(sv, sv))) DESC, cell) AS INT) AS rn
+          |    FROM e, seeds) WHERE rn = 1),
+          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+          |probes AS (
+          |  SELECT query_id, cell FROM (
+          |    SELECT query_id, cell, CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+          |             list_dot_product(qv, sv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(sv, sv))) DESC, cell) AS INT) AS pr
+          |    FROM q, seeds) WHERE pr <= 4),
+          |ranked AS (
+          |  SELECT q.query_id, a.vec_id AS neighbor_id,
+          |         list_dot_product(qv, a.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))) AS c,
+          |         CAST(row_number() OVER (PARTITION BY q.query_id ORDER BY
+          |           list_dot_product(qv, a.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))) DESC, a.vec_id) AS INT) AS rnk
+          |  FROM q JOIN probes p ON p.query_id = q.query_id
+          |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> q.query_id)
+          |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cos_sim
+          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
     )
   }
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline operators.
+  * All pure `org.apache.spark.sql.functions` compositions (codegen'd,
+  * no UDFs) so they stay inside whole-stage codegen at scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text (keeps empty tokens on doubled
+    * spaces — same as DuckDB string_split).
+    */
+  def wsTokens(text: Column): Column = split(trim(text), " ")
+
+  /** Normalized form for fingerprinting: collapse whitespace, lowercase. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** MD5 fingerprint of the normalized text (exact-dedup key). */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Distinct word n-grams as an array column (empty if < n tokens —
+    * guard needed because Spark's sequence(1, 0) counts DOWN).
+    */
+  def wordNgrams(tokens: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(tokens) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + lit(k))): _*))
+    when(size(tokens) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of tokens contained in a fixed set (stopword/marker counting). */
+  def tokensInSet(tokens: Column, set: Seq[String]): Column = {
+    val arr = array(set.map(lit): _*)
+    size(filter(tokens, t => array_contains(arr, t)))
+  }
+
+  /** Dot product of two float-array columns, computed in double with a
+    * sequential left fold (matches DuckDB's list_dot_product ordering).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Cosine similarity given precomputed norms. */
+  def cosine(dot: Column, normA: Column, normB: Column): Column = dot / (normA * normB)
+
+  /** L2 norm of a float-array column. */
+  def l2Norm(v: Column): Column = sqrt(dotProduct(v, v))
+}

@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads travel as opaque `binary`
+  * columns with typed metadata; decode / feature-extraction runs
+  * per-partition in batch shape. The actual codec work is STUBBED with a
+  * deterministic fake (media libraries are not in this container) — the
+  * Spark-side contract (schema, partitioning, batch iteration) is real.
+  *
+  * Scale notes: payload bytes never hit the driver; `repartition(n)`
+  * controls decode parallelism; the per-partition iterator is the same
+  * batch shape a vectorized (Arrow/pandas-style) UDF would use.
+  */
+object MediaPipeline {
+
+  /** One decoded frame/feature row per media item. */
+  final case class MediaFeature(
+      docId: Long,
+      nBytes: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      // channel-mean stand-ins for real decoded features
+      meanR: Double, meanG: Double, meanB: Double)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("mime", StringType, nullable = false)
+  ))
+
+  /** Wrap the documents table as a media table: payload = UTF-8 bytes.
+    * Stands in for image/audio blobs read from object storage via
+    * `spark.read.format("binaryFile")`.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("mime"))
+
+  /** STUB decode: a real implementation would hand `payload` to an image
+    * decoder here; this fake derives deterministic pseudo-features from
+    * the bytes so the pipeline shape (binary in -> feature rows out,
+    * executed per partition, never on the driver) is fully exercised.
+    */
+  def decodeAndFeaturize(media: DataFrame, parallelism: Int = 0): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val repart = if (parallelism > 0) media.repartition(parallelism) else media
+    repart
+      .select(col("doc_id").cast(LongType), col("payload"), col("mime"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // ??? <- real decoder goes here; deterministic fake below
+          val n = bytes.length
+          var s0 = 0L; var s1 = 0L; var s2 = 0L
+          var i = 0
+          while (i < n) {
+            val b = bytes(i) & 0xff
+            (i % 3: @annotation.switch) match {
+              case 0 => s0 += b
+              case 1 => s1 += b
+              case 2 => s2 += b
+            }
+            i += 1
+          }
+          val third = math.max(n / 3, 1)
+          MediaFeature(
+            docId = id,
+            nBytes = n.toLong,
+            format = "fake",
+            width = 16 * (1 + n % 64),
+            height = 16 * (1 + n % 36),
+            meanR = s0.toDouble / third,
+            meanG = s1.toDouble / third,
+            meanB = s2.toDouble / third)
+        }
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.{SimilarityQueries, TextQueries}
+import graft.multimodal.MediaPipeline
+import org.apache.spark.sql.functions._
+
+/** Specs for the LLM-pipeline operators (dedup / similarity / text /
+  * multimodal) on the sf0.001 harness tables.
+  */
+class LlmOpsSpec extends SparkSuite {
+  import spark.implicits._
+  private val sf = SparkSuite.sf0001
+
+  test("minhash LSH reproduces exact n-gram Jaccard pairs (>= 0.8)") {
+    val exact = TextQueries.ngramJaccard(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = TextQueries.minhashLsh(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dup pairs")
+    assert(lsh == exact)
+  }
+
+  test("simhash finds planted near-dups with small hamming distance") {
+    val planted = TextQueries.ngramJaccard(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val sim = TextQueries.simhash(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // near-identical docs have near-identical simhashes; most planted
+    // pairs (jaccard >= 0.8) must surface at hamming <= 6
+    val found = planted.intersect(sim)
+    assert(found.size >= planted.size / 2,
+      s"simhash found only ${found.size} of ${planted.size} planted pairs")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = SimilarityQueries.embedNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall { case (a, b, c) => a < b && c >= 0.45 })
+  }
+
+  test("IVF ANN recall vs brute-force top-k") {
+    val brute = SimilarityQueries.annTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityQueries.annIvf(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // nprobe=4 of 16 cells: expect meaningful overlap, not exactness
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall suspiciously low")
+    assert(ivf.size == brute.size) // same k per query
+  }
+
+  test("language-id predictions are deterministic and cover all docs") {
+    val out = TextQueries.langId(spark, sf)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == n)
+    assert(out.select("pred_lang").distinct().as[String].collect()
+      .forall(Set("en", "de", "fr", "es")))
+  }
+
+  test("media pipeline: binary payloads featurize per-partition, deterministically") {
+    val media = MediaPipeline.mediaFromDocuments(spark, sf)
+    val feats = MediaPipeline.decodeAndFeaturize(media, parallelism = 4)
+    val a = feats.collect().sortBy(_.docId)
+    val b = MediaPipeline.decodeAndFeaturize(media, parallelism = 2).collect().sortBy(_.docId)
+    assert(a.length == media.count())
+    assert(a.toSeq == b.toSeq) // partitioning must not change results
+    assert(a.forall(f => f.nBytes > 0 && f.width > 0 && f.height > 0))
+  }
+
+  test("fingerprint equals md5 of normalized text") {
+    val one = TextQueries.fingerprints(spark, sf).limit(1).as[(Long, String)].head()
+    val txt = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === one._1).select("text").as[String].head()
+    val norm = txt.trim.replaceAll("\\s+", " ").toLowerCase
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(one._2 == md)
+  }
+}

@@ -19,6 +19,10 @@ object SparkSuite {
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       // events.parquet stores TIMESTAMP(NANOS) which Spark otherwise rejects
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide flat-column expressions (64-dim embeddings) make Catalyst
+      // constraint propagation quadratic-to-exponential; plans carry
+      // explicit filters, so inferred constraints are expendable
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
