@@ -131,6 +131,43 @@ object Main {
       println(s"compacted to ${compacted.count()} records")
       spark.stop()
 
+    case "stream-backup" :: rest =>
+      // Structured Streaming over a growing directory of event parquet
+      // files (stands in for the Kafka source when no broker is around):
+      // processes what's available, checkpoints, exits; re-running with
+      // the same --checkpoint resumes and appends (ChronoUnitSlice).
+      val o = parseArgs(rest)
+      val in = o.getOrElse("in", die("--in <parquetDir> is required"))
+      val out = o.getOrElse("out", die("--out <dir> is required"))
+      val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
+      val unit = o.getOrElse("slice", "hours") match {
+        case "hours" => java.time.temporal.ChronoUnit.HOURS
+        case "days" => java.time.temporal.ChronoUnit.DAYS
+        case "minutes" => java.time.temporal.ChronoUnit.MINUTES
+        case "seconds" => java.time.temporal.ChronoUnit.SECONDS
+        case other => die(s"unsupported --slice '$other'")
+      }
+      val gzipOpt = if (o.contains("gzip")) Some(Gzip) else None
+      val spark = session()
+      import org.apache.spark.sql.functions._
+      val topic = o.getOrElse("topic", "events")
+      val schema = spark.read.parquet(in).schema
+      val stream = spark.readStream.schema(schema).parquet(in)
+        .select(
+          lit(topic).as("topic"),
+          (col("user_id") % 8).cast("int").as("partition"),
+          col("event_id").as("offset"), // monotonic source id as offset
+          base64(col("user_id").cast("string").cast("binary")).as("key"),
+          base64(col("props").cast("binary")).as("value"),
+          expr("ts div 1000000").as("timestamp"),
+          lit(0).as("timestamp_type"))
+      val q = graft.streaming.StreamingBackup.start(
+        stream, out, ChronoUnitSlice(unit), ckpt, gzipOpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      println(s"stream-backup: processed available input from $in into $out")
+      spark.stop()
+
     case cmd :: _ => die(s"unknown command '$cmd'")
     case Nil => die("a command is required")
   }

@@ -15,6 +15,9 @@ import scala.util.Try
 sealed trait TimeConfiguration
 final case class PeriodFromFirst(durationMillis: Long) extends TimeConfiguration
 final case class ChronoUnitSlice(unit: ChronoUnit) extends TimeConfiguration
+/** PeriodFromFirst with the anchor already resolved (streaming runs). */
+private[graft] final case class AnchoredPeriod(anchorMs: Long, durationMillis: Long)
+  extends TimeConfiguration
 
 sealed trait CompressionType { def pretty: String }
 case object Gzip extends CompressionType { val pretty = "gzip" }
@@ -35,7 +38,7 @@ object BackupKey {
   ): String = {
     val t = timeConf match {
       case ChronoUnitSlice(unit) => ts.truncatedTo(unit)
-      case _: PeriodFromFirst    => ts
+      case _                     => ts // PeriodFromFirst / AnchoredPeriod
     }
     val suffix = compression match {
       case Some(Gzip) => ".json.gz"

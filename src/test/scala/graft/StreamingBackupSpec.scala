@@ -1,0 +1,94 @@
+package graft
+
+import graft.model._
+import graft.restore.RestoreEngine
+import graft.streaming.StreamingBackup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.time.temporal.ChronoUnit
+
+/** Structured Streaming backup properties: micro-batch append semantics,
+  * restart resume (ChronoUnitSlice appends to the in-flight object;
+  * reference RealS3BackupClientTest.scala:296-379), replay suppression,
+  * and compression-change-on-restart
+  * (ConfigurationChangeRestartSpec.scala:53-180).
+  */
+class StreamingBackupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rec(offset: Long, tsMs: Long, topic: String = "t1") =
+    ReducedConsumerRecord(topic, 0, offset, Some("a2V5"),
+      java.util.Base64.getEncoder.encodeToString(s"v$offset".getBytes), tsMs, 0)
+
+  private def wire(rs: Seq[ReducedConsumerRecord]) =
+    spark.createDataset(rs).toDF().withColumnRenamed("timestampType", "timestamp_type")
+
+  private def runBatches(
+      dir: String, ckpt: String, conf: TimeConfiguration,
+      compression: Option[CompressionType], batches: Seq[Seq[ReducedConsumerRecord]]): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ReducedConsumerRecord]
+    val stream = mem.toDF().withColumnRenamed("timestampType", "timestamp_type")
+    val q = StreamingBackup.start(stream, dir, conf, ckpt, compression)
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+  }
+
+  private val base = 1700000000000L // 2023-11-14T22:13:20Z
+
+  test("streaming ChronoUnitSlice: batches append to the in-flight slice object") {
+    val dir = tmpDir("sb-slice"); val ckpt = tmpDir("sb-slice-ckpt")
+    val b1 = (0L until 40L).map(i => rec(i, base + i * 1000))         // ~40s span
+    val b2 = (40L until 80L).map(i => rec(i, base + i * 1000))        // same hour
+    runBatches(dir, ckpt, ChronoUnitSlice(ChronoUnit.HOURS), None, Seq(b1, b2))
+    val keys = RestoreEngine.listKeys(spark, dir)
+    assert(keys.size == 1, s"expected one in-flight hour object, got $keys")
+    val restored = RestoreEngine.restore(spark, dir, Set("t1"))
+    assert(restored.count() == 80)
+    // offset order preserved inside the merged object
+    val offs = restored.orderBy("offset").select("offset").as[Long].collect()
+    assert(offs.toSeq == (0L until 80L))
+  }
+
+  test("streaming restart with same checkpoint dir appends, replayed records dropped") {
+    val dir = tmpDir("sb-resume"); val ckpt = tmpDir("sb-resume-ckpt")
+    val b1 = (0L until 30L).map(i => rec(i, base + i * 1000))
+    runBatches(dir, ckpt, ChronoUnitSlice(ChronoUnit.HOURS), None, Seq(b1))
+    // "restart": new query, fresh checkpoint, source replays 0..29 plus new 30..59
+    val ckpt2 = tmpDir("sb-resume-ckpt2")
+    val b2 = (0L until 60L).map(i => rec(i, base + i * 1000))
+    runBatches(dir, ckpt2, ChronoUnitSlice(ChronoUnit.HOURS), None, Seq(b2))
+    val restored = RestoreEngine.restore(spark, dir, Set("t1"))
+    assert(restored.count() == 60, "replayed records must be deduplicated")
+    assert(RestoreEngine.listKeys(spark, dir).size == 1)
+  }
+
+  test("streaming PeriodFromFirst: anchor from this run's first record") {
+    val dir = tmpDir("sb-period"); val ckpt = tmpDir("sb-period-ckpt")
+    val b1 = (0L until 10L).map(i => rec(i, base + i * 100))
+    val b2 = (10L until 20L).map(i => rec(i, base + 700 + (i - 10) * 100)) // crosses 700ms period
+    runBatches(dir, ckpt, PeriodFromFirst(700L), None, Seq(b1, b2))
+    val keys = RestoreEngine.listKeys(spark, dir).sorted
+    assert(keys.size >= 2, s"period rollover should cut a second object: $keys")
+    assert(RestoreEngine.restore(spark, dir, Set("t1")).count() == 20)
+  }
+
+  test("compression change on restart: in-flight slice keeps old codec, new slice uses new") {
+    val dir = tmpDir("sb-codec");
+    // run 1: plain, one in-flight hour
+    runBatches(dir, tmpDir("c1"), ChronoUnitSlice(ChronoUnit.HOURS), None,
+      Seq((0L until 20L).map(i => rec(i, base + i * 1000))))
+    // run 2: gzip config; same hour continues + next hour starts
+    val nextHour = (base / 3600000L + 1) * 3600000L
+    runBatches(dir, tmpDir("c2"), ChronoUnitSlice(ChronoUnit.HOURS), Some(Gzip),
+      Seq((20L until 30L).map(i => rec(i, base + i * 1000)) ++
+        (30L until 40L).map(i => rec(i, nextHour + (i - 30) * 1000))))
+    val keys = RestoreEngine.listKeys(spark, dir).sorted
+    assert(keys.exists(k => k.endsWith(".json")), s"old slice should stay plain: $keys")
+    assert(keys.exists(_.endsWith(".json.gz")), s"new slice should be gzip: $keys")
+    assert(keys.size == 2)
+    val restored = RestoreEngine.restore(spark, dir, Set("t1"))
+    assert(restored.count() == 40)
+  }
+}
