@@ -42,6 +42,7 @@ object SparkEntry {
     "t_quality" -> (TextQueries.qualityScore _),
     "t_langid" -> (TextQueries.langId _),
     "t_fingerprint" -> (TextQueries.fingerprints _),
+    "t_rolling_fp" -> (TextQueries.rollingFingerprints _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     // LLM-pipeline: embedding similarity over `embeddings`
     "d_embed_neardup" -> (SimilarityQueries.embedNearDup _),
@@ -230,6 +231,13 @@ object SparkEntry {
           |            WHEN c_fr >= c_es THEN 'fr'
           |            ELSE 'es' END AS pred_lang
           |FROM s ORDER BY doc_id""".stripMargin,
+      "t_rolling_fp" ->
+        """SELECT doc_id,
+          |       CAST(list_reduce(
+          |         list_prepend(0::HUGEINT,
+          |           list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))::HUGEINT)),
+          |         (a, b) -> (a * 257 + b) % 2305843009213693951::HUGEINT) AS BIGINT) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "t_fingerprint" ->
         """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,

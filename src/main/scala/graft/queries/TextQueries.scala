@@ -200,6 +200,15 @@ object TextQueries {
       .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Rabin-Karp rolling-hash fingerprint via the native Catalyst
+    * expression (graft.functions.RollingHash — codegen'd, no UDF).
+    */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
+      .orderBy("doc_id")
+
   /** Multimodal column plumbing: payloads as opaque binary + typed
     * metadata (real media decode is stubbed — see graft.multimodal).
     */

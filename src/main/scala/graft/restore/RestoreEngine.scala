@@ -23,6 +23,15 @@ import java.time.OffsetDateTime
   */
 object RestoreEngine {
 
+  /** S6: storage accessibility probe — bucket/prefix reachable before a
+    * job is submitted (compaction-s3/.../StorageClient.scala:44-52).
+    */
+  def storageAccessible(spark: SparkSession, dir: String): Boolean =
+    try {
+      val path = new Path(dir)
+      FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration).exists(path)
+    } catch { case _: Exception => false }
+
   /** List backup object keys (file names) under `dir`, unsorted. */
   def listKeys(spark: SparkSession, dir: String): Seq[String] = {
     val path = new Path(dir)
