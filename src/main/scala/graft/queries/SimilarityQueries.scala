@@ -41,7 +41,7 @@ object SimilarityQueries {
     */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    broadcast(e.as("a")).join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         cos(flatDot("a", "b")).as("c"))
@@ -55,7 +55,7 @@ object SimilarityQueries {
     val e = vectors(spark, dir)
     val q = e.filter(col("vec_id") < 10)
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
-    q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    broadcast(q.as("a")).join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
         cos(flatDot("a", "b")).as("c"))
@@ -101,7 +101,7 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     val wRank = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
-    cand
+    broadcast(cand)
       .join(e.as("a"), col("query_id") === col("a.vec_id"))
       .join(e.as("b"), col("neighbor_id") === col("b.vec_id"))
       .select(col("query_id"), col("neighbor_id"), cos(flatDot("a", "b")).as("c"))

@@ -66,8 +66,8 @@ object TextQueries {
   private def jaccardOfPairs(inter: DataFrame, sizes: DataFrame): DataFrame = {
     val j = col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .join(broadcast(sizes.select(col("doc_id").as("id1"), col("n").as("n1"))), "id1")
+      .join(broadcast(sizes.select(col("doc_id").as("id2"), col("n").as("n2"))), "id2")
       .withColumn("jaccard", j)
       .filter(col("jaccard") >= 0.8)
       .select("id1", "id2", "jaccard")
@@ -83,21 +83,22 @@ object TextQueries {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val (grams, sizes) = gramTables(spark, dir)
-    val nPerm = 128
     val bands = 32
-    val rowsPerBand = nPerm / bands
-    // per-doc minhash signature as 128 FLAT min-aggregate columns —
-    // stays in whole-stage codegen with map-side partial aggregation
-    // (the array-of-lambdas formulation falls back to interpreted
-    // evaluation and is ~50x slower)
-    val sigCols = (0 until nPerm).map(i => min(xxhash64(col("g"), lit(i))).as(s"s$i"))
-    val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val rowsPerBand = graft.functions.MinHashAggregator.NumPerm / bands
+    // per-doc minhash signature via the typed MinHash aggregator: one
+    // string hash per gram + 128 integer mixes, no 128-column codegen
+    // monster (observed janino compile dominating the flat-column form)
+    val mh = udaf(graft.functions.MinHashAggregator)
+    val sig = grams
+      .withColumn("gh", xxhash64(col("g")))
+      .groupBy("doc_id").agg(mh(col("gh")).as("sig"))
     // band hash: one row per (doc, band)
     val banded = sig.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*).as("bh"))
+          xxhash64((0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
       }: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
     val candidates = banded.as("x").join(banded.as("y"),
@@ -105,11 +106,18 @@ object TextQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
-    // exact verification on candidates only
+      // materialize BEFORE the broadcast: a broadcast build over an
+      // unmaterialized subtree re-executes it per partition (observed:
+      // 32 sequential jobs re-running the whole LSH pipeline)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
+    // exact verification on candidates only; the candidate set is small
+    // by LSH design — force broadcast so AQE can never pick a shuffled
+    // join for it (observed plan-choice variance otherwise)
     val g1 = grams.select(col("doc_id").as("id1"), col("g"))
     val g2 = grams.select(col("doc_id").as("id2"), col("g"))
-    val inter = candidates
-      .join(g1, "id1").join(g2, Seq("id2", "g"))
+    val inter = g2
+      .join(broadcast(candidates.join(g1, "id1")), Seq("id2", "g"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     jaccardOfPairs(inter, sizes)
   }

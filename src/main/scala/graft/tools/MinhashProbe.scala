@@ -10,8 +10,8 @@ object MinhashProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.constraintPropagation.enabled", "false")
@@ -47,8 +47,8 @@ object MinhashProbe {
     t("candidates")(candidates.count())
     val g1 = grams.select(col("doc_id").as("id1"), col("g"))
     val g2 = grams.select(col("doc_id").as("id2"), col("g"))
-    val inter = candidates
-      .join(g1, "id1").join(g2, Seq("id2", "g"))
+    val inter = g2
+      .join(broadcast(candidates.join(g1, "id1")), Seq("id2", "g"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     inter.explain("formatted")
     t("inter")(inter.count())
