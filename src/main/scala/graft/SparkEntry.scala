@@ -155,7 +155,8 @@ object SparkEntry {
           |per_session AS (
           |  SELECT user_id, session_id, count(*) AS n_events, max(ts_ms) - min(ts_ms) AS duration_ms
           |  FROM sessions GROUP BY 1, 2)
-          |SELECT user_id, max(session_id) AS n_sessions, sum(n_events) AS n_events,
+          |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+          |       CAST(sum(n_events) AS BIGINT) AS n_events,
           |       max(duration_ms) AS max_session_ms
           |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin,
       "e_event_stats" ->
@@ -231,13 +232,18 @@ object SparkEntry {
           |            WHEN c_fr >= c_es THEN 'fr'
           |            ELSE 'es' END AS pred_lang
           |FROM s ORDER BY doc_id""".stripMargin,
+      // Byte-based to match RollingHash (UTF-8 bytes, B=257, P=2^61-1):
+      // DuckDB blobs aren't indexable, so bytes come from hex() pairs.
       "t_rolling_fp" ->
-        """SELECT doc_id,
+        """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+          |SELECT doc_id,
           |       CAST(list_reduce(
           |         list_prepend(0::HUGEINT,
-          |           list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))::HUGEINT)),
+          |           list_transform(range(1, length(hx) // 2 + 1),
+          |             i -> (16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+          |                   + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))::HUGEINT)),
           |         (a, b) -> (a * 257 + b) % 2305843009213693951::HUGEINT) AS BIGINT) AS fp
-          |FROM documents ORDER BY doc_id""".stripMargin,
+          |FROM h ORDER BY doc_id""".stripMargin,
       "t_fingerprint" ->
         """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
