@@ -30,7 +30,11 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop any intermediates a query persisted, so cached blocks from
+      // one query don't add memory/GC pressure to the next measurement
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -13,7 +13,13 @@ object Profile {
       if (args.length > 2) args.drop(2).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    // extra session confs for A/B experiments, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.codegen.wholeStage=false;spark.sql.adaptive.enabled=false"
+    val extra = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .split(';').filter(_.contains('=')).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
+      }
+    var b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -21,15 +27,18 @@ object Profile {
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.constraintPropagation.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    extra.foreach { case (k, v) => b = b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     spark.range(1000000L).selectExpr("sum(id)").collect()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
       }
       println(f"PROFILE $name%-28s " + times.map(t => f"$t%7.2f").mkString(" "))
     }

@@ -105,6 +105,12 @@ object BackupEngine {
       .sortWithinPartitions(col("slice_start"), col("partition"), col("offset"))
       .mapPartitions { rows =>
         val fs = FileSystem.get(new java.net.URI(out), hconf.value)
+        // tmp names must be attempt-unique: with task retries or
+        // speculation two attempts of this partition run concurrently,
+        // and a shared tmp path would let one attempt rename a file the
+        // other is still writing
+        val attemptId =
+          Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
         val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         var curSlice: Long = Long.MinValue
         var writer: OutputStreamWriter = null
@@ -115,8 +121,11 @@ object BackupEngine {
           writer.write("]")
           writer.close()
           if (!fs.rename(tmpPath, finalPath)) {
-            fs.delete(finalPath, false)
-            fs.rename(tmpPath, finalPath)
+            // another attempt of this same partition already committed the
+            // (identical) object — drop ours; anything else is an error
+            if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+            else throw new java.io.IOException(
+              s"backup: rename $tmpPath -> $finalPath failed")
           }
           results += ((finalPath.getName, nRecs))
           writer = null
@@ -124,7 +133,11 @@ object BackupEngine {
         def open(slice: Long): Unit = {
           val key = BackupKey.calculateKey(BackupKey.ofEpochMillis(slice), conf, compression)
           finalPath = BackupKey.resolve(out, key)
-          tmpPath = BackupKey.resolve(out, s"_tmp_$key")
+          if (fs.exists(finalPath))
+            throw new IllegalStateException(
+              s"backup: $finalPath already exists — batch backup refuses to " +
+                "overwrite prior output (use the streaming backup for append/resume)")
+          tmpPath = BackupKey.resolve(out, s"_tmp_${attemptId}_$key")
           val raw: OutputStream = fs.create(tmpPath, true)
           val os: OutputStream =
             if (gz) new GZIPOutputStream(new BufferedOutputStream(raw, 1 << 16)) {

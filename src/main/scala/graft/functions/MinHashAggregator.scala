@@ -53,4 +53,49 @@ object MinHashAggregator extends Aggregator[Long, Array[Long], Array[Long]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  private[functions] def mixPublic(z: Long): Long = mix(z)
+}
+
+/** MinHash + LSH banding fused into one aggregator: same 128-permutation
+  * signature fold as [[MinHashAggregator]], but `finish` collapses each
+  * band of `RowsPerBand` consecutive signature slots into a single 64-bit
+  * band hash. Downstream is just `posexplode(bh)` + an equi-join on
+  * (band, hash) — no 32-struct / 128-`element_at` projection, whose
+  * generated code was large enough for janino compilation to dominate the
+  * whole query cold time.
+  */
+object MinHashBandAggregator extends Aggregator[Long, Array[Long], Array[Long]] {
+  final val NumBands = 32
+  final val RowsPerBand = MinHashAggregator.NumPerm / NumBands
+
+  override def zero: Array[Long] = MinHashAggregator.zero
+  override def reduce(buf: Array[Long], gramHash: Long): Array[Long] =
+    MinHashAggregator.reduce(buf, gramHash)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    MinHashAggregator.merge(a, b)
+
+  /** Band hash = iterated splitmix64 over the band's signature slots;
+    * equal band hashes ⟺ (w.h.p.) equal signature slices, which is all
+    * LSH bucketing needs.
+    */
+  override def finish(buf: Array[Long]): Array[Long] = {
+    val out = new Array[Long](NumBands)
+    var b = 0
+    while (b < NumBands) {
+      var h = 0x51_7c_c1_b7_27_22_0a_95L ^ b
+      var r = 0
+      while (r < RowsPerBand) {
+        h = MinHashAggregator.mixPublic(h ^ buf(b * RowsPerBand + r))
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

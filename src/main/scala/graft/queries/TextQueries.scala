@@ -27,24 +27,19 @@ object TextQueries {
 
   /** Word-3-gram sets per doc: (doc_id, gram) rows + per-doc sizes.
     *
-    * Built with posexplode + window `lead`, NOT transform(sequence(...))
-    * over the token array: CollapseProject inlines the `split` into every
-    * lambda element reference, re-evaluating it O(tokens) times per doc
-    * in interpreted mode. The row-based form splits once per doc and
-    * stays in whole-stage codegen.
+    * Grams come from the native `WordNGrams` expression (codegen scalar,
+    * distinct-per-doc by construction), so the gram table needs NO
+    * shuffle at all — the earlier posexplode + window-`lead` + global
+    * `distinct()` form cost a shuffle+sort plus a dedup shuffle before
+    * any similarity work started. (A transform(sequence(...)) lambda
+    * form is no alternative: CollapseProject inlines the `split` into
+    * every element reference and evaluates it O(tokens) times per doc,
+    * interpreted.)
     */
   private def gramTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
     val grams = docs(spark, dir)
-      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "t")))
-      .withColumn("t1", lead("t", 1).over(w))
-      .withColumn("t2", lead("t", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("g"))
-      .distinct()
-      // reused up to 4x (signatures, verification x2, sizes): materialize
-      // once instead of recomputing the explode+window+distinct lineage
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     (grams, sizes)
   }
@@ -83,37 +78,33 @@ object TextQueries {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val (grams, sizes) = gramTables(spark, dir)
-    val bands = 32
-    val rowsPerBand = graft.functions.MinHashAggregator.NumPerm / bands
-    // per-doc minhash signature via the typed MinHash aggregator: one
-    // string hash per gram + 128 integer mixes, no 128-column codegen
-    // monster (observed janino compile dominating the flat-column form)
-    val mh = udaf(graft.functions.MinHashAggregator)
-    val sig = grams
+    // per-doc minhash signature + band hashes fused into one typed
+    // aggregator: one string hash per gram, 128 integer mixes, and the
+    // 32 band hashes computed in `finish` — neither the 128-column
+    // flat-aggregate form nor the 32-struct/128-element_at banding
+    // projection survives to codegen (both produced generated classes
+    // large enough for janino compilation to dominate cold time)
+    val mh = udaf(graft.functions.MinHashBandAggregator)
+    val banded = grams
       .withColumn("gh", xxhash64(col("g")))
-      .groupBy("doc_id").agg(mh(col("gh")).as("sig"))
-    // band hash: one row per (doc, band)
-    val banded = sig.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
-      }: _*)).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bh"))
-    val candidates = banded.as("x").join(banded.as("y"),
+      .groupBy("doc_id").agg(mh(col("gh")).as("bh"))
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bh")))
+    // The candidate set is small by LSH design and is broadcast for the
+    // verification join anyway, so collect it up front (a broadcast IS a
+    // driver-side collect) and rebuild it as a local relation: no persist
+    // left behind in the session, and the broadcast build can never
+    // re-execute the LSH subtree per partition (observed: 32 sequential
+    // jobs re-running the whole pipeline over an unmaterialized subtree)
+    import spark.implicits._
+    val candRows = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
-      // materialize BEFORE the broadcast: a broadcast build over an
-      // unmaterialized subtree re-executes it per partition (observed:
-      // 32 sequential jobs re-running the whole LSH pipeline)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates.count()
-    // exact verification on candidates only; the candidate set is small
-    // by LSH design — force broadcast so AQE can never pick a shuffled
-    // join for it (observed plan-choice variance otherwise)
+      .as[(Long, Long)].collect()
+    val candidates = candRows.toSeq.toDF("id1", "id2")
+    // exact verification on candidates only — force broadcast so AQE can
+    // never pick a shuffled join for it (observed plan-choice variance)
     val g1 = grams.select(col("doc_id").as("id1"), col("g"))
     val g2 = grams.select(col("doc_id").as("id2"), col("g"))
     val inter = g2
@@ -129,20 +120,14 @@ object TextQueries {
     * ScalaTest against the planted Jaccard pairs, no SQL oracle.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // 64 flat weighted-bit-count aggregates over exploded tokens (codegen
-    // + map-side partial agg; the lambda formulation is interpreted and
-    // orders of magnitude slower), then assemble the 64-bit signature.
+    // SimHash signature via the typed aggregator (per-bit ±1 counts fold
+    // inside one object-hash aggregate) — the 64-flat-sum-column form
+    // generated a class so large that janino compile dominated cold time.
     val toks = docs(spark, dir)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val bitCols = (0 until 64).map { b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1L) = 1L"), 1L).otherwise(-1L)).as(s"b$b")
-    }
-    val simExpr = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce((a, c) => a.bitwiseOR(c))
-    val sigs = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"), simExpr.as("sim"))
+    val sh = udaf(graft.functions.SimHashAggregator)
+    val sigs = toks.groupBy("doc_id").agg(sh(col("h")).as("sim"))
     val banded = sigs.select(col("doc_id"), col("sim"),
         explode(expr(
           "transform(sequence(0, 7), k -> struct(k AS band, shiftright(sim, k * 8) & 255L AS bh))")).as("e"))

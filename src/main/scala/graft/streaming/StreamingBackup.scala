@@ -138,10 +138,19 @@ object StreamingBackup {
     ()
   }
 
-  /** Merge records into the slice object: copy the existing array body
-    * verbatim (minus the closing bracket), drop replayed records (offset
-    * <= existing max per topic/partition), append the rest, atomic
-    * rename. Keeps the reference's one-JSON-array-per-slice contract.
+  /** Merge records into the slice object: stream-copy the existing array
+    * body (minus the closing bracket), drop replayed records (offset <=
+    * existing max per topic/partition), append the rest, atomic rename.
+    * Keeps the reference's one-JSON-array-per-slice contract.
+    *
+    * Per-slice max offsets live in a `_offsets_<key>` sidecar (ignored by
+    * restore/compaction listing, which skips `_`-prefixed names) so the
+    * replay filter normally never re-reads the object; the sidecar records
+    * the object length it describes, and any mismatch (crash between the
+    * two renames, legacy object without a sidecar) falls back to a
+    * streaming JSON parse of the object. Both paths are O(record) memory —
+    * a long-lived slice (e.g. ChronoUnitSlice(DAYS) on a hot topic) never
+    * gets buffered in the executor heap.
     */
   private def mergeSlice(
       fs: FileSystem,
@@ -167,39 +176,24 @@ object StreamingBackup {
       else (wanted, gz)
     val finalPath = BackupKey.resolve(outDir, key)
     val tmpPath = BackupKey.resolve(outDir, s"_tmp_$key")
+    val sidecarPath = BackupKey.resolve(outDir, s"_offsets_$key")
     val exists = fs.exists(finalPath)
+    val objLen = if (exists) fs.getFileStatus(finalPath).getLen else 0L
 
-    var existingBody: String = null // array text minus the closing ']'
-    val maxOffsets = scala.collection.mutable.Map.empty[(String, Int), Long]
-    if (exists) {
-      val rawIn = fs.open(finalPath)
-      val in = if (gz0) new GZIPInputStream(rawIn) else rawIn
-      val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
-      val sb = new StringBuilder
-      val arr = new Array[Char](1 << 16)
-      var n = reader.read(arr)
-      while (n > 0) { sb.appendAll(arr, 0, n); n = reader.read(arr) }
-      reader.close()
-      val text = sb.toString()
-      existingBody = text.substring(0, text.lastIndexOf(']'))
-      // max offset per (topic, partition) from the existing object
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val tree = mapper.readTree(text)
-      val it = tree.elements()
-      while (it.hasNext) {
-        val node = it.next()
-        if (node != null && !node.isNull) {
-          val k = (node.get("topic").asText(), node.get("partition").asInt())
-          val off = node.get("offset").asLong()
-          if (maxOffsets.getOrElse(k, Long.MinValue) < off) maxOffsets(k) = off
-        }
-      }
-    }
+    val maxOffsets: scala.collection.mutable.Map[(String, Int), Long] =
+      if (!exists) scala.collection.mutable.Map.empty
+      else readSidecar(fs, sidecarPath, objLen)
+        .getOrElse(scanMaxOffsets(fs, finalPath, gz0))
 
     val fresh = recs.filter { case (t, p, o, _) =>
       maxOffsets.getOrElse((t, p), Long.MinValue) < o
     }
-    if (exists && fresh.isEmpty) return (key, 0L)
+    if (exists && fresh.isEmpty) {
+      // nothing to append (pure replay) — still (re)write the sidecar so a
+      // stale/missing one is repaired and the next batch skips the scan
+      writeSidecar(fs, outDir, key, sidecarPath, objLen, maxOffsets)
+      return (key, 0L)
+    }
 
     val raw: OutputStream = fs.create(tmpPath, true)
     val os: OutputStream =
@@ -208,7 +202,10 @@ object StreamingBackup {
     val w = new OutputStreamWriter(os, StandardCharsets.UTF_8)
     var written = 0L
     if (exists) {
-      w.write(existingBody)
+      val rawIn = fs.open(finalPath)
+      val in = if (gz0) new GZIPInputStream(rawIn) else rawIn
+      copyBodyWithoutClosingBracket(
+        new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8)), w)
       fresh.foreach { case (_, _, _, json) => w.write(","); w.write(json); written += 1 }
     } else {
       w.write("[")
@@ -224,6 +221,112 @@ object StreamingBackup {
       fs.delete(finalPath, false)
       fs.rename(tmpPath, finalPath)
     }
+    fresh.foreach { case (t, p, o, _) =>
+      if (maxOffsets.getOrElse((t, p), Long.MinValue) < o) maxOffsets((t, p)) = o
+    }
+    writeSidecar(fs, outDir, key, sidecarPath,
+      fs.getFileStatus(finalPath).getLen, maxOffsets)
     (key, written)
+  }
+
+  /** Stream the existing array text through to `w`, dropping the final
+    * `]` (and any trailing whitespace). One chunk of lookahead — O(64 KiB)
+    * memory regardless of object size.
+    */
+  private def copyBodyWithoutClosingBracket(reader: BufferedReader, w: OutputStreamWriter): Unit = {
+    val cur = new Array[Char](1 << 16)
+    var pend = new Array[Char](1 << 16)
+    var pendLen = 0
+    try {
+      var n = reader.read(cur)
+      while (n > 0) {
+        w.write(pend, 0, pendLen)
+        System.arraycopy(cur, 0, pend, 0, n)
+        pendLen = n
+        n = reader.read(cur)
+      }
+      while (pendLen > 0 && Character.isWhitespace(pend(pendLen - 1))) pendLen -= 1
+      if (pendLen > 0 && pend(pendLen - 1) == ']') pendLen -= 1
+      w.write(pend, 0, pendLen)
+    } finally reader.close()
+  }
+
+  /** Sidecar format: `{"len":<object bytes>,"max":[{"t":..,"p":..,"o":..}]}`.
+    * `len` ties the sidecar to the object version it describes; a mismatch
+    * means a crash landed between the object and sidecar renames, and the
+    * caller falls back to scanning the object.
+    */
+  private def readSidecar(
+      fs: FileSystem, path: Path, expectLen: Long
+  ): Option[scala.collection.mutable.Map[(String, Int), Long]] =
+    try {
+      if (!fs.exists(path)) None
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(fs.open(path))
+        if (node.get("len").asLong() != expectLen) None
+        else {
+          val m = scala.collection.mutable.Map.empty[(String, Int), Long]
+          val it = node.get("max").elements()
+          while (it.hasNext) {
+            val e = it.next()
+            m((e.get("t").asText(), e.get("p").asInt())) = e.get("o").asLong()
+          }
+          Some(m)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  private def writeSidecar(
+      fs: FileSystem,
+      outDir: String,
+      key: String,
+      path: Path,
+      objLen: Long,
+      maxOffsets: scala.collection.Map[(String, Int), Long]
+  ): Unit = {
+    val tmp = BackupKey.resolve(outDir, s"_tmp_offsets_$key")
+    val w = new OutputStreamWriter(
+      new BufferedOutputStream(fs.create(tmp, true)), StandardCharsets.UTF_8)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val entries = maxOffsets.toSeq.sortBy { case ((t, p), _) => (t, p) }
+      .map { case ((t, p), o) =>
+        s"""{"t":${mapper.writeValueAsString(t)},"p":$p,"o":$o}"""
+      }
+    w.write(s"""{"len":$objLen,"max":[${entries.mkString(",")}]}""")
+    w.close()
+    if (!fs.rename(tmp, path)) {
+      fs.delete(path, false)
+      fs.rename(tmp, path)
+    }
+  }
+
+  /** Fallback replay-filter source: streaming-parse the slice object for
+    * max offset per (topic, partition). Jackson streaming API — one small
+    * record tree at a time, never the whole array.
+    */
+  private def scanMaxOffsets(
+      fs: FileSystem, path: Path, gz: Boolean
+  ): scala.collection.mutable.Map[(String, Int), Long] = {
+    val m = scala.collection.mutable.Map.empty[(String, Int), Long]
+    val rawIn = fs.open(path)
+    val in = if (gz) new GZIPInputStream(rawIn) else rawIn
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parser = mapper.getFactory.createParser(
+      new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8)))
+    try {
+      import com.fasterxml.jackson.core.JsonToken
+      var tok = parser.nextToken()
+      while (tok != null) {
+        if (tok == JsonToken.START_OBJECT) {
+          val node = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](parser)
+          val k = (node.get("topic").asText(), node.get("partition").asInt())
+          val off = node.get("offset").asLong()
+          if (m.getOrElse(k, Long.MinValue) < off) m(k) = off
+        }
+        tok = parser.nextToken()
+      }
+    } finally parser.close()
+    m
   }
 }
