@@ -102,15 +102,21 @@ object GuardianQueries {
     * sorted by time, kept from one before the first key >= fromWhen.
     */
   def keyPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The key list is metadata-scale (one entry per backup object, not per
+    // record), and the reference computes finalKeys driver-side too
+    // (RestoreClientInterface.scala:50-81) — so aggregate the distinct
+    // slice keys distributed, then index/cut on the driver. No
+    // unpartitioned window (a single-partition global sort) in the plan.
     val keys = records(spark, dir)
       .select(BackupEngine.chronoSliceCol(col("timestamp"), ChronoUnit.HOURS).as("key_ms"))
       .distinct()
-    val w = Window.orderBy("key_ms")
-    val indexed = keys.withColumn("rn", row_number().over(w))
-    val nKeys = indexed.agg(max("rn")).head().getInt(0)
-    val cutRow = indexed.filter(col("key_ms") >= lit(fromWhenMs)).agg(min("rn")).head()
-    val keepFrom = if (cutRow.isNullAt(0)) nKeys else math.max(cutRow.getInt(0) - 1, 1)
-    indexed.filter(col("rn") >= keepFrom).select("key_ms", "rn").orderBy("key_ms")
+      .as[Long].collect().sorted
+    val cut = keys.indexWhere(_ >= fromWhenMs)
+    val keepFrom = if (cut == -1) keys.length else math.max(cut, 1) // rn of cut is cut+1; keep one before
+    keys.zipWithIndex.collect {
+      case (k, i) if i + 1 >= keepFrom => (k, i + 1)
+    }.toSeq.toDF("key_ms", "rn")
   }
 
   /** §2.9 compaction: latest value per (topic, partition, key) — completes
