@@ -35,15 +35,19 @@ object SparkEntry {
     "e_event_stats" -> (AnalyticsQueries.eventStats _),
     // LLM-pipeline: dedup + text analysis over `documents`
     "d_dedup_exact" -> (TextQueries.dedupExact _),
+    "d_dedup_keep" -> (TextQueries.dedupKeep _),
     "d_ngram_jaccard" -> (TextQueries.ngramJaccard _),
     "d_minhash_lsh" -> (TextQueries.minhashLsh _),
+    "d_dup_clusters" -> (TextQueries.dupClusters _),
     "d_simhash" -> (TextQueries.simhash _),
+    "t_top_terms" -> (TextQueries.topTerms _),
     "t_tokens" -> (TextQueries.tokenCounts _),
     "t_quality" -> (TextQueries.qualityScore _),
     "t_langid" -> (TextQueries.langId _),
     "t_fingerprint" -> (TextQueries.fingerprints _),
     "t_rolling_fp" -> (TextQueries.rollingFingerprints _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
+    "m_media_features" -> (TextQueries.mediaFeatures _),
     // LLM-pipeline: embedding similarity over `embeddings`
     "d_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "s_ann_topk" -> (SimilarityQueries.annTopK _),
@@ -170,6 +174,40 @@ object SparkEntry {
           |       count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct,
           |       count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_dups
           |FROM documents""".stripMargin,
+      "d_dedup_keep" ->
+        """SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+          |       min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+      "t_top_terms" ->
+        """WITH t AS (
+          |  SELECT DISTINCT doc_id, tok AS term
+          |  FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(tok))
+          |SELECT term, count(*) AS df FROM t GROUP BY 1
+          |ORDER BY df DESC, term LIMIT 50""".stripMargin,
+      // Connected components over the >= 0.8 exact-Jaccard dup pairs:
+      // transitive closure by recursive label flow along (bidirected)
+      // edges; min reachable id per node == component min.
+      "d_dup_clusters" ->
+        """WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          |dup AS (
+          |  SELECT id1, id2
+          |  FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+          |edges AS (SELECT id1 AS a, id2 AS b FROM dup UNION ALL SELECT id2, id1 FROM dup),
+          |reach(node, lbl) AS (
+          |  SELECT a, a FROM edges
+          |  UNION
+          |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+          |SELECT node AS doc_id, min(lbl) AS cluster_id
+          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
       "d_ngram_jaccard" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
           |grams AS (
@@ -254,6 +292,34 @@ object SparkEntry {
           |       CAST(16 * (1 + n_chars % 64) AS INT) AS fake_width,
           |       CAST(16 * (1 + n_chars % 36) AS INT) AS fake_height
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // Byte-level twin of MediaPipeline.decodeAndFeaturize's
+      // deterministic fake decode: payload = UTF-8 bytes (via hex pairs,
+      // DuckDB blobs aren't indexable), channel sums by byte position
+      // mod 3, means over third = max(n/3, 1).
+      "m_media_features" ->
+        """WITH h AS (
+          |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, i,
+          |         16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+          |           + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS byte
+          |  FROM h, UNNEST(range(1, n + 1)) AS t(i)),
+          |agg AS (
+          |  SELECT doc_id,
+          |         sum(CASE WHEN (i-1) % 3 = 0 THEN byte ELSE 0 END) AS s0,
+          |         sum(CASE WHEN (i-1) % 3 = 1 THEN byte ELSE 0 END) AS s1,
+          |         sum(CASE WHEN (i-1) % 3 = 2 THEN byte ELSE 0 END) AS s2
+          |  FROM b GROUP BY 1)
+          |SELECT h.doc_id,
+          |       CAST(h.n AS BIGINT) AS n_bytes,
+          |       'fake' AS format,
+          |       CAST(16 * (1 + h.n % 64) AS INT) AS width,
+          |       CAST(16 * (1 + h.n % 36) AS INT) AS height,
+          |       round(CAST(coalesce(a.s0, 0) AS DOUBLE) / greatest(h.n // 3, 1), 6) AS mean_r,
+          |       round(CAST(coalesce(a.s1, 0) AS DOUBLE) / greatest(h.n // 3, 1), 6) AS mean_g,
+          |       round(CAST(coalesce(a.s2, 0) AS DOUBLE) / greatest(h.n // 3, 1), 6) AS mean_b
+          |FROM h LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
       "d_embed_neardup" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |pairs AS (

@@ -25,6 +25,63 @@ object TextQueries {
       countDistinct(fingerprint(col("text"))).as("n_distinct"),
       (count(lit(1)) - countDistinct(fingerprint(col("text")))).as("n_dups"))
 
+  /** Exact dedup survivor selection — what a real pipeline does after the
+    * summary: one surviving doc per normalized-text fingerprint (keep the
+    * lowest doc_id), with the duplicate multiplicity. One hash aggregate
+    * (map-side partial), no join.
+    */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(fingerprint(col("text")).as("fingerprint"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("fingerprint", "keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** Corpus vocabulary: top-50 terms by document frequency. Terms come
+    * from the native n-gram expression at n=1 (distinct-per-doc by
+    * construction), so doc frequency is a plain count — no distinct
+    * shuffle before the aggregate.
+    */
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(graft.functions.WordNGrams.word_ngrams(col("text"), 1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(50)
+
+  /** Duplicate-cluster assignment: connected components over the
+    * exact-verified near-dup pairs (>= 0.8 n-gram Jaccard, via the
+    * MinHash/LSH pipeline), cluster id = min doc_id of the component.
+    *
+    * The pair set is OUTPUT-scale (bounded by the corpus duplicate rate,
+    * orders of magnitude smaller than the corpus — same argument that
+    * lets the LSH candidates be broadcast), so the component computation
+    * is a driver-side union-find over the collected pairs. For a
+    * pathological graph that outgrows the driver, swap in iterative
+    * min-label propagation (join + min-agg to fixpoint) — the pair
+    * *generation* stays distributed either way.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+      .orderBy("doc_id")
+  }
+
   /** Word-3-gram sets per doc: (doc_id, gram) rows + per-doc sizes.
     *
     * Grams come from the native `WordNGrams` expression (codegen scalar,
@@ -212,5 +269,26 @@ object TextQueries {
       sha2(col("text").cast(BinaryType), 256).as("sha"),
       expr("CAST(16 * (1 + n_chars % 64) AS INT)").as("fake_width"),
       expr("CAST(16 * (1 + n_chars % 36) AS INT)").as("fake_height"))
+      .orderBy("doc_id")
+
+  /** Multimodal decode path under the correctness gate: binary payloads
+    * through MediaPipeline.decodeAndFeaturize (per-partition batch
+    * iteration — the exact shape a real codec UDF runs in), features
+    * rounded for cross-engine double parity. The oracle recomputes the
+    * deterministic fake decode byte-by-byte in SQL.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaPipeline
+      .decodeAndFeaturize(graft.multimodal.MediaPipeline.mediaFromDocuments(spark, dir))
+      .toDF()
+      .select(
+        col("docId").as("doc_id"),
+        col("nBytes").as("n_bytes"),
+        col("format"),
+        col("width"),
+        col("height"),
+        round(col("meanR"), 6).as("mean_r"),
+        round(col("meanG"), 6).as("mean_g"),
+        round(col("meanB"), 6).as("mean_b"))
       .orderBy("doc_id")
 }

@@ -64,6 +64,27 @@ class StreamingBackupSpec extends SparkSuite {
     assert(RestoreEngine.listKeys(spark, dir).size == 1)
   }
 
+  test("replay dedup survives a missing/stale offsets sidecar (fallback scan)") {
+    val dir = tmpDir("sb-sidecar"); val ckpt = tmpDir("sb-sidecar-ckpt")
+    val b1 = (0L until 30L).map(i => rec(i, base + i * 1000))
+    runBatches(dir, ckpt, ChronoUnitSlice(ChronoUnit.HOURS), None, Seq(b1))
+    // simulate a crash between the object and sidecar renames: delete the
+    // sidecar so the merge must streaming-scan the object for max offsets
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val sidecars = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("_offsets_"))
+    assert(sidecars.nonEmpty, "merge should have written an offsets sidecar")
+    sidecars.foreach(p => fs.delete(p, false))
+    val b2 = (0L until 60L).map(i => rec(i, base + i * 1000)) // full replay + new
+    runBatches(dir, tmpDir("sb-sidecar-ckpt2"), ChronoUnitSlice(ChronoUnit.HOURS), None, Seq(b2))
+    val restored = RestoreEngine.restore(spark, dir, Set("t1"))
+    assert(restored.count() == 60, "fallback scan must still drop replayed records")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).count(_.startsWith("_offsets_")) == 1,
+      "sidecar should be rewritten after the merge")
+  }
+
   test("streaming PeriodFromFirst: anchor from this run's first record") {
     val dir = tmpDir("sb-period"); val ckpt = tmpDir("sb-period-ckpt")
     val b1 = (0L until 10L).map(i => rec(i, base + i * 100))

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.{MinHashAggregator, MinHashBandAggregator, SimHashAggregator, WordNGrams}
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Specs for the native n-gram expression, the fused signature
+  * aggregators, and the round-2 dedup queries (survivors, clusters,
+  * vocabulary).
+  */
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+  private val sf = SparkSuite.sf0001
+
+  private def refNgrams(text: String, n: Int): Seq[String] =
+    text.trim.split(" ", -1).toSeq.sliding(n).filter(_.size == n)
+      .map(_.mkString(" ")).toSeq.distinct
+
+  test("word_ngrams matches split+sliding reference, incl. edge cases") {
+    val cases = Seq(
+      "the quick brown fox jumps",
+      "a  doubled  space keeps empty tokens",
+      "  leading and trailing  ",
+      "né häl—lo ünï code",
+      "one two",   // shorter than n
+      "one",
+      "",
+      "tab\tinside stays one-token here")
+    cases.foreach { s =>
+      val got = WordNGrams.ngrams(UTF8String.fromString(s), 3)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(got == refNgrams(s, 3), s"mismatch for '$s'")
+    }
+  }
+
+  test("word_ngrams via the DataFrame API (codegen path) de-dups per row") {
+    val df = Seq("a b a b a b", "x y z").toDF("text")
+      .select(WordNGrams.word_ngrams(col("text"), 2).as("g"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b", "b a"))
+    assert(rows(1) == Seq("x y", "y z"))
+  }
+
+  test("band aggregator finish equals hashing the plain signature slices") {
+    val sig = MinHashAggregator.reduce(MinHashAggregator.zero, 0x12345L)
+    val banded = MinHashBandAggregator.finish(sig.clone())
+    assert(banded.length == MinHashBandAggregator.NumBands)
+    // identical signatures band identically; a perturbed signature
+    // changes exactly the band containing the perturbed slot
+    val sig2 = sig.clone(); sig2(5) ^= 1L
+    val banded2 = MinHashBandAggregator.finish(sig2)
+    val diff = banded.indices.filter(i => banded(i) != banded2(i))
+    assert(diff == Seq(5 / MinHashBandAggregator.RowsPerBand))
+  }
+
+  test("simhash aggregator: identical streams agree, sign rule holds") {
+    val a = Seq(0x0fL, 0xf0L, 0x0fL).foldLeft(SimHashAggregator.zero)(SimHashAggregator.reduce)
+    val b = Seq(0x0fL, 0x0fL, 0xf0L).foldLeft(SimHashAggregator.zero)(SimHashAggregator.reduce)
+    assert(SimHashAggregator.finish(a) == SimHashAggregator.finish(b)) // order-free
+    // bits 0-3 set in 2 of 3 inputs -> count +1 -> bit set; bits 4-7 in
+    // 1 of 3 -> count -1 -> clear
+    val sig = SimHashAggregator.finish(a)
+    assert((sig & 0xffL) == 0x0fL)
+    // merge across partitions == single-stream reduce
+    val p1 = Seq(0x0fL).foldLeft(SimHashAggregator.zero)(SimHashAggregator.reduce)
+    val p2 = Seq(0xf0L, 0x0fL).foldLeft(SimHashAggregator.zero)(SimHashAggregator.reduce)
+    assert(SimHashAggregator.finish(SimHashAggregator.merge(p1, p2)) ==
+      SimHashAggregator.finish(a))
+  }
+
+  test("dedup survivors: one keeper per fingerprint, lowest doc_id wins") {
+    val keep = TextQueries.dedupKeep(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val summary = TextQueries.dedupExact(spark, sf).as[(Long, Long, Long)].head()
+    assert(keep.length.toLong == summary._2)          // n_distinct groups
+    assert(keep.map(_._3).sum == summary._1)          // copies sum to n_docs
+    assert(keep.map(_._2).distinct.length == keep.length)
+  }
+
+  test("dup clusters: every pair lands in one cluster, rep is the min id") {
+    val pairs = TextQueries.minhashLsh(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val clusters = TextQueries.dupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep, s"cluster $rep rep is not the min id")
+    }
+  }
+
+  test("top terms are distinct-per-doc doc frequencies") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expectDf = docs.flatMap { case (_, t) =>
+      t.trim.split(" ", -1).distinct
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    TextQueries.topTerms(spark, sf).as[(String, Long)].collect().foreach {
+      case (term, df) => assert(expectDf(term) == df, s"df mismatch for '$term'")
+    }
+  }
+}
