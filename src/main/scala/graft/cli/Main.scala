@@ -168,6 +168,41 @@ object Main {
       println(s"stream-backup: processed available input from $in into $out")
       spark.stop()
 
+    case "stream-restore" :: rest =>
+      // Structured Streaming restore: watch the backup dir, decode slice
+      // objects incrementally, write records to a parquet sink. Processes
+      // what's available, checkpoints, exits; re-running with the same
+      // --checkpoint picks up only objects that appeared since.
+      val o = parseArgs(rest)
+      val dir = o.getOrElse("dir", die("--dir <backupDir> is required"))
+      val out = o.getOrElse("out", die("--out <parquetDir> is required"))
+      val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
+      val topics = o.get("topics").map(_.split(',').toSet).getOrElse(Set.empty)
+      val fromWhen = o.get("from-when").map { s =>
+        try OffsetDateTime.parse(s)
+        catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }
+      }
+      val overrides = o.get("override-topics").map { s =>
+        s.split(',').map { kv =>
+          kv.split(':') match {
+            case Array(k, v) => k -> v
+            case _ => die(s"--override-topics entries must be old:new, got '$kv'")
+          }
+        }.toMap
+      }.getOrElse(Map.empty[String, String])
+      val spark = session()
+      val records = graft.streaming.StreamingRestore.stream(
+        spark, dir, topics, fromWhen, overrides)
+      val q = records.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(s"stream-restore: replayed available objects from $dir into $out")
+      spark.stop()
+
     case cmd :: _ => die(s"unknown command '$cmd'")
     case Nil => die("a command is required")
   }
