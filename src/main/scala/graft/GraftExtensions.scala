@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.{RollingHash, WordNGrams}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions entry point: makes the graft-native Catalyst
+  * expressions callable from SQL. Deploy-time wiring is the standard
+  * one — `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`), so a
+  * pure-SQL user gets `rolling_hash(text)` and `word_ngrams(text, n)`
+  * with whole-stage codegen, no Scala API needed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => RollingHash(text)
+        case _ => throw new IllegalArgumentException(
+          s"rolling_hash(text) takes exactly 1 argument, got ${children.size}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(n: Int, IntegerType)) => WordNGrams(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_ngrams(text, n) requires a string column and an integer literal n")
+      }))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch analytics operators: watermarked
+  * event-time windows for the aggregate surface, and custom session
+  * state via `flatMapGroupsWithState` — the two Structured Streaming
+  * shapes a continuously-ingesting deployment of this engine runs.
+  *
+  * The reference has no watermark/late-data machinery at all (SURVEY
+  * §2.3: late records fall into the currently-open file); these
+  * operators are the additive streaming-analytics surface, with late
+  * data bounded explicitly by the watermark.
+  */
+object StreamingAnalytics {
+
+  /** Watermarked tumbling-window event counts over a wire-record stream
+    * (streaming e_event_stats): event time from the record timestamp,
+    * late data beyond `watermark` dropped, one closed row per
+    * (window, topic) in append mode once the watermark passes.
+    */
+  def windowedEventCounts(
+      records: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    records
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("topic"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        min(col("timestamp")).as("min_ts"),
+        max(col("timestamp")).as("max_ts"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("topic"), col("n_records"), col("min_ts"), col("max_ts"))
+
+  /** One user's open session: accumulated across micro-batches. */
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** A closed session, emitted when the gap elapses (or on timeout). */
+  final case class ClosedSession(userId: Long, start: Long, n: Long, durationMs: Long)
+
+  /** Input shape for streaming sessionization. */
+  final case class UserEvent(userId: Long, tsMs: Long)
+
+  /** Gap-based sessionization with custom state (streaming twin of the
+    * batch e_sessionize): per user, a session closes after `gapMs` of
+    * event-time inactivity. State is one open session per user;
+    * event-time timeout (watermark-driven) closes sessions for users
+    * that stop sending events — without it, an abandoned session would
+    * pin state forever.
+    */
+  def sessionize(
+      events: Dataset[UserEvent],
+      gapMs: Long,
+      watermarkDelay: String = "30 minutes"
+  ): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("tsMs")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[UserEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, batchEvents, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start, s.n, s.last - s.start))
+          } else {
+            val sorted = batchEvents.toSeq.sortBy(_.tsMs)
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.tsMs - s.last > gapMs =>
+                  closed += ClosedSession(userId, s.start, s.n, s.last - s.start)
+                  open = Some(SessionState(e.tsMs, e.tsMs, 1L))
+                case Some(s) =>
+                  open = Some(SessionState(s.start, math.max(s.last, e.tsMs), s.n + 1L))
+                case None =>
+                  open = Some(SessionState(e.tsMs, e.tsMs, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close the open session once the watermark passes gap
+              // beyond its last event
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SparkSessionExtensions wiring: the native expressions must be
+  * callable from pure SQL in a session built with the extensions.
+  */
+class GraftExtensionsSpec extends SparkSuite {
+
+  test("rolling_hash and word_ngrams are SQL-callable via GraftExtensions") {
+    val prev = spark // ensure the shared session/context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the existing SparkContext; extensions apply to the new session
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne prev, "expected a fresh session with extensions applied")
+      val row = s2.sql(
+        "SELECT rolling_hash('abc') AS h, word_ngrams('a b c d', 2) AS g").head()
+      assert(row.getLong(0) ==
+        graft.functions.RollingHash.hash("abc".getBytes("UTF-8")))
+      assert(row.getSeq[String](1) == Seq("a b", "b c", "c d"))
+      // n must be a literal
+      val err = intercept[Exception] {
+        s2.sql("SELECT word_ngrams('a b c', length('xx'))").head()
+      }
+      assert(err.getMessage.contains("integer literal"))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}

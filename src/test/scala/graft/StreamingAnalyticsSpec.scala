@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics.{ClosedSession, UserEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming analytics properties: watermark-closed windows in append
+  * mode, and flatMapGroupsWithState sessionization (gap close + event-
+  * time timeout close).
+  */
+class StreamingAnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val h0 = 1700000000000L - (1700000000000L % 3600000L) // hour-aligned
+
+  private def rec(offset: Long, tsMs: Long) =
+    graft.model.ReducedConsumerRecord("t1", 0, offset, None, "dg==", tsMs, 0)
+
+  test("windowed counts emit closed windows once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[graft.model.ReducedConsumerRecord]
+    val counts = StreamingAnalytics.windowedEventCounts(
+      mem.toDF().withColumnRenamed("timestampType", "timestamp_type"))
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    // hour 0 data, then hour 2 data: watermark (max - 1h) passes hour 0
+    mem.addData((0 until 10).map(i => rec(i, h0 + i * 1000L)): _*)
+    q.processAllAvailable()
+    mem.addData(rec(100, h0 + 2 * 3600000L))
+    q.processAllAvailable()
+    // one more batch so the new watermark finalizes hour 0
+    mem.addData(rec(101, h0 + 2 * 3600000L + 1000L))
+    q.processAllAvailable()
+    val closed = spark.table("wc")
+      .select("window_start_ms", "n_records").as[(Long, Long)].collect().toMap
+    q.stop()
+    assert(closed.get(h0).contains(10L), s"hour-0 window should be closed: $closed")
+  }
+
+  test("sessionize: gap closes sessions in-batch and via event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val sessions = StreamingAnalytics.sessionize(mem.toDS(), gapMs = 60000L,
+      watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // user 1: two events 2 min apart -> first session closes in-batch
+    mem.addData(UserEvent(1L, h0), UserEvent(1L, h0 + 1000L), UserEvent(1L, h0 + 130000L))
+    q.processAllAvailable()
+    // advance the watermark far past user 1's open session -> timeout close
+    mem.addData(UserEvent(2L, h0 + 1000L * 3600))
+    q.processAllAvailable()
+    mem.addData(UserEvent(2L, h0 + 1000L * 3600 + 1000L))
+    q.processAllAvailable()
+    val out = spark.table("sess").as[ClosedSession].collect()
+    q.stop()
+    val u1 = out.filter(_.userId == 1L).sortBy(_.start)
+    assert(u1.length == 2, s"expected both user-1 sessions closed, got ${u1.toSeq}")
+    assert(u1(0).n == 2 && u1(0).durationMs == 1000L)
+    assert(u1(1).n == 1 && u1(1).durationMs == 0L)
+  }
+}
