@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.WordNGrams
+import graft.model._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.time.temporal.ChronoUnit
+
+/** Randomized property checks (seeded, deterministic) for the pure
+  * kernels: key codec round-trip and the native n-gram expression vs an
+  * independent model, across adversarial token shapes (doubled spaces,
+  * unicode, empty tokens, 1-char tokens).
+  */
+class PropertySpec extends SparkSuite {
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("BackupKey round-trips for random instants, units, and codecs") {
+    val units = Seq(ChronoUnit.SECONDS, ChronoUnit.MINUTES, ChronoUnit.HOURS, ChronoUnit.DAYS)
+    (1 to 500).foreach { _ =>
+      val ts = BackupKey.ofEpochMillis(math.abs(rnd.nextLong()) % 4102444800000L) // < year 2100
+      val gz = if (rnd.nextBoolean()) Some(Gzip) else None
+      val conf: TimeConfiguration =
+        if (rnd.nextBoolean()) ChronoUnitSlice(units(rnd.nextInt(units.size)))
+        else PeriodFromFirst(1 + rnd.nextInt(100000))
+      val key = BackupKey.calculateKey(ts, conf, gz)
+      assert(key.endsWith(if (gz.isDefined) ".json.gz" else ".json"))
+      val back = BackupKey.keyToOffsetDateTime(key)
+      val expect = conf match {
+        case ChronoUnitSlice(u) => ts.truncatedTo(u)
+        case _                  => ts
+      }
+      assert(back.toInstant == expect.toInstant, s"key '$key' round-trip mismatch")
+    }
+  }
+
+  test("word_ngrams equals the split+sliding+distinct model on random text") {
+    val alphabets = Seq("abc", "αβγ", "日本語", "a1-", "x")
+    def randToken(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.size))
+      (0 until (1 + rnd.nextInt(4))).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    (1 to 500).foreach { _ =>
+      val nTok = rnd.nextInt(12)
+      val sb = new StringBuilder
+      if (rnd.nextInt(5) == 0) sb.append("  ") // leading spaces
+      (0 until nTok).foreach { i =>
+        if (i > 0) sb.append(" " * (1 + rnd.nextInt(3))) // 1-3 spaces
+        sb.append(if (rnd.nextInt(8) == 0) "" else randToken()) // occasional empty
+      }
+      if (rnd.nextInt(5) == 0) sb.append(" ")
+      val s = sb.toString
+      val n = 1 + rnd.nextInt(4)
+      val got = WordNGrams.ngrams(UTF8String.fromString(s), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val model = s.trim.split(" ", -1).toSeq.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq.distinct
+      assert(got == model, s"mismatch for n=$n text='$s'")
+    }
+  }
+}
