@@ -175,7 +175,12 @@ object StreamingBackup {
         (other, !gz)
       else (wanted, gz)
     val finalPath = BackupKey.resolve(outDir, key)
-    val tmpPath = BackupKey.resolve(outDir, s"_tmp_$key")
+    // attempt-unique tmp name: task retries/speculation may run two
+    // attempts of this partition concurrently; a shared tmp path would
+    // let one attempt rename a file the other is still writing
+    val attemptId =
+      Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+    val tmpPath = BackupKey.resolve(outDir, s"_tmp_${attemptId}_$key")
     val sidecarPath = BackupKey.resolve(outDir, s"_offsets_$key")
     val exists = fs.exists(finalPath)
     val objLen = if (exists) fs.getFileStatus(finalPath).getLen else 0L
@@ -285,7 +290,9 @@ object StreamingBackup {
       objLen: Long,
       maxOffsets: scala.collection.Map[(String, Int), Long]
   ): Unit = {
-    val tmp = BackupKey.resolve(outDir, s"_tmp_offsets_$key")
+    val attemptId =
+      Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+    val tmp = BackupKey.resolve(outDir, s"_tmp_${attemptId}_offsets_$key")
     val w = new OutputStreamWriter(
       new BufferedOutputStream(fs.create(tmp, true)), StandardCharsets.UTF_8)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
