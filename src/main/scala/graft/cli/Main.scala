@@ -43,6 +43,15 @@ object Main {
     sys.exit(2)
   }
 
+  /** Flag value with env-var fallback — the reference's config pattern is
+    * HOCON defaults overridden by env vars (core-backup/.../reference.conf:
+    * `time-configuration.chrono-unit = ${?BACKUP_TIME_CONFIGURATION_CHRONO_UNIT}`,
+    * core/.../reference.conf: `topics = ${?KAFKA_CLUSTER_TOPICS}`); the same
+    * env names work here so reference deployments carry over.
+    */
+  private def optEnv(o: Map[String, String], flag: String, env: String): Option[String] =
+    o.get(flag).orElse(sys.env.get(env))
+
   private def session(): SparkSession = {
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -68,7 +77,9 @@ object Main {
       val o = parseArgs(rest)
       val in = o.getOrElse("in", die("--in <parquet> is required"))
       val out = o.getOrElse("out", die("--out <dir> is required"))
-      val timeConf: TimeConfiguration = (o.get("period-from-first"), o.get("slice")) match {
+      val timeConf: TimeConfiguration =
+        (optEnv(o, "period-from-first", "BACKUP_TIME_CONFIGURATION_DURATION"),
+          optEnv(o, "slice", "BACKUP_TIME_CONFIGURATION_CHRONO_UNIT")) match {
         case (Some(ms), None) =>
           PeriodFromFirst(ms.toLongOption.getOrElse(die(s"--period-from-first must be millis, got '$ms'")))
         case (None, s) =>
@@ -97,7 +108,8 @@ object Main {
     case "restore" :: rest =>
       val o = parseArgs(rest)
       val dir = o.getOrElse("dir", die("--dir <dir> is required"))
-      val topics = o.getOrElse("topics", die("--topics is required")).split(',').toSet
+      val topics = optEnv(o, "topics", "KAFKA_CLUSTER_TOPICS")
+        .getOrElse(die("--topics is required")).split(',').toSet
       val fromWhen = o.get("from-when").map { s =>
         try OffsetDateTime.parse(s)
         catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }
@@ -121,7 +133,8 @@ object Main {
     case "compact" :: rest =>
       val o = parseArgs(rest)
       val dir = o.getOrElse("dir", die("--dir <backupDir> is required"))
-      val topics = o.getOrElse("topics", die("--topics is required")).split(',').toSet
+      val topics = optEnv(o, "topics", "KAFKA_CLUSTER_TOPICS")
+        .getOrElse(die("--topics is required")).split(',').toSet
       val spark = session()
       val compacted = CompactionEngine.latestPerKey(
         RestoreEngine.restore(spark, dir, topics))
