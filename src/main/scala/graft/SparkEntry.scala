@@ -238,6 +238,48 @@ object SparkEntry {
           |FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
           |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
           |ORDER BY id1, id2""".stripMargin,
+      // Full SimHash replay: md5-derived int64 token hash (identical in
+      // both engines), per-bit +/-1 counts, sign-rule signature (assembled
+      // in HUGEINT - BIGINT shifts overflow-check), 8x8-bit band join,
+      // hamming via bit_count(xor). >> is arithmetic in both engines; the
+      // & masks make that irrelevant.
+      "d_simhash" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+          |u AS (
+          |  SELECT doc_id,
+          |         list_reduce(
+          |           list_transform(range(1, 17),
+          |             i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::HUGEINT),
+          |           (a, b) -> a * 16 + b) AS uh
+          |  FROM toks),
+          |hv AS (
+          |  SELECT doc_id,
+          |         CAST(uh - (CASE WHEN uh >= 9223372036854775808::HUGEINT
+          |                         THEN 18446744073709551616::HUGEINT
+          |                         ELSE 0::HUGEINT END) AS BIGINT) AS h
+          |  FROM u),
+          |bits AS (
+          |  SELECT doc_id, b,
+          |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+          |  FROM hv, UNNEST(range(0, 64)) AS t(b) GROUP BY 1, 2),
+          |sig AS (
+          |  SELECT doc_id,
+          |         CAST(sum(CASE WHEN cnt > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+          |              - (CASE WHEN sum(CASE WHEN cnt > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+          |                           >= 9223372036854775808::HUGEINT
+          |                      THEN 18446744073709551616::HUGEINT
+          |                      ELSE 0::HUGEINT END) AS BIGINT) AS sim
+          |  FROM bits GROUP BY 1),
+          |banded AS (
+          |  SELECT doc_id, sim, k AS band, (sim >> (k * 8)) & 255 AS bh
+          |  FROM sig, UNNEST(range(0, 8)) AS t(k)),
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+          |         CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+          |  FROM banded x JOIN banded y
+          |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+          |SELECT id1, id2, hamming FROM cand WHERE hamming <= 6 ORDER BY id1, id2""".stripMargin,
       "t_tokens" ->
         """SELECT doc_id,
           |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,

@@ -31,6 +31,20 @@ object TextFunctions {
     when(size(tokens) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
   }
 
+  /** First 64 bits of md5(UTF-8 bytes) as a signed long — a 64-bit token
+    * hash computable IDENTICALLY in any engine with an md5 function
+    * (unlike xxhash64, whose seeded variant is Spark-internal), so
+    * hash-dependent operators built on it stay under the cross-engine
+    * correctness oracle. Assembled from two 32-bit halves via shiftleft
+    * (bit ops don't overflow-check under ANSI).
+    */
+  def md5Hash64(c: Column): Column = {
+    val m = md5(c.cast("binary"))
+    val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** Count of tokens contained in a fixed set (stopword/marker counting). */
   def tokensInSet(tokens: Column, set: Seq[String]): Column = {
     val arr = array(set.map(lit): _*)

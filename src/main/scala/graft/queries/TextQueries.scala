@@ -173,8 +173,9 @@ object TextQueries {
   /** SimHash near-dup detection: 64-bit signature from token hashes,
     * pairs with Hamming distance <= 6 found via 8x8-bit band join
     * (pigeonhole: <=7 differing bits always leave one band intact, so
-    * recall at the <=6 threshold is exact). Hash-dependent — verified in
-    * ScalaTest against the planted Jaccard pairs, no SQL oracle.
+    * recall at the <=6 threshold is exact). Token hash = md5-derived
+    * int64 (md5Hash64) so the WHOLE pipeline — hash, bit counts, band
+    * join, hamming — replays bit-for-bit in the DuckDB oracle.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // SimHash signature via the typed aggregator (per-bit ±1 counts fold
@@ -182,7 +183,7 @@ object TextQueries {
     // generated a class so large that janino compile dominated cold time.
     val toks = docs(spark, dir)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", md5Hash64(col("t")))
     val sh = udaf(graft.functions.SimHashAggregator)
     val sigs = toks.groupBy("doc_id").agg(sh(col("h")).as("sim"))
     val banded = sigs.select(col("doc_id"), col("sim"),
