@@ -33,6 +33,8 @@ object SparkEntry {
     "q_top_orders_per_customer" -> (AnalyticsQueries.topOrdersPerCustomer _),
     "e_sessionize" -> (AnalyticsQueries.sessionize _),
     "e_event_stats" -> (AnalyticsQueries.eventStats _),
+    "e_event_rollup" -> (AnalyticsQueries.eventRollup _),
+    "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     // LLM-pipeline: dedup + text analysis over `documents`
     "d_dedup_exact" -> (TextQueries.dedupExact _),
     "d_dedup_keep" -> (TextQueries.dedupKeep _),
@@ -169,6 +171,33 @@ object SparkEntry {
           |       count(*) AS n,
           |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "e_event_rollup" ->
+        """SELECT event_type,
+          |       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY ROLLUP (1, 2)
+          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+      // As-of semantics spec: latest order (by date, then orderkey) at or
+      // before each event's time for the same key; expressed here as a
+      // backward range join + arg_max, vs Spark's union+window algorithm.
+      "q_asof_order" ->
+        """WITH ev AS (
+          |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+          |ord AS (
+          |  SELECT o_custkey, o_orderkey,
+          |         epoch_ms(o_orderdate) AS odate_ms,
+          |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+          |  FROM orders),
+          |ranked AS (
+          |  SELECT e.event_id, e.user_id, e.ts_ms, o.o_orderkey, o.total,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY o.odate_ms DESC, o.o_orderkey DESC) AS rn
+          |  FROM ev e LEFT JOIN ord o
+          |    ON o.o_custkey = e.user_id AND o.odate_ms <= e.ts_ms)
+          |SELECT event_id, user_id, ts_ms,
+          |       o_orderkey AS asof_orderkey, total AS asof_total
+          |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
       "d_dedup_exact" ->
         """SELECT count(*) AS n_docs,
           |       count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct,

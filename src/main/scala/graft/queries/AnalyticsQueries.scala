@@ -115,6 +115,56 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** As-of join — for each event, the latest order of the same customer
+    * at or before the event time (ties: highest orderkey). Spark has no
+    * native as-of join; the scale-correct formulation is union + one
+    * window over (key, time): tag both sides, sort orders before events
+    * at equal timestamps, and carry the last seen order forward with
+    * `last(_, ignoreNulls)`. ONE shuffle on the key, one sort — never
+    * the O(rows_l x rows_r) inequality join a naive backward join does.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(
+        col("user_id").as("k"),
+        expr("ts div 1000000").as("t"),
+        col("event_id"),
+        lit(1).as("is_event"),
+        lit(null).cast(LongType).as("o_orderkey"),
+        lit(null).cast(DoubleType).as("o_total"))
+    val ord = pq(spark, dir, "orders")
+      .select(
+        col("o_custkey").as("k"),
+        tsMillis(col("o_orderdate")).as("t"),
+        lit(null).cast(LongType).as("event_id"),
+        lit(0).as("is_event"),
+        col("o_orderkey"),
+        dec(col("o_totalprice")).cast(DoubleType).as("o_total"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_event"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("asof_orderkey", last("o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("asof_total", last("o_total", ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts_ms"),
+        col("asof_orderkey"), col("asof_total"))
+      .orderBy("event_id")
+  }
+
+  /** Rollup aggregate: event stats with subtotals per type and a grand
+    * total — `rollup` is a single aggregate with grouping sets, one
+    * shuffle (no union of re-aggregations).
+    */
+  def eventRollup(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .withColumn("day_ms", expr("((ts div 1000000) div 86400000) * 86400000"))
+      .rollup("event_type", "day_ms")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec4(col("value"))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day_ms").asc_nulls_first)
+
   /** Event-type hourly rollup (streaming-aggregation shape in batch). */
   def eventStats(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "events")
