@@ -21,6 +21,12 @@ import java.time.temporal.ChronoUnit
   *   restore --dir <dir> --topics a,b[,...] [--from-when ISO_OFFSET_DATE_TIME]
   *           [--override-topics old:new[,old2:new2]] [--show N] [--out <parquet>]
   *   compact --dir <backupDir> --topics a,b [--out <parquet>] [--show N]
+  *   stream-backup  --in <parquetDir> --out <dir> --checkpoint <dir>
+  *                  [--slice ...] [--gzip] [--topic <name>]
+  *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
+  *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
+  *
+  * Flags fall back to the reference's env vars (see optEnv).
   */
 object Main {
   private def parseArgs(args: Seq[String]): Map[String, String] = {

@@ -1,0 +1,68 @@
+package graft
+
+import graft.queries.{AnalyticsQueries, TextQueries}
+
+/** Plan-shape regression tests: the scale properties we rely on
+  * (pushdown, pruning, broadcast of dims, no unpartitioned windows,
+  * no gram-table shuffle) must be visible in the optimized plans —
+  * a regression here is a 100 TB problem long before it is a local
+  * slowdown.
+  */
+class PlanSpec extends SparkSuite {
+  private val sf = SparkSuite.sf0001
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q3: dim filter pushed to scan, joins broadcast, lineitem pruned") {
+    val plan = planOf(AnalyticsQueries.q3Revenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "mktsegment filter must reach the customer scan")
+    val lineitemScan = plan.linesIterator.find(l =>
+      l.contains("lineitem.parquet") && l.contains("ReadSchema"))
+    // projection pruning: only the 3 needed lineitem columns are read
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan must be pruned to 3 columns:\n$plan")
+  }
+
+  test("sessionize: windows share one user partitioning, no global window") {
+    val plan = planOf(AnalyticsQueries.sessionize(spark, sf))
+    assert(!plan.contains("Window [") || plan.contains("windowspecdefinition(user_id"),
+      "session windows must partition by user_id")
+    // both window functions + the aggregate reuse ONE hash exchange on user_id
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1, s"expected exactly one user_id exchange, plan:\n$plan")
+  }
+
+  test("minhash gram table plans with no shuffle before the signature aggregate") {
+    import org.apache.spark.sql.functions._
+    // grams come from the native expression: scan -> generate -> partial agg;
+    // the ONLY exchange below the signature aggregate is the doc_id one
+    val grams = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+    val mh = udaf(graft.functions.MinHashBandAggregator)
+    val sig = grams
+      .withColumn("gh", xxhash64(col("g")))
+      .groupBy("doc_id")
+      .agg(mh(col("gh")).as("bh"))
+    val plan = planOf(sig)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"gram->signature path must shuffle exactly once:\n$plan")
+    assert(plan.contains("word_ngrams"), "native expression must appear in the plan")
+    assert(plan.contains("partial_minhashbandaggregator"),
+      "signature aggregate must have a map-side partial phase")
+  }
+
+  test("restore record filters reach the decode, no shuffle in restore") {
+    val dir = tmpDir("planspec-backup")
+    val in = graft.queries.GuardianQueries.records(spark, sf).limit(100)
+    graft.backup.BackupEngine.backupBatch(in, dir,
+      graft.model.ChronoUnitSlice(java.time.temporal.ChronoUnit.DAYS))
+    val plan = planOf(graft.restore.RestoreEngine.restore(spark, dir, Set("events")))
+    assert(!plan.contains("Exchange"), s"restore must not shuffle:\n$plan")
+    assert(plan.contains("isnotnull(topic") || plan.contains("topic"), "topic filter present")
+  }
+}
