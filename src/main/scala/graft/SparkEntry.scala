@@ -34,6 +34,8 @@ object SparkEntry {
     "e_sessionize" -> (AnalyticsQueries.sessionize _),
     "e_event_stats" -> (AnalyticsQueries.eventStats _),
     "e_event_rollup" -> (AnalyticsQueries.eventRollup _),
+    "e_value_quantiles" -> (AnalyticsQueries.valueQuantiles _),
+    "e_users_except" -> (AnalyticsQueries.activeUsersExcept _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     // LLM-pipeline: dedup + text analysis over `documents`
     "d_dedup_exact" -> (TextQueries.dedupExact _),
@@ -171,6 +173,19 @@ object SparkEntry {
           |       count(*) AS n,
           |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "e_value_quantiles" ->
+        """SELECT event_type, count(*) AS n,
+          |       round(quantile_cont(value, 0.5), 6) AS p50,
+          |       round(quantile_cont(value, 0.9), 6) AS p90,
+          |       round(quantile_cont(value, 0.99), 6) AS p99
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "e_users_except" ->
+        """SELECT DISTINCT user_id FROM events
+          |WHERE (epoch_ms(ts) // 86400000) * 86400000 = 1704067200000
+          |EXCEPT
+          |SELECT DISTINCT user_id FROM events
+          |WHERE (epoch_ms(ts) // 86400000) * 86400000 = 1704153600000
+          |ORDER BY user_id""".stripMargin,
       "e_event_rollup" ->
         """SELECT event_type,
           |       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,

@@ -165,6 +165,33 @@ object AnalyticsQueries {
         sum(dec4(col("value"))).cast(DoubleType).as("sum_value"))
       .orderBy(col("event_type").asc_nulls_first, col("day_ms").asc_nulls_first)
 
+  /** Exact percentiles of event value per type (`percentile` is the
+    * exact interpolated aggregate — one shuffle, sorted within groups).
+    * 6-dp rounding absorbs last-ulp interpolation differences between
+    * engines (same policy as the cosine queries).
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** Set operation: users active on day 1 but not day 2 (EXCEPT). */
+  def activeUsersExcept(spark: SparkSession, dir: String): DataFrame = {
+    val day0 = 1704067200000L // 2024-01-01
+    val day1 = day0 + 86400000L
+    def usersOn(dayMs: Long): DataFrame =
+      pq(spark, dir, "events")
+        .withColumn("day_ms", expr("((ts div 1000000) div 86400000) * 86400000"))
+        .filter(col("day_ms") === dayMs)
+        .select("user_id").distinct()
+    usersOn(day0).except(usersOn(day1)).orderBy("user_id")
+  }
+
   /** Event-type hourly rollup (streaming-aggregation shape in batch). */
   def eventStats(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "events")
