@@ -69,8 +69,10 @@ object SimilarityQueries {
     * vector assigned to its max-cosine cell; queries probe their 4
     * nearest cells and rank only those cells' members. Deterministic
     * (row_number tie-breaks on cell/neighbor id). At scale: seeds become
-    * k-means centroids, assignment is a broadcast join against N
-    * vectors, probing reads ~nprobe/ncells of the data.
+    * k-means centroids — [[KMeans.fit]] is that trained quantizer
+    * (distributed Lloyd, broadcast assignment, spec-tested) — and
+    * probing reads ~nprobe/ncells of the data. This gate query keeps
+    * the naive deterministic seeds so the DuckDB oracle replays exactly.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
