@@ -37,6 +37,7 @@ object SparkEntry {
     "e_value_quantiles" -> (AnalyticsQueries.valueQuantiles _),
     "e_users_except" -> (AnalyticsQueries.activeUsersExcept _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
+    "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     // LLM-pipeline: dedup + text analysis over `documents`
     "d_dedup_exact" -> (TextQueries.dedupExact _),
     "d_dedup_keep" -> (TextQueries.dedupKeep _),
@@ -193,6 +194,18 @@ object SparkEntry {
           |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY ROLLUP (1, 2)
           |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+      // Range-join spec: events within [odate, odate + 36h) of the same
+      // customer, zero-count orders kept. The oracle states the range
+      // predicate directly; Spark executes the bucketed form.
+      "q_range_join" ->
+        """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+          |ord AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS odate_ms FROM orders)
+          |SELECT o.o_orderkey, o.o_custkey, o.odate_ms,
+          |       count(e.user_id) AS n_events
+          |FROM ord o LEFT JOIN ev e
+          |  ON e.user_id = o.o_custkey
+          | AND e.ts_ms >= o.odate_ms AND e.ts_ms < o.odate_ms + 129600000
+          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
       // As-of semantics spec: latest order (by date, then orderkey) at or
       // before each event's time for the same key; expressed here as a
       // backward range join + arg_max, vs Spark's union+window algorithm.

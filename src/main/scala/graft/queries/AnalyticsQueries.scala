@@ -192,6 +192,38 @@ object AnalyticsQueries {
     usersOn(day0).except(usersOn(day1)).orderBy("user_id")
   }
 
+  /** Range join — events within 36 h after each order of the same
+    * customer. The scale-correct distributed form: replicate each order
+    * to the day buckets its window spans (<= 3), equi-join on
+    * (customer, day) — a hash join Catalyst can shuffle/broadcast — and
+    * apply the exact range as a post-filter. An event's own day is
+    * unique, so bucket replication cannot double-count. Never the
+    * inequality-only join, which plans as a nested-loop cross product.
+    */
+  def rangeJoinOrderEvents(spark: SparkSession, dir: String): DataFrame = {
+    val windowMs = 36L * 3600 * 1000
+    val dayMs = 86400000L
+    val ord = pq(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        tsMillis(col("o_orderdate")).as("odate_ms"))
+    val ev = pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"))
+      .withColumn("day", expr(s"ts_ms div $dayMs"))
+    val ordBuckets = ord.withColumn("day",
+      explode(sequence(
+        expr(s"odate_ms div $dayMs"),
+        expr(s"(odate_ms + ${windowMs - 1}) div $dayMs"))))
+    val counts = ordBuckets.join(ev,
+        ordBuckets("o_custkey") === ev("user_id") && ordBuckets("day") === ev("day") &&
+          ev("ts_ms") >= ordBuckets("odate_ms") &&
+          ev("ts_ms") < ordBuckets("odate_ms") + lit(windowMs))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n_events"))
+    ord.join(counts, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("odate_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("o_orderkey")
+  }
+
   /** Event-type hourly rollup (streaming-aggregation shape in batch). */
   def eventStats(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "events")
