@@ -47,6 +47,38 @@ object StreamingAnalytics {
   /** Input shape for streaming sessionization. */
   final case class UserEvent(userId: Long, tsMs: Long)
 
+  /** A key's latest record (streaming compaction state). */
+  final case class LatestRecord(
+      topic: String, partition: Int, key: String,
+      offset: Long, value: String, timestamp: Long)
+
+  /** Streaming compaction: continuously maintained latest-value-per-key
+    * (the streaming twin of CompactionEngine.latestPerKey, and the
+    * reference's intended compaction semantics, SURVEY §2.9) via
+    * `mapGroupsWithState` in update mode — each micro-batch emits the
+    * new latest record for every key it touched. State per key is one
+    * record; at 100 TB of *throughput* that is bounded by the keyspace,
+    * the same bound a compacted Kafka topic itself has.
+    */
+  def streamingCompact(records: DataFrame): Dataset[LatestRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .select(col("topic"), col("partition"), col("offset"),
+        coalesce(col("key"), lit("")).as("key"), col("value"), col("timestamp"))
+      .as[(String, Int, Long, String, String, Long)]
+      .groupByKey { case (t, p, _, k, _, _) => (t, p, k) }
+      .mapGroupsWithState[LatestRecord, LatestRecord](GroupStateTimeout.NoTimeout()) {
+        case ((topic, partition, key), rows, state: GroupState[LatestRecord]) =>
+          val candidates = state.getOption.iterator ++ rows.map {
+            case (t, p, o, k, v, ts) => LatestRecord(t, p, k, o, v, ts)
+          }
+          val latest = candidates.maxBy(_.offset)
+          state.update(latest)
+          latest
+      }
+  }
+
   /** Gap-based sessionization with custom state (streaming twin of the
     * batch e_sessionize): per user, a session closes after `gapMs` of
     * event-time inactivity. State is one open session per user;
