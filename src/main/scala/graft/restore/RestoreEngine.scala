@@ -76,14 +76,30 @@ object RestoreEngine {
     // whole-file corrupt record, so decode via wholetext + from_json +
     // explode instead — a null element becomes an all-null row we drop.
     // gz objects are decompressed by extension by the text source.
-    spark.read
-      .option("wholetext", "true")
-      .text(paths: _*)
-      .select(explode(from_json(col("value"),
-        org.apache.spark.sql.types.ArrayType(ReducedConsumerRecord.jsonSchema))).as("r"))
+    decodeObjects(spark.read.option("wholetext", "true").text(paths: _*))
+  }
+
+  /** Shared array-decode: tolerate the `null` terminator, but FAIL LOUDLY
+    * on an unparseable object (the reference's jawn decoder errors the
+    * stream; silently restoring zero rows from a corrupt file would be
+    * data loss). explode_outer keeps one row for a failed parse so the
+    * raise_error check is reachable; `input_file_name` names the culprit.
+    */
+  private[graft] def decodeObjects(raw: DataFrame): DataFrame =
+    raw
+      .select(
+        input_file_name().as("_file"),
+        col("value"),
+        from_json(col("value"),
+          org.apache.spark.sql.types.ArrayType(ReducedConsumerRecord.jsonSchema)).as("arr"))
+      .select(explode_outer(col("arr")).as("r"),
+        when(col("arr").isNull && length(trim(col("value"))) > 0,
+          raise_error(concat(lit("corrupt backup object (unparseable JSON array): "),
+            col("_file"))))
+          .as("_chk"))
+      .filter(col("_chk").isNull)
       .select(col("r.*"))
       .filter(col("topic").isNotNull) // drop the `null` terminator element
-  }
 
   /** Full restore: list -> prefilter keys -> read -> record filters -> rename. */
   def restore(

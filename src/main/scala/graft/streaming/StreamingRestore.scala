@@ -45,12 +45,9 @@ object StreamingRestore {
     // bare file names, which misparse our ISO keys' colons (same family
     // as HADOOP-14829). A plain directory path lists via FileStatus —
     // colon-safe — and `_`/`.`-prefixed internals are skipped as hidden.
-    var df = reader
-      .text(dir)
-      .select(explode(from_json(col("value"),
-        org.apache.spark.sql.types.ArrayType(ReducedConsumerRecord.jsonSchema))).as("r"))
-      .select(col("r.*"))
-      .filter(col("topic").isNotNull) // drop the `null` terminator element
+    // shared decode with the batch path: null-terminator tolerated,
+    // unparseable objects raise (never silently restore zero rows)
+    var df = graft.restore.RestoreEngine.decodeObjects(reader.text(dir))
     if (topics.nonEmpty) df = df.filter(col("topic").isin(topics.toSeq: _*))
     fromWhen.foreach { t =>
       df = df.filter(col("timestamp") >= lit(t.toInstant.toEpochMilli))

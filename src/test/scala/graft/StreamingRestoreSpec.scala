@@ -45,6 +45,26 @@ class StreamingRestoreSpec extends SparkSuite {
     assert(offs.toSeq == ((0L until 30L) ++ (3600L until 3620L)))
   }
 
+  test("an unparseable slice object fails the restore loudly, naming the file") {
+    val dir = tmpDir("sr-corrupt")
+    BackupEngine.backupBatch(wire(recs(0 until 5)), dir,
+      ChronoUnitSlice(ChronoUnit.HOURS))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val bad = graft.model.BackupKey.resolve(dir, "2030-01-01T00:00:00Z.json")
+    val os = fs.create(bad, true)
+    os.write("""[{"topic":"t1","partition":0,"off""".getBytes("UTF-8")) // truncated
+    os.close()
+    val e = intercept[Exception] {
+      graft.restore.RestoreEngine.restore(spark, dir, Set("t1")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("corrupt backup object") && m.contains("2030-01-01T00")),
+      s"expected loud corrupt-object failure, got: ${messages(e)}")
+  }
+
   test("mixed plain and gz objects decode; null terminator tolerated; filters apply") {
     val dir = tmpDir("sr-mixed"); val out = tmpDir("sr-mixed-out")
     BackupEngine.backupBatch(wire(recs(0 until 10)), dir,
