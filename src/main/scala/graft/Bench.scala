@@ -23,13 +23,19 @@ object Bench {
     // session warmup: JVM/codegen/scheduler init shouldn't bill the
     // first measured query
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    val errors = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: fully evaluates every output column (count() would let
       // Catalyst prune projections), writes nothing
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
+      } catch {
+        case e: Throwable =>
+          // a broken query must never masquerade as a fast one
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop any intermediates a query persisted, so cached blocks from
       // one query don't add memory/GC pressure to the next measurement
@@ -39,7 +45,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def q(s: String): String =
+      "\"" + s.flatMap { c => if (c == '"' || c == '\\') "\\" + c else if (c < ' ') " " else c.toString } + "\""
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

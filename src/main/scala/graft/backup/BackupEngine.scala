@@ -96,6 +96,39 @@ object BackupEngine {
     val conf = timeConf
     val out = outDir
 
+    // refuse-to-overwrite is a JOB-level decision, made once on the
+    // driver BEFORE any task runs: this job's slice keys must not collide
+    // with objects already in the dir (disjoint-slice incremental backups
+    // into one dir stay legal — the reference keeps adding objects to the
+    // same bucket; overlapping slices need the streaming backup's
+    // merge-append). Inside tasks an existing object can then only mean
+    // "an earlier attempt of THIS job already committed it" and is
+    // skipped idempotently — a per-slice throw would make any task retry
+    // after a partial commit fail permanently.
+    {
+      val fs = FileSystem.get(new java.net.URI(out), hconf.value)
+      val dirPath = new Path(out)
+      if (fs.exists(dirPath)) {
+        val existing = fs.listStatus(dirPath).filter(_.isFile)
+          .map(_.getPath.getName)
+          .filter(n => (n.endsWith(".json") || n.endsWith(".json.gz")) && !n.startsWith("_"))
+          .toSet
+        if (existing.nonEmpty) {
+          // distinct slice keys are metadata-scale (one per object):
+          // partial-aggregated before collect
+          val colliding = sliced.select(col("slice_start")).distinct()
+            .collect().map(_.getLong(0))
+            .map(s => BackupKey.calculateKey(BackupKey.ofEpochMillis(s), conf, compression))
+            .filter(existing.contains)
+          if (colliding.nonEmpty)
+            throw new IllegalStateException(
+              s"backup: $out already contains ${colliding.length} of this job's " +
+                s"slice object(s) (e.g. ${colliding.head}) — batch backup refuses " +
+                "to overwrite prior output (use the streaming backup for append/resume)")
+        }
+      }
+    }
+
     import spark.implicits._
     // One shuffle, keyed by slice; offset order restored within partition.
     // Each task may own several slices (hash collisions) — the sort makes
@@ -114,39 +147,50 @@ object BackupEngine {
         val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         var curSlice: Long = Long.MinValue
         var writer: OutputStreamWriter = null
+        var skipping = false
         var tmpPath: Path = null
         var finalPath: Path = null
         var nRecs = 0L
-        def close(): Unit = if (writer != null) {
-          writer.write("]")
-          writer.close()
-          if (!fs.rename(tmpPath, finalPath)) {
-            // another attempt of this same partition already committed the
-            // (identical) object — drop ours; anything else is an error
-            if (fs.exists(finalPath)) fs.delete(tmpPath, false)
-            else throw new java.io.IOException(
-              s"backup: rename $tmpPath -> $finalPath failed")
+        def finishSlice(): Unit = {
+          if (writer != null) {
+            writer.write("]")
+            writer.close()
+            if (!fs.rename(tmpPath, finalPath)) {
+              // another attempt of this same partition already committed
+              // the (identical) object — drop ours; anything else errors
+              if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+              else throw new java.io.IOException(
+                s"backup: rename $tmpPath -> $finalPath failed")
+            }
+            results += ((finalPath.getName, nRecs))
+            writer = null
+          } else if (skipping) {
+            results += ((finalPath.getName, nRecs))
+            skipping = false
           }
-          results += ((finalPath.getName, nRecs))
-          writer = null
         }
         def open(slice: Long): Unit = {
           val key = BackupKey.calculateKey(BackupKey.ofEpochMillis(slice), conf, compression)
           finalPath = BackupKey.resolve(out, key)
-          if (fs.exists(finalPath))
-            throw new IllegalStateException(
-              s"backup: $finalPath already exists — batch backup refuses to " +
-                "overwrite prior output (use the streaming backup for append/resume)")
-          tmpPath = BackupKey.resolve(out, s"_tmp_${attemptId}_$key")
-          val raw: OutputStream = fs.create(tmpPath, true)
-          val os: OutputStream =
-            if (gz) new GZIPOutputStream(new BufferedOutputStream(raw, 1 << 16)) {
-              `def`.setLevel(level)
-            }
-            else new BufferedOutputStream(raw, 1 << 16)
-          writer = new OutputStreamWriter(os, StandardCharsets.UTF_8)
-          writer.write("[")
           nRecs = 0L
+          if (fs.exists(finalPath)) {
+            // the driver verified the out dir was empty at job start, so
+            // this object was committed by an earlier attempt of THIS
+            // partition (same sorted input => identical content): count
+            // the rows but skip the write — retries stay idempotent
+            skipping = true
+            writer = null
+          } else {
+            tmpPath = BackupKey.resolve(out, s"_tmp_${attemptId}_$key")
+            val raw: OutputStream = fs.create(tmpPath, true)
+            val os: OutputStream =
+              if (gz) new GZIPOutputStream(new BufferedOutputStream(raw, 1 << 16)) {
+                `def`.setLevel(level)
+              }
+              else new BufferedOutputStream(raw, 1 << 16)
+            writer = new OutputStreamWriter(os, StandardCharsets.UTF_8)
+            writer.write("[")
+          }
         }
         new Iterator[(String, Long)] {
           private var done = false
@@ -154,13 +198,16 @@ object BackupEngine {
             while (rows.hasNext && results.isEmpty) {
               val r = rows.next()
               val slice = r.getLong(0)
-              if (slice != curSlice || writer == null) {
-                close(); open(slice); curSlice = slice
-              } else writer.write(",")
-              writer.write(r.getString(3))
+              if (slice != curSlice) {
+                finishSlice(); open(slice); curSlice = slice
+              }
+              if (writer != null) {
+                if (nRecs > 0) writer.write(",")
+                writer.write(r.getString(3))
+              }
               nRecs += 1
             }
-            if (!rows.hasNext && !done) { close(); done = true }
+            if (!rows.hasNext && !done) { finishSlice(); done = true }
           }
           def hasNext: Boolean = { advance(); results.nonEmpty }
           def next(): (String, Long) = { advance(); results.remove(0) }

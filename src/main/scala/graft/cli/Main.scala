@@ -159,7 +159,7 @@ object Main {
       val in = o.getOrElse("in", die("--in <parquetDir> is required"))
       val out = o.getOrElse("out", die("--out <dir> is required"))
       val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
-      val unit = o.getOrElse("slice", "hours") match {
+      val unit = optEnv(o, "slice", "BACKUP_TIME_CONFIGURATION_CHRONO_UNIT").getOrElse("hours") match {
         case "hours" => java.time.temporal.ChronoUnit.HOURS
         case "days" => java.time.temporal.ChronoUnit.DAYS
         case "minutes" => java.time.temporal.ChronoUnit.MINUTES
@@ -191,12 +191,16 @@ object Main {
       // Structured Streaming restore: watch the backup dir, decode slice
       // objects incrementally, write records to a parquet sink. Processes
       // what's available, checkpoints, exits; re-running with the same
-      // --checkpoint picks up only objects that appeared since.
+      // --checkpoint picks up only objects that appeared since. NOTE:
+      // objects are tracked by path — records merged into an
+      // already-processed slice (streaming append-resume) are not
+      // re-read; use batch restore for dirs still being appended to.
       val o = parseArgs(rest)
       val dir = o.getOrElse("dir", die("--dir <backupDir> is required"))
       val out = o.getOrElse("out", die("--out <parquetDir> is required"))
       val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
-      val topics = o.get("topics").map(_.split(',').toSet).getOrElse(Set.empty)
+      val topics = optEnv(o, "topics", "KAFKA_CLUSTER_TOPICS")
+        .map(_.split(',').toSet).getOrElse(Set.empty)
       val fromWhen = o.get("from-when").map { s =>
         try OffsetDateTime.parse(s)
         catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }

@@ -21,15 +21,10 @@ object TextFunctions {
   /** MD5 fingerprint of the normalized text (exact-dedup key). */
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
 
-  /** Distinct word n-grams as an array column (empty if < n tokens —
-    * guard needed because Spark's sequence(1, 0) counts DOWN).
-    */
-  def wordNgrams(tokens: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(tokens) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + lit(k))): _*))
-    when(size(tokens) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
-  }
+  // n-gram building lives in the native WordNGrams expression
+  // (NGramExpression.scala) — the transform(sequence(...)) HOF form it
+  // replaced is the documented anti-pattern (README pitfall #2:
+  // CollapseProject inlines split() into every lambda element).
 
   /** First 64 bits of md5(UTF-8 bytes) as a signed long — a 64-bit token
     * hash computable IDENTICALLY in any engine with an md5 function

@@ -49,7 +49,7 @@ object StreamingAnalytics {
 
   /** A key's latest record (streaming compaction state). */
   final case class LatestRecord(
-      topic: String, partition: Int, key: String,
+      topic: String, partition: Int, key: Option[String],
       offset: Long, value: String, timestamp: Long)
 
   /** Streaming compaction: continuously maintained latest-value-per-key
@@ -65,8 +65,11 @@ object StreamingAnalytics {
     import spark.implicits._
     records
       .select(col("topic"), col("partition"), col("offset"),
-        coalesce(col("key"), lit("")).as("key"), col("value"), col("timestamp"))
-      .as[(String, Int, Long, String, String, Long)]
+        col("key"), col("value"), col("timestamp"))
+      .as[(String, Int, Long, Option[String], String, Long)]
+      // Option key: a null-key record and an empty-string-key record are
+      // DIFFERENT compaction groups (same as the batch latestPerKey,
+      // which groups null keys separately and preserves nullness)
       .groupByKey { case (t, p, _, k, _, _) => (t, p, k) }
       .mapGroupsWithState[LatestRecord, LatestRecord](GroupStateTimeout.NoTimeout()) {
         case ((topic, partition, key), rows, state: GroupState[LatestRecord]) =>

@@ -26,6 +26,14 @@ import java.time.OffsetDateTime
   * Ordering across files follows discovery order (file time order for a
   * backup laid down by our writers); strict global replay order is a
   * batch concern (RestoreEngine.toKafkaFrame).
+  *
+  * LIMITATION — quiesced or append-complete dirs only: the file source
+  * tracks objects BY PATH and never re-reads one it has processed, so
+  * records the streaming backup later merges INTO an already-read slice
+  * object (ChronoUnitSlice append-resume, late data) are not picked up.
+  * To restore a backup that is still being appended to, run the batch
+  * restore after the backup quiesces, or re-run stream-restore with a
+  * FRESH checkpoint into an idempotent sink.
   */
 object StreamingRestore {
 

@@ -50,6 +50,16 @@ class BackupRestoreSpec extends SparkSuite {
       """{"topic":"t","partition":1,"offset":9,"key":null,"value":"dg==","timestamp":6,"timestamp_type":1}""")
   }
 
+  test("batch backup refuses a dir with prior slice objects, at job start") {
+    val in = genRecords(50)
+    val dir = tmpDir("backup-refuse")
+    BackupEngine.backupBatch(in, dir, ChronoUnitSlice(ChronoUnit.SECONDS))
+    val e = intercept[IllegalStateException] {
+      BackupEngine.backupBatch(in, dir, ChronoUnitSlice(ChronoUnit.SECONDS))
+    }
+    assert(e.getMessage.contains("refuses to overwrite"))
+  }
+
   test("ChronoUnitSlice(SECONDS) round-trip: decode(files) == input") {
     val in = genRecords(500)
     val dir = tmpDir("backup-chrono")

@@ -20,8 +20,6 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
       || plan.contains("EqualTo(c_mktsegment,BUILDING)"),
       "mktsegment filter must reach the customer scan")
-    val lineitemScan = plan.linesIterator.find(l =>
-      l.contains("lineitem.parquet") && l.contains("ReadSchema"))
     // projection pruning: only the 3 needed lineitem columns are read
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
       s"lineitem scan must be pruned to 3 columns:\n$plan")

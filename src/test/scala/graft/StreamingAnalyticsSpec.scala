@@ -40,25 +40,27 @@ class StreamingAnalyticsSpec extends SparkSuite {
   test("streaming compaction maintains latest value per key across batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[graft.model.ReducedConsumerRecord]
-    def r(key: String, offset: Long, value: String) =
-      graft.model.ReducedConsumerRecord("t1", 0, offset, Some(key), value, h0 + offset, 0)
+    def r(key: Option[String], offset: Long, value: String) =
+      graft.model.ReducedConsumerRecord("t1", 0, offset, key, value, h0 + offset, 0)
     val compacted = StreamingAnalytics.streamingCompact(
       mem.toDF().withColumnRenamed("timestampType", "timestamp_type"))
     val q = compacted.writeStream.format("memory").queryName("comp")
       .outputMode("update").start()
-    mem.addData(r("a", 0, "v0"), r("a", 1, "v1"), r("b", 2, "v2"))
+    // "" and None are DIFFERENT keys (batch latestPerKey parity)
+    mem.addData(r(Some("a"), 0, "v0"), r(Some("a"), 1, "v1"), r(Some("b"), 2, "v2"),
+      r(Some(""), 5, "vEmpty"), r(None, 10, "vNull"))
     q.processAllAvailable()
-    mem.addData(r("a", 3, "v3")) // supersedes a; b untouched this batch
+    mem.addData(r(Some("a"), 3, "v3")) // supersedes a; others untouched
     q.processAllAvailable()
     q.stop()
-    import org.apache.spark.sql.functions.{col, max_by}
-    val latest = spark.table("comp")
-      .groupBy("key").agg(max_by(col("value"), col("offset")).as("value"))
-      .as[(String, String)].collect().toMap
-    assert(latest == Map("a" -> "v3", "b" -> "v2"))
-    // the second batch re-emitted ONLY the touched key with its new latest
     val emitted = spark.table("comp").as[StreamingAnalytics.LatestRecord].collect()
-    assert(emitted.count(e => e.key == "a" && e.offset == 3L) == 1)
+    val latest = emitted.groupBy(_.key).map { case (k, rs) =>
+      k -> rs.maxBy(_.offset).value
+    }
+    assert(latest == Map(
+      Some("a") -> "v3", Some("b") -> "v2", Some("") -> "vEmpty", None -> "vNull"))
+    // the second batch re-emitted ONLY the touched key with its new latest
+    assert(emitted.count(e => e.key.contains("a") && e.offset == 3L) == 1)
   }
 
   test("sessionize: gap closes sessions in-batch and via event-time timeout") {
