@@ -26,6 +26,7 @@ object SparkEntry {
     "g_compact_latest" -> (GuardianQueries.compactLatest _),
     "g_offset_commit" -> (GuardianQueries.offsetCommit _),
     "g_backup_roundtrip" -> (GuardianQueries.backupRoundtrip _),
+    "g_backup_roundtrip_gz" -> (GuardianQueries.backupRoundtripGzip _),
     // Analytics surface
     "q1_pricing" -> (AnalyticsQueries.q1Pricing _),
     "q3_revenue" -> (AnalyticsQueries.q3Revenue _),
@@ -50,6 +51,7 @@ object SparkEntry {
     "t_quality" -> (TextQueries.qualityScore _),
     "t_langid" -> (TextQueries.langId _),
     "t_fingerprint" -> (TextQueries.fingerprints _),
+    "t_tfidf" -> (TextQueries.tfidfTopTerms _),
     "t_rolling_fp" -> (TextQueries.rollingFingerprints _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
@@ -115,6 +117,8 @@ object SparkEntry {
            |SELECT topic, "partition", max("offset") AS committed_offset, count(*) AS n_records
            |FROM records GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "g_backup_roundtrip" ->
+        s"""$rcte SELECT * FROM records ORDER BY "partition", "offset"""",
+      "g_backup_roundtrip_gz" ->
         s"""$rcte SELECT * FROM records ORDER BY "partition", "offset"""",
       "q1_pricing" ->
         """SELECT l_returnflag, l_linestatus,
@@ -381,6 +385,25 @@ object SparkEntry {
           |                   + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))::HUGEINT)),
           |         (a, b) -> (a * 257 + b) % 2305843009213693951::HUGEINT) AS BIGINT) AS fp
           |FROM h ORDER BY doc_id""".stripMargin,
+      "t_tfidf" ->
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+          |tf AS (
+          |  SELECT doc_id, tok AS term, count(*) AS tc
+          |  FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(tok)
+          |  GROUP BY 1, 2),
+          |dl AS (SELECT doc_id, sum(tc) AS doc_len FROM tf GROUP BY 1),
+          |dfreq AS (SELECT term, count(*) AS df
+          |          FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY 1),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term,
+          |         round((tc::DOUBLE / doc_len) * ln(n::DOUBLE / df), 6) AS tfidf
+          |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), nn),
+          |ranked AS (
+          |  SELECT doc_id, term, tfidf,
+          |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+          |  FROM scored)
+          |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 5
+          |ORDER BY doc_id, rnk""".stripMargin,
       "t_fingerprint" ->
         """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,

@@ -146,4 +146,16 @@ object GuardianQueries {
     RestoreEngine.restore(spark, out, Set("events"))
       .orderBy("partition", "offset")
   }
+
+  /** F3/F4 under the gate: the same round-trip through gzip'd
+    * `<ISO>.json.gz` objects (write-side GZIP streams, read-side
+    * by-extension decompression).
+    */
+  def backupRoundtripGzip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-roundtrip-gz").toString
+    BackupEngine.backupBatch(records(spark, dir), out,
+      ChronoUnitSlice(ChronoUnit.DAYS), compression = Some(Gzip))
+    RestoreEngine.restore(spark, out, Set("events"))
+      .orderBy("partition", "offset")
+  }
 }

@@ -245,6 +245,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF relevance: top-5 terms per document.
+    * tf = term count / doc token count; idf = ln(N / df) with df =
+    * docs containing the term. Terms from the raw whitespace tokens
+    * (duplicates count toward tf); doc frequency from the distinct-per-
+    * doc native expression — one narrow (doc, term) aggregate each, the
+    * idf table broadcast into the scoring join. Scores round to 6 dp so
+    * last-ulp libm differences can't flip the cross-engine compare, and
+    * ranking ties break on the term.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.count() // corpus size: one metadata-scale job
+    val tf = d
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+      .withColumn("doc_len", sum("tc").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val df_ = d
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .withColumn("tfidf",
+        round((col("tc").cast(DoubleType) / col("doc_len")) *
+          log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Document fingerprinting: MD5 over normalized text. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
