@@ -52,6 +52,7 @@ object SparkEntry {
     "t_langid" -> (TextQueries.langId _),
     "t_fingerprint" -> (TextQueries.fingerprints _),
     "t_tfidf" -> (TextQueries.tfidfTopTerms _),
+    "t_char_entropy" -> (TextQueries.charEntropy _),
     "t_rolling_fp" -> (TextQueries.rollingFingerprints _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
@@ -404,6 +405,16 @@ object SparkEntry {
           |  FROM scored)
           |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 5
           |ORDER BY doc_id, rnk""".stripMargin,
+      "t_char_entropy" ->
+        """WITH chars AS (
+          |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+          |freq AS (
+          |  SELECT doc_id, ch, count(*)::DOUBLE AS c FROM chars
+          |  WHERE ch <> '' GROUP BY 1, 2),
+          |tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY 1)
+          |SELECT f.doc_id, round(-sum((c / n) * log2(c / n)), 6) AS char_entropy
+          |FROM freq f JOIN tot USING (doc_id)
+          |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
       "t_fingerprint" ->
         """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,

@@ -278,6 +278,25 @@ object TextQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Character-distribution entropy per doc (bits/char) — the classic
+    * cheap gibberish/boilerplate signal in training-data quality
+    * filtering. Two narrow aggregates ((doc, char) counts, then the
+    * entropy fold); 6-dp rounding absorbs summation-order ulps.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val freq = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).cast(DoubleType).as("c"))
+    val p = col("c") / col("n")
+    freq
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(round(-sum(p * log2(p)), 6).as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: MD5 over normalized text. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

@@ -85,6 +85,28 @@ class StreamingBackupSpec extends SparkSuite {
       "sidecar should be rewritten after the merge")
   }
 
+  test("late records merge into their own (older) slice object") {
+    // deliberate divergence from the reference (README design decisions):
+    // window assignment is by event time, so a late record lands in its
+    // CORRECT older slice, not the currently-open file
+    val dir = tmpDir("sb-late"); val ckpt = tmpDir("sb-late-ckpt")
+    val hourMs = 3600000L
+    val b1 = (0L until 10L).map(i => rec(i, base + i * 1000)) ++
+      (100L until 110L).map(i => rec(i, base + hourMs + (i - 100) * 1000))
+    runBatches(dir, ckpt, ChronoUnitSlice(ChronoUnit.HOURS), None, Seq(b1))
+    assert(RestoreEngine.listKeys(spark, dir).size == 2)
+    // a later batch carries a record whose event time is in the FIRST hour
+    val late = Seq(rec(200, base + 30 * 1000))
+    runBatches(dir, tmpDir("sb-late-ckpt2"), ChronoUnitSlice(ChronoUnit.HOURS), None, Seq(late))
+    assert(RestoreEngine.listKeys(spark, dir).size == 2, "no third object for late data")
+    val restored = RestoreEngine.restore(spark, dir, Set("t1"))
+    assert(restored.count() == 21)
+    val firstSliceKey = RestoreEngine.listKeys(spark, dir)
+      .sortBy(graft.model.BackupKey.keyToOffsetDateTime).head
+    val firstSlice = RestoreEngine.readObjects(spark, dir, Seq(firstSliceKey))
+    assert(firstSlice.count() == 11, "late record must merge into the older slice")
+  }
+
   test("streaming PeriodFromFirst: anchor from this run's first record") {
     val dir = tmpDir("sb-period"); val ckpt = tmpDir("sb-period-ckpt")
     val b1 = (0L until 10L).map(i => rec(i, base + i * 100))
