@@ -37,6 +37,7 @@ object SparkEntry {
     "e_event_rollup" -> (AnalyticsQueries.eventRollup _),
     "e_value_quantiles" -> (AnalyticsQueries.valueQuantiles _),
     "e_users_except" -> (AnalyticsQueries.activeUsersExcept _),
+    "e_moving_stats" -> (AnalyticsQueries.movingStats _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     // LLM-pipeline: dedup + text analysis over `documents`
@@ -192,6 +193,14 @@ object SparkEntry {
           |SELECT DISTINCT user_id FROM events
           |WHERE (epoch_ms(ts) // 86400000) * 86400000 = 1704153600000
           |ORDER BY user_id""".stripMargin,
+      "e_moving_stats" ->
+        """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          |       count(*) OVER w AS n_5m,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 6) AS sum_5m
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          |             RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, ts_ms, event_id""".stripMargin,
       "e_event_rollup" ->
         """SELECT event_type,
           |       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,

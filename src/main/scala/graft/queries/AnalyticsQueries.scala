@@ -224,6 +224,24 @@ object AnalyticsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Time-based moving aggregate: per user, events and value-sum over
+    * the trailing 5 minutes (RANGE frame over event time — one shuffle
+    * on the user, one sort, incremental frame evaluation). Sum in
+    * DECIMAL (exact, frame-order-independent), emitted as rounded
+    * DOUBLE.
+    */
+  def movingStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(-300000L, 0L)
+    pq(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ts_ms"),
+        col("value"))
+      .withColumn("n_5m", count(lit(1)).over(w))
+      .withColumn("sum_5m", round(sum(dec4(col("value"))).over(w).cast(DoubleType), 6))
+      .select("user_id", "event_id", "ts_ms", "n_5m", "sum_5m")
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
   /** Event-type hourly rollup (streaming-aggregation shape in batch). */
   def eventStats(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "events")
