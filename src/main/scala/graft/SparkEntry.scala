@@ -38,6 +38,7 @@ object SparkEntry {
     "e_value_quantiles" -> (AnalyticsQueries.valueQuantiles _),
     "e_users_except" -> (AnalyticsQueries.activeUsersExcept _),
     "e_moving_stats" -> (AnalyticsQueries.movingStats _),
+    "q_semi_anti" -> (AnalyticsQueries.semiAntiCustomers _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     // LLM-pipeline: dedup + text analysis over `documents`
@@ -193,6 +194,12 @@ object SparkEntry {
           |SELECT DISTINCT user_id FROM events
           |WHERE (epoch_ms(ts) // 86400000) * 86400000 = 1704153600000
           |ORDER BY user_id""".stripMargin,
+      "q_semi_anti" ->
+        """SELECT
+          |  (SELECT count(*) FROM customer c
+          |   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+          |  (SELECT count(*) FROM customer c
+          |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders""".stripMargin,
       "e_moving_stats" ->
         """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
           |       count(*) OVER w AS n_5m,

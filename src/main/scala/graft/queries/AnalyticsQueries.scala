@@ -242,6 +242,20 @@ object AnalyticsQueries {
       .orderBy("user_id", "ts_ms", "event_id")
   }
 
+  /** Semi/anti join pair: customers with vs without orders — left_semi
+    * and left_anti are distinct physical operators (existence hash
+    * joins, no row multiplication), not filters over a full join.
+    */
+  def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = pq(spark, dir, "customer")
+    val o = pq(spark, dir, "orders").select("o_custkey")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without_orders"))
+    withOrders.crossJoin(withoutOrders)
+  }
+
   /** Event-type hourly rollup (streaming-aggregation shape in batch). */
   def eventStats(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "events")
