@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
 
-import java.io.{BufferedOutputStream, OutputStream, OutputStreamWriter}
+import java.io.{BufferedOutputStream, BufferedReader, OutputStream, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 import java.time.temporal.ChronoUnit
 import java.util.zip.{Deflater, GZIPOutputStream}
@@ -35,6 +35,21 @@ import java.util.zip.{Deflater, GZIPOutputStream}
   * one repartition on the slice key).
   */
 object BackupEngine {
+
+  /** Object key minus its format extension: collision checks must treat
+    * `X.json` and `X.json.gz` as the same slice object — restore reads
+    * both, so a gzip re-run over an uncompressed backup would silently
+    * duplicate every record on restore if compared by full name.
+    */
+  private def baseKey(name: String): String =
+    name.stripSuffix(".gz").stripSuffix(".json")
+
+  /** Marker file recording which job most recently claimed `outDir` for a
+    * batch backup. Tasks use it to tell "an earlier attempt of THIS job
+    * committed this object" (safe idempotent skip) from "a concurrent job
+    * is writing into the same dir" (loud failure, not silent data loss).
+    */
+  private val JobMarker = "_graft_backup_job"
 
   /** ChronoUnitSlice window key (calendar-aligned truncation, W2). */
   def chronoSliceCol(tsMillis: Column, unit: ChronoUnit): Column = {
@@ -95,6 +110,7 @@ object BackupEngine {
     val level = compressionLevel.getOrElse(Deflater.DEFAULT_COMPRESSION)
     val conf = timeConf
     val out = outDir
+    val jid = java.util.UUID.randomUUID().toString
 
     // refuse-to-overwrite is a JOB-level decision, made once on the
     // driver BEFORE any task runs: this job's slice keys must not collide
@@ -109,9 +125,18 @@ object BackupEngine {
       val fs = FileSystem.get(new java.net.URI(out), hconf.value)
       val dirPath = new Path(out)
       if (fs.exists(dirPath)) {
-        val existing = fs.listStatus(dirPath).filter(_.isFile)
-          .map(_.getPath.getName)
+        val names = fs.listStatus(dirPath).filter(_.isFile).map(_.getPath.getName)
+        // stale tmp files from failed/killed attempts of PRIOR jobs are
+        // garbage nothing else will ever delete (attempt-unique names mean
+        // retries never reuse them) — sweep them while we hold the listing
+        names.filter(_.startsWith("_tmp_"))
+          .foreach(n => fs.delete(BackupKey.resolve(out, n), false))
+        // collision check is extension-blind: X.json and X.json.gz are the
+        // same slice to restore, so a --gzip re-run over an uncompressed
+        // backup must refuse just like a same-codec re-run would
+        val existing = names
           .filter(n => (n.endsWith(".json") || n.endsWith(".json.gz")) && !n.startsWith("_"))
+          .map(baseKey)
           .toSet
         if (existing.nonEmpty) {
           // distinct slice keys are metadata-scale (one per object):
@@ -119,13 +144,25 @@ object BackupEngine {
           val colliding = sliced.select(col("slice_start")).distinct()
             .collect().map(_.getLong(0))
             .map(s => BackupKey.calculateKey(BackupKey.ofEpochMillis(s), conf, compression))
-            .filter(existing.contains)
+            .filter(k => existing.contains(baseKey(k)))
           if (colliding.nonEmpty)
             throw new IllegalStateException(
               s"backup: $out already contains ${colliding.length} of this job's " +
-                s"slice object(s) (e.g. ${colliding.head}) — batch backup refuses " +
-                "to overwrite prior output (use the streaming backup for append/resume)")
+                s"slice object(s) (e.g. ${colliding.head}, possibly under the other " +
+                "compression's extension) — batch backup refuses to overwrite prior " +
+                "output (use the streaming backup for append/resume)")
         }
+      }
+      // claim the dir for this job: tasks finding an already-committed
+      // object trust the skip only if the marker still names this job
+      val markerTmp = BackupKey.resolve(out, s"${JobMarker}_$jid")
+      val mw = new OutputStreamWriter(fs.create(markerTmp, true), StandardCharsets.UTF_8)
+      mw.write(jid); mw.close()
+      val marker = BackupKey.resolve(out, JobMarker)
+      if (!fs.rename(markerTmp, marker)) {
+        fs.delete(marker, false)
+        if (!fs.rename(markerTmp, marker))
+          throw new java.io.IOException(s"backup: cannot write job marker $marker")
       }
     }
 
@@ -169,15 +206,42 @@ object BackupEngine {
             skipping = false
           }
         }
+        def markerIsOurs(): Boolean =
+          try {
+            val in = new BufferedReader(new java.io.InputStreamReader(
+              fs.open(BackupKey.resolve(out, JobMarker)), StandardCharsets.UTF_8))
+            try in.readLine() == jid finally in.close()
+          } catch { case _: Exception => false }
         def open(slice: Long): Unit = {
           val key = BackupKey.calculateKey(BackupKey.ofEpochMillis(slice), conf, compression)
           finalPath = BackupKey.resolve(out, key)
+          // extension-blind existence check: the other codec's variant of
+          // this slice is the same object to restore — an earlier attempt
+          // of this job can't have written it (we only write `key`), so
+          // finding one means another job is interleaved with ours
+          val otherPath = BackupKey.resolve(out, BackupKey.calculateKey(
+            BackupKey.ofEpochMillis(slice), conf,
+            if (gz) None else Some(Gzip)))
+          if (fs.exists(otherPath))
+            throw new IllegalStateException(
+              s"backup: found $otherPath (this job writes $key) — a concurrent " +
+                "backup job with different compression is writing into the same dir")
           nRecs = 0L
           if (fs.exists(finalPath)) {
-            // the driver verified the out dir was empty at job start, so
-            // this object was committed by an earlier attempt of THIS
-            // partition (same sorted input => identical content): count
-            // the rows but skip the write — retries stay idempotent
+            // the driver verified no slice of ours pre-existed at job
+            // start, so normally this object was committed by an earlier
+            // attempt of THIS partition (same sorted input => identical
+            // content) and the write can be skipped idempotently. But if
+            // the dir's job marker no longer names this job, a concurrent
+            // backup claimed the dir after we started — its object need
+            // not contain OUR records, so a silent skip would be silent
+            // data loss: fail loudly instead.
+            if (!markerIsOurs())
+              throw new IllegalStateException(
+                s"backup: $finalPath exists but $out's job marker no longer names " +
+                  "this job — a concurrent backup job is writing into the same dir")
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"backup: skipping $finalPath — already committed by an earlier attempt of this job")
             skipping = true
             writer = null
           } else {

@@ -138,14 +138,18 @@ object RestoreEngine {
         unbase64(col("value")).as("value")
       )
 
-  /** Write to Kafka with the reference's exactly-once producer options
-    * (cli-restore/.../Main.scala:101-142).
+  /** Write to Kafka with the reference's `--single-message-per-kafka-request`
+    * producer options (cli-restore/.../Main.scala:101-142): idempotence on,
+    * one in-flight request. Task retries can still re-produce a partition's
+    * records (no producer transaction spans the job), so delivery is
+    * at-least-once under failure — same as the reference's restore, whose
+    * producer idempotence also only covers broker-level retries.
     */
-  def writeToKafka(records: DataFrame, bootstrapServers: String, exactlyOnce: Boolean = false): Unit = {
+  def writeToKafka(records: DataFrame, bootstrapServers: String, idempotentProducer: Boolean = false): Unit = {
     var w = toKafkaFrame(records).write
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
-    if (exactlyOnce)
+    if (idempotentProducer)
       w = w.option("kafka.enable.idempotence", "true")
         .option("kafka.max.in.flight.requests.per.connection", "1")
     w.save()

@@ -224,35 +224,84 @@ object StreamingBackup {
     w.close()
     if (!fs.rename(tmpPath, finalPath)) {
       fs.delete(finalPath, false)
-      fs.rename(tmpPath, finalPath)
+      if (!fs.rename(tmpPath, finalPath))
+        throw new java.io.IOException(
+          s"backup: rename $tmpPath -> $finalPath failed")
     }
     fresh.foreach { case (t, p, o, _) =>
       if (maxOffsets.getOrElse((t, p), Long.MinValue) < o) maxOffsets((t, p)) = o
     }
     writeSidecar(fs, outDir, key, sidecarPath,
       fs.getFileStatus(finalPath).getLen, maxOffsets)
+    sweepStaleTmps(fs, outDir, key)
     (key, written)
   }
 
+  /** Age before an orphaned `_tmp_*` file is considered dead. Attempt-unique
+    * tmp names are never reused, so a failed/killed attempt's tmp would
+    * otherwise live forever; but a LIVE speculative attempt is also writing
+    * a `_tmp_*` for the same key, and deleting it mid-write would corrupt
+    * that attempt — mtime older than any plausible attempt lifetime is the
+    * discriminator.
+    */
+  private val StaleTmpAgeMillis: Long = 15L * 60 * 1000
+
+  /** After a successful merge/rename, delete dead tmp files left behind for
+    * this slice's key by failed attempts (batch backup sweeps its dir at
+    * driver pre-check; streaming has no such single entry point, so the
+    * sweep rides on each successful merge).
+    */
+  private def sweepStaleTmps(fs: FileSystem, outDir: String, key: String): Unit =
+    try {
+      val now = System.currentTimeMillis()
+      // plain listStatus, never glob: ISO keys contain ':' (HADOOP-14829)
+      fs.listStatus(new Path(outDir)).iterator
+        .filter(_.isFile)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("_tmp_") && n.endsWith(key) &&
+            now - st.getModificationTime > StaleTmpAgeMillis
+        }
+        .foreach(st => fs.delete(st.getPath, false))
+    } catch { case _: Exception => () } // cleanup is best-effort
+
   /** Stream the existing array text through to `w`, dropping the final
-    * `]` (and any trailing whitespace). One chunk of lookahead — O(64 KiB)
-    * memory regardless of object size.
+    * `]` (and any trailing whitespace). Holds back the last non-whitespace
+    * character plus any whitespace after it until a later non-whitespace
+    * character proves them interior — so a trailing-whitespace run that
+    * spans chunk boundaries (hand-edited/externally-formatted objects)
+    * can never leak the closing `]` into the copied body. Memory is
+    * O(chunk + longest interior whitespace run) — for machine-written
+    * JSON, effectively O(64 KiB) regardless of object size.
     */
   private def copyBodyWithoutClosingBracket(reader: BufferedReader, w: OutputStreamWriter): Unit = {
     val cur = new Array[Char](1 << 16)
-    var pend = new Array[Char](1 << 16)
-    var pendLen = 0
+    // held = the last non-whitespace char seen so far + everything after
+    // it (all whitespace); only flushed when a later non-ws char arrives
+    val held = new java.lang.StringBuilder
     try {
       var n = reader.read(cur)
       while (n > 0) {
-        w.write(pend, 0, pendLen)
-        System.arraycopy(cur, 0, pend, 0, n)
-        pendLen = n
+        var lastNonWs = n - 1
+        while (lastNonWs >= 0 && Character.isWhitespace(cur(lastNonWs))) lastNonWs -= 1
+        if (lastNonWs < 0) {
+          // whitespace-only chunk: keep holding
+          held.append(cur, 0, n)
+        } else {
+          // a later non-ws char exists, so everything held and everything
+          // before it in this chunk is interior — safe to write
+          if (held.length > 0) { w.write(held.toString); held.setLength(0) }
+          w.write(cur, 0, lastNonWs)
+          held.append(cur, lastNonWs, n - lastNonWs)
+        }
         n = reader.read(cur)
       }
-      while (pendLen > 0 && Character.isWhitespace(pend(pendLen - 1))) pendLen -= 1
-      if (pendLen > 0 && pend(pendLen - 1) == ']') pendLen -= 1
-      w.write(pend, 0, pendLen)
+      // held is now `<last non-ws char><ws*>` (or empty): drop the
+      // whitespace, then the char itself iff it is the closing bracket
+      var end = held.length
+      while (end > 0 && Character.isWhitespace(held.charAt(end - 1))) end -= 1
+      if (end > 0 && held.charAt(end - 1) == ']') end -= 1
+      if (end > 0) w.write(held.substring(0, end))
     } finally reader.close()
   }
 

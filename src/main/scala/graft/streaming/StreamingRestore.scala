@@ -69,16 +69,25 @@ object StreamingRestore {
     df
   }
 
-  /** Replay the stream into Kafka (K5/K6 analog): Base64 payloads decoded,
-    * exactly-once producer options optional. Offsets against the source
-    * dir live in the checkpoint — a restart resumes after the last
-    * committed batch, never re-reading a processed object.
+  /** Replay the stream into Kafka (K5/K6 analog): Base64 payloads decoded.
+    * Offsets against the source dir live in the checkpoint — a restart
+    * resumes after the last committed batch, never re-reading a processed
+    * object.
+    *
+    * `idempotentProducer` mirrors the reference's
+    * `--single-message-per-kafka-request` (idempotence on, one in-flight
+    * request). Note this is NOT exactly-once end-to-end: Spark's Kafka
+    * sink has no transactional commit tied to the checkpoint, so a
+    * micro-batch replayed after a crash re-produces its records —
+    * delivery is at-least-once on batch replay, the same honest framing
+    * as the backup side (commit-after-write). Idempotence only suppresses
+    * broker-level duplicates within a producer session.
     */
   def toKafka(
       records: DataFrame,
       bootstrapServers: String,
       checkpointDir: String,
-      exactlyOnce: Boolean = false
+      idempotentProducer: Boolean = false
   ): StreamingQuery = {
     var w = records
       .select(
@@ -89,7 +98,7 @@ object StreamingRestore {
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("checkpointLocation", checkpointDir)
-    if (exactlyOnce)
+    if (idempotentProducer)
       w = w.option("kafka.enable.idempotence", "true")
         .option("kafka.max.in.flight.requests.per.connection", "1")
     w.start()

@@ -60,6 +60,30 @@ class BackupRestoreSpec extends SparkSuite {
     assert(e.getMessage.contains("refuses to overwrite"))
   }
 
+  test("batch backup refuses a colliding slice under the OTHER compression's extension") {
+    // restore reads .json and .json.gz alike, so a --gzip re-run over an
+    // uncompressed backup would duplicate every record if allowed through
+    val in = genRecords(50)
+    val dir = tmpDir("backup-refuse-xext")
+    BackupEngine.backupBatch(in, dir, ChronoUnitSlice(ChronoUnit.SECONDS))
+    val e = intercept[IllegalStateException] {
+      BackupEngine.backupBatch(in, dir, ChronoUnitSlice(ChronoUnit.SECONDS),
+        compression = Some(Gzip))
+    }
+    assert(e.getMessage.contains("refuses to overwrite"))
+  }
+
+  test("driver pre-check sweeps stale _tmp_ files from dead prior attempts") {
+    val in = genRecords(50)
+    val dir = tmpDir("backup-tmp-sweep")
+    new java.io.File(dir).mkdirs()
+    val stale = new java.io.File(dir, "_tmp_999_2020-01-01T00:00:00Z.json")
+    java.nio.file.Files.writeString(stale.toPath, "[")
+    BackupEngine.backupBatch(in, dir, ChronoUnitSlice(ChronoUnit.SECONDS))
+    assert(!stale.exists(), "stale tmp should be deleted at job start")
+    assert(RestoreEngine.restore(spark, dir, Set("t1")).count() == 50)
+  }
+
   test("ChronoUnitSlice(SECONDS) round-trip: decode(files) == input") {
     val in = genRecords(500)
     val dir = tmpDir("backup-chrono")

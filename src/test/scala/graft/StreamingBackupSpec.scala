@@ -107,6 +107,27 @@ class StreamingBackupSpec extends SparkSuite {
     assert(firstSlice.count() == 11, "late record must merge into the older slice")
   }
 
+  test("merge keeps a valid array when trailing whitespace after ] spans a 64 KiB chunk") {
+    // externally-formatted object: closing bracket followed by more
+    // whitespace than one copy chunk — the bracket must still be dropped
+    // from the copied body (previously it leaked when the final chunk was
+    // whitespace-only, corrupting the merged array)
+    val dir = tmpDir("sb-wschunk")
+    val key = BackupKey.calculateKey(
+      BackupKey.ofEpochMillis((base / 3600000L) * 3600000L),
+      ChronoUnitSlice(ChronoUnit.HOURS), None)
+    val body =
+      """[{"topic":"t1","partition":0,"offset":0,"key":null,"value":"dg==","timestamp":""" +
+        base + ""","timestamp_type":0}]""" + (" " * ((1 << 16) + 5000)) + "\n"
+    java.nio.file.Files.writeString(new java.io.File(dir, key).toPath, body)
+    // no sidecar → merge falls back to scanning the object, then appends
+    runBatches(dir, tmpDir("sb-wschunk-ckpt"), ChronoUnitSlice(ChronoUnit.HOURS), None,
+      Seq(Seq(rec(1, base + 1000))))
+    val restored = RestoreEngine.restore(spark, dir, Set("t1"))
+    assert(restored.count() == 2, "merged object must stay a valid JSON array")
+    assert(restored.orderBy("offset").select("offset").as[Long].collect().toSeq == Seq(0L, 1L))
+  }
+
   test("streaming PeriodFromFirst: anchor from this run's first record") {
     val dir = tmpDir("sb-period"); val ckpt = tmpDir("sb-period-ckpt")
     val b1 = (0L until 10L).map(i => rec(i, base + i * 100))
