@@ -1,64 +1,114 @@
 package graft.queries
 
-import graft.functions.TextFunctions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Embedding similarity operators: brute-force cosine (correctness
   * baseline) and an IVF-style cell-probed variant (the scale path —
   * candidate set shrinks from N to the probed cells' population).
-  * Dot products fold sequentially in double, matching the DuckDB oracle
-  * bit-for-bit; outputs round to 6 decimals.
+  *
+  * Execution shape: the small side (all vectors for the pair scan; the
+  * 16 seeds + 10 queries for ANN) is collected and broadcast as primitive
+  * `Array[Double]` matrices, and ONE `mapPartitions` pass over the
+  * distributed side runs a tight JIT-compiled loop per row. This replaces
+  * the earlier broadcast-nested-loop-join formulation, which materialized
+  * O(N²) 130-column joined rows and paid ~10 janino compiles of wide
+  * flat-column projections before the first row moved (5s of cold time at
+  * sf0.1 for s_ann_ivf; see BENCH_r03).
+  *
+  * At 100 TB the broadcast side tiles: cut B into broadcastable blocks
+  * and run one A-pass per block (exact, embarrassingly parallel), or
+  * bound candidates first with [[KMeans.fit]]-trained IVF cells / LSH
+  * buckets. The per-row loop is unchanged in either regime — only the
+  * driver-side tiling differs.
+  *
+  * Dot products fold sequentially in double (loop order = the previous
+  * left-assoc column chain = DuckDB's list_dot_product), so results match
+  * the oracle bit-for-bit before the final round(…, 6).
   */
 object SimilarityQueries {
 
-  /** Embedding dim of the harness tables (64 float32 elements). */
-  private val D = 64
-
-  /** Vectors as D flat double columns e0..eD-1 plus the L2 norm: keeps
-    * every dot product a flat codegen'd expression chain instead of an
-    * interpreted higher-order-function fold (~20x faster on pair joins).
-    * The left-assoc sum matches the oracle's sequential accumulation.
-    */
-  private def vectors(spark: SparkSession, dir: String): DataFrame = {
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(Seq(col("vec_id")) ++
-        (0 until D).map(i => element_at(col("embedding"), i + 1).cast("double").as(s"e$i")): _*)
-    e.withColumn("norm",
-      sqrt((0 until D).map(i => col(s"e$i") * col(s"e$i")).reduce(_ + _)))
+  /** float32 vector -> double matrix row (exact widening, same as the
+    * old `element_at(embedding, i+1).cast("double")` projection). */
+  private def widen(emb: Seq[Float]): Array[Double] = {
+    val v = new Array[Double](emb.length)
+    var i = 0
+    while (i < v.length) { v(i) = emb(i).toDouble; i += 1 }
+    v
   }
 
-  private def flatDot(l: String, r: String): Column =
-    (0 until D).map(i => col(s"$l.e$i") * col(s"$r.e$i")).reduce(_ + _)
+  /** Sequential-order dot product — parity with DuckDB list_dot_product. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
-  private def cos(dotC: Column): Column = dotC / (col("a.norm") * col("b.norm"))
+  private def norm(v: Array[Double]): Double = math.sqrt(dot(v, v))
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
 
   /** Near-duplicate pairs: cosine >= 0.45 over all pairs (id1 < id2).
-    * Brute force is the correctness baseline; at scale the LSH/IVF
-    * variants below bound the candidate set.
+    * Exact all-pairs as a broadcast block product: the full vector set
+    * (id-sorted ids/matrix/norms) broadcasts once (N·D doubles — 1 MB at
+    * sf0.1), and each distributed row scans only ids greater than its own,
+    * so every unordered pair is computed exactly once with no join and no
+    * shuffle before the final sort of the (tiny) surviving pairs.
     */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    broadcast(e.as("a")).join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        cos(flatDot("a", "b")).as("c"))
-      .filter(col("c") >= 0.45)
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val local = vecs.collect()
+      .map(r => (r.getLong(0), widen(r.getSeq[Float](1))))
+      .sortBy(_._1)
+    val ids = local.map(_._1)
+    val mat = local.map(_._2)
+    val norms = mat.map(norm)
+    val bc = spark.sparkContext.broadcast((ids, mat, norms))
+    val pairs = vecs.as[(Long, Array[Float])].mapPartitions { it =>
+      val (ids, mat, norms) = bc.value
+      it.flatMap { case (id, emb) =>
+        val v = widen(emb)
+        val nv = norm(v)
+        val pos = java.util.Arrays.binarySearch(ids, id)
+        (pos + 1 until ids.length).iterator.flatMap { j =>
+          val c = dot(v, mat(j)) / (nv * norms(j))
+          if (c >= 0.45) Some((id, ids(j), c)) else None
+        }
+      }
+    }.toDF("id1", "id2", "c")
+    pairs
       .select(col("id1"), col("id2"), round(col("c"), 6).as("cos_sim"))
       .orderBy("id1", "id2")
   }
 
-  /** Brute-force cosine top-k: queries = vec_id < 10, k = 5. */
+  /** Brute-force cosine top-k: queries = vec_id < 10, k = 5. The 10 query
+    * vectors broadcast; one pass scores every (query, vector) pair; the
+    * row_number ranking runs over the narrow (query, neighbor, c) rows.
+    */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    val q = e.filter(col("vec_id") < 10)
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val queries = vecs.filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), widen(r.getSeq[Float](1))))
+      .sortBy(_._1)
+      .map { case (id, v) => (id, v, norm(v)) }
+    val bc = spark.sparkContext.broadcast(queries)
+    val scored = vecs.as[(Long, Array[Float])].mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (id, emb) =>
+        val v = widen(emb)
+        val nv = norm(v)
+        qs.iterator.filter(_._1 != id).map { case (qid, qv, qn) =>
+          (qid, id, dot(qv, v) / (qn * nv))
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "c")
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
-    broadcast(q.as("a")).join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-        cos(flatDot("a", "b")).as("c"))
+    scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"))
@@ -67,47 +117,58 @@ object SimilarityQueries {
 
   /** IVF-style ANN: coarse cells seeded by the first 16 vectors; each
     * vector assigned to its max-cosine cell; queries probe their 4
-    * nearest cells and rank only those cells' members. Deterministic
-    * (row_number tie-breaks on cell/neighbor id). At scale: seeds become
-    * k-means centroids — [[KMeans.fit]] is that trained quantizer
-    * (distributed Lloyd, broadcast assignment, spec-tested) — and
-    * probing reads ~nprobe/ncells of the data. This gate query keeps
-    * the naive deterministic seeds so the DuckDB oracle replays exactly.
+    * nearest cells and rank only those cells' members.
+    *
+    * Seeds and queries are metadata-scale, so probe selection happens on
+    * the driver and the whole assign+score phase is one pass: each row
+    * computes its argmax cell (16 dots) and is scored against just the
+    * queries probing that cell (~nprobe/ncells of them). Deterministic
+    * tie-breaks (cos desc, cell/neighbor asc) match the oracle's
+    * row_number ordering. At scale the seeds become [[KMeans.fit]]
+    * centroids and cell populations land in their own partitions, so a
+    * probe reads ~nprobe/ncells of the data instead of all of it.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    val seeds = e.filter(col("vec_id") < 16)
-      .select(Seq(col("vec_id").as("cell"), col("norm").as("snorm")) ++
-        (0 until D).map(i => col(s"e$i").as(s"se$i")): _*)
-    def seedCos(l: String): Column =
-      (0 until D).map(i => col(s"$l.e$i") * col(s"se$i")).reduce(_ + _) /
-        (col(s"$l.norm") * col("snorm"))
-    // NARROW intermediates: (vec_id, cell) only — carrying the 64 flat
-    // vector columns through windows/joins blows up planning and row
-    // width; vectors are joined back in once, at the final ranking.
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("sc").desc, col("cell"))
-    val assign = e.as("a").join(broadcast(seeds), lit(true))
-      .select(col("a.vec_id").as("vec_id"), col("cell"), seedCos("a").as("sc"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cell")
-    val wProbe = Window.partitionBy("query_id").orderBy(col("sc").desc, col("cell"))
-    val probes = e.filter(col("vec_id") < 10).as("a")
-      .join(broadcast(seeds), lit(true))
-      .select(col("a.vec_id").as("query_id"), col("cell"), seedCos("a").as("sc"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= 4)
-      .select("query_id", "cell")
-    // candidate pairs -> join vectors back in -> rank within query
-    val cand = probes.join(assign, "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val wRank = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
-    broadcast(cand)
-      .join(e.as("a"), col("query_id") === col("a.vec_id"))
-      .join(e.as("b"), col("neighbor_id") === col("b.vec_id"))
-      .select(col("query_id"), col("neighbor_id"), cos(flatDot("a", "b")).as("c"))
-      .withColumn("rnk", row_number().over(wRank))
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val small = vecs.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), widen(r.getSeq[Float](1))))
+      .sortBy(_._1)
+      .map { case (id, v) => (id, v, norm(v)) }
+    val seeds = small // cells 0..15
+    // probes: per query (vec_id < 10), its 4 max-cosine cells
+    val cellQueries: Map[Long, Array[(Long, Array[Double], Double)]] = {
+      val perQuery = small.filter(_._1 < 10).flatMap { case (qid, qv, qn) =>
+        seeds
+          .map { case (cell, sv, sn) => (cell, dot(qv, sv) / (qn * sn)) }
+          .sortBy { case (cell, c) => (-c, cell) }
+          .take(4)
+          .map { case (cell, _) => (cell, (qid, qv, qn)) }
+      }
+      perQuery.groupBy(_._1).map { case (cell, qs) => cell -> qs.map(_._2) }
+    }
+    val bc = spark.sparkContext.broadcast((seeds, cellQueries))
+    val scored = vecs.as[(Long, Array[Float])].mapPartitions { it =>
+      val (seeds, cellQ) = bc.value
+      it.flatMap { case (id, emb) =>
+        val v = widen(emb)
+        val nv = norm(v)
+        // argmax cell, ties to the lowest cell id (seeds iterate ascending)
+        var bestCell = -1L
+        var bestC = Double.NegativeInfinity
+        seeds.foreach { case (cell, sv, sn) =>
+          val c = dot(v, sv) / (nv * sn)
+          if (c > bestC) { bestC = c; bestCell = cell }
+        }
+        cellQ.getOrElse(bestCell, Array.empty[(Long, Array[Double], Double)])
+          .iterator.filter(_._1 != id).map { case (qid, qv, qn) =>
+            (qid, id, dot(qv, v) / (qn * nv))
+          }
+      }
+    }.toDF("query_id", "neighbor_id", "c")
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"))
       .orderBy("query_id", "rnk")
