@@ -56,6 +56,10 @@ object SparkEntry {
     "t_tfidf" -> (TextQueries.tfidfTopTerms _),
     "t_char_entropy" -> (TextQueries.charEntropy _),
     "t_rolling_fp" -> (TextQueries.rollingFingerprints _),
+    "t_repetition" -> (TextQueries.repetitionRatio _),
+    "t_corpus_stats" -> (TextQueries.corpusStats _),
+    "d_decontam" -> (TextQueries.decontaminate _),
+    "d_edit_dist" -> (TextQueries.editDistancePairs _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
     // LLM-pipeline: embedding similarity over `embeddings`
@@ -402,6 +406,57 @@ object SparkEntry {
           |                   + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))::HUGEINT)),
           |         (a, b) -> (a * 257 + b) % 2305843009213693951::HUGEINT) AS BIGINT) AS fp
           |FROM h ORDER BY doc_id""".stripMargin,
+      "t_repetition" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |d AS (SELECT doc_id, count(*) AS n_distinct_3g FROM grams GROUP BY 1),
+          |n AS (SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+          |      FROM documents)
+          |SELECT n.doc_id, n.n_tokens, d.n_distinct_3g,
+          |       round(1 - CAST(d.n_distinct_3g AS DOUBLE) / (n.n_tokens - 2), 6) AS rep_ratio
+          |FROM n JOIN d USING (doc_id) WHERE n.n_tokens >= 3 ORDER BY doc_id""".stripMargin,
+      "t_corpus_stats" ->
+        """SELECT source,
+          |       count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |       round(avg(n_chars), 6) AS avg_chars,
+          |       min(n_chars) AS min_chars,
+          |       max(n_chars) AS max_chars,
+          |       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+          |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "d_decontam" ->
+        """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+          |SELECT c.doc_id, count(*) AS n_shared
+          |FROM grams c JOIN bench USING (g)
+          |WHERE c.source <> 'src0'
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "d_edit_dist" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          |dup AS (
+          |  SELECT id1, id2
+          |  FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8)
+          |SELECT id1, id2,
+          |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+          |       round(1 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+          |             greatest(length(a.text), length(b.text)), 6) AS sim
+          |FROM dup JOIN documents a ON a.doc_id = id1 JOIN documents b ON b.doc_id = id2
+          |ORDER BY id1, id2""".stripMargin,
       "t_tfidf" ->
         """WITH nn AS (SELECT count(*) AS n FROM documents),
           |tf AS (

@@ -312,6 +312,89 @@ object TextQueries {
         graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: flag corpus docs sharing any word-3-gram
+    * with the held-out set (source = src0 stands in for an eval
+    * benchmark), with the count of distinct shared grams as evidence.
+    *
+    * The scale shape is exactly what a 100 TB pipeline needs: benchmark
+    * gram sets are tiny (an eval suite is MBs, not TBs), so the held-out
+    * grams BROADCAST and the corpus side is one scan + map-side
+    * hash-join + partial-aggregated count — no shuffle of corpus grams,
+    * no candidate blowup. Grams are distinct-per-doc by construction
+    * (native WordNGrams), so the count needs no extra dedup.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+    val bench = grams.filter(col("source") === "src0").select("g").distinct()
+    grams.filter(col("source") =!= "src0")
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition ratio: 1 - distinct-3-grams / total
+    * 3-grams — the standard cheap template/boilerplate signal (heavily
+    * repeated phrasing scores high). Pure per-row column algebra: both
+    * counts come from the same native expressions, so the whole operator
+    * is a single scan with zero shuffles before the output sort.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(wsTokens(col("text"))).cast(LongType).as("n_tokens"),
+        size(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).cast(LongType)
+          .as("n_distinct_3g"))
+      .filter(col("n_tokens") >= 3)
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct_3g").cast(DoubleType) / (col("n_tokens") - lit(2)), 6))
+      .orderBy("doc_id")
+
+  /** Character-level edit-distance verification of near-dup candidates:
+    * levenshtein + normalized similarity over the exact-Jaccard >= 0.8
+    * pairs. The candidate set is output-scale (same argument as the LSH
+    * candidates), so it's collected and rebuilt as a local relation —
+    * the doc-text joins are then broadcast-hash, never shuffled — and
+    * the quadratic DP runs on candidate pairs only, never the corpus
+    * cross product.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairRows = ngramJaccard(spark, dir)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect()
+    val pairs = pairRows.toSeq.toDF("id1", "id2")
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val lev = levenshtein(col("a.text"), col("b.text"))
+    broadcast(pairs)
+      .join(d.as("a"), col("id1") === col("a.doc_id"))
+      .join(d.as("b"), col("id2") === col("b.doc_id"))
+      .select(col("id1"), col("id2"),
+        lev.cast(LongType).as("lev"),
+        round(lit(1.0) - lev.cast(DoubleType) /
+          greatest(length(col("a.text")), length(col("b.text"))), 6).as("sim"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Per-source corpus statistics — the profiling pass every ingest runs
+    * before filtering decisions: doc counts, char-length distribution
+    * (incl. exact interpolated median), language spread. One hash
+    * aggregate with map-side partials; source cardinality is tiny so the
+    * final shuffle is metadata-scale.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        countDistinct("lang").as("n_langs"))
+      .orderBy("source")
+
   /** Multimodal column plumbing: payloads as opaque binary + typed
     * metadata (real media decode is stubbed — see graft.multimodal).
     */

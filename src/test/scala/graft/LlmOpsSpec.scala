@@ -49,6 +49,40 @@ class LlmOpsSpec extends SparkSuite {
     assert(ivf.size == brute.size) // same k per query
   }
 
+  test("decontamination flags only non-benchmark docs, with positive evidence") {
+    val flagged = TextQueries.decontaminate(spark, sf)
+      .as[(Long, Long)].collect()
+    val benchIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source") === "src0").select("doc_id").as[Long].collect().toSet
+    assert(flagged.forall { case (id, n) => !benchIds.contains(id) && n > 0 })
+  }
+
+  test("repetition ratio is a [0,1) per-doc signal over 3-token-plus docs") {
+    val reps = TextQueries.repetitionRatio(spark, sf)
+      .select("doc_id", "rep_ratio").as[(Long, Double)].collect()
+    assert(reps.nonEmpty)
+    assert(reps.forall { case (_, r) => r >= 0.0 && r < 1.0 })
+  }
+
+  test("edit-distance verification covers exactly the near-dup pairs") {
+    val exact = TextQueries.ngramJaccard(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val verified = TextQueries.editDistancePairs(spark, sf)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect()
+    assert(verified.map(v => (v._1, v._2)).toSet == exact)
+    // near-dup texts must be near in edit space too
+    assert(verified.forall { case (_, _, s) => s >= 0.0 && s <= 1.0 })
+  }
+
+  test("corpus stats cover every source with consistent bounds") {
+    val stats = TextQueries.corpusStats(spark, sf)
+      .select("source", "n_docs", "min_chars", "max_chars").as[(String, Long, Long, Long)].collect()
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    assert(stats.length == nSources)
+    assert(stats.forall { case (_, n, lo, hi) => n > 0 && lo <= hi })
+  }
+
   test("language-id predictions are deterministic and cover all docs") {
     val out = TextQueries.langId(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
