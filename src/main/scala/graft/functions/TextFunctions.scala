@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** FNV-1a 64-bit over UTF-8 bytes — the per-row gram hash feeding the
+    * minhash permutations (plain JVM function, not a Column: the minhash
+    * fold runs in a tight mapPartitions loop). Any deterministic 64-bit
+    * hash works there; avalanche comes from the splitmix permutation mix.
+    */
+  def fnv64(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** Whitespace tokens of trimmed text (keeps empty tokens on doubled
     * spaces — same as DuckDB string_split).
     */

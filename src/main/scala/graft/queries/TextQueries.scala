@@ -134,18 +134,34 @@ object TextQueries {
     * Output == exact n-gram Jaccard >= 0.8 (same oracle).
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val (grams, sizes) = gramTables(spark, dir)
-    // per-doc minhash signature + band hashes fused into one typed
-    // aggregator: one string hash per gram, 128 integer mixes, and the
-    // 32 band hashes computed in `finish` — neither the 128-column
-    // flat-aggregate form nor the 32-struct/128-element_at banding
-    // projection survives to codegen (both produced generated classes
-    // large enough for janino compilation to dominate cold time)
-    val mh = udaf(graft.functions.MinHashBandAggregator)
-    val banded = grams
-      .withColumn("gh", xxhash64(col("g")))
-      .groupBy("doc_id").agg(mh(col("gh")).as("bh"))
-      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bh")))
+    // Per-doc minhash signature + band hashes computed per ROW in one
+    // tight loop: grams are already distinct-per-doc inside their array
+    // column, so the signature needs no aggregation at all — the earlier
+    // groupBy + typed-udaf form (itself a fix for the 128-flat-column
+    // codegen blowup) shuffled every gram hash and still paid an
+    // ObjectHashAggregate's codegen. Now the grams never leave the row
+    // and the only shuffle before candidate generation is the narrow
+    // (doc_id, band, bh) band join. The gram hash is FNV-1a (any
+    // deterministic 64-bit hash works: the splitmix permutations supply
+    // avalanche, and the oracle verifies exact Jaccard, not signatures).
+    val banded = docs(spark, dir)
+      .select(col("doc_id"), graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, gs) =>
+          if (gs.isEmpty) Iterator.empty // parity: gram-less docs were never banded
+          else {
+            val sig = graft.functions.MinHashAggregator.zero
+            gs.foreach { g =>
+              graft.functions.MinHashAggregator.reduce(sig, graft.functions.TextFunctions.fnv64(g))
+            }
+            val bh = graft.functions.MinHashBandAggregator.finish(sig)
+            bh.indices.iterator.map(b => (id, b, bh(b)))
+          }
+        }
+      }.toDF("doc_id", "band", "bh")
     // The candidate set is small by LSH design and is broadcast for the
     // verification join anyway, so collect it up front (a broadcast IS a
     // driver-side collect) and rebuild it as a local relation: no persist
@@ -161,13 +177,23 @@ object TextQueries {
       .as[(Long, Long)].collect()
     val candidates = candRows.toSeq.toDF("id1", "id2")
     // exact verification on candidates only — force broadcast so AQE can
-    // never pick a shuffled join for it (observed plan-choice variance)
-    val g1 = grams.select(col("doc_id").as("id1"), col("g"))
-    val g2 = grams.select(col("doc_id").as("id2"), col("g"))
+    // never pick a shuffled join for it (observed plan-choice variance).
+    // Candidate doc ids are known (just collected), so every verification
+    // re-scan of the gram table is pruned to candidate docs with an
+    // `isin` that pushes to the parquet scan: the explode re-runs over
+    // ~|candidates| docs, not the corpus.
+    val candIds = candRows.iterator
+      .flatMap { case (a, b) => Iterator(a, b) }.toArray.distinct.sorted
+    val candGrams =
+      if (candIds.isEmpty) grams.filter(lit(false))
+      else grams.filter(col("doc_id").isin(candIds.map(Long.box): _*))
+    val g1 = candGrams.select(col("doc_id").as("id1"), col("g"))
+    val g2 = candGrams.select(col("doc_id").as("id2"), col("g"))
     val inter = g2
       .join(broadcast(candidates.join(g1, "id1")), Seq("id2", "g"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    jaccardOfPairs(inter, sizes)
+    val candSizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    jaccardOfPairs(inter, candSizes)
   }
 
   /** SimHash near-dup detection: 64-bit signature from token hashes,
@@ -178,18 +204,39 @@ object TextQueries {
     * join, hamming — replays bit-for-bit in the DuckDB oracle.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // SimHash signature via the typed aggregator (per-bit ±1 counts fold
-    // inside one object-hash aggregate) — the 64-flat-sum-column form
-    // generated a class so large that janino compile dominated cold time.
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
-      .withColumn("h", md5Hash64(col("t")))
-    val sh = udaf(graft.functions.SimHashAggregator)
-    val sigs = toks.groupBy("doc_id").agg(sh(col("h")).as("sim"))
-    val banded = sigs.select(col("doc_id"), col("sim"),
-        explode(expr(
-          "transform(sequence(0, 7), k -> struct(k AS band, shiftright(sim, k * 8) & 255L AS bh))")).as("e"))
-      .select(col("doc_id"), col("sim"), col("e.band"), col("e.bh"))
+    import spark.implicits._
+    // SimHash signature + 8x8-bit banding per ROW in one tight loop: the
+    // token stream folds into the 64 ±1 bit counts without leaving the
+    // row, so there is no aggregation shuffle and no banding projection
+    // at all — the earlier groupBy + typed-udaf form (itself a fix for
+    // the 64-flat-sum-column codegen blowup) still paid an aggregate
+    // exchange plus an INTERPRETED transform(sequence(...)) banding
+    // lambda. The token hash is md5-derived exactly like the SQL
+    // md5Hash64 (first 8 digest bytes big-endian == (hi<<32)|lo of the
+    // first 16 hex chars), so the DuckDB oracle still replays the whole
+    // pipeline bit-for-bit.
+    val banded = docs(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("ts"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, ts) =>
+          val counts = new Array[Long](64)
+          ts.foreach { t =>
+            md.reset()
+            val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var i = 0
+            while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+            var b = 0
+            while (b < 64) { counts(b) += (((h >>> b) & 1L) * 2L) - 1L; b += 1 }
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+          (0 until 8).iterator.map(k => (id, sig, k, (sig >>> (k * 8)) & 255L))
+        }
+      }.toDF("doc_id", "sim", "band", "bh")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
