@@ -82,6 +82,39 @@ object StreamingAnalytics {
       }
   }
 
+  /** Streaming exact dedup (streaming twin of the batch d_dedup_keep):
+    * keep the first-seen document per content fingerprint, with state
+    * BOUNDED by the watermark — `dropDuplicatesWithinWatermark` evicts a
+    * fingerprint once the watermark passes its event time, so state is
+    * O(docs per watermark window), not O(corpus). That is the only
+    * formulation that survives an unbounded 100 TB/day ingest; plain
+    * `dropDuplicates` on a stream pins every fingerprint ever seen.
+    * Duplicates farther apart than the watermark are left for the batch
+    * dedup pass over the archived output (the standard lambda split).
+    *
+    * Expects a doc stream with `text` and an epoch-millis `ts_ms`.
+    */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withColumn("fingerprint", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming benchmark decontamination (streaming twin of d_decontam):
+    * drop any document sharing a word-3-gram with the held-out set. The
+    * benchmark gram set is metadata-scale (an eval suite, not a corpus),
+    * so it rides along as a literal array and the operator is a PURE
+    * STATELESS FILTER — append mode, no watermark, no state store, the
+    * shape that runs at any throughput. For gram sets too big for a
+    * literal, swap the membership test for a broadcast Bloom filter; the
+    * operator shape is unchanged.
+    */
+  def streamingDecontaminate(docs: DataFrame, benchGrams: Seq[String]): DataFrame =
+    docs.filter(!arrays_overlap(
+      graft.functions.WordNGrams.word_ngrams(col("text"), 3),
+      lit(benchGrams.toArray)))
+
   /** Gap-based sessionization with custom state (streaming twin of the
     * batch e_sessionize): per user, a session closes after `gapMs` of
     * event-time inactivity. State is one open session per user;

@@ -85,4 +85,41 @@ class StreamingAnalyticsSpec extends SparkSuite {
     assert(u1(0).n == 2 && u1(0).durationMs == 1000L)
     assert(u1(1).n == 1 && u1(1).durationMs == 0L)
   }
+
+  test("streaming dedup keeps first-seen doc per fingerprint within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val deduped = StreamingAnalytics.streamingDedup(
+      mem.toDF().toDF("doc_id", "text", "ts_ms"))
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    // same normalized content under ids 1/2 (whitespace variants), distinct id 3
+    mem.addData((1L, "Hello  world", h0), (2L, "hello world", h0 + 1000L),
+      (3L, "something else", h0 + 2000L))
+    q.processAllAvailable()
+    // a later in-watermark duplicate of id 1 is still suppressed
+    mem.addData((4L, "HELLO   WORLD", h0 + 3000L))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dd").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"expected first-seen survivors, got $kept")
+  }
+
+  test("streaming decontamination filters docs sharing a 3-gram, statelessly") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val clean = StreamingAnalytics.streamingDecontaminate(
+      mem.toDF().toDF("doc_id", "text"),
+      benchGrams = Seq("the quick fox"))
+    val q = clean.writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "today the quick fox jumped"), // contaminated
+      (2L, "the quick dog slept"),        // shares words, not the 3-gram
+      (3L, "unrelated text entirely ok"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("decon").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"expected contaminated doc dropped, got $kept")
+  }
 }
