@@ -60,6 +60,8 @@ object SparkEntry {
     "t_corpus_stats" -> (TextQueries.corpusStats _),
     "d_decontam" -> (TextQueries.decontaminate _),
     "d_edit_dist" -> (TextQueries.editDistancePairs _),
+    "p_sample_stratified" -> (TextQueries.stratifiedSample _),
+    "p_clean_corpus" -> (TextQueries.cleanCorpus _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
     // LLM-pipeline: embedding similarity over `embeddings`
@@ -457,6 +459,41 @@ object SparkEntry {
           |             greatest(length(a.text), length(b.text)), 6) AS sim
           |FROM dup JOIN documents a ON a.doc_id = id1 JOIN documents b ON b.doc_id = id2
           |ORDER BY id1, id2""".stripMargin,
+      "p_sample_stratified" ->
+        """WITH b AS (
+          |  SELECT doc_id, source,
+          |         list_reduce(list_transform(range(1, 9),
+          |           i -> (strpos('0123456789abcdef',
+          |                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+          |           (a, b) -> a * 16 + b) % 100 AS bucket
+          |  FROM documents)
+          |SELECT doc_id, source, bucket FROM b
+          |WHERE bucket < CASE WHEN source IN ('src0','src1','src2','src3') THEN 50 ELSE 10 END
+          |ORDER BY doc_id""".stripMargin,
+      "p_clean_corpus" ->
+        """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |nd AS (SELECT doc_id, count(*) AS n_distinct_3g FROM grams GROUP BY 1),
+          |base AS (
+          |  SELECT t.doc_id, t.source,
+          |         CAST(len(t.w) AS BIGINT) AS n_tokens,
+          |         round(1 - CAST(nd.n_distinct_3g AS DOUBLE) / (len(t.w) - 2), 6) AS rep_ratio
+          |  FROM toks t JOIN nd USING (doc_id)
+          |  WHERE t.source <> 'src0' AND len(t.w) >= 20),
+          |keepers AS (
+          |  SELECT min(doc_id) AS doc_id
+          |  FROM documents GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+          |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+          |contaminated AS (
+          |  SELECT DISTINCT c.doc_id FROM grams c JOIN bench USING (g) WHERE c.source <> 'src0')
+          |SELECT b.doc_id, b.source, b.n_tokens, b.rep_ratio
+          |FROM base b
+          |WHERE b.rep_ratio <= 0.5
+          |  AND b.doc_id IN (SELECT doc_id FROM keepers)
+          |  AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          |ORDER BY b.doc_id""".stripMargin,
       "t_tfidf" ->
         """WITH nn AS (SELECT count(*) AS n FROM documents),
           |tf AS (

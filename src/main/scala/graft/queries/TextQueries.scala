@@ -447,6 +447,51 @@ object TextQueries {
         countDistinct("lang").as("n_langs"))
       .orderBy("source")
 
+  /** Deterministic stratified sampling: per-row hash bucket from the
+    * doc id (first 32 bits of md5, mod 100), per-source keep rates
+    * (50% for src0-3, 10% otherwise). Pure per-row column algebra —
+    * sampling at 100 TB must be a SHUFFLE-FREE scan-side filter, and
+    * hash-of-key (vs rand()) makes it reproducible run-to-run and
+    * stable under retries/speculation, which rand() is not.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % 100
+    docs(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") <
+        when(col("source").isin("src0", "src1", "src2", "src3"), lit(50L)).otherwise(lit(10L)))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** The flagship composition a training-data pipeline runs end-to-end:
+    * keep docs that (a) are not in the held-out benchmark source,
+    * (b) clear minimum length and repetition-quality thresholds,
+    * (c) survive exact dedup (lowest-id copy wins), and (d) share no
+    * 3-gram with the benchmark set. Signals (b) are scan-side per-row
+    * algebra; (c) is a semi join against the corpus-scale survivor set
+    * (hash join, shuffles once on doc_id); (d) is an anti join against
+    * the output-scale contaminated set (broadcast). Threshold compares
+    * use the 6-dp-rounded ratio so an engine's last-ulp difference can
+    * never flip membership.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(wsTokens(col("text"))).cast(LongType)
+    val rep = round(
+      lit(1.0) - size(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).cast(DoubleType) /
+        (nTok - lit(2)), 6)
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"), rep.as("rep_ratio"))
+      .filter(col("source") =!= "src0" && col("n_tokens") >= 20 && col("rep_ratio") <= 0.5)
+    val survivors = dedupKeep(spark, dir).select(col("keep_id").as("doc_id"))
+    val contaminated = decontaminate(spark, dir).select("doc_id")
+    base
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal column plumbing: payloads as opaque binary + typed
     * metadata (real media decode is stubbed — see graft.multimodal).
     */

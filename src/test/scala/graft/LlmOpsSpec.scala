@@ -83,6 +83,28 @@ class LlmOpsSpec extends SparkSuite {
     assert(stats.forall { case (_, n, lo, hi) => n > 0 && lo <= hi })
   }
 
+  test("stratified sample is deterministic and respects per-source rates") {
+    val s1 = TextQueries.stratifiedSample(spark, sf)
+      .select("doc_id").as[Long].collect().toSeq
+    val s2 = TextQueries.stratifiedSample(spark, sf)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s2, "hash sampling must be reproducible run-to-run")
+    assert(s1.nonEmpty && s1.size < 500)
+  }
+
+  test("clean corpus excludes benchmark source, dup losers, and contaminated docs") {
+    val kept = TextQueries.cleanCorpus(spark, sf)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(kept.nonEmpty)
+    assert(kept.forall(_._2 != "src0"))
+    val contaminated = TextQueries.decontaminate(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.forall(k => !contaminated.contains(k._1)))
+    val survivors = TextQueries.dedupKeep(spark, sf)
+      .select("keep_id").as[Long].collect().toSet
+    assert(kept.forall(k => survivors.contains(k._1)))
+  }
+
   test("language-id predictions are deterministic and cover all docs") {
     val out = TextQueries.langId(spark, sf)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
