@@ -54,6 +54,36 @@ class PlanSpec extends SparkSuite {
       "signature aggregate must have a map-side partial phase")
   }
 
+  test("decontamination: corpus side joins the broadcast gram set, no corpus-gram shuffle") {
+    val plan = planOf(TextQueries.decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"held-out gram set must broadcast:\n$plan")
+    // exactly one gram-keyed exchange is legal: the BENCHMARK side's
+    // distinct (metadata-scale, feeding the broadcast build). The
+    // exploded corpus gram stream must never shuffle.
+    val gramExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(g#"))
+    assert(gramExchanges <= 1, s"corpus grams must not shuffle:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"bench gram set must feed a broadcast build:\n$plan")
+  }
+
+  test("stratified sample: scan-side filter, no exchange before the output sort") {
+    val plan = planOf(TextQueries.stratifiedSample(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"hash sampling must be shuffle-free:\n$plan")
+    // only doc_id and source are needed from the scan
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"scan must be pruned to (doc_id, source):\n$plan")
+  }
+
+  test("clean corpus: dedup semi join shuffles, contamination anti join broadcasts") {
+    val plan = planOf(TextQueries.cleanCorpus(spark, sf))
+    assert(plan.contains("LeftSemi"), s"dedup survivors must semi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"output-scale contaminated set must broadcast into the anti join:\n$plan")
+  }
+
   test("restore record filters reach the decode, no shuffle in restore") {
     val dir = tmpDir("planspec-backup")
     val in = graft.queries.GuardianQueries.records(spark, sf).limit(100)
