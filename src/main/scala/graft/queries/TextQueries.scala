@@ -162,13 +162,22 @@ object TextQueries {
           }
         }
       }.toDF("doc_id", "band", "bh")
+    // Candidate pairs from a band-bucket self-join on the narrow
+    // (doc_id, band, bh) rows. 64-bit band hashes make buckets
+    // near-unique, so bucket-grouped pair expansion (collect_list +
+    // in-task loops, as the simhash pipeline does over its 2048 possible
+    // buckets) is a pessimization here: collect_list forces an
+    // ObjectHashAggregate over millions of singleton groups (measured
+    // ~2x slower than the join). Degenerate oversized buckets — floods
+    // of identical signatures — cannot arise when exact dedup
+    // (d_dedup_keep) runs first, the real pipeline order; a corpus that
+    // skips it should cap buckets like the simhash path does.
     // The candidate set is small by LSH design and is broadcast for the
     // verification join anyway, so collect it up front (a broadcast IS a
     // driver-side collect) and rebuild it as a local relation: no persist
     // left behind in the session, and the broadcast build can never
     // re-execute the LSH subtree per partition (observed: 32 sequential
     // jobs re-running the whole pipeline over an unmaterialized subtree)
-    import spark.implicits._
     val candRows = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -237,11 +246,24 @@ object TextQueries {
           (0 until 8).iterator.map(k => (id, sig, k, (sig >>> (k * 8)) & 255L))
         }
       }.toDF("doc_id", "sim", "band", "bh")
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
-        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+    // bucket grouping instead of a band self-join (one exchange, not
+    // two) with the same oversized-bucket cap as the minhash pipeline —
+    // a degenerate 8-bit band hash at corpus scale must never expand
+    // O(|bucket|²) in a task
+    val maxBucket = 10000
+    banded
+      .groupBy("band", "bh").agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(col("xs")).as[Seq[(Long, Long)]]
+      .flatMap { xs =>
+        val sorted = xs.toArray.sortBy(_._1)
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i)._1, sorted(j)._1,
+          java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2))
+      }
+      .toDF("id1", "id2", "hamming")
       .distinct()
       .filter(col("hamming") <= 6)
       .orderBy("id1", "id2")
