@@ -36,7 +36,9 @@ object Bench {
           Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
-    } catch { case _: Throwable => () } // warmup must never fail the bench
+    } catch { // warmup must never fail the bench — but fatal JVM errors must still surface
+      case scala.util.control.NonFatal(_) => ()
+    }
     val errors = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -52,37 +52,81 @@ object SimilarityQueries {
     spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
 
   /** Near-duplicate pairs: cosine >= 0.45 over all pairs (id1 < id2).
-    * Exact all-pairs as a broadcast block product: the full vector set
-    * (id-sorted ids/matrix/norms) broadcasts once (N·D doubles — 1 MB at
-    * sf0.1), and each distributed row scans only ids greater than its own,
-    * so every unordered pair is computed exactly once with no join and no
-    * shuffle before the final sort of the (tiny) surviving pairs.
+    * Exact all-pairs as a BLOCK-TILED broadcast product: the vector set
+    * is cut into id-range blocks of at most [[maxBlockRows]] vectors
+    * (quantile-bounded so skewed id spaces still balance); per block,
+    * the members (id-sorted ids/matrix/norms) are collected + broadcast
+    * and one distributed pass over all rows below the block's upper
+    * bound compares each row against the block members above it. Every
+    * unordered pair is computed exactly once — in the block that owns
+    * its larger id — with no join and no shuffle before the final sort
+    * of the (tiny) surviving pairs. Driver memory is O(block·D) per
+    * collect (the broadcast itself lands in the block manager, disk-
+    * evictable), not O(N·D) heap; at the harness scale factors one
+    * block covers everything, so the gate exercises the same pass the
+    * tiled path runs B times. Zero-norm vectors have NaN cosine to
+    * everything; `c >= 0.45` is false for NaN, so they never pair —
+    * deterministic and oracle-matching (DuckDB's NaN comparison agrees).
     */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupImpl(spark, dir, maxBlockRows)
+
+  /** [[embedNearDup]] with the block size exposed so tests can force the
+    * multi-block tiling and assert it agrees with the single-block pass. */
+  private[graft] def embedNearDupImpl(
+      spark: SparkSession, dir: String, blockRows: Long): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, dir)
-    val local = vecs.collect()
-      .map(r => (r.getLong(0), widen(r.getSeq[Float](1))))
-      .sortBy(_._1)
-    val ids = local.map(_._1)
-    val mat = local.map(_._2)
-    val norms = mat.map(norm)
-    val bc = spark.sparkContext.broadcast((ids, mat, norms))
-    val pairs = vecs.as[(Long, Array[Float])].mapPartitions { it =>
-      val (ids, mat, norms) = bc.value
-      it.flatMap { case (id, emb) =>
-        val v = widen(emb)
-        val nv = norm(v)
-        val pos = java.util.Arrays.binarySearch(ids, id)
-        (pos + 1 until ids.length).iterator.flatMap { j =>
-          val c = dot(v, mat(j)) / (nv * norms(j))
-          if (c >= 0.45) Some((id, ids(j), c)) else None
+    val blockPasses = blockBounds(vecs, blockRows).map { case (lo, hi) =>
+      val block = vecs
+        .filter(col("vec_id") > lo && col("vec_id") <= hi)
+        .collect()
+        .map(r => (r.getLong(0), widen(r.getSeq[Float](1))))
+        .sortBy(_._1)
+      val ids = block.map(_._1)
+      val mat = block.map(_._2)
+      val norms = mat.map(norm)
+      val bc = vecs.sparkSession.sparkContext.broadcast((ids, mat, norms))
+      // scan side: everything at or below this block's upper bound —
+      // rows above it pair with later blocks only
+      vecs.filter(col("vec_id") <= hi).as[(Long, Array[Float])].mapPartitions { it =>
+        val (ids, mat, norms) = bc.value
+        it.flatMap { case (id, emb) =>
+          val v = widen(emb)
+          val nv = norm(v)
+          val pos = java.util.Arrays.binarySearch(ids, id)
+          val start = if (pos >= 0) pos + 1 else -(pos + 1)
+          (start until ids.length).iterator.flatMap { j =>
+            val c = dot(v, mat(j)) / (nv * norms(j))
+            if (c >= 0.45) Some((id, ids(j), c)) else None
+          }
         }
-      }
-    }.toDF("id1", "id2", "c")
-    pairs
+      }.toDF("id1", "id2", "c")
+    }
+    blockPasses.reduce(_ unionByName _)
       .select(col("id1"), col("id2"), round(col("c"), 6).as("cos_sim"))
       .orderBy("id1", "id2")
+  }
+
+  /** Max vectors per broadcast block for the tiled all-pairs scan:
+    * ~128 MB of widened doubles at D=64. */
+  private val maxBlockRows = 262144L
+
+  /** Half-open id-range blocks `(lo, hi]` covering the whole id space,
+    * each holding ≈ at most `blockRows` vectors. Single block for
+    * anything that fits (the common/harness case — no extra jobs);
+    * otherwise quantile boundaries so value-skewed id spaces still cut
+    * into even blocks. */
+  private def blockBounds(vecs: DataFrame, blockRows: Long): Seq[(Long, Long)] = {
+    val n = vecs.count()
+    val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+    if (nBlocks == 1) Seq((Long.MinValue, Long.MaxValue))
+    else {
+      val probs = (1 until nBlocks).map(_.toDouble / nBlocks).toArray
+      val qs = vecs.stat.approxQuantile("vec_id", probs, 0.001).map(_.toLong)
+      val bounds = (Long.MinValue +: qs :+ Long.MaxValue).distinct.sorted
+      bounds.init.zip(bounds.tail)
+    }
   }
 
   /** Brute-force cosine top-k: queries = vec_id < 10, k = 5. The 10 query
@@ -153,17 +197,25 @@ object SimilarityQueries {
       it.flatMap { case (id, emb) =>
         val v = widen(emb)
         val nv = norm(v)
-        // argmax cell, ties to the lowest cell id (seeds iterate ascending)
-        var bestCell = -1L
-        var bestC = Double.NegativeInfinity
-        seeds.foreach { case (cell, sv, sn) =>
-          val c = dot(v, sv) / (nv * sn)
-          if (c > bestC) { bestC = c; bestCell = cell }
-        }
-        cellQ.getOrElse(bestCell, Array.empty[(Long, Array[Double], Double)])
-          .iterator.filter(_._1 != id).map { case (qid, qv, qn) =>
-            (qid, id, dot(qv, v) / (qn * nv))
+        // Zero-norm vectors have NaN cosine to every seed, `c > bestC`
+        // never fires, and the row would silently fall out of the index
+        // with bestCell = -1. Skip them EXPLICITLY instead: a zero
+        // vector has no cosine direction, so it belongs to no cell —
+        // documented choice, not an accident of NaN comparison.
+        if (nv == 0.0) Iterator.empty
+        else {
+          // argmax cell, ties to the lowest cell id (seeds iterate ascending)
+          var bestCell = -1L
+          var bestC = Double.NegativeInfinity
+          seeds.foreach { case (cell, sv, sn) =>
+            val c = dot(v, sv) / (nv * sn)
+            if (c > bestC) { bestC = c; bestCell = cell }
           }
+          cellQ.getOrElse(bestCell, Array.empty[(Long, Array[Double], Double)])
+            .iterator.filter(_._1 != id).map { case (qid, qv, qn) =>
+              (qid, id, dot(qv, v) / (qn * nv))
+            }
+        }
       }
     }.toDF("query_id", "neighbor_id", "c")
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))

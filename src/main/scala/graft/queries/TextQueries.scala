@@ -31,11 +31,17 @@ object TextQueries {
     * (map-side partial), no join.
     */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepCore(spark, dir).orderBy("keep_id")
+
+  /** Unsorted core of [[dedupKeep]] — compositions (cleanCorpus) consume
+    * it through joins, where a global sort is dead work (a range-
+    * partition exchange + sort the join immediately repartitions away).
+    */
+  private def dedupKeepCore(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy(fingerprint(col("text")).as("fingerprint"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("fingerprint", "keep_id", "n_copies")
-      .orderBy("keep_id")
 
   /** Corpus vocabulary: top-50 terms by document frequency. Terms come
     * from the native n-gram expression at n=1 (distinct-per-doc by
@@ -135,7 +141,7 @@ object TextQueries {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (grams, sizes) = gramTables(spark, dir)
+    val (grams, _) = gramTables(spark, dir)
     // Per-doc minhash signature + band hashes computed per ROW in one
     // tight loop: grams are already distinct-per-doc inside their array
     // column, so the signature needs no aggregation at all — the earlier
@@ -212,7 +218,13 @@ object TextQueries {
     * int64 (md5Hash64) so the WHOLE pipeline — hash, bit counts, band
     * join, hamming — replays bit-for-bit in the DuckDB oracle.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashImpl(spark, dir, 10000)
+
+  /** [[simhash]] with the oversized-bucket threshold exposed so tests can
+    * force every bucket down the self-join fallback and assert it agrees
+    * with the in-task grouped expansion. */
+  private[graft] def simhashImpl(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
     import spark.implicits._
     // SimHash signature + 8x8-bit banding per ROW in one tight loop: the
     // token stream folds into the 64 ±1 bit counts without leaving the
@@ -247,12 +259,20 @@ object TextQueries {
         }
       }.toDF("doc_id", "sim", "band", "bh")
     // bucket grouping instead of a band self-join (one exchange, not
-    // two) with the same oversized-bucket cap as the minhash pipeline —
-    // a degenerate 8-bit band hash at corpus scale must never expand
-    // O(|bucket|²) in a task
-    val maxBucket = 10000
-    banded
+    // two). Buckets small enough to pair-expand in one task (the
+    // overwhelmingly common case with 8-bit bands on a deduped corpus)
+    // expand in a tight in-task loop; OVERSIZED buckets — floods of
+    // near-identical signatures, or simply average 8-bit-bucket
+    // population once the corpus passes ~maxBucket*256 docs — fall back
+    // to a self-join on (band, bh), which spreads the O(|bucket|²) pair
+    // expansion across the cluster instead of one task (and instead of
+    // silently dropping the bucket's pairs, which would diverge from
+    // the oracle with no signal). Both branches hang off the same
+    // (band, bh) aggregate, so ReuseExchange runs the signature scan +
+    // shuffle once.
+    val grouped = banded
       .groupBy("band", "bh").agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
+    val smallPairs = grouped
       .filter(size(col("xs")).between(2, maxBucket))
       .select(col("xs")).as[Seq[(Long, Long)]]
       .flatMap { xs =>
@@ -264,8 +284,18 @@ object TextQueries {
           java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2))
       }
       .toDF("id1", "id2", "hamming")
-      .distinct()
+    val bigRows = grouped
+      .filter(size(col("xs")) > maxBucket)
+      .select(col("band"), col("bh"), explode(col("xs")).as("m"))
+      .select(col("band"), col("bh"), col("m.doc_id").as("doc_id"), col("m.sim").as("sim"))
+    val bigPairs = bigRows.as("x").join(bigRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+    smallPairs.unionByName(bigPairs)
       .filter(col("hamming") <= 6)
+      .distinct()
       .orderBy("id1", "id2")
   }
 
@@ -392,7 +422,11 @@ object TextQueries {
     * no candidate blowup. Grams are distinct-per-doc by construction
     * (native WordNGrams), so the count needs no extra dedup.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateCore(spark, dir).orderBy("doc_id")
+
+  /** Unsorted core of [[decontaminate]] — see [[dedupKeepCore]]. */
+  private def decontaminateCore(spark: SparkSession, dir: String): DataFrame = {
     val grams = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
@@ -400,7 +434,6 @@ object TextQueries {
     grams.filter(col("source") =!= "src0")
       .join(broadcast(bench), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_id")
   }
 
   /** Intra-document repetition ratio: 1 - distinct-3-grams / total
@@ -506,8 +539,8 @@ object TextQueries {
     val base = docs(spark, dir)
       .select(col("doc_id"), col("source"), nTok.as("n_tokens"), rep.as("rep_ratio"))
       .filter(col("source") =!= "src0" && col("n_tokens") >= 20 && col("rep_ratio") <= 0.5)
-    val survivors = dedupKeep(spark, dir).select(col("keep_id").as("doc_id"))
-    val contaminated = decontaminate(spark, dir).select("doc_id")
+    val survivors = dedupKeepCore(spark, dir).select(col("keep_id").as("doc_id"))
+    val contaminated = decontaminateCore(spark, dir).select("doc_id")
     base
       .join(survivors, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")

@@ -38,6 +38,18 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs.forall { case (a, b, c) => a < b && c >= 0.45 })
   }
 
+  test("block-tiled all-pairs agrees with the single-block pass") {
+    // blockRows = 97 forces ~5 quantile-bounded blocks at sf0.001; every
+    // unordered pair must still be scored exactly once, in the block
+    // owning its larger id, so the tiled union equals the one-shot pass.
+    val single = SimilarityQueries.embedNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val tiled = SimilarityQueries.embedNearDupImpl(spark, sf, 97L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(single.nonEmpty)
+    assert(tiled == single)
+  }
+
   test("IVF ANN recall vs brute-force top-k") {
     val brute = SimilarityQueries.annTopK(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -92,6 +92,19 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("simhash oversized-bucket fallback agrees with in-task expansion") {
+    // maxBucket = 1 forces EVERY bucket with >= 2 members down the
+    // band-self-join fallback; the default cap keeps them all in the
+    // grouped in-task path. Same pairs either way — the cap is a task-
+    // sizing decision, never a semantics change.
+    val viaJoin = TextQueries.simhashImpl(spark, sf, 1)
+      .as[(Long, Long, Int)].collect().toSeq
+    val viaGroups = TextQueries.simhash(spark, sf)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(viaGroups.nonEmpty)
+    assert(viaJoin == viaGroups)
+  }
+
   test("top terms are distinct-per-doc doc frequencies") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
