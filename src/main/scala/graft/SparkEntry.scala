@@ -38,6 +38,8 @@ object SparkEntry {
     "e_value_quantiles" -> (AnalyticsQueries.valueQuantiles _),
     "e_users_except" -> (AnalyticsQueries.activeUsersExcept _),
     "e_moving_stats" -> (AnalyticsQueries.movingStats _),
+    "e_event_cube" -> (AnalyticsQueries.eventCube _),
+    "e_value_histogram" -> (AnalyticsQueries.valueHistogram _),
     "q_semi_anti" -> (AnalyticsQueries.semiAntiCustomers _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
@@ -59,6 +61,10 @@ object SparkEntry {
     "t_repetition" -> (TextQueries.repetitionRatio _),
     "t_corpus_stats" -> (TextQueries.corpusStats _),
     "d_decontam" -> (TextQueries.decontaminate _),
+    "d_decontam_bloom" -> (TextQueries.decontaminateBloom _),
+    "d_df_prune" -> (TextQueries.dfPrune _),
+    "t_redact" -> (TextQueries.redact _),
+    "p_pack_sequences" -> (TextQueries.packSequences _),
     "d_edit_dist" -> (TextQueries.editDistancePairs _),
     "p_sample_stratified" -> (TextQueries.stratifiedSample _),
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
@@ -67,7 +73,9 @@ object SparkEntry {
     // LLM-pipeline: embedding similarity over `embeddings`
     "d_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "s_ann_topk" -> (SimilarityQueries.annTopK _),
-    "s_ann_ivf" -> (SimilarityQueries.annIvf _)
+    "s_ann_ivf" -> (SimilarityQueries.annIvf _),
+    "s_ann_lsh" -> (SimilarityQueries.annLsh _),
+    "s_knn_classify" -> (SimilarityQueries.knnClassify _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -221,6 +229,19 @@ object SparkEntry {
           |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY ROLLUP (1, 2)
           |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+      "e_event_cube" ->
+        """SELECT event_type,
+          |       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY CUBE (1, 2)
+          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+      "e_value_histogram" ->
+        """WITH r AS (SELECT min(value) AS lo, (max(value) - min(value)) / 20.0 AS width FROM events),
+          |b AS (SELECT CAST(least(floor((value - lo) / width), 19.0) AS INT) AS bucket
+          |      FROM events, r)
+          |SELECT bucket, round(lo + bucket * width, 6) AS lo_edge, count(*) AS n
+          |FROM b, r GROUP BY 1, 2 ORDER BY 1""".stripMargin,
       // Range-join spec: events within [odate, odate + 36h) of the same
       // customer, zero-count orders kept. The oracle states the range
       // predicate directly; Spark executes the bucketed form.
@@ -439,6 +460,56 @@ object SparkEntry {
           |FROM grams c JOIN bench USING (g)
           |WHERE c.source <> 'src0'
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // d_decontam_bloom executes the bloom-prefiltered strategy but its
+      // CONTRACT is exact decontamination (the exact join removes bloom
+      // false positives), so the oracle is the same exact SQL.
+      "d_decontam_bloom" ->
+        """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+          |SELECT c.doc_id, count(*) AS n_shared
+          |FROM grams c JOIN bench USING (g)
+          |WHERE c.source <> 'src0'
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "d_df_prune" ->
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+          |t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |terms AS (SELECT DISTINCT doc_id, tok FROM t, UNNEST(w) AS u(tok)),
+          |dfreq AS (SELECT tok, count(*) AS df FROM terms GROUP BY 1),
+          |freq AS (SELECT tok FROM dfreq, nn WHERE df > 0.5 * n),
+          |pos AS (SELECT doc_id, i, w[i] AS tok
+          |        FROM t, UNNEST(generate_series(1, len(w))) AS g(i)),
+          |kept AS (SELECT doc_id, i, tok FROM pos
+          |         WHERE tok NOT IN (SELECT tok FROM freq)),
+          |agg AS (SELECT doc_id, count(*) AS n_kept,
+          |               string_agg(tok, ' ' ORDER BY i) AS pruned
+          |        FROM kept GROUP BY 1)
+          |SELECT d.doc_id,
+          |       coalesce(a.n_kept, 0) AS n_kept,
+          |       md5(coalesce(a.pruned, '')) AS pruned_md5
+          |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "t_redact" ->
+        """SELECT doc_id,
+          |       CAST(len(regexp_extract_all(text, '\b(customer|key|value)\b')) AS BIGINT) AS n_masked,
+          |       CAST(length(regexp_replace(text, '\b(customer|key|value)\b', '<MASK>', 'g')) AS BIGINT) AS n_chars_redacted,
+          |       md5(regexp_replace(text, '\b(customer|key|value)\b', '<MASK>', 'g')) AS redacted_md5
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "p_pack_sequences" ->
+        """WITH n AS (
+          |  SELECT doc_id, source,
+          |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, source, n_tokens,
+          |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+          |  FROM n)
+          |SELECT doc_id, source, n_tokens,
+          |       start_tok // 2048 AS pack_id,
+          |       start_tok % 2048 AS pack_off
+          |FROM c ORDER BY doc_id""".stripMargin,
       "d_edit_dist" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
           |grams AS (
@@ -604,7 +675,66 @@ object SparkEntry {
           |  FROM q JOIN probes p ON p.query_id = q.query_id
           |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> q.query_id)
           |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cos_sim
-          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      // Full hyperplane-LSH replay: ±1 planes from md5(j_d) first-hex-
+      // digit parity, signature bits from the SEQUENTIAL ±v[d] fold
+      // (list_prepend 0.0 = the Spark loop's s=0.0 start; ×±1 is exact
+      // so only addition order matters), 4x4-bit bands, candidates =
+      // vectors sharing a band bucket with a query, exact-cosine rerank.
+      "s_ann_lsh" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |r AS (
+          |  SELECT j, list_transform(range(0, 64),
+          |           d -> CASE WHEN (strpos('0123456789abcdef',
+          |                             substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) % 2 = 1
+          |                     THEN 1.0 ELSE -1.0 END) AS plane
+          |  FROM range(0, 16) AS t(j)),
+          |sigbits AS (
+          |  SELECT e.vec_id, r.j,
+          |         CASE WHEN list_reduce(
+          |                list_prepend(0.0, list_transform(range(1, 65), d -> e.v[d] * r.plane[d])),
+          |                (a, b) -> a + b) >= 0
+          |              THEN 1 ELSE 0 END AS bit
+          |  FROM e, r),
+          |sig AS (SELECT vec_id, CAST(sum(bit * (1 << j)) AS BIGINT) AS s FROM sigbits GROUP BY 1),
+          |banded AS (SELECT vec_id, k, (s >> (k * 4)) & 15 AS bh FROM sig, range(0, 4) AS t(k)),
+          |cand AS (
+          |  SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id
+          |  FROM banded qb JOIN banded vb ON qb.k = vb.k AND qb.bh = vb.bh
+          |  WHERE qb.vec_id < 10 AND vb.vec_id <> qb.vec_id),
+          |scored AS (
+          |  SELECT c.query_id, c.neighbor_id,
+          |         list_dot_product(a.v, b.v) /
+          |           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+          |  FROM cand c JOIN e a ON a.vec_id = c.query_id JOIN e b ON b.vec_id = c.neighbor_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, c,
+          |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rnk
+          |  FROM scored)
+          |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cos_sim
+          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      "s_knn_classify" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT * FROM e WHERE vec_id < 10),
+          |sims AS (
+          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          |         list_dot_product(q.v, e.v) /
+          |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS c
+          |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+          |  FROM sims),
+          |votes AS (
+          |  SELECT r.query_id, l.label, count(*) AS n_votes
+          |  FROM ranked r JOIN embeddings l ON l.vec_id = r.neighbor_id
+          |  WHERE r.rnk <= 5 GROUP BY 1, 2),
+          |best AS (
+          |  SELECT query_id, label, n_votes,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS pr
+          |  FROM votes)
+          |SELECT query_id, label AS pred_label, n_votes
+          |FROM best WHERE pr = 1 ORDER BY query_id""".stripMargin
     )
   }
 }

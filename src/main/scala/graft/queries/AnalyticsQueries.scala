@@ -165,6 +165,42 @@ object AnalyticsQueries {
         sum(dec4(col("value"))).cast(DoubleType).as("sum_value"))
       .orderBy(col("event_type").asc_nulls_first, col("day_ms").asc_nulls_first)
 
+  /** Cube grouping-sets aggregate: event stats at every combination of
+    * (type, day) — both subtotal axes plus the grand total, one shuffle.
+    * Same single-aggregate grouping-sets execution as [[eventRollup]];
+    * `cube` emits the (null, day) sets rollup omits.
+    */
+  def eventCube(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .withColumn("day_ms", expr("((ts div 1000000) div 86400000) * 86400000"))
+      .cube("event_type", "day_ms")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec4(col("value"))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day_ms").asc_nulls_first)
+
+  /** Fixed-width histogram of event value: 20 equal buckets over the
+    * observed [min, max]. Two-phase — a metadata-scale min/max aggregate
+    * picks the edges on the driver, then ONE scan bucket-assigns with
+    * pure column algebra (no shuffle before the 20-row final aggregate).
+    * Bucket edges are the same double arithmetic in both engines, so
+    * boundary assignment is bit-deterministic.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+    val r = ev.agg(min(col("value")), max(col("value"))).head()
+    val lo = r.getDouble(0)
+    val width = (r.getDouble(1) - lo) / 20.0
+    ev.select(
+        least(floor((col("value") - lit(lo)) / lit(width)), lit(19.0))
+          .cast(IntegerType).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge", round(lit(lo) + col("bucket") * lit(width), 6))
+      .select("bucket", "lo_edge", "n")
+      .orderBy("bucket")
+  }
+
   /** Exact percentiles of event value per type (`percentile` is the
     * exact interpolated aggregate — one shuffle, sorted within groups).
     * 6-dp rounding absorbs last-ulp interpolation differences between

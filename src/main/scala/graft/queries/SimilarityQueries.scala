@@ -133,7 +133,12 @@ object SimilarityQueries {
     * vectors broadcast; one pass scores every (query, vector) pair; the
     * row_number ranking runs over the narrow (query, neighbor, c) rows.
     */
-  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+  def annTopK(spark: SparkSession, dir: String): DataFrame =
+    rankTopK(bruteScores(spark, dir))
+
+  /** Exhaustive (query, vector) cosine scores — the shared scoring pass
+    * behind [[annTopK]] and [[knnClassify]]. */
+  private def bruteScores(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, dir)
     val queries = vecs.filter(col("vec_id") < 10).collect()
@@ -141,7 +146,7 @@ object SimilarityQueries {
       .sortBy(_._1)
       .map { case (id, v) => (id, v, norm(v)) }
     val bc = spark.sparkContext.broadcast(queries)
-    val scored = vecs.as[(Long, Array[Float])].mapPartitions { it =>
+    vecs.as[(Long, Array[Float])].mapPartitions { it =>
       val qs = bc.value
       it.flatMap { case (id, emb) =>
         val v = widen(emb)
@@ -151,12 +156,110 @@ object SimilarityQueries {
         }
       }
     }.toDF("query_id", "neighbor_id", "c")
+  }
+
+  /** Deterministic top-5-per-query ranking + output shaping shared by
+    * the ANN variants (ties break on neighbor_id, same as the oracles). */
+  private def rankTopK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** Random-hyperplane LSH ANN — the bucketed scale path next to the IVF
+    * variant: a 16-bit cosine-sketch signature (sign of v·r_j for 16
+    * ±1-valued hyperplanes), banded 4x4 bits; a vector is scored against
+    * exactly the queries sharing at least one band bucket, then ranked
+    * by exact cosine. One pass, no shuffle before the (tiny) candidate
+    * ranking. Hyperplane entries derive from md5(j || '_' || d) parity,
+    * so the ENTIRE pipeline — planes, signatures, banding, rerank —
+    * replays bit-for-bit in the DuckDB oracle (same trick as simhash).
+    * At scale the per-band bucket ids become the shuffle key instead of
+    * a broadcast probe set, giving the standard LSH bucket join.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planes: Array[Array[Double]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(16) { j =>
+        Array.tabulate(64) { d =>
+          md.reset()
+          val h = md.digest(s"${j}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // parity of the first hex digit of md5("j_d")
+          if (((h(0) >>> 4) & 1) == 1) 1.0 else -1.0
+        }
+      }
+    }
+    // signature bit j = sign of the SEQUENTIAL ±v[d] fold (order matches
+    // the oracle's list_reduce exactly; multiplying by ±1 is exact, so
+    // only the addition order matters)
+    def sig16(v: Array[Double], pl: Array[Array[Double]]): Int = {
+      var sig = 0
+      var j = 0
+      while (j < 16) {
+        val p = pl(j)
+        var s = 0.0
+        var d = 0
+        while (d < 64) { s += v(d) * p(d); d += 1 }
+        if (s >= 0) sig |= (1 << j)
+        j += 1
+      }
+      sig
+    }
+    val vecs = vectors(spark, dir)
+    val queries = vecs.filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), widen(r.getSeq[Float](1))))
+      .sortBy(_._1)
+      .map { case (id, v) => (id, v, norm(v), sig16(v, planes)) }
+    // (band, bucket) -> indices of queries probing it
+    val bucketQueries: Map[(Int, Int), Array[Int]] =
+      queries.indices.flatMap { qi =>
+        (0 until 4).map(k => ((k, (queries(qi)._4 >>> (k * 4)) & 15), qi))
+      }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toArray }
+    val bc = spark.sparkContext.broadcast((queries, planes, bucketQueries))
+    val scored = vecs.as[(Long, Array[Float])].mapPartitions { it =>
+      val (qs, pl, bq) = bc.value
+      it.flatMap { case (id, emb) =>
+        val v = widen(emb)
+        val nv = norm(v)
+        val sig = sig16(v, pl)
+        val seen = new Array[Boolean](qs.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var k = 0
+        while (k < 4) {
+          bq.get((k, (sig >>> (k * 4)) & 15)).foreach(_.foreach { qi =>
+            if (!seen(qi)) {
+              seen(qi) = true
+              val (qid, qv, qn, _) = qs(qi)
+              if (qid != id) out += ((qid, id, dot(qv, v) / (qn * nv)))
+            }
+          })
+          k += 1
+        }
+        out.iterator
+      }
+    }.toDF("query_id", "neighbor_id", "c")
+    rankTopK(scored)
+  }
+
+  /** kNN label prediction: majority vote over the exact top-5 cosine
+    * neighbors (ties to the smallest label) — the eval-side consumer of
+    * the similarity index. The 50-row neighbor set broadcasts into the
+    * label scan; votes aggregate on narrow (query, label) rows.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val top5 = rankTopK(bruteScores(spark, dir)).select("query_id", "neighbor_id")
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "label")
+    val w = Window.partitionBy("query_id").orderBy(col("n_votes").desc, col("label"))
+    labels.join(broadcast(top5), col("vec_id") === col("neighbor_id"))
+      .groupBy("query_id", "label").agg(count(lit(1)).as("n_votes"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+      .orderBy("query_id")
   }
 
   /** IVF-style ANN: coarse cells seeded by the first 16 vectors; each

@@ -520,6 +520,119 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Training sequence packing: concatenate each source's docs in id
+    * order and chunk every `budget` tokens — the standard "concatenate
+    * and split" packing that turns a filtered corpus into fixed-budget
+    * training sequences. pack_id / pack_off locate where each doc's
+    * token stream STARTS in its source's packed stream (integer math
+    * only, exactly reproducible).
+    *
+    * Scale shape: a prefix sum partitioned by source — each source's
+    * running total is an independent window, so sources pack in
+    * parallel. A single pathologically large source needs the two-phase
+    * prefix sum (per-partition subtotals, broadcast offsets, per-row
+    * add) — same output, one extra metadata-scale job; production
+    * packing is per-shard anyway, which is exactly what the
+    * source-partitioned form models.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(wsTokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start_tok div $budget").as("pack_id"),
+        (col("start_tok") % budget).as("pack_off"))
+      .orderBy("doc_id")
+  }
+
+  /** Deny-list redaction — the scrubbing pass (PII / sensitive-vocab
+    * masking) every corpus runs before training. Word-boundary regex
+    * replacement with a mask token, plus the match count; pure per-row
+    * column algebra (one scan, zero shuffles), and the regex subset used
+    * (alternation + `\b`) behaves identically in Java regex and RE2, so
+    * the oracle replays it byte-for-byte. Output carries the redacted
+    * text's md5 so the full payload never moves.
+    */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = "\\b(customer|key|value)\\b"
+    val red = regexp_replace(col("text"), pattern, "<MASK>")
+    docs(spark, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast(LongType).as("n_masked"),
+        length(red).cast(LongType).as("n_chars_redacted"),
+        md5(red.cast(BinaryType)).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-document-frequency pruning: drop tokens appearing in more
+    * than half the documents (boilerplate/stopword vocabulary), keeping
+    * the rest in order. The frequent set is vocabulary-scale (tiny next
+    * to the corpus) so it collects to the driver and prunes scan-side as
+    * a literal-array lambda filter — per-row column algebra, no join and
+    * no shuffle touches document text. Doc frequency itself is one
+    * narrow (term) aggregate off the distinct-per-doc native unigram
+    * expression.
+    */
+  def dfPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{filter => arrFilter}
+    val d = docs(spark, dir)
+    val n = d.count() // corpus size: one metadata-scale job
+    val freqTerms = d
+      .select(explode(graft.functions.WordNGrams.word_ngrams(col("text"), 1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(n * 0.5))
+      .select("term").collect().map(_.getString(0)).sorted
+    val kept =
+      if (freqTerms.isEmpty) wsTokens(col("text"))
+      else {
+        val deny = typedLit(freqTerms)
+        arrFilter(wsTokens(col("text")), t => !array_contains(deny, t))
+      }
+    d.select(
+        col("doc_id"),
+        size(kept).cast(LongType).as("n_kept"),
+        md5(concat_ws(" ", kept).cast(BinaryType)).as("pruned_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB
+    * execution strategy made explicit. The benchmark gram set builds a
+    * bloom via Spark's native BloomFilterAggregate (the same sketch the
+    * optimizer's runtime row-level filters inject), and the corpus side
+    * probes it SCAN-SIDE with BloomFilterMightContain before the exact
+    * broadcast join: ~99% of corpus grams short-circuit on a bitset test
+    * without ever building join keys. The exact join then removes bloom
+    * false positives, so output == [[decontaminate]] exactly (same
+    * oracle) — the sketch only prunes, never decides.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+    val bench = grams.filter(col("source") === "src0").select("g").distinct()
+    val nItems = math.max(bench.count(), 1L)
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(toExpression(col("g")))), nItems).toAggregateExpression()
+    val bloom = bench.select(toColumn(bloomAgg)).head().getAs[Array[Byte]](0)
+    val mightContain = toColumn(new BloomFilterMightContain(
+      toExpression(lit(bloom)),
+      new XxHash64(Seq(toExpression(col("g"))))))
+    grams.filter(col("source") =!= "src0")
+      .filter(mightContain)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** The flagship composition a training-data pipeline runs end-to-end:
     * keep docs that (a) are not in the held-out benchmark source,
     * (b) clear minimum length and repetition-quality thresholds,

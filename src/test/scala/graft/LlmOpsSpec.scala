@@ -144,4 +144,100 @@ class LlmOpsSpec extends SparkSuite {
       .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(one._2 == md)
   }
+
+  test("bloom-prefiltered decontamination equals the exact operator") {
+    val exact = TextQueries.decontaminate(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val bloom = TextQueries.decontaminateBloom(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(exact.nonEmpty)
+    assert(bloom == exact, "the exact join must remove every bloom false positive")
+  }
+
+  test("LSH ANN agrees with exact cosine where they overlap, ranks correctly") {
+    val lsh = SimilarityQueries.annLsh(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // per-query ranks are 1..n with non-increasing scores
+    lsh.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall(w => w.length < 2 || w(0)._4 >= w(1)._4))
+    }
+    // any (query, neighbor) also in the exact top-5 carries the same cosine
+    val exact = SimilarityQueries.annTopK(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    val shared = lsh.filter(r => exact.contains((r._1, r._3)))
+    assert(shared.nonEmpty, "bucketed candidates should recover some exact top-5 hits")
+    assert(shared.forall(r => exact((r._1, r._3)) == r._4))
+  }
+
+  test("kNN classify replays the majority vote over the exact top-5") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val expected = SimilarityQueries.annTopK(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rows) =>
+        val votes = rows.map(r => labels(r._3)).groupBy(identity)
+          .map { case (l, xs) => (l, xs.length) }
+        q -> votes.toSeq.minBy { case (l, n) => (-n, l) }
+      }
+    val got = SimilarityQueries.knnClassify(spark, sf)
+      .as[(Long, Int, Long)].collect()
+    assert(got.length == expected.size)
+    assert(got.forall { case (q, l, n) => expected(q) == ((l, n.toInt)) })
+  }
+
+  test("df-prune keeps non-frequent tokens verbatim; frequent terms vanish") {
+    val out = TextQueries.dfPrune(spark, sf)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val docsRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val n = docsRows.length
+    val df = docsRows.flatMap { case (_, t) => t.trim.split(" ", -1).distinct }
+      .groupBy(identity).map { case (t, xs) => (t, xs.length) }
+    val deny = df.filter(_._2 > n * 0.5).keySet
+    assert(deny.nonEmpty, "corpus vocabulary should contain frequent terms")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docsRows.foreach { case (id, t) =>
+      val kept = t.trim.split(" ", -1).filterNot(deny)
+      val (nKept, fp) = out(id)
+      assert(nKept == kept.length, s"doc $id kept-count")
+      assert(fp == md5hex(kept.mkString(" ")), s"doc $id pruned fingerprint")
+    }
+  }
+
+  test("sequence packing is the per-source prefix sum, offsets within budget") {
+    val out = TextQueries.packSequences(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.forall { case (_, _, _, pid, off) => pid >= 0 && off >= 0 && off < 2048 })
+    out.groupBy(_._2).values.foreach { rows =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, nTok, pid, off) =>
+        assert(pid == cum / 2048 && off == cum % 2048)
+        cum += nTok
+      }
+    }
+  }
+
+  test("redaction replays Java regex replacement exactly") {
+    val out = TextQueries.redact(spark, sf)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rx = "\\b(customer|key|value)\\b"
+    val docsRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    var masked = 0L
+    docsRows.foreach { case (id, t) =>
+      val red = t.replaceAll(rx, "<MASK>")
+      val nm = rx.r.findAllIn(t).length
+      val (_, gotN, gotLen, gotMd5) = out(id)
+      assert(gotN == nm && gotLen == red.length && gotMd5 == md5hex(red))
+      masked += nm
+    }
+    assert(masked > 0, "deny-list terms should occur in the corpus")
+  }
 }

@@ -84,6 +84,42 @@ class PlanSpec extends SparkSuite {
       s"output-scale contaminated set must broadcast into the anti join:\n$plan")
   }
 
+  test("bloom decontamination probes scan-side, below the exact broadcast join") {
+    val plan = planOf(TextQueries.decontaminateBloom(spark, sf))
+    assert(plan.contains("might_contain"),
+      s"bloom probe must appear in the corpus-side filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"exact verification must stay a broadcast join:\n$plan")
+    // the probe is a Filter under the join build side — corpus grams
+    // still never shuffle (same invariant as exact decontamination)
+    val gramExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(g#"))
+    assert(gramExchanges <= 1, s"corpus grams must not shuffle:\n$plan")
+  }
+
+  test("df-prune applies the frequent set scan-side: no join in the pruning pass") {
+    val plan = planOf(TextQueries.dfPrune(spark, sf))
+    assert(!plan.contains("Join"),
+      s"vocabulary-scale deny set must prune as a literal filter, not a join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"pruning must be shuffle-free before the output sort:\n$plan")
+  }
+
+  test("sequence packing: one source-keyed window exchange, nothing else") {
+    val plan = planOf(TextQueries.packSequences(spark, sf))
+    assert(plan.contains("windowspecdefinition(source"),
+      s"prefix sum must partition by source:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one source exchange:\n$plan")
+  }
+
+  test("event cube: one grouping-sets expand, one aggregate exchange") {
+    val plan = planOf(graft.queries.AnalyticsQueries.eventCube(spark, sf))
+    assert(plan.contains("Expand"), s"cube must plan as a single Expand:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"grouping sets must aggregate in one shuffle:\n$plan")
+  }
+
   test("restore record filters reach the decode, no shuffle in restore") {
     val dir = tmpDir("planspec-backup")
     val in = graft.queries.GuardianQueries.records(spark, sf).limit(100)
