@@ -619,7 +619,13 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
     val bench = grams.filter(col("source") === "src0").select("g").distinct()
-    val nItems = math.max(bench.count(), 1L)
+    // Capacity estimate WITHOUT an extra counting job: metadata-scale
+    // row count x a generous grams-per-doc bound. Sizing only affects
+    // prune efficiency — an undersized (saturated) bloom just passes
+    // more candidates to the exact join, never changes the output — so
+    // an estimate is all it deserves. At real scale, feed a measured
+    // benchmark-gram count here instead.
+    val nItems = math.min(math.max(docs(spark, dir).count() * 64L, 1024L), 1L << 26)
     val bloomAgg = new BloomFilterAggregate(
       new XxHash64(Seq(toExpression(col("g")))), nItems).toAggregateExpression()
     val bloom = bench.select(toColumn(bloomAgg)).head().getAs[Array[Byte]](0)
@@ -649,14 +655,26 @@ object TextQueries {
     val rep = round(
       lit(1.0) - size(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).cast(DoubleType) /
         (nTok - lit(2)), 6)
-    val base = docs(spark, dir)
-      .select(col("doc_id"), col("source"), nTok.as("n_tokens"), rep.as("rep_ratio"))
-      .filter(col("source") =!= "src0" && col("n_tokens") >= 20 && col("rep_ratio") <= 0.5)
-    val survivors = dedupKeepCore(spark, dir).select(col("keep_id").as("doc_id"))
+    // Dedup survival fused into the signal scan: every doc's quality
+    // signals AND its fingerprint come out of ONE pass, and "lowest-id
+    // copy wins" is a row_number over the fingerprint partition — so the
+    // whole composition is one narrow-row exchange (by fingerprint) plus
+    // the broadcast anti join, instead of the earlier three (fingerprint
+    // aggregate + both sides of a doc_id semi join) with a second full
+    // text scan. The window must see ALL docs (src0 and short docs
+    // still claim their fingerprint groups), so the per-row filters
+    // apply after rn is assigned.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fingerprint").orderBy("doc_id")
     val contaminated = decontaminateCore(spark, dir).select("doc_id")
-    base
-      .join(survivors, Seq("doc_id"), "left_semi")
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"), rep.as("rep_ratio"),
+        fingerprint(col("text")).as("fingerprint"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("source") =!= "src0" &&
+        col("n_tokens") >= 20 && col("rep_ratio") <= 0.5)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_tokens", "rep_ratio")
       .orderBy("doc_id")
   }
 

@@ -77,9 +77,19 @@ class PlanSpec extends SparkSuite {
       s"scan must be pruned to (doc_id, source):\n$plan")
   }
 
-  test("clean corpus: dedup semi join shuffles, contamination anti join broadcasts") {
+  test("clean corpus: one fingerprint exchange, contamination anti join broadcasts") {
     val plan = planOf(TextQueries.cleanCorpus(spark, sf))
-    assert(plan.contains("LeftSemi"), s"dedup survivors must semi-join:\n$plan")
+    assert(plan.contains("windowspecdefinition(fingerprint"),
+      s"dedup survival must be the fingerprint-partitioned window:\n$plan")
+    // the signal scan + dedup window share ONE narrow-row exchange on
+    // the main path (the other exchanges live inside the metadata-scale
+    // broadcast subtrees), and the doc_id semi join is gone entirely
+    val fpExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning(fingerprint"))
+    assert(fpExchanges == 1, s"expected exactly one fingerprint exchange:\n$plan")
+    assert(!plan.contains("LeftSemi"), s"doc_id semi join must be fused away:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown must prune the window map-side:\n$plan")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"output-scale contaminated set must broadcast into the anti join:\n$plan")
   }
