@@ -30,10 +30,22 @@ object Bench {
     // on the smallest table, untimed.
     try {
       import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.row_number
-      spark.read.parquet(s"$sfDir/nation.parquet")
+      import org.apache.spark.sql.functions._
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      nation
         .withColumn("rn", row_number().over(
           Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
+        .write.format("noop").mode("overwrite").save()
+      // broadcast-join machinery (exchange thread pool, HashedRelation),
+      // Generate/explode, hash aggregate, and the range partitioner all
+      // pay one-time init + janino costs too — touch each once so the
+      // first measured query that uses them isn't billed for it
+      nation
+        .select(col("n_nationkey"), explode(split(col("n_comment"), " ")).as("w"))
+        .join(broadcast(nation.select(col("n_nationkey").as("k"))),
+          col("n_nationkey") === col("k"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy("w")
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
     } catch { // warmup must never fail the bench — but fatal JVM errors must still surface
