@@ -39,6 +39,7 @@ object SparkEntry {
     "e_users_except" -> (AnalyticsQueries.activeUsersExcept _),
     "e_moving_stats" -> (AnalyticsQueries.movingStats _),
     "e_event_cube" -> (AnalyticsQueries.eventCube _),
+    "e_event_stats_salted" -> (AnalyticsQueries.eventStatsSalted _),
     "e_value_histogram" -> (AnalyticsQueries.valueHistogram _),
     "q_semi_anti" -> (AnalyticsQueries.semiAntiCustomers _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
@@ -229,6 +230,15 @@ object SparkEntry {
           |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY ROLLUP (1, 2)
           |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+      // Salted two-phase execution of the same aggregate spec — exact
+      // DECIMAL partials merge losslessly, so the oracle is the plain
+      // single-phase SQL.
+      "e_event_stats_salted" ->
+        """SELECT event_type,
+          |       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "e_event_cube" ->
         """SELECT event_type,
           |       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,

@@ -165,6 +165,31 @@ object AnalyticsQueries {
         sum(dec4(col("value"))).cast(DoubleType).as("sum_value"))
       .orderBy(col("event_type").asc_nulls_first, col("day_ms").asc_nulls_first)
 
+  /** [[eventStats]] executed with an explicit SALTED two-phase
+    * aggregate — the skew playbook made first-class. Phase 1 groups by
+    * (key, salt) so a hot key's rows spread across 16 reducers; phase 2
+    * merges the 16 partials per key. DECIMAL sums are exact and
+    * order-independent, so the re-aggregation is lossless and the
+    * output equals the plain single-phase aggregate (same oracle).
+    * Worth its second (tiny) shuffle only when a key is hot enough to
+    * pin a reducer — which AQE can also detect; this operator is the
+    * deterministic, planner-independent form.
+    */
+  def eventStatsSalted(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("day_ms", expr("(ts_ms div 86400000) * 86400000"))
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy("event_type", "day_ms", "salt")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(dec4(col("value"))).as("psum"))
+      .groupBy("event_type", "day_ms")
+      .agg(
+        sum("pn").as("n"),
+        sum("psum").cast(DoubleType).as("sum_value"))
+      .orderBy("event_type", "day_ms")
+
   /** Cube grouping-sets aggregate: event stats at every combination of
     * (type, day) — both subtotal axes plus the grand total, one shuffle.
     * Same single-aggregate grouping-sets execution as [[eventRollup]];

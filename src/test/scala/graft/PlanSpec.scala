@@ -130,6 +130,17 @@ class PlanSpec extends SparkSuite {
     assert(exchanges == 1, s"grouping sets must aggregate in one shuffle:\n$plan")
   }
 
+  test("salted aggregate: two exchanges, output equals the single-phase plan") {
+    val salted = graft.queries.AnalyticsQueries.eventStatsSalted(spark, sf)
+    val plain = graft.queries.AnalyticsQueries.eventStats(spark, sf)
+    val plan = planOf(salted)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"salted aggregation is exactly two shuffles:\n$plan")
+    assert(plan.contains("salt"), s"salt must appear in the phase-1 keys:\n$plan")
+    // exact DECIMAL partials merge losslessly: same rows out
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("restore record filters reach the decode, no shuffle in restore") {
     val dir = tmpDir("planspec-backup")
     val in = graft.queries.GuardianQueries.records(spark, sf).limit(100)
