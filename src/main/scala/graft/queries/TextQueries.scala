@@ -509,16 +509,21 @@ object TextQueries {
     * hash-of-key (vs rand()) makes it reproducible run-to-run and
     * stable under retries/speculation, which rand() is not.
     */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+  /** Deterministic per-row sample bucket (first 32 bits of md5(doc_id)
+    * mod 100) — pure column algebra, so the same expression samples a
+    * batch scan or an unbounded stream (see StreamingAnalyticsSpec).
+    */
+  def sampleBucket(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(docId.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
       .cast(LongType) % 100
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", sampleBucket(col("doc_id")))
       .filter(col("bucket") <
         when(col("source").isin("src0", "src1", "src2", "src3"), lit(50L)).otherwise(lit(10L)))
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy("doc_id")
-  }
 
   /** Training sequence packing: concatenate each source's docs in id
     * order and chunk every `budget` tokens — the standard "concatenate
@@ -559,12 +564,17 @@ object TextQueries {
     * the oracle replays it byte-for-byte. Output carries the redacted
     * text's md5 so the full payload never moves.
     */
+  /** Word-boundary deny-list pattern + masked text — per-row column
+    * algebra shared by the batch operator and streaming reuse. */
+  val redactPattern: String = "\\b(customer|key|value)\\b"
+  def redactedText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(text, redactPattern, "<MASK>")
+
   def redact(spark: SparkSession, dir: String): DataFrame = {
-    val pattern = "\\b(customer|key|value)\\b"
-    val red = regexp_replace(col("text"), pattern, "<MASK>")
+    val red = redactedText(col("text"))
     docs(spark, dir).select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast(LongType).as("n_masked"),
+        size(regexp_extract_all(col("text"), lit(redactPattern), lit(0))).cast(LongType).as("n_masked"),
         length(red).cast(LongType).as("n_chars_redacted"),
         md5(red.cast(BinaryType)).as("redacted_md5"))
       .orderBy("doc_id")

@@ -122,4 +122,34 @@ class StreamingAnalyticsSpec extends SparkSuite {
     val kept = spark.table("decon").select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L), s"expected contaminated doc dropped, got $kept")
   }
+
+  test("stateless pipeline columns (sampling, redaction) run unchanged on streams") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "src0", "customer paid the key value"),
+      (2L, "src1", "no deny terms here"),
+      (3L, "src9", "value value value"),
+      (4L, "src2", "key material"))
+    val mem = MemoryStream[(Long, String, String)]
+    // the SAME column expressions the batch operators use — no state,
+    // no watermark, append mode: the stateless subset of the pipeline
+    // is streaming-reusable verbatim
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("bucket", graft.queries.TextQueries.sampleBucket(col("doc_id")))
+      .withColumn("red", graft.queries.TextQueries.redactedText(col("text")))
+      .select("doc_id", "bucket", "red")
+    val q = shape(mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("stateless_reuse")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stateless_reuse")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val batch = shape(rows.toDF("doc_id", "source", "text"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch, "stream and batch must produce identical rows")
+    assert(streamed.exists(_._3.contains("<MASK>")))
+  }
 }
