@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{RollingHash, WordNGrams}
+import graft.functions.{CountTokensInSet, RollingHash, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => RollingHash(text)
         case _ => throw new IllegalArgumentException(
           s"rolling_hash(text) takes exactly 1 argument, got ${children.size}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("tokens_in_set"),
+      new ExpressionInfo(classOf[CountTokensInSet].getName, "tokens_in_set"),
+      (children: Seq[Expression]) => children match {
+        case Seq(tokens, set) => CountTokensInSet(tokens, set)
+        case _ => throw new IllegalArgumentException(
+          "tokens_in_set(tokens, set) takes exactly 2 arguments")
       }))
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),

@@ -53,11 +53,12 @@ object TextFunctions {
     shiftleft(hi, 32).bitwiseOR(lo)
   }
 
-  /** Count of tokens contained in a fixed set (stopword/marker counting). */
-  def tokensInSet(tokens: Column, set: Seq[String]): Column = {
-    val arr = array(set.map(lit): _*)
-    size(filter(tokens, t => array_contains(arr, t)))
-  }
+  /** Count of tokens contained in a fixed set (stopword/marker
+    * counting) — the native codegen'd [[CountTokensInSet]] expression
+    * (the HOF `size(filter(...))` form it replaced ran interpreted).
+    */
+  def tokensInSet(tokens: Column, set: Seq[String]): Column =
+    CountTokensInSet.tokens_in_set(tokens, set)
 
   /** Dot product of two float-array columns, computed in double with a
     * sequential left fold (matches DuckDB's list_dot_product ordering).

@@ -29,6 +29,14 @@ class GraftExtensionsSpec extends SparkSuite {
         s2.sql("SELECT word_ngrams('a b c', length('xx'))").head()
       }
       assert(err.getMessage.contains("integer literal"))
+      val cnt = s2.sql(
+        "SELECT tokens_in_set(array('a','b','a','z'), array('a','z')) AS c").head()
+      assert(cnt.getInt(0) == 3)
+      // the set side must be foldable
+      val err2 = intercept[Exception] {
+        s2.sql("SELECT tokens_in_set(array('a'), array(concat(rand(), 'x')))").head()
+      }
+      assert(err2.getMessage.toLowerCase.contains("literal"))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

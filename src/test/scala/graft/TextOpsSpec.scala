@@ -17,6 +17,31 @@ class TextOpsSpec extends SparkSuite {
     text.trim.split(" ", -1).toSeq.sliding(n).filter(_.size == n)
       .map(_.mkString(" ")).toSeq.distinct
 
+  test("tokens_in_set equals the interpreted HOF form it replaced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val set = Seq("the", "a", "of")
+    val texts = Seq(
+      "the cat of a hat the end",
+      "no stopwords here",
+      "the the the",
+      "",           // split(trim) -> [""]
+      "a  of")      // doubled space -> empty token in between
+    val df = texts.toDF("text")
+    val arr = array(set.map(lit): _*)
+    val rows = df.select(
+      graft.functions.TextFunctions.tokensInSet(split(trim(col("text")), " "), set).as("native"),
+      size(filter(split(trim(col("text")), " "), t => array_contains(arr, t))).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // codegen plan: the native expression, no interpreted lambda filter
+    val plan = df.select(
+      graft.functions.TextFunctions.tokensInSet(split(trim(col("text")), " "), set))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("tokens_in_set"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+  }
+
   test("word_ngrams matches split+sliding reference, incl. edge cases") {
     val cases = Seq(
       "the quick brown fox jumps",
