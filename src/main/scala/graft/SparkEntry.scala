@@ -41,6 +41,8 @@ object SparkEntry {
     "e_event_cube" -> (AnalyticsQueries.eventCube _),
     "e_event_stats_salted" -> (AnalyticsQueries.eventStatsSalted _),
     "e_value_histogram" -> (AnalyticsQueries.valueHistogram _),
+    "e_json_props" -> (AnalyticsQueries.jsonProps _),
+    "e_grouping_sets" -> (AnalyticsQueries.eventGroupingSets _),
     "q_semi_anti" -> (AnalyticsQueries.semiAntiCustomers _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
@@ -66,6 +68,7 @@ object SparkEntry {
     "d_df_prune" -> (TextQueries.dfPrune _),
     "t_redact" -> (TextQueries.redact _),
     "p_pack_sequences" -> (TextQueries.packSequences _),
+    "p_mix_order" -> (TextQueries.mixOrder _),
     "d_edit_dist" -> (TextQueries.editDistancePairs _),
     "p_sample_stratified" -> (TextQueries.stratifiedSample _),
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
@@ -239,6 +242,25 @@ object SparkEntry {
           |       count(*) AS n,
           |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "e_json_props" ->
+        """SELECT event_type,
+          |       count(CAST(props->>'k' AS INT)) AS n_k,
+          |       sum(CAST(CAST(props->>'k' AS INT) AS BIGINT)) AS sum_k,
+          |       min(CAST(props->>'k' AS INT)) AS min_k,
+          |       max(CAST(props->>'k' AS INT)) AS max_k
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      // GROUPING() bitmasks use the Postgres convention in both engines:
+      // leftmost argument = most significant bit.
+      "e_grouping_sets" ->
+        """WITH ev AS (
+          |  SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, value
+          |  FROM events)
+          |SELECT CAST(GROUPING(event_type, day_ms) AS INT) AS gid,
+          |       event_type, day_ms,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM ev GROUP BY GROUPING SETS ((event_type), (day_ms))
+          |ORDER BY 1, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
       "e_event_cube" ->
         """SELECT event_type,
           |       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
@@ -520,6 +542,15 @@ object SparkEntry {
           |       start_tok // 2048 AS pack_id,
           |       start_tok % 2048 AS pack_off
           |FROM c ORDER BY doc_id""".stripMargin,
+      "p_mix_order" ->
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn,
+          |         CASE WHEN source IN ('src0','src1','src2','src3') THEN 3 ELSE 1 END AS weight
+          |  FROM documents)
+          |SELECT doc_id, source, rn, CAST(weight AS BIGINT) AS weight,
+          |       ((rn - 1) * 3) // weight AS mix_key
+          |FROM r ORDER BY mix_key, source, doc_id""".stripMargin,
       "d_edit_dist" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
           |grams AS (

@@ -190,6 +190,42 @@ object AnalyticsQueries {
         sum("psum").cast(DoubleType).as("sum_value"))
       .orderBy("event_type", "day_ms")
 
+  /** Semi-structured extraction: parse the `props` JSON column with an
+    * explicit schema (`from_json` — vectorized, no schema inference
+    * job) and aggregate the extracted field per event type. At scale
+    * the parse is scan-side column algebra; only the tiny per-type
+    * aggregate shuffles.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .withColumn("k", from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_k"),
+        sum(col("k").cast(LongType)).as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Explicit GROUPING SETS — the arbitrary-sets form next to
+    * [[eventRollup]]/[[eventCube]]: per-type totals and per-day totals
+    * in ONE aggregate (no union of re-aggregations), with the
+    * `grouping_id` bitmask identifying each set.
+    */
+  def eventGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .withColumn("day_ms", expr("((ts div 1000000) div 86400000) * 86400000"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("day_ms"))),
+        col("event_type"), col("day_ms"))
+      .agg(
+        grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec4(col("value"))).cast(DoubleType).as("sum_value"))
+      .select("gid", "event_type", "day_ms", "n", "sum_value")
+      .orderBy(col("gid"), col("event_type").asc_nulls_first, col("day_ms").asc_nulls_first)
+
   /** Cube grouping-sets aggregate: event stats at every combination of
     * (type, day) — both subtotal axes plus the grand total, one shuffle.
     * Same single-aggregate grouping-sets execution as [[eventRollup]];

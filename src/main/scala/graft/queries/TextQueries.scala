@@ -556,6 +556,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Weighted source interleaving — the data-mixing policy pass: order
+    * the corpus so sources are consumed proportionally to their mixing
+    * weights (here 3x for src0-3, 1x otherwise), the deterministic
+    * analog of temperature-weighted sampling. Each doc gets its
+    * per-source sequence rank rn (partitioned window — sources rank in
+    * parallel) and a rational interleave key (rn-1)/w scaled to the
+    * integer (rn-1)*3/w, so a weight-3 source emits 3 docs for every
+    * weight-1 doc. Integer math only; the ORDER is the product, so no
+    * global prefix/row_number is ever computed.
+    */
+  def mixOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("weight",
+        when(col("source").isin("src0", "src1", "src2", "src3"), lit(3L)).otherwise(lit(1L)))
+      .withColumn("mix_key", expr("((rn - 1) * 3) div weight"))
+      .select("doc_id", "source", "rn", "weight", "mix_key")
+      .orderBy("mix_key", "source", "doc_id")
+  }
+
   /** Deny-list redaction — the scrubbing pass (PII / sensitive-vocab
     * masking) every corpus runs before training. Word-boundary regex
     * replacement with a mask token, plus the match count; pure per-row

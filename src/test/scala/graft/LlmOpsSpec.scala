@@ -222,6 +222,40 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("mix order interleaves sources proportionally to their weights") {
+    val out = TextQueries.mixOrder(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    // per source, rn is 1..count and mix_key replays the integer formula
+    out.groupBy(_._2).values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length))
+      sorted.foreach { case (_, _, rn, w, key) => assert(key == (rn - 1) * 3 / w) }
+    }
+    // proportionality: within any prefix of the global order, a weight-3
+    // source has emitted ~3x the docs of a weight-1 source (±1 quantum),
+    // until one of them is exhausted
+    val ordered = out.sortBy(r => (r._5, r._2, r._1))
+    val w3 = ordered.filter(_._4 == 3L).map(_._2).headOption
+    val w1 = ordered.filter(_._4 == 1L).map(_._2).headOption
+    (w3, w1) match {
+      case (Some(s3), Some(s1)) =>
+        val n3 = ordered.count(_._2 == s3)
+        val n1 = ordered.count(_._2 == s1)
+        var c3 = 0; var c1 = 0; var checked = false
+        ordered.foreach { r =>
+          if (r._2 == s3) c3 += 1
+          if (r._2 == s1) c1 += 1
+          if (c3 < n3 && c1 < n1 && c1 > 0) {
+            checked = true
+            assert(c3 >= 3 * c1 - 3 && c3 <= 3 * c1 + 3,
+              s"interleave ratio drifted: $c3 vs $c1")
+          }
+        }
+        assert(checked)
+      case _ => fail("expected both weight classes present")
+    }
+  }
+
   test("redaction replays Java regex replacement exactly") {
     val out = TextQueries.redact(spark, sf)
       .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap

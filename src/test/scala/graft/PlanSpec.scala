@@ -130,6 +130,20 @@ class PlanSpec extends SparkSuite {
     assert(exchanges == 1, s"grouping sets must aggregate in one shuffle:\n$plan")
   }
 
+  test("grouping sets: single Expand aggregate equals the union of plain aggregates") {
+    import org.apache.spark.sql.functions._
+    val gs = graft.queries.AnalyticsQueries.eventGroupingSets(spark, sf)
+    val plan = planOf(gs)
+    assert(plan.contains("Expand"), s"grouping sets must plan as one Expand:\n$plan")
+    val rows = gs.collect()
+    val byType = graft.queries.AnalyticsQueries.eventStats(spark, sf)
+      .groupBy("event_type").agg(sum("n").cast("long").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.filter(_.getInt(0) == 1)
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(got == byType, "gid=1 rows must be the per-type totals")
+  }
+
   test("salted aggregate: two exchanges, output equals the single-phase plan") {
     val salted = graft.queries.AnalyticsQueries.eventStatsSalted(spark, sf)
     val plain = graft.queries.AnalyticsQueries.eventStats(spark, sf)
