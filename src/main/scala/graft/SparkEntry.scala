@@ -44,6 +44,13 @@ object SparkEntry {
     "e_json_props" -> (AnalyticsQueries.jsonProps _),
     "e_grouping_sets" -> (AnalyticsQueries.eventGroupingSets _),
     "q_semi_anti" -> (AnalyticsQueries.semiAntiCustomers _),
+    "q6_forecast" -> (AnalyticsQueries.q6Forecast _),
+    "q4_order_priority" -> (AnalyticsQueries.q4OrderPriority _),
+    "q17_small_qty" -> (AnalyticsQueries.q17SmallQty _),
+    "q_revenue_share" -> (AnalyticsQueries.nationRevenueShare _),
+    "e_funnel" -> (AnalyticsQueries.funnel _),
+    "e_retention" -> (AnalyticsQueries.retentionCohorts _),
+    "e_type_pivot" -> (AnalyticsQueries.eventTypePivot _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     // LLM-pipeline: dedup + text analysis over `documents`
@@ -54,6 +61,8 @@ object SparkEntry {
     "d_dup_clusters" -> (TextQueries.dupClusters _),
     "d_simhash" -> (TextQueries.simhash _),
     "t_top_terms" -> (TextQueries.topTerms _),
+    "t_vocab_growth" -> (TextQueries.vocabGrowth _),
+    "d_dup_by_source" -> (TextQueries.dupStatsBySource _),
     "t_tokens" -> (TextQueries.tokenCounts _),
     "t_quality" -> (TextQueries.qualityScore _),
     "t_langid" -> (TextQueries.langId _),
@@ -306,6 +315,92 @@ object SparkEntry {
           |SELECT event_id, user_id, ts_ms,
           |       o_orderkey AS asof_orderkey, total AS asof_total
           |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      "q6_forecast" ->
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |WHERE epoch_ms(l_shipdate) >= 820454400000 AND epoch_ms(l_shipdate) < 852076800000
+          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE epoch_ms(o_orderdate) >= 820454400000 AND epoch_ms(o_orderdate) < 828316800000
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Threshold cross-multiplied into exact DECIMAL space: qty < 0.2*avg
+      // <=> qty * n * 5 < sum_qty — no division before the final output.
+      "q17_small_qty" ->
+        """WITH pp AS (
+          |  SELECT l_partkey,
+          |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+          |         count(*) AS n_li
+          |  FROM lineitem GROUP BY 1)
+          |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+          |       count(*) AS n_small
+          |FROM lineitem JOIN pp USING (l_partkey)
+          |WHERE CAST(l_quantity AS DECIMAL(18,2)) * n_li * 5 < sum_qty""".stripMargin,
+      "q_revenue_share" ->
+        """WITH pn AS (
+          |  SELECT n_name,
+          |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev_dec
+          |  FROM lineitem
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  GROUP BY 1)
+          |SELECT n_name,
+          |       CAST(rev_dec AS DOUBLE) AS revenue,
+          |       round(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS share
+          |FROM pn ORDER BY n_name""".stripMargin,
+      "e_funnel" ->
+        """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+          |w1 AS (SELECT user_id, ts_ms, event_type,
+          |         min(CASE WHEN event_type = 'signup' THEN ts_ms END)
+          |           OVER (PARTITION BY user_id) AS t1 FROM ev),
+          |w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts_ms >= t1 THEN ts_ms END)
+          |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+          |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_ms >= t2 THEN ts_ms END)
+          |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+          |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3 FROM w3 GROUP BY 1)
+          |SELECT count(*) AS n_users,
+          |       count(t1) AS n_signup,
+          |       count(t2) AS n_signup_view,
+          |       count(t3) AS n_full_funnel,
+          |       CAST(sum(t3 - t1) AS BIGINT) AS sum_conv_ms
+          |FROM u""".stripMargin,
+      "e_retention" ->
+        """WITH ev AS (
+          |  SELECT user_id, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms FROM events),
+          |c AS (
+          |  SELECT user_id, day_ms,
+          |         min(day_ms) OVER (PARTITION BY user_id) AS cohort_day
+          |  FROM ev)
+          |SELECT cohort_day, (day_ms - cohort_day) // 86400000 AS day_offset,
+          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "e_type_pivot" ->
+        """SELECT user_id,
+          |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+          |       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+          |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+          |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+          |       count(*) FILTER (WHERE event_type = 'view') AS n_view
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "t_vocab_growth" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |t AS (
+          |  SELECT doc_id // 10 AS bucket, w[i] || ' ' || w[i+1] AS term
+          |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS u(i)),
+          |f AS (SELECT term, min(bucket) AS first_bucket FROM t GROUP BY 1),
+          |g AS (SELECT first_bucket, count(*) AS n_new_terms FROM f GROUP BY 1)
+          |SELECT first_bucket, n_new_terms,
+          |       CAST(sum(n_new_terms) OVER (ORDER BY first_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+          |FROM g ORDER BY 1""".stripMargin,
+      "d_dup_by_source" ->
+        """SELECT source, count(*) AS n_docs,
+          |       count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct,
+          |       count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_dups
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "d_dedup_exact" ->
         """SELECT count(*) AS n_docs,
           |       count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct,

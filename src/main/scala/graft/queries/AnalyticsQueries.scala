@@ -353,6 +353,153 @@ object AnalyticsQueries {
     withOrders.crossJoin(withoutOrders)
   }
 
+  /** TPC-H Q6-style forecasting revenue: the pure pushdown showcase —
+    * every predicate (date range, discount band, quantity cap) reaches
+    * the parquet scan as a PushedFilter and only 3 columns are read; the
+    * aggregate is a single partial-merged scalar, so the whole query is
+    * one scan with no shuffle of data rows. Revenue multiplies in exact
+    * DECIMAL space (same policy as q1).
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "lineitem")
+      .filter(
+        tsMillis(col("l_shipdate")) >= lit(820454400000L) && // 1996-01-01
+          tsMillis(col("l_shipdate")) < lit(852076800000L) && // 1997-01-01
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * rate(col("l_discount"))).cast(DoubleType)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q4-style order-priority check: EXISTS decorrelated to a
+    * left-semi hash join (no row multiplication — an order with many
+    * flagged lineitems counts once), date filter pushed to the orders
+    * scan, 5-row aggregate.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = pq(spark, dir, "orders")
+      .filter(tsMillis(col("o_orderdate")) >= lit(820454400000L) && // 1996-01-01
+        tsMillis(col("o_orderdate")) < lit(828316800000L)) // 1996-04-01
+    val flagged = pq(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    ord.join(flagged, ord("o_orderkey") === flagged("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: the correlated scalar
+    * subquery (per-part average quantity) decorrelated into a per-part
+    * aggregate that is BROADCAST back into the lineitem scan — |parts|
+    * rows, never a shuffle of the fact table. The threshold compare
+    * `qty < 0.2 * avg` is cross-multiplied to `qty * n * 5 < sum_qty`
+    * so it stays in exact integer-scaled DECIMAL arithmetic — no
+    * division, both engines agree bit-for-bit.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = pq(spark, dir, "lineitem")
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n_li"))
+    li.join(broadcast(perPart), "l_partkey")
+      .filter(dec(col("l_quantity")) * col("n_li") * lit(5) < col("sum_qty"))
+      .agg(
+        round(sum(dec(col("l_extendedprice"))).cast(DoubleType) / 7.0, 6).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** Revenue share per nation — window-over-aggregate composition: the
+    * q5-style per-nation aggregate, then each nation's share of the
+    * total via an unpartitioned window over the 25-row RESULT (metadata
+    * scale — the window never sees fact rows). Total sums in exact
+    * DECIMAL; only the final share divides in double, rounded 6 dp.
+    */
+  def nationRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = pq(spark, dir, "nation")
+    val supplier = pq(spark, dir, "supplier")
+    val li = pq(spark, dir, "lineitem")
+    val dims = supplier
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val perNation = li.join(broadcast(dims), li("l_suppkey") === dims("s_suppkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice).as("rev_dec"))
+    perNation
+      .withColumn("total", sum("rev_dec").over(Window.partitionBy()))
+      .select(
+        col("n_name"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        round(col("rev_dec").cast(DoubleType) / col("total").cast(DoubleType), 6).as("share"))
+      .orderBy("n_name")
+  }
+
+  /** Conversion funnel signup -> view -> purchase: per-user stage
+    * timestamps via chained whole-partition window minima (t2 only
+    * counts views at/after the user's first signup, t3 only purchases
+    * at/after that view) — ONE shuffle on user_id, three window passes
+    * over the same partitioning, then a metadata-scale per-user
+    * aggregate and a scalar rollup. Conversion time sums exactly in
+    * BIGINT millis so the funnel hashes discriminate beyond bare counts.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_type"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts_ms"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "view" && col("ts_ms") >= col("t1"), col("ts_ms"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_ms") >= col("t2"), col("ts_ms"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_signup_view"),
+        count(col("t3")).as("n_full_funnel"),
+        sum(col("t3") - col("t1")).as("sum_conv_ms"))
+  }
+
+  /** Cohort retention: users bucketed by first-active day, distinct
+    * actives per (cohort, day-offset). The cohort day rides a
+    * whole-partition window min (one shuffle on user_id); the final
+    * distinct-count aggregate is (cohorts x offsets)-scale.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    pq(spark, dir, "events")
+      .select(col("user_id"),
+        expr("((ts div 1000000) div 86400000) * 86400000").as("day_ms"))
+      .withColumn("cohort_day", min("day_ms").over(w))
+      .groupBy(col("cohort_day"),
+        expr("(day_ms - cohort_day) div 86400000").as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Pivot (crosstab): per-user event counts, one column per event type,
+    * written as DIRECT conditional aggregation — `Dataset.pivot` (even
+    * with explicit values, which at least skips the distinct-inference
+    * job) plans a (user, type) pre-aggregate plus a pivotfirst
+    * aggregate: two exchanges. The conditional form is ONE hash
+    * aggregate with map-side partials, one shuffle on user_id — the
+    * only shape that holds at 100 TB, and exactly the FILTER-clause SQL
+    * the oracle states.
+    */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(t: String): Column = count(when(col("event_type") === t, lit(1)))
+    pq(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        cnt("click").as("n_click"),
+        cnt("error").as("n_error"),
+        cnt("purchase").as("n_purchase"),
+        cnt("signup").as("n_signup"),
+        cnt("view").as("n_view"))
+      .orderBy("user_id")
+  }
+
   /** Event-type hourly rollup (streaming-aggregation shape in batch). */
   def eventStats(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "events")

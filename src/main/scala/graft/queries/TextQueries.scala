@@ -711,6 +711,41 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary growth (Heaps-law profile): docs in id order are cut
+    * into 10-doc buckets; a term's first bucket is where it enters the
+    * vocabulary; cumulative bucket totals give vocab size over corpus
+    * position. Terms are word BIGRAMS (the unigram vocabulary of the
+    * synthetic corpus saturates inside the first bucket). Two narrow
+    * aggregates (term -> min bucket, bucket -> count) and the running
+    * sum windows over the BUCKET-scale result — corpus_size/10 rows at
+    * most, never terms or docs.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(expr("doc_id div 10").as("bucket"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 2)).as("term"))
+      .groupBy("term").agg(min("bucket").as("first_bucket"))
+      .groupBy("first_bucket").agg(count(lit(1)).as("n_new_terms"))
+      .withColumn("vocab_size", sum("n_new_terms").over(
+        org.apache.spark.sql.expressions.Window.orderBy("first_bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .orderBy("first_bucket")
+
+  /** Per-source duplication profile — the dedup planning pass: how much
+    * of each source is exact-duplicate mass, before any pair generation
+    * runs. One hash aggregate over (source, fingerprint) partials; the
+    * distinct count never shuffles raw text.
+    */
+  def dupStatsBySource(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fingerprint(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(fingerprint(col("text")))).as("n_dups"))
+      .orderBy("source")
+
   /** Multimodal column plumbing: payloads as opaque binary + typed
     * metadata (real media decode is stubbed — see graft.multimodal).
     */

@@ -155,6 +155,58 @@ class PlanSpec extends SparkSuite {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("q6: all predicates pushed to the lineitem scan, no row shuffle") {
+    val plan = planOf(AnalyticsQueries.q6Forecast(spark, sf))
+    assert(plan.contains("PushedFilters:") && plan.contains("l_quantity"),
+      s"quantity filter must reach the scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_discount") || plan.contains("l_discount,0.05"),
+      s"discount band must reach the scan:\n$plan")
+    // scalar aggregate: the only exchange is the single-partition merge of partials
+    val rowExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(rowExchanges == 0, s"q6 must not hash-shuffle any rows:\n$plan")
+  }
+
+  test("q17: per-part aggregate broadcasts back into the fact scan") {
+    val plan = planOf(AnalyticsQueries.q17SmallQty(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-part avg must broadcast, never shuffle lineitem:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge join expected:\n$plan")
+  }
+
+  test("funnel: three chained windows reuse ONE user_id exchange") {
+    val plan = planOf(AnalyticsQueries.funnel(spark, sf))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1,
+      s"stage windows + per-user aggregate must share one user shuffle:\n$plan")
+  }
+
+  test("retention: cohort window and offset aggregate partition by user first") {
+    val plan = planOf(AnalyticsQueries.retentionCohorts(spark, sf))
+    assert(plan.contains("windowspecdefinition(user_id"),
+      s"cohort min must partition by user_id:\n$plan")
+  }
+
+  test("pivot with explicit types: single aggregate, no values-inference job") {
+    val df = AnalyticsQueries.eventTypePivot(spark, sf)
+    val plan = planOf(df)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1, s"pivot must be one conditional aggregate:\n$plan")
+    assert(df.columns.toSeq ==
+      Seq("user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view"))
+  }
+
+  test("vocab growth: global running sum only ever sees bucket-scale rows") {
+    val df = TextQueries.vocabGrowth(spark, sf)
+    val n = df.count()
+    // 10-doc buckets: the unpartitioned window input is bounded by docs/10
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(n <= docs / 10 + 1, s"bucket rows must be corpus/10, got $n")
+    // monotone vocabulary
+    import org.apache.spark.sql.functions._
+    val rows = df.orderBy("first_bucket").select("vocab_size").collect().map(_.getLong(0))
+    assert(rows.sameElements(rows.sorted), "vocab size must be nondecreasing")
+  }
+
   test("restore record filters reach the decode, no shuffle in restore") {
     val dir = tmpDir("planspec-backup")
     val in = graft.queries.GuardianQueries.records(spark, sf).limit(100)
