@@ -51,6 +51,9 @@ object SparkEntry {
     "e_funnel" -> (AnalyticsQueries.funnel _),
     "e_retention" -> (AnalyticsQueries.retentionCohorts _),
     "e_type_pivot" -> (AnalyticsQueries.eventTypePivot _),
+    "q_price_deciles" -> (AnalyticsQueries.priceDeciles _),
+    "e_event_gaps" -> (AnalyticsQueries.eventGaps _),
+    "e_approx_distinct" -> (AnalyticsQueries.approxDistinctUsers _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     // LLM-pipeline: dedup + text analysis over `documents`
@@ -378,6 +381,43 @@ object SparkEntry {
           |SELECT cohort_day, (day_ms - cohort_day) // 86400000 AS day_offset,
           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // e_approx_distinct: HLL sketch values are engine-specific — no SQL
+      // oracle on purpose (driver rows-only gate); the 5%-of-exact
+      // accuracy contract is asserted in LlmOpsSpec.
+      "q_price_deciles" ->
+        """WITH qs AS (
+          |  SELECT quantile_cont(o_totalprice,
+          |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+          |  FROM orders),
+          |b AS (
+          |  SELECT o_totalprice,
+          |         CAST((CASE WHEN o_totalprice > q[1] THEN 1 ELSE 0 END) +
+          |              (CASE WHEN o_totalprice > q[2] THEN 1 ELSE 0 END) +
+          |              (CASE WHEN o_totalprice > q[3] THEN 1 ELSE 0 END) +
+          |              (CASE WHEN o_totalprice > q[4] THEN 1 ELSE 0 END) +
+          |              (CASE WHEN o_totalprice > q[5] THEN 1 ELSE 0 END) +
+          |              (CASE WHEN o_totalprice > q[6] THEN 1 ELSE 0 END) +
+          |              (CASE WHEN o_totalprice > q[7] THEN 1 ELSE 0 END) +
+          |              (CASE WHEN o_totalprice > q[8] THEN 1 ELSE 0 END) +
+          |              (CASE WHEN o_totalprice > q[9] THEN 1 ELSE 0 END) AS INT) AS decile
+          |  FROM orders, qs)
+          |SELECT decile, count(*) AS n,
+          |       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS lo,
+          |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS hi,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+      "e_event_gaps" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+          |g AS (
+          |  SELECT user_id,
+          |         ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS gap
+          |  FROM ev)
+          |SELECT user_id, count(*) AS n_gaps,
+          |       min(gap) AS min_gap_ms, max(gap) AS max_gap_ms,
+          |       CAST(sum(gap) AS BIGINT) AS sum_gap_ms
+          |FROM g WHERE gap IS NOT NULL
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "e_type_pivot" ->
         """SELECT user_id,
           |       count(*) FILTER (WHERE event_type = 'click') AS n_click,

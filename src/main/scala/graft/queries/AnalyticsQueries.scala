@@ -500,6 +500,70 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** Equal-frequency decile binning of order value — the scale-correct
+    * global ranking: a GLOBAL ntile would move every row to one
+    * partition, so instead a metadata-scale aggregate computes the 9
+    * exact interpolated decile boundaries, they inline as literals into
+    * a second scan, and each row's bucket is the count of boundaries
+    * strictly below it (ties go to the lower bucket — deterministic by
+    * VALUE, not row position, so it replays in any engine). Same
+    * two-phase shape as [[valueHistogram]], equal-frequency instead of
+    * equal-width.
+    */
+  def priceDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val ord = pq(spark, dir, "orders")
+    val probs = (1 to 9).map(_ / 10.0)
+    val qs = ord
+      .agg(expr(s"percentile(o_totalprice, array(${probs.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    val bucket = qs.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("o_totalprice") > lit(b), 1).otherwise(0)
+    }
+    ord.select(bucket.as("decile"), col("o_totalprice"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        dec(min("o_totalprice")).cast(DoubleType).as("lo"),
+        dec(max("o_totalprice")).cast(DoubleType).as("hi"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+      .orderBy("decile")
+  }
+
+  /** Per-user inter-event gap profile: lag over (user, time) gives each
+    * event's distance to the previous one; gaps aggregate exactly in
+    * BIGINT millis. One shuffle on user_id, one sort, and the window +
+    * aggregate share the partitioning.
+    */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+      .withColumn("gap", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min("gap").as("min_gap_ms"),
+        max("gap").as("max_gap_ms"),
+        sum("gap").as("sum_gap_ms"))
+      .orderBy("user_id")
+  }
+
+  /** HLL approximate distinct next to the exact count — the sketch every
+    * 100 TB profiling pass leads with (mergeable partials, fixed-size
+    * state, no distinct shuffle for the approx path). The HLL result is
+    * implementation-specific, so this operator carries NO SQL oracle
+    * (rows-only gate); the accuracy contract (rsd 0.01 here, within 5%
+    * of exact in tests) is asserted in LlmOpsSpec instead.
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_exact"),
+        approx_count_distinct("user_id", 0.01).as("n_approx"))
+      .orderBy("event_type")
+
   /** Event-type hourly rollup (streaming-aggregation shape in batch). */
   def eventStats(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "events")

@@ -274,4 +274,14 @@ class LlmOpsSpec extends SparkSuite {
     }
     assert(masked > 0, "deny-list terms should occur in the corpus")
   }
+
+  test("HLL approx distinct lands within 5% of exact (its stated rsd x5)") {
+    val rows = graft.queries.AnalyticsQueries.approxDistinctUsers(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, exact, approx) =>
+      assert(math.abs(approx - exact).toDouble <= math.max(1.0, 0.05 * exact),
+        s"$tpe: approx $approx too far from exact $exact")
+    }
+  }
 }
