@@ -61,6 +61,7 @@ object SparkEntry {
     "d_dedup_keep" -> (TextQueries.dedupKeep _),
     "d_ngram_jaccard" -> (TextQueries.ngramJaccard _),
     "d_minhash_lsh" -> (TextQueries.minhashLsh _),
+    "d_jaccard_prefix" -> (TextQueries.jaccardPrefixFiltered _),
     "d_dup_clusters" -> (TextQueries.dupClusters _),
     "d_simhash" -> (TextQueries.simhash _),
     "t_top_terms" -> (TextQueries.topTerms _),
@@ -481,6 +482,24 @@ object SparkEntry {
           |SELECT node AS doc_id, min(lbl) AS cluster_id
           |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
       "d_ngram_jaccard" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1)
+          |SELECT id1, id2,
+          |       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+          |FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+          |ORDER BY id1, id2""".stripMargin,
+      // d_jaccard_prefix executes the prefix-filtered AllPairs strategy;
+      // its CONTRACT is the exact >= 0.8 join, so the oracle is the same
+      // exact SQL — the gate re-proves the filter lossless every run.
+      "d_jaccard_prefix" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
           |grams AS (
           |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g

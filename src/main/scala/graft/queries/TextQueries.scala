@@ -132,6 +132,58 @@ object TextQueries {
       .orderBy("id1", "id2")
   }
 
+  /** Prefix-filtered exact similarity join (AllPairs/PPJoin-style) — the
+    * other 100 TB-scale exact path next to MinHash/LSH: for Jaccard >=
+    * 0.8, any true pair must share a gram within each doc's PREFIX of
+    * its `floor(0.2*|A|)+1` globally-rarest grams (if all shared grams
+    * sat in the suffix, the suffix's `ceil(0.8*|A|)-1` slots couldn't
+    * hold the `>= 0.8*|A|` shared grams — contradiction). So only the
+    * prefix of the smaller-id side joins the full inverted index:
+    * ~5x fewer index rows, and because prefixes hold the RAREST grams
+    * (global doc-frequency order), the join's bucket sizes — the
+    * quadratic term — collapse. Candidates then verify exactly, so the
+    * output equals [[ngramJaccard]] and shares its oracle: the filter
+    * is provably lossless and the gate re-proves it per run.
+    */
+  def jaccardPrefixFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val (grams, sizes) = gramTables(spark, dir)
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    // per-doc canonical order (df asc, gram asc) — the same comparator
+    // everywhere makes "rarest first" a consistent global prefix order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val pref = grams.join(dfreq, "g")
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <= floor(col("n") * lit(0.2)) + lit(1))
+      .select(col("doc_id"), col("g"))
+    // candidate pairs: smaller-id prefix probes the full inverted index
+    // (every doc's prefix provably contains a shared gram of each of its
+    // true pairs, so probing one side's prefix loses nothing)
+    val cand = pref.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    // exact verification per candidate PAIR, not per shared gram: each
+    // side's full gram SET rides along as its (distinct-by-construction)
+    // array column and the intersection is one codegen'd array_intersect
+    // — candidate-count x array-size work, vs the exploded three-way
+    // join whose intermediate is candidate-count x grams-per-doc ROWS
+    // (measured 2x slower than the unfiltered join on this corpus).
+    val docsG = docs(spark, dir).select(col("doc_id"),
+      graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs"))
+    val j = col("inter").cast(DoubleType) /
+      (size(col("gs1")) + size(col("gs2")) - col("inter"))
+    cand
+      .join(docsG.select(col("doc_id").as("id1"), col("gs").as("gs1")), "id1")
+      .join(docsG.select(col("doc_id").as("id2"), col("gs").as("gs2")), "id2")
+      .withColumn("inter", size(array_intersect(col("gs1"), col("gs2"))))
+      .withColumn("jaccard", j)
+      .filter(col("jaccard") >= 0.8)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
   /** MinHash + LSH near-dup detection, verified with exact Jaccard — the
     * 100 TB-scale path: 128 permutations (xxhash64 seeded per index),
     * 32 bands x 4 rows; candidate pairs from band-bucket joins only,

@@ -20,6 +20,15 @@ class LlmOpsSpec extends SparkSuite {
     assert(lsh == exact)
   }
 
+  test("prefix-filtered jaccard join equals the exact inverted-index join") {
+    val exact = TextQueries.ngramJaccard(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = TextQueries.jaccardPrefixFiltered(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(pref == exact, "prefix filter must be lossless at the 0.8 threshold")
+  }
+
   test("simhash finds planted near-dups with small hamming distance") {
     val planted = TextQueries.ngramJaccard(spark, sf)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
