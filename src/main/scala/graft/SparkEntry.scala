@@ -25,6 +25,8 @@ object SparkEntry {
     "g_key_prefilter" -> (GuardianQueries.keyPrefilter _),
     "g_compact_latest" -> (GuardianQueries.compactLatest _),
     "g_offset_commit" -> (GuardianQueries.offsetCommit _),
+    "g_slice_stats" -> (GuardianQueries.sliceStats _),
+    "g_replay_filter" -> (GuardianQueries.replayFilter _),
     "g_backup_roundtrip" -> (GuardianQueries.backupRoundtrip _),
     "g_backup_roundtrip_gz" -> (GuardianQueries.backupRoundtripGzip _),
     // Analytics surface
@@ -150,6 +152,27 @@ object SparkEntry {
         s"""$rcte
            |SELECT topic, "partition", max("offset") AS committed_offset, count(*) AS n_records
            |FROM records GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "g_slice_stats" ->
+        s"""$rcte
+           |SELECT ("timestamp" // 86400000) * 86400000 AS slice_ms,
+           |       count(*) AS n_records,
+           |       CAST(sum(octet_length(from_base64(value))) AS BIGINT) AS payload_bytes,
+           |       CAST(count(DISTINCT "partition") AS BIGINT) AS n_partitions,
+           |       min("offset") AS min_offset,
+           |       max("offset") AS max_offset
+           |FROM records GROUP BY 1 ORDER BY 1""".stripMargin,
+      "g_replay_filter" ->
+        s"""$rcte, committed AS (
+           |  SELECT "partition",
+           |         CAST(floor((min("offset") + max("offset")) / 2) AS BIGINT) AS committed
+           |  FROM records GROUP BY 1)
+           |SELECT r."partition", min(c.committed) AS committed,
+           |       count(*) AS n_replayed,
+           |       min(r."offset") AS first_replayed,
+           |       max(r."offset") AS last_replayed
+           |FROM records r JOIN committed c ON r."partition" = c."partition"
+           |WHERE r."offset" > c.committed
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "g_backup_roundtrip" ->
         s"""$rcte SELECT * FROM records ORDER BY "partition", "offset"""",
       "g_backup_roundtrip_gz" ->

@@ -135,6 +135,46 @@ object GuardianQueries {
       .agg(max("offset").as("committed_offset"), count(lit(1)).as("n_records"))
       .orderBy("topic", "partition")
 
+  /** W5/K1 planning profile: per backup slice (day), the object's record
+    * count, decoded payload bytes, and partition/offset spread — the
+    * sizing pass an operator runs before choosing slice granularity
+    * (the reference's S3 5 MiB minimum part, BackupClient.scala:129-135,
+    * makes undersized slices a real failure mode). One scan, one
+    * slice-keyed aggregate with map-side partials.
+    */
+  def sliceStats(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .withColumn("slice_ms", BackupEngine.chronoSliceCol(col("timestamp"), ChronoUnit.DAYS))
+      .groupBy("slice_ms")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(length(unbase64(col("value"))).cast(LongType)).as("payload_bytes"),
+        countDistinct("partition").as("n_partitions"),
+        min("offset").as("min_offset"),
+        max("offset").as("max_offset"))
+      .orderBy("slice_ms")
+
+  /** P6 resume/replay filter (MockedKafkaConsumerInterface.scala:77-94):
+    * drop records at or below the committed cursor, per partition. The
+    * committed point here is the deterministic mid-offset (min+max)/2 —
+    * the committed table is partition-count-scale, so it BROADCASTS
+    * into the record scan; the replay set never shuffles.
+    */
+  def replayFilter(spark: SparkSession, dir: String): DataFrame = {
+    val rec = records(spark, dir)
+    val committed = rec.groupBy("partition")
+      .agg((floor((min("offset") + max("offset")) / 2)).cast(LongType).as("committed"))
+    rec.join(broadcast(committed), "partition")
+      .filter(col("offset") > col("committed"))
+      .groupBy("partition")
+      .agg(
+        min("committed").as("committed"),
+        count(lit(1)).as("n_replayed"),
+        min("offset").as("first_replayed"),
+        max("offset").as("last_replayed"))
+      .orderBy("partition")
+  }
+
   /** End-to-end: backup to hour-sliced JSON objects, restore, project.
     * The result must equal the ingest projection — the reference's
     * round-trip oracle (RestoreClientInterfaceTest.scala:85-110) expressed

@@ -115,6 +115,54 @@ object StreamingAnalytics {
       graft.functions.WordNGrams.word_ngrams(col("text"), 3),
       lit(benchGrams.toArray)))
 
+  /** Input shape for the streaming funnel. */
+  final case class TypedEvent(userId: Long, tsMs: Long, eventType: String)
+
+  /** Per-user funnel progress: stage timestamps (-1 = not reached),
+    * `done` once the completion row has been emitted (late/duplicate
+    * events can never re-emit). */
+  final case class FunnelState(t1: Long, t2: Long, done: Boolean)
+
+  /** A user's first completed signup -> view -> purchase traversal. */
+  final case class FunnelCompletion(
+      userId: Long, signupMs: Long, purchaseMs: Long, convMs: Long)
+
+  /** Streaming conversion funnel (streaming twin of the batch e_funnel):
+    * a per-user state machine over `flatMapGroupsWithState` advances
+    * signup -> view -> purchase in event order across micro-batches and
+    * emits ONE completion row the moment the last stage lands — the
+    * monotone-stage formulation (each stage keeps its EARLIEST valid
+    * timestamp) makes the result independent of how events split across
+    * batches. State is three longs per user — bounded by the active
+    * userbase, the same bound any per-user personalization store has.
+    */
+  def streamingFunnel(events: Dataset[TypedEvent]): Dataset[FunnelCompletion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelCompletion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, batchEvents, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+          val out = Seq.newBuilder[FunnelCompletion]
+          batchEvents.toSeq.sortBy(_.tsMs).foreach { e =>
+            if (!s.done) e.eventType match {
+              case "signup" if s.t1 < 0 =>
+                s = s.copy(t1 = e.tsMs)
+              case "view" if s.t1 >= 0 && s.t2 < 0 && e.tsMs >= s.t1 =>
+                s = s.copy(t2 = e.tsMs)
+              case "purchase" if s.t2 >= 0 && e.tsMs >= s.t2 =>
+                out += FunnelCompletion(userId, s.t1, e.tsMs, e.tsMs - s.t1)
+                s = s.copy(done = true)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization with custom state (streaming twin of the
     * batch e_sessionize): per user, a session closes after `gapMs` of
     * event-time inactivity. State is one open session per user;

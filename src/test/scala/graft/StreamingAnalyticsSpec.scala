@@ -86,6 +86,36 @@ class StreamingAnalyticsSpec extends SparkSuite {
     assert(u1(1).n == 1 && u1(1).durationMs == 0L)
   }
 
+  test("streaming funnel advances stages across batches, emits completion once") {
+    implicit val ctx = spark.sqlContext
+    import StreamingAnalytics.{TypedEvent, FunnelCompletion}
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingAnalytics.streamingFunnel(mem.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    // batch 1: user 1 signs up and views; user 2 purchases with no signup
+    mem.addData(
+      TypedEvent(1L, h0, "signup"), TypedEvent(1L, h0 + 1000L, "view"),
+      TypedEvent(2L, h0, "purchase"))
+    q.processAllAvailable()
+    assert(spark.table("funnel").count() == 0, "no completion before the last stage")
+    // batch 2: user 1 purchases (completes); a second purchase must not re-emit
+    mem.addData(
+      TypedEvent(1L, h0 + 5000L, "purchase"),
+      TypedEvent(1L, h0 + 9000L, "purchase"))
+    q.processAllAvailable()
+    // batch 3: user 2 signup->view->purchase all in one batch, any order
+    mem.addData(
+      TypedEvent(2L, h0 + 3000L, "purchase"),
+      TypedEvent(2L, h0 + 1000L, "signup"),
+      TypedEvent(2L, h0 + 2000L, "view"))
+    q.processAllAvailable()
+    val out = spark.table("funnel").as[FunnelCompletion].collect().sortBy(_.userId)
+    q.stop()
+    assert(out.length == 2, s"one completion per user, got ${out.toSeq}")
+    assert(out(0) == FunnelCompletion(1L, h0, h0 + 5000L, 5000L))
+    assert(out(1) == FunnelCompletion(2L, h0 + 1000L, h0 + 3000L, 2000L))
+  }
+
   test("streaming dedup keeps first-seen doc per fingerprint within the watermark") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
