@@ -148,8 +148,13 @@ object TextQueries {
   def jaccardPrefixFiltered(spark: SparkSession, dir: String): DataFrame = {
     val (grams, sizes) = gramTables(spark, dir)
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    // per-doc canonical order (df asc, gram asc) — the same comparator
-    // everywhere makes "rarest first" a consistent global prefix order
+    // Canonical order (df asc, gram asc) — the same comparator everywhere
+    // makes "rarest first" a consistent global prefix order. The df join
+    // + (doc_id)-window form works at ANY vocabulary size; a broadcast-df
+    // + in-row-sort variant (collect dfreq, flatMap over the gram arrays)
+    // was measured ~1.7x SLOWER here despite two fewer exchanges — the
+    // typed-flatMap serialization boundary and the duplicated gram
+    // derivation cost more than the window's exchange + sort.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("g"))
     val pref = grams.join(dfreq, "g")
