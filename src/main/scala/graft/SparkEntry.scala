@@ -89,6 +89,7 @@ object SparkEntry {
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
+    "m_frame_sample" -> (TextQueries.mediaFrameSample _),
     // LLM-pipeline: embedding similarity over `embeddings`
     "d_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "s_ann_topk" -> (SimilarityQueries.annTopK _),
@@ -850,6 +851,24 @@ object SparkEntry {
           |       round(CAST(coalesce(a.s1, 0) AS DOUBLE) / greatest(h.n // 3, 1), 6) AS mean_g,
           |       round(CAST(coalesce(a.s2, 0) AS DOUBLE) / greatest(h.n // 3, 1), 6) AS mean_b
           |FROM h LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+      // Byte-level twin of MediaPipeline.sampleFrames' stubbed frame
+      // cutter: 64-byte frames, every 4th sampled, byte-mean per frame.
+      "m_frame_sample" ->
+        """WITH h AS (
+          |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+          |  FROM documents),
+          |fr AS (
+          |  SELECT doc_id, CAST(f AS INT) AS frame_idx, f*64 AS start, least(f*64+64, n) AS e
+          |  FROM h, UNNEST(range(0, (n + 63) // 64)) AS t(f)
+          |  WHERE f % 4 = 0),
+          |b AS (
+          |  SELECT fr.doc_id, frame_idx, start, e,
+          |         16*(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)
+          |           + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1) AS byte
+          |  FROM fr JOIN h USING (doc_id), UNNEST(range(start, e)) AS u(i))
+          |SELECT doc_id, frame_idx, start AS "offset", e - start AS n_sampled,
+          |       round(sum(byte)::DOUBLE / (e - start), 6) AS mean_byte
+          |FROM b GROUP BY doc_id, frame_idx, start, e ORDER BY doc_id, frame_idx""".stripMargin,
       "d_embed_neardup" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |pairs AS (

@@ -43,6 +43,42 @@ object MediaPipeline {
         encode(col("text"), "UTF-8").as("payload"),
         lit("text/plain").as("mime"))
 
+  /** One sampled "frame" per media item: stride-sampled payload stats. */
+  final case class FrameSample(
+      docId: Long, frameIdx: Int, offset: Long, nSampled: Long, meanByte: Double)
+
+  /** STUB frame sampling: a real video pipeline decodes every k-th frame;
+    * this fake cuts the payload into `frameLen`-byte "frames" and emits
+    * every `stride`-th of them with its byte-mean — the flatMap batch
+    * shape (one media row -> N frame rows, executed per partition) is
+    * exactly what a real frame sampler produces, and the byte math
+    * replays in the SQL oracle.
+    */
+  def sampleFrames(
+      media: DataFrame, frameLen: Int = 64, stride: Int = 4): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast(LongType), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // ??? <- real frame decoder goes here; deterministic fake below
+          val nFrames = (bytes.length + frameLen - 1) / frameLen
+          (0 until nFrames by stride).iterator.map { f =>
+            val start = f * frameLen
+            val end = math.min(start + frameLen, bytes.length)
+            var s = 0L
+            var i = start
+            while (i < end) { s += (bytes(i) & 0xff); i += 1 }
+            FrameSample(id, f, start.toLong, (end - start).toLong,
+              s.toDouble / (end - start))
+          }
+        }
+      }
+  }
+
   /** STUB decode: a real implementation would hand `payload` to an image
     * decoder here; this fake derives deterministic pseudo-features from
     * the bytes so the pipeline shape (binary in -> feature rows out,

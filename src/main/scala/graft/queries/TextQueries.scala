@@ -835,4 +835,21 @@ object TextQueries {
         round(col("meanG"), 6).as("mean_g"),
         round(col("meanB"), 6).as("mean_b"))
       .orderBy("doc_id")
+
+  /** Multimodal frame sampling under the gate: payloads cut into 64-byte
+    * "frames", every 4th emitted with its byte-mean — the one-row-in,
+    * N-frame-rows-out flatMap shape of a real video frame sampler, with
+    * the (stubbed) decode's byte math replayed exactly by the oracle.
+    */
+  def mediaFrameSample(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaPipeline
+      .sampleFrames(graft.multimodal.MediaPipeline.mediaFromDocuments(spark, dir))
+      .toDF()
+      .select(
+        col("docId").as("doc_id"),
+        col("frameIdx").as("frame_idx"),
+        col("offset"),
+        col("nSampled").as("n_sampled"),
+        round(col("meanByte"), 6).as("mean_byte"))
+      .orderBy("doc_id", "frame_idx")
 }
