@@ -56,6 +56,7 @@ object SparkEntry {
     "q_price_deciles" -> (AnalyticsQueries.priceDeciles _),
     "e_event_gaps" -> (AnalyticsQueries.eventGaps _),
     "e_approx_distinct" -> (AnalyticsQueries.approxDistinctUsers _),
+    "e_anomaly_zscore" -> (AnalyticsQueries.anomalyZscore _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     // LLM-pipeline: dedup + text analysis over `documents`
@@ -431,6 +432,20 @@ object SparkEntry {
           |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS hi,
           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+      "e_anomaly_zscore" ->
+        """WITH s AS (
+          |  SELECT event_type, count(*) AS n,
+          |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+          |         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+          |  FROM events GROUP BY 1),
+          |st AS (
+          |  SELECT event_type, s/n AS mean, sqrt((ss - s*s/n)/n) AS std FROM s)
+          |SELECT e.event_type, count(*) AS n_anomalies,
+          |       round(min(value), 6) AS min_val,
+          |       round(max(value), 6) AS max_val
+          |FROM events e JOIN st USING (event_type)
+          |WHERE abs(value - mean) > 3 * std
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "e_event_gaps" ->
         """WITH ev AS (
           |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),

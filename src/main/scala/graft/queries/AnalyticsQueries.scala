@@ -564,6 +564,34 @@ object AnalyticsQueries {
         approx_count_distinct("user_id", 0.01).as("n_approx"))
       .orderBy("event_type")
 
+  /** Per-type 3-sigma anomaly flagging — the monitoring pass: one
+    * metadata-scale moment aggregate (count / sum / sum-of-squares, the
+    * classic two-pass z-score) BROADCAST back into the scan, flags as a
+    * scan-side filter, tiny per-type rollup. The moments sum in exact
+    * DECIMAL, so mean/std — and therefore every flag decision — derive
+    * from bit-identical doubles in any engine; the flagged set never
+    * depends on partial-sum order.
+    */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events").select(col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec4(col("value"))).cast(DoubleType).as("s"),
+        sum(dec4(col("value")) * dec4(col("value"))).cast(DoubleType).as("ss"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("std", sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n")))
+      .select("event_type", "mean", "std")
+    ev.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mean")) > lit(3.0) * col("std"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_anomalies"),
+        round(min("value"), 6).as("min_val"),
+        round(max("value"), 6).as("max_val"))
+      .orderBy("event_type")
+  }
+
   /** Event-type hourly rollup (streaming-aggregation shape in batch). */
   def eventStats(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "events")
