@@ -57,6 +57,7 @@ object SparkEntry {
     "e_event_gaps" -> (AnalyticsQueries.eventGaps _),
     "e_approx_distinct" -> (AnalyticsQueries.approxDistinctUsers _),
     "e_anomaly_zscore" -> (AnalyticsQueries.anomalyZscore _),
+    "e_approx_quantiles" -> (AnalyticsQueries.approxQuantiles _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     // LLM-pipeline: dedup + text analysis over `documents`

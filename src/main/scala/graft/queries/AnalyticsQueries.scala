@@ -564,6 +564,27 @@ object AnalyticsQueries {
         approx_count_distinct("user_id", 0.01).as("n_approx"))
       .orderBy("event_type")
 
+  /** Sketch-based quantiles next to the exact [[valueQuantiles]]:
+    * `approx_percentile` keeps a fixed-size mergeable summary per group
+    * (the only shape that scales to 100 TB — exact percentile must
+    * materialize and sort every group's values). Sketch output is
+    * merge-order sensitive, so like the HLL operator it carries NO SQL
+    * oracle (rows-only gate); the accuracy contract against the exact
+    * quantiles is asserted in LlmOpsSpec.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("qs"))
+      .select(
+        col("event_type"), col("n"),
+        round(col("qs").getItem(0), 6).as("p50"),
+        round(col("qs").getItem(1), 6).as("p90"),
+        round(col("qs").getItem(2), 6).as("p99"))
+      .orderBy("event_type")
+
   /** Per-type 3-sigma anomaly flagging — the monitoring pass: one
     * metadata-scale moment aggregate (count / sum / sum-of-squares, the
     * classic two-pass z-score) BROADCAST back into the scan, flags as a

@@ -284,6 +284,29 @@ class LlmOpsSpec extends SparkSuite {
     assert(masked > 0, "deny-list terms should occur in the corpus")
   }
 
+  test("approx quantiles land within 2% RANK of exact (sketch returns samples)") {
+    import graft.queries.AnalyticsQueries
+    // rank-based tolerance: the sketch returns an actual sample, so its
+    // VALUE can sit far from the interpolated exact quantile wherever
+    // adjacent order statistics are far apart (tail of a small group) —
+    // correctness means its rank is within the summary's rank error.
+    val values = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    val approx = AnalyticsQueries.approxQuantiles(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (tpe, n, p50, p90, p99) =>
+      val sorted = values(tpe)
+      assert(n == sorted.length.toLong)
+      Seq((0.50, p50), (0.90, p90), (0.99, p99)).foreach { case (q, a) =>
+        val rank = sorted.count(_ <= a).toDouble / sorted.length
+        assert(math.abs(rank - q) <= 0.02 + 1.0 / sorted.length,
+          s"$tpe p$q: approx $a has rank $rank")
+      }
+    }
+  }
+
   test("HLL approx distinct lands within 5% of exact (its stated rsd x5)") {
     val rows = graft.queries.AnalyticsQueries.approxDistinctUsers(spark, sf)
       .as[(String, Long, Long)].collect()
