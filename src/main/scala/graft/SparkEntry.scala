@@ -50,6 +50,7 @@ object SparkEntry {
     "q4_order_priority" -> (AnalyticsQueries.q4OrderPriority _),
     "q17_small_qty" -> (AnalyticsQueries.q17SmallQty _),
     "q_revenue_share" -> (AnalyticsQueries.nationRevenueShare _),
+    "q18_large_orders" -> (AnalyticsQueries.q18LargeOrders _),
     "e_funnel" -> (AnalyticsQueries.funnel _),
     "e_retention" -> (AnalyticsQueries.retentionCohorts _),
     "e_type_pivot" -> (AnalyticsQueries.eventTypePivot _),
@@ -382,6 +383,15 @@ object SparkEntry {
           |       CAST(rev_dec AS DOUBLE) AS revenue,
           |       round(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS share
           |FROM pn ORDER BY n_name""".stripMargin,
+      "q18_large_orders" ->
+        """WITH big AS (
+          |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+          |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+          |SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS odate_ms,
+          |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+          |       CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+          |FROM orders JOIN big ON o_orderkey = l_orderkey
+          |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin,
       "e_funnel" ->
         """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
           |w1 AS (SELECT user_id, ts_ms, event_type,

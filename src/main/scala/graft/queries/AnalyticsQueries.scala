@@ -564,6 +564,28 @@ object AnalyticsQueries {
         approx_count_distinct("user_id", 0.01).as("n_approx"))
       .orderBy("event_type")
 
+  /** TPC-H Q18-style large-volume orders: the HAVING-on-fact-aggregate
+    * shape — lineitem aggregates once on its natural key (map-side
+    * partials), the surviving keys are output-scale and hash-join the
+    * orders scan, top-20 via TakeOrdered (per-partition top-k merged on
+    * the driver — never a global sort of the result).
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = pq(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 200)
+    pq(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        tsMillis(col("o_orderdate")).as("odate_ms"),
+        dec(col("o_totalprice")).cast(DoubleType).as("total_price"),
+        col("sum_qty_dec").cast(DoubleType).as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Sketch-based quantiles next to the exact [[valueQuantiles]]:
     * `approx_percentile` keeps a fixed-size mergeable summary per group
     * (the only shape that scales to 100 TB — exact percentile must

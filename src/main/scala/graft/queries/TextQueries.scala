@@ -146,7 +146,7 @@ object TextQueries {
     * is provably lossless and the gate re-proves it per run.
     */
   def jaccardPrefixFiltered(spark: SparkSession, dir: String): DataFrame = {
-    val (grams, sizes) = gramTables(spark, dir)
+    val (grams, _) = gramTables(spark, dir)
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     // Canonical order (df asc, gram asc) — the same comparator everywhere
     // makes "rarest first" a consistent global prefix order. The df join
@@ -154,12 +154,15 @@ object TextQueries {
     // + in-row-sort variant (collect dfreq, flatMap over the gram arrays)
     // was measured ~1.7x SLOWER here despite two fewer exchanges — the
     // typed-flatMap serialization boundary and the duplicated gram
-    // derivation cost more than the window's exchange + sort.
+    // derivation cost more than the window's exchange + sort. The doc's
+    // gram count rides the SAME doc_id partitioning as the rank window
+    // (no sizes aggregate, no extra join or exchange).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("g"))
     val pref = grams.join(dfreq, "g")
       .withColumn("pos", row_number().over(w))
-      .join(sizes, "doc_id")
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .filter(col("pos") <= floor(col("n") * lit(0.2)) + lit(1))
       .select(col("doc_id"), col("g"))
     // candidate pairs: smaller-id prefix probes the full inverted index
