@@ -35,6 +35,8 @@ object SparkEntry {
     "q5_nation_revenue" -> (AnalyticsQueries.q5NationRevenue _),
     "q_top_orders_per_customer" -> (AnalyticsQueries.topOrdersPerCustomer _),
     "e_sessionize" -> (AnalyticsQueries.sessionize _),
+    "e_session_window" -> (AnalyticsQueries.sessionWindows _),
+    "d_dup_clusters_lp" -> (TextQueries.dupClustersLabelProp _),
     "e_event_stats" -> (AnalyticsQueries.eventStats _),
     "e_event_rollup" -> (AnalyticsQueries.eventRollup _),
     "e_value_quantiles" -> (AnalyticsQueries.valueQuantiles _),
@@ -233,6 +235,26 @@ object SparkEntry {
           |       CAST(sum(n_events) AS BIGINT) AS n_events,
           |       max(duration_ms) AS max_session_ms
           |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin,
+      // session_window is [start, last+gap): an event exactly gap after
+      // its predecessor starts a NEW session, hence >= in the oracle's
+      // boundary condition (the lag/sum sessionize oracle uses > with
+      // its own gap semantics — both are gated, each to its contract).
+      "e_session_window" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+          |flagged AS (
+          |  SELECT user_id, ts_ms,
+          |         CASE WHEN lag(ts_ms) OVER w IS NULL
+          |                   OR ts_ms - lag(ts_ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS ns
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+          |sess AS (
+          |  SELECT user_id, ts_ms,
+          |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM flagged)
+          |SELECT user_id, min(ts_ms) AS start_ms,
+          |       max(ts_ms) + 1800000 AS end_ms,
+          |       count(*) AS n_events
+          |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
       "e_event_stats" ->
         """SELECT event_type,
           |       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
@@ -510,6 +532,29 @@ object SparkEntry {
       // Connected components over the >= 0.8 exact-Jaccard dup pairs:
       // transitive closure by recursive label flow along (bidirected)
       // edges; min reachable id per node == component min.
+      // d_dup_clusters_lp executes distributed min-label propagation;
+      // its contract is the same connected components, same oracle.
+      "d_dup_clusters_lp" ->
+        """WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          |dup AS (
+          |  SELECT id1, id2
+          |  FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+          |edges AS (SELECT id1 AS a, id2 AS b FROM dup UNION ALL SELECT id2, id1 FROM dup),
+          |reach(node, lbl) AS (
+          |  SELECT a, a FROM edges
+          |  UNION
+          |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+          |SELECT node AS doc_id, min(lbl) AS cluster_id
+          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
       "d_dup_clusters" ->
         """WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
           |grams AS (

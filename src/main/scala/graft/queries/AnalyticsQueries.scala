@@ -564,6 +564,27 @@ object AnalyticsQueries {
         approx_count_distinct("user_id", 0.01).as("n_approx"))
       .orderBy("event_type")
 
+  /** Native session-window aggregate — Spark's built-in `session_window`
+    * (gap-merged event-time windows) next to the hand-rolled lag/sum
+    * [[sessionize]]: one shuffle on the user key, sessions merged by the
+    * operator itself, window end = last event + gap by definition. The
+    * same operator runs unchanged under Structured Streaming with a
+    * watermark — this batch query gates its semantics against the
+    * oracle's lag/sum formulation (the two constructions must agree
+    * exactly).
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "start_ms")
+
   /** TPC-H Q18-style large-volume orders: the HAVING-on-fact-aggregate
     * shape — lineitem aggregates once on its natural key (map-side
     * partials), the surviving keys are output-scale and hash-join the

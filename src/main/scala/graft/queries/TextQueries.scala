@@ -88,6 +88,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplicate clusters via DISTRIBUTED min-label propagation — the
+    * iterate-to-fixpoint twin of [[dupClusters]]' driver union-find,
+    * for the pathological case where the pair graph outgrows the
+    * driver: each round, every node takes the min label among itself
+    * and its neighbors (one join + one aggregate per round, all
+    * distributed); rounds stop when no label changes. Convergence is
+    * bounded by the cluster diameter — near-dup components are dense,
+    * so a handful of rounds in practice. Same output and oracle as
+    * [[dupClusters]].
+    */
+  def dupClustersLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("id1", "id2")
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var prevCache: Option[DataFrame] = None
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val fromNeighbors = edges
+        .join(labels, edges("b") === labels("node"))
+        .groupBy(col("a").as("node")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(fromNeighbors, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
+      // one action per round: count changed labels (drives convergence);
+      // cache cuts the lineage so round N doesn't recompute rounds 1..N-1
+      val materialized = next.cache()
+      changed = materialized.filter(col("lbl") =!= col("prev")).count()
+      prevCache.foreach(_.unpersist())
+      prevCache = Some(materialized)
+      labels = materialized.select("node", "lbl")
+      rounds += 1
+    }
+    val out = labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+    // materialize before releasing the last round's cache
+    val rows = out.collect()
+    prevCache.foreach(_.unpersist())
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("doc_id", "cluster_id")
+      .orderBy("doc_id")
+  }
+
   /** Word-3-gram sets per doc: (doc_id, gram) rows + per-doc sizes.
     *
     * Grams come from the native `WordNGrams` expression (codegen scalar,
