@@ -99,6 +99,7 @@ object SparkEntry {
     "d_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "s_ann_topk" -> (SimilarityQueries.annTopK _),
     "s_ann_ivf" -> (SimilarityQueries.annIvf _),
+    "s_ivf_trained" -> (SimilarityQueries.ivfTrained _),
     "s_ann_lsh" -> (SimilarityQueries.annLsh _),
     "s_knn_classify" -> (SimilarityQueries.knnClassify _)
   )
@@ -960,6 +961,40 @@ object SparkEntry {
           |  FROM sims)
           |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cos_sim
           |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      // Exact Lloyd replay: fixed-point quantization makes per-cell means
+      // integer-exact (sums of integer-valued doubles stay below 2^53),
+      // so two training rounds + final assignment replay bit-for-bit.
+      "s_ivf_trained" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 16),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c0 p) WHERE rn = 1),
+          |u1 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u1 GROUP BY 1),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c1 p) WHERE rn = 1),
+          |u2 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a2, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c2 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u2 GROUP BY 1),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT e.vec_id, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c2 p) WHERE rn = 1),
+          |m AS (SELECT cell, count(*) AS n_members FROM a3 GROUP BY 1)
+          |SELECT m.cell, m.n_members,
+          |       round(sqrt(list_dot_product(c2.c, c2.c)) / 1048576.0, 6) AS centroid_norm,
+          |       round(c2.c[1] / 1048576.0, 6) AS c_dim0
+          |FROM m JOIN c2 USING (cell) ORDER BY cell""".stripMargin,
       "s_ann_ivf" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),

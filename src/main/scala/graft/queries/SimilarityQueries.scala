@@ -48,6 +48,27 @@ object SimilarityQueries {
 
   private def norm(v: Array[Double]): Double = math.sqrt(dot(v, v))
 
+  /** Argmax-cosine cell for a quantized vector, ties to the lowest cell
+    * (ascending scan, strict >) — object-level so task lambdas calling
+    * it don't capture the enclosing module (a LOCAL def lifts to an
+    * instance method and drags the non-serializable module into the
+    * closure).
+    */
+  private def qArgmax(
+      q: Array[Long], cents: Array[(Long, Array[Double], Double)]): Long = {
+    val v = new Array[Double](q.length)
+    var i = 0
+    while (i < q.length) { v(i) = q(i).toDouble; i += 1 }
+    val nv = norm(v)
+    var bestCell = -1L
+    var bestC = Double.NegativeInfinity
+    cents.foreach { case (cell, c, cn) =>
+      val cos = dot(v, c) / (nv * cn)
+      if (cos > bestC) { bestC = cos; bestCell = cell }
+    }
+    bestCell
+  }
+
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
 
@@ -260,6 +281,69 @@ object SimilarityQueries {
       .filter(col("pr") === 1)
       .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
       .orderBy("query_id")
+  }
+
+  /** TRAINED IVF coarse quantizer under the correctness gate — the
+    * upgrade [[annIvf]]'s scaladoc promises ("at scale seeds become
+    * k-means centroids"), made exactly replayable: vectors quantize to
+    * fixed-point integers (`floor(v * 2^20)` — the float->double->
+    * product->floor chain is bit-identical in any engine), so Lloyd's
+    * per-cell mean is an EXACT integer sum in any partial order
+    * divided by a count — the one formulation where iterative
+    * distributed training produces bit-identical centroids everywhere
+    * (plain double averaging is partition-order dependent, which is why
+    * [[KMeans.fit]] is spec-gated, not oracle-gated). Two rounds of
+    * (broadcast centroids -> one-pass argmax-cosine assignment ->
+    * single-shuffle integer mean), then the final assignment's cell
+    * profile. Cells that empty drop from the model (documented choice,
+    * same in the oracle). Cosines fold sequentially in double, ties
+    * break to the lowest cell — all decisions replay in SQL.
+    */
+  def ivfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Q = 1048576.0 // 2^20
+    val qvecs = vectors(spark, dir).as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val q = new Array[Long](e.length)
+        var i = 0
+        while (i < e.length) { q(i) = math.floor(e(i).toDouble * Q).toLong; i += 1 }
+        (id, q)
+      }
+    var cents: Array[(Long, Array[Double], Double)] = qvecs
+      .filter(_._1 < 16).collect().sortBy(_._1)
+      .map { case (id, q) => val c = q.map(_.toDouble); (id, c, norm(c)) }
+    (1 to 2).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      cents = qvecs
+        .map { case (_, q) => (qArgmax(q, bc.value), q) }
+        .groupByKey(_._1)
+        .mapGroups { (cell, it) =>
+          var n = 0L
+          var sums: Array[Long] = null
+          it.foreach { case (_, q) =>
+            if (sums == null) sums = new Array[Long](q.length)
+            var i = 0
+            while (i < q.length) { sums(i) += q(i); i += 1 }
+            n += 1
+          }
+          (cell, sums.map(_.toDouble / n))
+        }
+        .collect().sortBy(_._1)
+        .map { case (cell, c) => (cell, c, norm(c)) }
+    }
+    val bcF = spark.sparkContext.broadcast(cents)
+    val members = qvecs
+      .map { case (_, q) => qArgmax(q, bcF.value) }
+      .groupByKey(identity).count()
+      .toDF("cell", "n_members")
+    val centDF = cents.toSeq
+      .map { case (cell, c, cn) => (cell, cn / Q, c(0) / Q) }
+      .toDF("cell", "norm_raw", "c0_raw")
+    members.join(broadcast(centDF), "cell")
+      .select(col("cell"), col("n_members"),
+        round(col("norm_raw"), 6).as("centroid_norm"),
+        round(col("c0_raw"), 6).as("c_dim0"))
+      .orderBy("cell")
   }
 
   /** IVF-style ANN: coarse cells seeded by the first 16 vectors; each
