@@ -41,6 +41,8 @@ object SparkEntry {
     "e_event_rollup" -> (AnalyticsQueries.eventRollup _),
     "e_value_quantiles" -> (AnalyticsQueries.valueQuantiles _),
     "e_users_except" -> (AnalyticsQueries.activeUsersExcept _),
+    "e_users_intersect" -> (AnalyticsQueries.activeUsersIntersect _),
+    "q_order_ranks" -> (AnalyticsQueries.orderRanks _),
     "e_moving_stats" -> (AnalyticsQueries.movingStats _),
     "e_event_cube" -> (AnalyticsQueries.eventCube _),
     "e_event_stats_salted" -> (AnalyticsQueries.eventStatsSalted _),
@@ -275,6 +277,23 @@ object SparkEntry {
           |SELECT DISTINCT user_id FROM events
           |WHERE (epoch_ms(ts) // 86400000) * 86400000 = 1704153600000
           |ORDER BY user_id""".stripMargin,
+      "e_users_intersect" ->
+        """SELECT DISTINCT user_id FROM events
+          |WHERE (epoch_ms(ts) // 86400000) * 86400000 = 1704067200000
+          |INTERSECT
+          |SELECT DISTINCT user_id FROM events
+          |WHERE (epoch_ms(ts) // 86400000) * 86400000 = 1704153600000
+          |ORDER BY user_id""".stripMargin,
+      "q_order_ranks" ->
+        """SELECT o_custkey, rn, o_orderkey, rnk, drnk, prnk FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         CAST(row_number() OVER w AS INT) AS rn,
+          |         CAST(rank() OVER w AS INT) AS rnk,
+          |         CAST(dense_rank() OVER w AS INT) AS drnk,
+          |         round(percent_rank() OVER w, 6) AS prnk
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+          |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
       "q_semi_anti" ->
         """SELECT
           |  (SELECT count(*) FROM customer c

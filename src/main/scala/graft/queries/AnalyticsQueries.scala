@@ -277,6 +277,41 @@ object AnalyticsQueries {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy("event_type")
 
+  /** The full ranking-function family over one window — row_number,
+    * rank, dense_rank, percent_rank — on each customer's orders by
+    * price. All four share ONE (customer)-partitioned sort;
+    * percent_rank's (rank-1)/(n-1) is exact integer-ratio double, so
+    * cross-engine equality is bit-exact. Top-2 rows per customer keep
+    * the output compact.
+    */
+  def orderRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    pq(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", round(percent_rank().over(w), 6))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("rnk"), col("drnk"), col("prnk"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Set operation: users active on BOTH day 1 and day 2 (INTERSECT) —
+    * the companion to [[activeUsersExcept]]; plans as a left-semi
+    * aggregate join, no row multiplication.
+    */
+  def activeUsersIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val day0 = 1704067200000L // 2024-01-01
+    val day1 = day0 + 86400000L
+    def usersOn(dayMs: Long): DataFrame =
+      pq(spark, dir, "events")
+        .withColumn("day_ms", expr("((ts div 1000000) div 86400000) * 86400000"))
+        .filter(col("day_ms") === dayMs)
+        .select("user_id").distinct()
+    usersOn(day0).intersect(usersOn(day1)).orderBy("user_id")
+  }
+
   /** Set operation: users active on day 1 but not day 2 (EXCEPT). */
   def activeUsersExcept(spark: SparkSession, dir: String): DataFrame = {
     val day0 = 1704067200000L // 2024-01-01
