@@ -62,6 +62,7 @@ object SparkEntry {
     "e_event_gaps" -> (AnalyticsQueries.eventGaps _),
     "e_approx_distinct" -> (AnalyticsQueries.approxDistinctUsers _),
     "e_anomaly_zscore" -> (AnalyticsQueries.anomalyZscore _),
+    "e_resample_ffill" -> (AnalyticsQueries.resampleForwardFill _),
     "e_approx_quantiles" -> (AnalyticsQueries.approxQuantiles _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
@@ -485,6 +486,22 @@ object SparkEntry {
           |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS hi,
           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+      "e_resample_ffill" ->
+        """WITH ev AS (
+          |  SELECT user_id, epoch_ms(ts) // 3600000 AS h, value FROM events),
+          |hourly AS (
+          |  SELECT user_id, h, count(*) AS n_events,
+          |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s
+          |  FROM ev GROUP BY 1, 2),
+          |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+          |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds),
+          |j AS (
+          |  SELECT g.user_id, g.h, coalesce(a.n_events, 0) AS n_events, a.s
+          |  FROM grid g LEFT JOIN hourly a USING (user_id, h))
+          |SELECT user_id, h * 3600000 AS hour_ms, n_events,
+          |       round(coalesce(last_value(s IGNORE NULLS) OVER
+          |         (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING), 0), 6) AS filled_sum
+          |FROM j ORDER BY user_id, hour_ms""".stripMargin,
       "e_anomaly_zscore" ->
         """WITH s AS (
           |  SELECT event_type, count(*) AS n,

@@ -663,6 +663,34 @@ object AnalyticsQueries {
         round(col("qs").getItem(2), 6).as("p99"))
       .orderBy("event_type")
 
+  /** Time-series resampling with forward fill: each user's event stream
+    * becomes a dense hourly grid over [first, last] activity (sequence
+    * explode — grid rows are bounded by span/hour per user, not by
+    * events), hours with no events carry the last seen hourly sum
+    * forward (`last` with ignoreNulls over the user timeline). ONE
+    * shuffle on user_id shared by the grid join and the fill window.
+    * Hourly sums aggregate in exact DECIMAL, so the filled values are
+    * copies of bit-identical doubles in any engine.
+    */
+  def resampleForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000000) div 3600000").as("h"), col("value"))
+    val hourly = ev.groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec4(col("value"))).cast(DoubleType).as("s"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("filled_sum",
+        round(coalesce(last("s", ignoreNulls = true).over(w), lit(0.0)), 6))
+      .select(col("user_id"), (col("h") * 3600000L).as("hour_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("filled_sum"))
+      .orderBy("user_id", "hour_ms")
+  }
+
   /** Per-type 3-sigma anomaly flagging — the monitoring pass: one
     * metadata-scale moment aggregate (count / sum / sum-of-squares, the
     * classic two-pass z-score) BROADCAST back into the scan, flags as a
