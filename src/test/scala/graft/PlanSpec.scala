@@ -207,6 +207,27 @@ class PlanSpec extends SparkSuite {
     assert(rows.sameElements(rows.sorted), "vocab size must be nondecreasing")
   }
 
+  test("no registered query plans a cartesian product or nested-loop join") {
+    // the global scale-safety net: a CartesianProduct or
+    // BroadcastNestedLoopJoin anywhere in the 86-query surface is a
+    // 100 TB incident regardless of how fast it runs at sf0.001.
+    // Deliberate exceptions, all single-row build sides (the
+    // scalar-subquery shape — safe at any scale): q_semi_anti crosses
+    // two one-row aggregates; g_window_period_from_first broadcasts the
+    // one-row min-timestamp anchor (W1) into the record scan.
+    val allowed = Set("q_semi_anti", "g_window_period_from_first")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowed(name)) None
+      else {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"scale-unsafe join shapes in: $offenders")
+  }
+
   test("restore record filters reach the decode, no shuffle in restore") {
     val dir = tmpDir("planspec-backup")
     val in = graft.queries.GuardianQueries.records(spark, sf).limit(100)
