@@ -228,6 +228,55 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty, s"scale-unsafe join shapes in: $offenders")
   }
 
+  test("per-query shuffle budget: no query exceeds its recorded exchange count") {
+    // the shuffle ledger: every query's hashpartitioning-exchange count,
+    // recorded at the plan shapes we deliberately built. A refactor that
+    // ADDS a shuffle to any query fails here; improvements pass (<=).
+    // Regenerate with `runMain graft.tools.PlanCounts` after intentional
+    // plan changes.
+    val budget = Map(
+      "d_decontam" -> 2, "d_decontam_bloom" -> 2, "d_dedup_exact" -> 1,
+      "d_dedup_keep" -> 1, "d_df_prune" -> 0, "d_dup_by_source" -> 2,
+      "d_dup_clusters" -> 0, "d_dup_clusters_lp" -> 0, "d_edit_dist" -> 0,
+      "d_embed_neardup" -> 0, "d_jaccard_prefix" -> 2, "d_minhash_lsh" -> 3,
+      "d_ngram_jaccard" -> 3, "d_simhash" -> 4, "e_anomaly_zscore" -> 2,
+      "e_approx_distinct" -> 2, "e_approx_quantiles" -> 1, "e_event_cube" -> 1,
+      "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
+      "e_event_stats_salted" -> 2, "e_funnel" -> 1, "e_grouping_sets" -> 1,
+      "e_json_props" -> 1, "e_moving_stats" -> 1, "e_resample_ffill" -> 2,
+      "e_retention" -> 2, "e_session_window" -> 1, "e_sessionize" -> 1,
+      "e_type_pivot" -> 1, "e_users_except" -> 2, "e_users_intersect" -> 2,
+      "e_value_histogram" -> 1, "e_value_quantiles" -> 1,
+      "g_backup_roundtrip" -> 0, "g_backup_roundtrip_gz" -> 0,
+      "g_compact_latest" -> 1, "g_ingest_project" -> 1, "g_key_prefilter" -> 0,
+      "g_offset_commit" -> 1, "g_replay_filter" -> 2, "g_restore_filter" -> 1,
+      "g_slice_stats" -> 2, "g_topic_rename" -> 1, "g_window_boundaries" -> 1,
+      "g_window_hour" -> 1, "g_window_period_from_first" -> 1,
+      "m_frame_sample" -> 0, "m_media_features" -> 0, "m_media_meta" -> 0,
+      "p_clean_corpus" -> 3, "p_mix_order" -> 1, "p_pack_sequences" -> 1,
+      "p_sample_stratified" -> 0, "q17_small_qty" -> 1, "q18_large_orders" -> 1,
+      "q1_pricing" -> 1, "q3_revenue" -> 1, "q4_order_priority" -> 1,
+      "q5_nation_revenue" -> 1, "q6_forecast" -> 0, "q_asof_order" -> 1,
+      "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
+      "q_revenue_share" -> 1, "q_semi_anti" -> 0,
+      "q_top_orders_per_customer" -> 1, "s_ann_ivf" -> 1, "s_ann_lsh" -> 1,
+      "s_ann_topk" -> 1, "s_ivf_trained" -> 1, "s_knn_classify" -> 3,
+      "t_char_entropy" -> 2, "t_corpus_stats" -> 2, "t_fingerprint" -> 0,
+      "t_langid" -> 0, "t_quality" -> 0, "t_redact" -> 0, "t_repetition" -> 0,
+      "t_rolling_fp" -> 0, "t_tfidf" -> 3, "t_tokens" -> 0, "t_top_terms" -> 1,
+      "t_vocab_growth" -> 2)
+    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      budget.get(name) match {
+        case Some(b) if n > b => Some(s"$name: $n > $b")
+        case None => Some(s"$name: not in ledger (add it: $n)")
+        case _ => None
+      }
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded:\n${over.mkString("\n")}")
+  }
+
   test("restore record filters reach the decode, no shuffle in restore") {
     val dir = tmpDir("planspec-backup")
     val in = graft.queries.GuardianQueries.records(spark, sf).limit(100)
