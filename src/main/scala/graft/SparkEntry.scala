@@ -43,6 +43,7 @@ object SparkEntry {
     "e_users_except" -> (AnalyticsQueries.activeUsersExcept _),
     "e_users_intersect" -> (AnalyticsQueries.activeUsersIntersect _),
     "q_order_ranks" -> (AnalyticsQueries.orderRanks _),
+    "q_full_outer" -> (AnalyticsQueries.fullOuterReconcile _),
     "e_moving_stats" -> (AnalyticsQueries.movingStats _),
     "e_event_cube" -> (AnalyticsQueries.eventCube _),
     "e_event_stats_salted" -> (AnalyticsQueries.eventStatsSalted _),
@@ -295,6 +296,13 @@ object SparkEntry {
           |  FROM orders
           |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
           |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+      "q_full_outer" ->
+        """WITH co AS (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1),
+          |ue AS (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1)
+          |SELECT count(*) FILTER (WHERE n_orders IS NOT NULL AND n_events IS NOT NULL) AS n_both,
+          |       count(*) FILTER (WHERE n_events IS NULL) AS n_orders_only,
+          |       count(*) FILTER (WHERE n_orders IS NULL) AS n_events_only
+          |FROM co FULL OUTER JOIN ue USING (k)""".stripMargin,
       "q_semi_anti" ->
         """SELECT
           |  (SELECT count(*) FROM customer c

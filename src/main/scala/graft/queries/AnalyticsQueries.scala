@@ -312,6 +312,24 @@ object AnalyticsQueries {
     usersOn(day0).intersect(usersOn(day1)).orderBy("user_id")
   }
 
+  /** FULL OUTER join — the reconciliation shape (which customers never
+    * produced events, which event users are unknown to the customer
+    * table): both sides aggregate to key-scale FIRST (count per key),
+    * so the full outer join runs on two deduplicated key sets, never on
+    * fact x fact. Output is the three-way match profile.
+    */
+  def fullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val custOrders = pq(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+    val userEvents = pq(spark, dir, "events")
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("n_events"))
+    custOrders.join(userEvents, Seq("k"), "full_outer")
+      .agg(
+        count(when(col("n_orders").isNotNull && col("n_events").isNotNull, 1)).as("n_both"),
+        count(when(col("n_events").isNull, 1)).as("n_orders_only"),
+        count(when(col("n_orders").isNull, 1)).as("n_events_only"))
+  }
+
   /** Set operation: users active on day 1 but not day 2 (EXCEPT). */
   def activeUsersExcept(spark: SparkSession, dir: String): DataFrame = {
     val day0 = 1704067200000L // 2024-01-01

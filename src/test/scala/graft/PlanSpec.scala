@@ -258,7 +258,7 @@ class PlanSpec extends SparkSuite {
       "q1_pricing" -> 1, "q3_revenue" -> 1, "q4_order_priority" -> 1,
       "q5_nation_revenue" -> 1, "q6_forecast" -> 0, "q_asof_order" -> 1,
       "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
-      "q_revenue_share" -> 1, "q_semi_anti" -> 0,
+      "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
       "q_top_orders_per_customer" -> 1, "s_ann_ivf" -> 1, "s_ann_lsh" -> 1,
       "s_ann_topk" -> 1, "s_ivf_trained" -> 1, "s_knn_classify" -> 3,
       "t_char_entropy" -> 2, "t_corpus_stats" -> 2, "t_fingerprint" -> 0,
