@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CountTokensInSet, RollingHash, WordNGrams}
+import graft.functions.{CosineSimilarity, CountTokensInSet, RollingHash, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(tokens, set) => CountTokensInSet(tokens, set)
         case _ => throw new IllegalArgumentException(
           "tokens_in_set(tokens, set) takes exactly 2 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => CosineSimilarity(a, b)
+        case _ => throw new IllegalArgumentException(
+          "cosine_similarity(a, b) takes exactly 2 arguments")
       }))
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),

@@ -37,6 +37,25 @@ class GraftExtensionsSpec extends SparkSuite {
         s2.sql("SELECT tokens_in_set(array('a'), array(concat(rand(), 'x')))").head()
       }
       assert(err2.getMessage.toLowerCase.contains("literal"))
+      // cosine_similarity: exact value, NaN policy on degenerate inputs
+      val cs = s2.sql(
+        """SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same,
+          |       cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS ortho,
+          |       cosine_similarity(array(1.0D), array(1.0D, 0.0D)) AS mismatch,
+          |       cosine_similarity(array(0.0D, 0.0D), array(1.0D, 0.0D)) AS zero
+          |""".stripMargin).head()
+      assert(cs.getDouble(0) == 1.0 && cs.getDouble(1) == 0.0)
+      assert(cs.getDouble(2).isNaN && cs.getDouble(3).isNaN)
+      // float arrays (the embeddings column type) work and agree with the
+      // double-widened sequential fold
+      val emb = s2.read.parquet(s"${SparkSuite.sf0001}/embeddings.parquet")
+        .limit(2).collect().map(_.getSeq[Float](1).toArray)
+      emb.foreach { v =>
+        val self = s2.sql(
+          s"SELECT cosine_similarity(e.embedding, e.embedding) FROM " +
+            s"parquet.`${SparkSuite.sf0001}/embeddings.parquet` e LIMIT 1").head().getDouble(0)
+        assert(math.abs(self - 1.0) < 1e-12)
+      }
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
