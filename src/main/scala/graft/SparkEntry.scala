@@ -104,6 +104,7 @@ object SparkEntry {
     "s_ann_topk" -> (SimilarityQueries.annTopK _),
     "s_ann_ivf" -> (SimilarityQueries.annIvf _),
     "s_ivf_trained" -> (SimilarityQueries.ivfTrained _),
+    "s_cosine_expr" -> (SimilarityQueries.cosineExprPairs _),
     "s_ann_lsh" -> (SimilarityQueries.annLsh _),
     "s_knn_classify" -> (SimilarityQueries.knnClassify _)
   )
@@ -992,6 +993,13 @@ object SparkEntry {
           |         list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
           |SELECT id1, id2, round(c, 6) AS cos_sim FROM pairs WHERE c >= 0.45 ORDER BY id1, id2""".stripMargin,
+      "s_cosine_expr" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50)
+          |SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |       round(list_dot_product(a.v, b.v) /
+          |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |ORDER BY id1, id2""".stripMargin,
       "s_ann_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |q AS (SELECT * FROM e WHERE vec_id < 10),

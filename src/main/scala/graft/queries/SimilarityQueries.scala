@@ -266,6 +266,25 @@ object SimilarityQueries {
     rankTopK(scored)
   }
 
+  /** The native `cosine_similarity` expression under the gate: all
+    * pairs among the first 50 vectors scored IN-PLAN by the codegen'd
+    * Catalyst expression (a broadcast self-join — the expression runs
+    * inside whole-stage codegen, no mapPartitions boundary). Its
+    * sequential double fold must match DuckDB's list_dot_product
+    * bit-for-bit before the 6-dp round — this query is that proof,
+    * re-run every round.
+    */
+  def cosineExprPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir).filter(col("vec_id") < 50)
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id1"),
+        col("b.vec_id").as("id2"),
+        round(graft.functions.CosineSimilarity.cosine_similarity(
+          col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .orderBy("id1", "id2")
+  }
+
   /** kNN label prediction: majority vote over the exact top-5 cosine
     * neighbors (ties to the smallest label) — the eval-side consumer of
     * the similarity index. The 50-row neighbor set broadcasts into the

@@ -211,11 +211,12 @@ class PlanSpec extends SparkSuite {
     // the global scale-safety net: a CartesianProduct or
     // BroadcastNestedLoopJoin anywhere in the 86-query surface is a
     // 100 TB incident regardless of how fast it runs at sf0.001.
-    // Deliberate exceptions, all single-row build sides (the
-    // scalar-subquery shape — safe at any scale): q_semi_anti crosses
-    // two one-row aggregates; g_window_period_from_first broadcasts the
-    // one-row min-timestamp anchor (W1) into the record scan.
-    val allowed = Set("q_semi_anti", "g_window_period_from_first")
+    // Deliberate exceptions, all with literal-bounded build sides:
+    // q_semi_anti crosses two ONE-ROW aggregates; g_window_period_from_
+    // first broadcasts the one-row min-timestamp anchor (W1) into the
+    // record scan; s_cosine_expr all-pairs both sides filtered to
+    // vec_id < 50 at the scan (the expression-parity proof query).
+    val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -260,7 +261,8 @@ class PlanSpec extends SparkSuite {
       "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
       "q_top_orders_per_customer" -> 1, "s_ann_ivf" -> 1, "s_ann_lsh" -> 1,
-      "s_ann_topk" -> 1, "s_ivf_trained" -> 1, "s_knn_classify" -> 3,
+      "s_ann_topk" -> 1, "s_ivf_trained" -> 1, "s_cosine_expr" -> 0,
+      "s_knn_classify" -> 3,
       "t_char_entropy" -> 2, "t_corpus_stats" -> 2, "t_fingerprint" -> 0,
       "t_langid" -> 0, "t_quality" -> 0, "t_redact" -> 0, "t_repetition" -> 0,
       "t_rolling_fp" -> 0, "t_tfidf" -> 3, "t_tokens" -> 0, "t_top_terms" -> 1,
