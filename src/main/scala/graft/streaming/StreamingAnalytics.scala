@@ -115,6 +115,31 @@ object StreamingAnalytics {
       graft.functions.WordNGrams.word_ngrams(col("text"), 3),
       lit(benchGrams.toArray)))
 
+  /** Stream-stream inner join — both sides unbounded: orders and events
+    * join on the customer key within a bounded event-time window
+    * (event within 1 hour AFTER its order). The time-range predicate +
+    * both watermarks are what make the join's state finite: each side
+    * buffers only rows younger than watermark + interval, so state is
+    * O(throughput x window), independent of stream lifetime — the only
+    * stream-stream join shape that survives an unbounded deployment.
+    * Inputs carry epoch-millis columns `odate_ms` / `ts_ms`.
+    */
+  def streamStreamJoin(
+      orders: DataFrame, events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val o = orders
+      .withColumn("o_time", timestamp_millis(col("odate_ms")))
+      .withWatermark("o_time", watermark)
+    val e = events
+      .withColumn("e_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("e_time", watermark)
+    o.join(e,
+      col("o_custkey") === col("user_id") &&
+        col("e_time") >= col("o_time") &&
+        col("e_time") <= col("o_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("o_orderkey"), col("o_custkey"), col("event_id"),
+        col("odate_ms"), col("ts_ms"))
+  }
+
   /** Input shape for the streaming funnel. */
   final case class TypedEvent(userId: Long, tsMs: Long, eventType: String)
 

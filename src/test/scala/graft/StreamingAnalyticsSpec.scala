@@ -86,6 +86,28 @@ class StreamingAnalyticsSpec extends SparkSuite {
     assert(u1(1).n == 1 && u1(1).durationMs == 0L)
   }
 
+  test("stream-stream join matches events to orders within the time window") {
+    implicit val ctx = spark.sqlContext
+    val ordersMem = MemoryStream[(Long, Long, Long)] // (o_orderkey, o_custkey, odate_ms)
+    val eventsMem = MemoryStream[(Long, Long, Long)] // (event_id, user_id, ts_ms)
+    val joined = StreamingAnalytics.streamStreamJoin(
+      ordersMem.toDF().toDF("o_orderkey", "o_custkey", "odate_ms"),
+      eventsMem.toDF().toDF("event_id", "user_id", "ts_ms"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    // order for customer 7 at h0; matching event 30 min later arrives in a
+    // LATER batch (state must hold the order); event 2h later must not match
+    ordersMem.addData((100L, 7L, h0))
+    q.processAllAvailable()
+    eventsMem.addData((1L, 7L, h0 + 1800000L), (2L, 7L, h0 + 7200000L), (3L, 9L, h0 + 60000L))
+    q.processAllAvailable()
+    val out = spark.table("ssj")
+      .select("o_orderkey", "event_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(out == Set((100L, 1L)),
+      s"only the in-window same-customer event joins, got $out")
+  }
+
   test("streaming funnel advances stages across batches, emits completion once") {
     implicit val ctx = spark.sqlContext
     import StreamingAnalytics.{TypedEvent, FunnelCompletion}
