@@ -34,6 +34,7 @@ object SparkEntry {
     "q3_revenue" -> (AnalyticsQueries.q3Revenue _),
     "q5_nation_revenue" -> (AnalyticsQueries.q5NationRevenue _),
     "q_top_orders_per_customer" -> (AnalyticsQueries.topOrdersPerCustomer _),
+    "q_topk_partial" -> (AnalyticsQueries.topOrdersViaAggregate _),
     "e_sessionize" -> (AnalyticsQueries.sessionize _),
     "e_session_window" -> (AnalyticsQueries.sessionWindows _),
     "d_dup_clusters_lp" -> (TextQueries.dupClustersLabelProp _),
@@ -216,6 +217,15 @@ object SparkEntry {
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q_top_orders_per_customer" ->
+        """SELECT o_custkey, rnk, o_orderkey, total_price FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
+          |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+          |  FROM orders)
+          |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+      // Same contract as the window form — the aggregate execution is the
+      // point; output equality is the proof.
+      "q_topk_partial" ->
         """SELECT o_custkey, rnk, o_orderkey, total_price FROM (
           |  SELECT o_custkey, o_orderkey,
           |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,

@@ -89,6 +89,28 @@ object AnalyticsQueries {
       .orderBy("o_custkey", "rnk")
   }
 
+  /** [[topOrdersPerCustomer]] computed with the bounded top-k typed
+    * Aggregator instead of a row_number window — the MAP-SIDE PARTIAL
+    * form of per-key ranking: the window must shuffle and sort every
+    * order row; this aggregate's partial states are k-sized arrays
+    * merged associatively, so the shuffle carries at most k rows per
+    * key per map partition. Same output, same oracle as the window
+    * form — the gate proves the two formulations equivalent every run.
+    */
+  def topOrdersViaAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator(3))
+    pq(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(topk(dec(col("o_totalprice")).cast(DoubleType), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(
+        col("o_custkey"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"),
+        col("p._2").as("o_orderkey"),
+        col("p._1").as("total_price"))
+      .orderBy("o_custkey", "rnk")
+  }
+
   /** Gap-based sessionization over the event stream: a new session starts
     * after >30 min of inactivity per user. One shuffle (by user), two
     * windows over the same partitioning — no extra exchange.

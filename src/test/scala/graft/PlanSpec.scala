@@ -207,6 +207,12 @@ class PlanSpec extends SparkSuite {
     assert(rows.sameElements(rows.sorted), "vocab size must be nondecreasing")
   }
 
+  test("top-k aggregate has a map-side partial phase (bounded pre-shuffle state)") {
+    val plan = planOf(AnalyticsQueries.topOrdersViaAggregate(spark, sf))
+    assert(plan.toLowerCase.contains("partial_topkaggregator"),
+      s"top-k must partially aggregate before the shuffle:\n$plan")
+  }
+
   test("no registered query plans a cartesian product or nested-loop join") {
     // the global scale-safety net: a CartesianProduct or
     // BroadcastNestedLoopJoin anywhere in the 86-query surface is a
@@ -260,7 +266,8 @@ class PlanSpec extends SparkSuite {
       "q5_nation_revenue" -> 1, "q6_forecast" -> 0, "q_asof_order" -> 1,
       "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
-      "q_top_orders_per_customer" -> 1, "s_ann_ivf" -> 1, "s_ann_lsh" -> 1,
+      "q_top_orders_per_customer" -> 1, "q_topk_partial" -> 1,
+      "s_ann_ivf" -> 1, "s_ann_lsh" -> 1,
       "s_ann_topk" -> 1, "s_ivf_trained" -> 1, "s_cosine_expr" -> 0,
       "s_knn_classify" -> 3,
       "t_char_entropy" -> 2, "t_corpus_stats" -> 2, "t_fingerprint" -> 0,
