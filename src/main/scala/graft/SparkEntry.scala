@@ -46,6 +46,7 @@ object SparkEntry {
     "q_order_ranks" -> (AnalyticsQueries.orderRanks _),
     "q_full_outer" -> (AnalyticsQueries.fullOuterReconcile _),
     "e_moving_stats" -> (AnalyticsQueries.movingStats _),
+    "e_moving_median" -> (AnalyticsQueries.movingMedian _),
     "e_event_cube" -> (AnalyticsQueries.eventCube _),
     "e_event_stats_salted" -> (AnalyticsQueries.eventStatsSalted _),
     "e_value_histogram" -> (AnalyticsQueries.valueHistogram _),
@@ -324,6 +325,13 @@ object SparkEntry {
         """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
           |       count(*) OVER w AS n_5m,
           |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 6) AS sum_5m
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          |             RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+      "e_moving_median" ->
+        """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          |       round(quantile_cont(value, 0.5) OVER w, 6) AS med_5m
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
           |             RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)

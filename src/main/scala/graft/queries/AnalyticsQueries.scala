@@ -414,6 +414,25 @@ object AnalyticsQueries {
       .orderBy("user_id", "ts_ms", "event_id")
   }
 
+  /** Trailing moving MEDIAN per user (exact interpolated percentile
+    * over the 5-minute RANGE frame) — the robust-statistics twin of
+    * [[movingStats]]' mean: same single user_id shuffle + sort, the
+    * frame is defined purely by event-time values so its contents are
+    * engine-independent, and the interpolated median of an identical
+    * multiset is deterministic (6-dp rounding absorbs last-ulp libm
+    * differences, the library-wide policy).
+    */
+  def movingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(-300000L, 0L)
+    pq(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ts_ms"),
+        col("value"))
+      .withColumn("med_5m", round(expr("percentile(value, 0.5)").over(w), 6))
+      .select("user_id", "event_id", "ts_ms", "med_5m")
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
   /** Semi/anti join pair: customers with vs without orders — left_semi
     * and left_anti are distinct physical operators (existence hash
     * joins, no row multiplication), not filters over a full join.

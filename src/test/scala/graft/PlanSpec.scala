@@ -250,7 +250,8 @@ class PlanSpec extends SparkSuite {
       "e_approx_distinct" -> 2, "e_approx_quantiles" -> 1, "e_event_cube" -> 1,
       "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
       "e_event_stats_salted" -> 2, "e_funnel" -> 1, "e_grouping_sets" -> 1,
-      "e_json_props" -> 1, "e_moving_stats" -> 1, "e_resample_ffill" -> 2,
+      "e_json_props" -> 1, "e_moving_stats" -> 1, "e_moving_median" -> 1,
+      "e_resample_ffill" -> 2,
       "e_retention" -> 2, "e_session_window" -> 1, "e_sessionize" -> 1,
       "e_type_pivot" -> 1, "e_users_except" -> 2, "e_users_intersect" -> 2,
       "e_value_histogram" -> 1, "e_value_quantiles" -> 1,
