@@ -140,6 +140,16 @@ object StreamingAnalytics {
         col("odate_ms"), col("ts_ms"))
   }
 
+  /** Stream-static dimension enrichment: an unbounded event stream
+    * left-joined to a bounded dimension table. The static side
+    * broadcasts (re-read per micro-batch for file sources, so slowly-
+    * changing dimensions refresh without restart); the stream side
+    * never shuffles and no state store is involved — the enrichment
+    * shape that runs at any throughput.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col(dimKey), "left")
+
   /** Input shape for the streaming funnel. */
   final case class TypedEvent(userId: Long, tsMs: Long, eventType: String)
 

@@ -86,6 +86,23 @@ class StreamingAnalyticsSpec extends SparkSuite {
     assert(u1(1).n == 1 && u1(1).durationMs == 0L)
   }
 
+  test("stream-static enrichment joins the broadcast dimension, keeps unmatched") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (event_id, user_id)
+    val dim = Seq((7L, "gold"), (9L, "basic")).toDF("c_custkey", "tier")
+    val q = StreamingAnalytics.enrichStream(
+        mem.toDF().toDF("event_id", "user_id"), dim, "c_custkey")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    mem.addData((1L, 7L), (2L, 42L))
+    q.processAllAvailable()
+    val out = spark.table("enriched")
+      .as[(Long, Long, Option[String])].collect().toSet
+    q.stop()
+    assert(out == Set((1L, 7L, Some("gold")), (2L, 42L, None)),
+      s"dimension must enrich matches and keep unmatched rows, got $out")
+  }
+
   test("stream-stream join matches events to orders within the time window") {
     implicit val ctx = spark.sqlContext
     val ordersMem = MemoryStream[(Long, Long, Long)] // (o_orderkey, o_custkey, odate_ms)
