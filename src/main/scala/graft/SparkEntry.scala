@@ -45,6 +45,7 @@ object SparkEntry {
     "e_users_intersect" -> (AnalyticsQueries.activeUsersIntersect _),
     "q_order_ranks" -> (AnalyticsQueries.orderRanks _),
     "q_full_outer" -> (AnalyticsQueries.fullOuterReconcile _),
+    "q_first_order" -> (AnalyticsQueries.firstOrderPerCustomer _),
     "e_moving_stats" -> (AnalyticsQueries.movingStats _),
     "e_moving_median" -> (AnalyticsQueries.movingMedian _),
     "e_event_cube" -> (AnalyticsQueries.eventCube _),
@@ -308,6 +309,12 @@ object SparkEntry {
           |  FROM orders
           |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
           |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+      "q_first_order" ->
+        """SELECT o_custkey,
+          |       arg_min(o_orderkey, epoch_ms(o_orderdate) * 1000000 + o_orderkey) AS first_orderkey,
+          |       min(epoch_ms(o_orderdate)) AS first_odate_ms,
+          |       count(*) AS n_orders
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_full_outer" ->
         """WITH co AS (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1),
           |ue AS (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1)

@@ -433,6 +433,25 @@ object AnalyticsQueries {
       .orderBy("user_id", "ts_ms", "event_id")
   }
 
+  /** argmin aggregate (`min_by`) — each customer's EARLIEST order in
+    * one hash aggregate with map-side partials, no window and no sort:
+    * the argmin rides a collision-free composite order key
+    * (date_ms * 1e6 + orderkey, exact in BIGINT) so ties are
+    * impossible and the result is deterministic in any engine. The
+    * row_number formulation needs a full shuffle + sort of all orders;
+    * this is one aggregate.
+    */
+  def firstOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val ordKey = tsMillis(col("o_orderdate")) * lit(1000000L) + col("o_orderkey")
+    pq(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        min_by(col("o_orderkey"), ordKey).as("first_orderkey"),
+        min(tsMillis(col("o_orderdate"))).as("first_odate_ms"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
   /** Semi/anti join pair: customers with vs without orders — left_semi
     * and left_anti are distinct physical operators (existence hash
     * joins, no row multiplication), not filters over a full join.

@@ -267,6 +267,7 @@ class PlanSpec extends SparkSuite {
       "q5_nation_revenue" -> 1, "q6_forecast" -> 0, "q_asof_order" -> 1,
       "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
+      "q_first_order" -> 1,
       "q_top_orders_per_customer" -> 1, "q_topk_partial" -> 1,
       "s_ann_ivf" -> 1, "s_ann_lsh" -> 1,
       "s_ann_topk" -> 1, "s_ivf_trained" -> 1, "s_cosine_expr" -> 0,
