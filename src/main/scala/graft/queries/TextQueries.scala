@@ -210,10 +210,14 @@ object TextQueries {
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .filter(col("pos") <= floor(col("n") * lit(0.2)) + lit(1))
       .select(col("doc_id"), col("g"))
-    // candidate pairs: smaller-id prefix probes the full inverted index
-    // (every doc's prefix provably contains a shared gram of each of its
-    // true pairs, so probing one side's prefix loses nothing)
-    val cand = pref.as("a").join(grams.as("b"),
+    // candidate pairs: BOTH sides are prefixes (the classic both-prefix
+    // theorem: the smallest shared gram in canonical order must sit
+    // inside each doc's prefix — if it were outside A's prefix, A's
+    // prefix elements precede every shared gram so none are in B, and
+    // |prefix| + |A∩B| > |A| overflows A; symmetrically for B). The
+    // inverted index shrinks ~5x on both sides and the join's quadratic
+    // bucket term shrinks ~25x, all provably lossless at the threshold.
+    val cand = pref.as("a").join(pref.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()

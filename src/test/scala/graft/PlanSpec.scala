@@ -245,7 +245,12 @@ class PlanSpec extends SparkSuite {
       "d_decontam" -> 2, "d_decontam_bloom" -> 2, "d_dedup_exact" -> 1,
       "d_dedup_keep" -> 1, "d_df_prune" -> 0, "d_dup_by_source" -> 2,
       "d_dup_clusters" -> 0, "d_dup_clusters_lp" -> 0, "d_edit_dist" -> 0,
-      "d_embed_neardup" -> 0, "d_jaccard_prefix" -> 2, "d_minhash_lsh" -> 3,
+      "d_embed_neardup" -> 0,
+      // both-prefix ssjoin: 4 exchanges but each carries a 0.2-sized
+      // prefix table — the single-prefix form's 2 exchanges included
+      // shuffling the FULL gram table into the candidate join (count
+      // is not bytes; this is the deliberate trade)
+      "d_jaccard_prefix" -> 4, "d_minhash_lsh" -> 3,
       "d_ngram_jaccard" -> 3, "d_simhash" -> 4, "e_anomaly_zscore" -> 2,
       "e_approx_distinct" -> 2, "e_approx_quantiles" -> 1, "e_event_cube" -> 1,
       "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
