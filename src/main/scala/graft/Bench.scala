@@ -78,13 +78,25 @@ object Bench {
       }
       name -> (if (errors.contains(name)) times.max else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the line short (full-precision doubles
+    // nearly tripled it and overflowed the driver's tail capture in r5)
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def q(s: String): String =
       "\"" + s.flatMap { c => if (c == '"' || c == '\\') "\\" + c else if (c < ' ') " " else c.toString } + "\""
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // durable copy the driver (or a human) can read even if stdout is
+    // truncated; r5's report was lost to exactly that
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () }
+    // stop Spark BEFORE printing so no shutdown log noise lands after the
+    // JSON line in a tail-based capture window
     spark.stop()
+    println(json)
   }
 }

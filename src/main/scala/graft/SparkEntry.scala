@@ -362,7 +362,7 @@ object SparkEntry {
       "e_json_props" ->
         """SELECT event_type,
           |       count(CAST(props->>'k' AS INT)) AS n_k,
-          |       sum(CAST(CAST(props->>'k' AS INT) AS BIGINT)) AS sum_k,
+          |       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
           |       min(CAST(props->>'k' AS INT)) AS min_k,
           |       max(CAST(props->>'k' AS INT)) AS max_k
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -855,8 +855,9 @@ object SparkEntry {
           |  FROM documents),
           |c AS (
           |  SELECT doc_id, source, n_tokens,
-          |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-          |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+          |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+          |            AS BIGINT) AS start_tok
           |  FROM n)
           |SELECT doc_id, source, n_tokens,
           |       start_tok // 2048 AS pack_id,
