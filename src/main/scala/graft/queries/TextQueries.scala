@@ -123,6 +123,17 @@ object TextQueries {
       labels = materialized.select("node", "lbl")
       rounds += 1
     }
+    if (changed > 0) {
+      // partial labels are WRONG labels — fail loudly rather than hand
+      // back an unconverged clustering only an external oracle would
+      // catch. Min-label propagation moves one hop per round, so 50
+      // rounds covers any component of diameter <= 50; near-dup
+      // components are dense (diameter of a few), so hitting this cap
+      // means a pathological graph or a bug.
+      prevCache.foreach(_.unpersist())
+      throw new IllegalStateException(
+        s"label propagation did not converge after $rounds rounds ($changed labels still changing)")
+    }
     val out = labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
     // materialize before releasing the last round's cache
@@ -166,11 +177,13 @@ object TextQueries {
       sizes)
   }
 
-  private def jaccardOfPairs(inter: DataFrame, sizes: DataFrame): DataFrame = {
+  private def jaccardOfPairs(
+      inter: DataFrame, sizes: DataFrame,
+      hint: DataFrame => DataFrame = broadcast): DataFrame = {
     val j = col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter"))
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("id1"), col("n").as("n1"))), "id1")
-      .join(broadcast(sizes.select(col("doc_id").as("id2"), col("n").as("n2"))), "id2")
+      .join(hint(sizes.select(col("doc_id").as("id1"), col("n").as("n1"))), "id1")
+      .join(hint(sizes.select(col("doc_id").as("id2"), col("n").as("n2"))), "id2")
       .withColumn("jaccard", j)
       .filter(col("jaccard") >= 0.8)
       .select("id1", "id2", "jaccard")
@@ -248,9 +261,24 @@ object TextQueries {
     * threshold the miss probability per true pair is ~(1-s^4)^32 < 5e-8.
     * Output == exact n-gram Jaccard >= 0.8 (same oracle).
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshImpl(spark, dir, maxDriverPairs)
+
+  /** Max candidate pairs materialized on the driver for the broadcast
+    * verification path (~64 MB of boxed pair rows). Past this the pair
+    * set is no longer "output-scale" — a pathological un-pre-deduped
+    * corpus (floods of shared band hashes) can make it corpus-scale —
+    * and the verify join stays fully distributed instead of OOMing the
+    * driver. */
+  private[graft] val maxDriverPairs = 4000000L
+
+  /** [[minhashLsh]] with the driver-collect cap exposed so tests can
+    * force the distributed-verify branch and assert it agrees with the
+    * broadcast branch. */
+  private[graft] def minhashLshImpl(
+      spark: SparkSession, dir: String, maxCollect: Long): DataFrame = {
     import spark.implicits._
-    val (grams, _) = gramTables(spark, dir)
+    val (grams, sizes) = gramTables(spark, dir)
     // Per-doc minhash signature + band hashes computed per ROW in one
     // tight loop: grams are already distinct-per-doc inside their array
     // column, so the signature needs no aggregation at all — the earlier
@@ -293,31 +321,49 @@ object TextQueries {
     // left behind in the session, and the broadcast build can never
     // re-execute the LSH subtree per partition (observed: 32 sequential
     // jobs re-running the whole pipeline over an unmaterialized subtree)
-    val candRows = banded.as("x").join(banded.as("y"),
+    val candDF = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
-      .as[(Long, Long)].collect()
-    val candidates = candRows.toSeq.toDF("id1", "id2")
-    // exact verification on candidates only — force broadcast so AQE can
-    // never pick a shuffled join for it (observed plan-choice variance).
-    // Candidate doc ids are known (just collected), so every verification
-    // re-scan of the gram table is pruned to candidate docs with an
-    // `isin` that pushes to the parquet scan: the explode re-runs over
-    // ~|candidates| docs, not the corpus.
-    val candIds = candRows.iterator
-      .flatMap { case (a, b) => Iterator(a, b) }.toArray.distinct.sorted
-    val candGrams =
-      if (candIds.isEmpty) grams.filter(lit(false))
-      else grams.filter(col("doc_id").isin(candIds.map(Long.box): _*))
-    val g1 = candGrams.select(col("doc_id").as("id1"), col("g"))
-    val g2 = candGrams.select(col("doc_id").as("id2"), col("g"))
-    val inter = g2
-      .join(broadcast(candidates.join(g1, "id1")), Seq("id2", "g"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    val candSizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    jaccardOfPairs(inter, candSizes)
+    // Collect at most maxCollect+1 rows: the +1 row is the overflow
+    // sentinel that proves the set outgrew the driver budget.
+    val capped = math.min(maxCollect + 1, Int.MaxValue.toLong).toInt
+    val candRows = candDF.limit(capped).as[(Long, Long)].collect()
+    if (candRows.length <= maxCollect) {
+      val candidates = candRows.toSeq.toDF("id1", "id2")
+      // exact verification on candidates only — force broadcast so AQE can
+      // never pick a shuffled join for it (observed plan-choice variance).
+      // Candidate doc ids are known (just collected), so every verification
+      // re-scan of the gram table is pruned to candidate docs with an
+      // `isin` that pushes to the parquet scan: the explode re-runs over
+      // ~|candidates| docs, not the corpus.
+      val candIds = candRows.iterator
+        .flatMap { case (a, b) => Iterator(a, b) }.toArray.distinct.sorted
+      val candGrams =
+        if (candIds.isEmpty) grams.filter(lit(false))
+        else grams.filter(col("doc_id").isin(candIds.map(Long.box): _*))
+      val g1 = candGrams.select(col("doc_id").as("id1"), col("g"))
+      val g2 = candGrams.select(col("doc_id").as("id2"), col("g"))
+      val inter = g2
+        .join(broadcast(candidates.join(g1, "id1")), Seq("id2", "g"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      val candSizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      jaccardOfPairs(inter, candSizes)
+    } else {
+      // Distributed-verify fallback: the pair set stays on the cluster.
+      // Shuffle joins keyed on doc id expand each candidate pair by the
+      // smaller side's grams, probe the other side on (id2, g), and the
+      // per-doc sizes join un-broadcast (they are corpus-scale here).
+      // The candidate subtree re-executes once inside this plan — at
+      // this scale recomputation beats a driver OOM or a corpus-sized
+      // persist.
+      val g1 = grams.select(col("doc_id").as("id1"), col("g"))
+      val g2 = grams.select(col("doc_id").as("id2"), col("g"))
+      val inter = candDF.join(g1, "id1").join(g2, Seq("id2", "g"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      jaccardOfPairs(inter, sizes, hint = identity)
+    }
   }
 
   /** SimHash near-dup detection: 64-bit signature from token hashes,
@@ -570,19 +616,24 @@ object TextQueries {
     * the quadratic DP runs on candidate pairs only, never the corpus
     * cross product.
     */
-  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairsImpl(spark, dir, maxDriverPairs)
+
+  /** [[editDistancePairs]] with the driver-collect cap exposed for the
+    * forced-distributed-branch test. */
+  private[graft] def editDistancePairsImpl(
+      spark: SparkSession, dir: String, maxCollect: Long): DataFrame = {
     import spark.implicits._
     // Candidates from the LSH pipeline, not the exact inverted-index
     // join: minhashLsh already exact-verifies its candidates at >= 0.8
     // Jaccard (output == ngramJaccard w.h.p. ~1 - 5e-8 per pair; the
     // oracle replays the exact SQL), and at 100 TB the banded pipeline
     // is the only affordable candidate source anyway.
-    val pairRows = minhashLsh(spark, dir)
-      .select(col("id1"), col("id2")).as[(Long, Long)].collect()
-    val pairs = pairRows.toSeq.toDF("id1", "id2")
+    val verified = minhashLshImpl(spark, dir, maxCollect)
+      .select(col("id1"), col("id2"))
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     val lev = levenshtein(col("a.text"), col("b.text"))
-    broadcast(pairs)
+    def score(pairs: DataFrame): DataFrame = pairs
       .join(d.as("a"), col("id1") === col("a.doc_id"))
       .join(d.as("b"), col("id2") === col("b.doc_id"))
       .select(col("id1"), col("id2"),
@@ -590,6 +641,17 @@ object TextQueries {
         round(lit(1.0) - lev.cast(DoubleType) /
           greatest(length(col("a.text")), length(col("b.text"))), 6).as("sim"))
       .orderBy("id1", "id2")
+    // Same driver-budget guard as the LSH collect: verified near-dup
+    // pairs are usually output-scale (broadcast them, text joins become
+    // broadcast-hash), but a duplicate-flooded corpus can make them
+    // corpus-scale — then the pairs stay distributed and the text joins
+    // shuffle on doc id instead.
+    val capped = math.min(maxCollect + 1, Int.MaxValue.toLong).toInt
+    val pairRows = verified.limit(capped).as[(Long, Long)].collect()
+    if (pairRows.length <= maxCollect)
+      score(broadcast(pairRows.toSeq.toDF("id1", "id2")))
+    else
+      score(verified)
   }
 
   /** Per-source corpus statistics — the profiling pass every ingest runs

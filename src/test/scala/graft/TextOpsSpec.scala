@@ -130,6 +130,25 @@ class TextOpsSpec extends SparkSuite {
     assert(viaJoin == viaGroups)
   }
 
+  test("LSH distributed-verify fallback agrees with the broadcast branch") {
+    // maxCollect = 0 makes ANY candidate pair overflow the driver
+    // budget, forcing the fully distributed verify join (and, via
+    // editDistancePairsImpl, the distributed text join). Same rows
+    // either way — the cap is a driver-memory guard, never a semantics
+    // change.
+    val viaBroadcast = TextQueries.minhashLsh(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaShuffle = TextQueries.minhashLshImpl(spark, sf, 0L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle == viaBroadcast)
+    val edBroadcast = TextQueries.editDistancePairs(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val edShuffle = TextQueries.editDistancePairsImpl(spark, sf, 0L)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(edShuffle == edBroadcast)
+  }
+
   test("top terms are distinct-per-doc doc frequencies") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
