@@ -26,7 +26,12 @@ import java.time.temporal.ChronoUnit
   *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
   *
-  * Flags fall back to the reference's env vars (see optEnv).
+  * Every command also accepts `--config <file>`: a HOCON config file
+  * using the reference's key names (`backup.time-configuration.{type,
+  * chrono-unit,duration}`, `backup.compression.{type,level}`,
+  * `kafka-cluster.topics`, `restore.{from-when,override-topics}`).
+  * Precedence matches the reference's PureConfig+env layering:
+  * explicit flag > env var > config file > built-in default.
   */
 object Main {
   private def parseArgs(args: Seq[String]): Map[String, String] = {
@@ -58,6 +63,87 @@ object Main {
   private def optEnv(o: Map[String, String], flag: String, env: String): Option[String] =
     o.get(flag).orElse(sys.env.get(env))
 
+  /** The parsed `--config` HOCON file, or empty without one. */
+  private def loadConfig(o: Map[String, String]): Map[String, String] =
+    o.get("config").map { p =>
+      if (!new java.io.File(p).isFile) die(s"--config file not found: '$p'")
+      try HoconConfig.parseFile(p)
+      catch { case e: IllegalArgumentException => die(e.getMessage) }
+    }.getOrElse(Map.empty)
+
+  /** Full precedence chain: flag > env var > config-file key. */
+  private def resolved(
+      o: Map[String, String], cfg: Map[String, String],
+      flag: String, env: String, key: String): Option[String] =
+    optEnv(o, flag, env).orElse(cfg.get(key))
+
+  private def chronoUnit(s: String): ChronoUnit = s match {
+    case "hours" => ChronoUnit.HOURS
+    case "days" => ChronoUnit.DAYS
+    case "minutes" => ChronoUnit.MINUTES
+    case "seconds" => ChronoUnit.SECONDS
+    case other => die(s"unsupported chrono unit '$other'")
+  }
+
+  /** The reference's time-configuration block: a `type` discriminator
+    * selects which of the (both-present, defaulted) `chrono-unit` /
+    * `duration` fields is read (core-backup reference.conf:38-44). Flags
+    * imply the type; with no flags and no explicit type, a lone duration
+    * still means period-from-first (the pre-config CLI contract).
+    */
+  private[cli] def timeConfiguration(
+      o: Map[String, String], cfg: Map[String, String]): TimeConfiguration = {
+    if (o.contains("slice") && o.contains("period-from-first"))
+      die("--slice and --period-from-first are mutually exclusive")
+    val slice = resolved(o, cfg, "slice",
+      "BACKUP_TIME_CONFIGURATION_CHRONO_UNIT", "backup.time-configuration.chrono-unit")
+    val period = resolved(o, cfg, "period-from-first",
+      "BACKUP_TIME_CONFIGURATION_DURATION", "backup.time-configuration.duration")
+    val tcType =
+      if (o.contains("period-from-first")) "period-from-first"
+      else if (o.contains("slice")) "chrono-unit-slice"
+      else sys.env.get("BACKUP_TIME_CONFIGURATION_TYPE")
+        .orElse(cfg.get("backup.time-configuration.type"))
+        .getOrElse(if (period.isDefined && slice.isEmpty) "period-from-first"
+                   else "chrono-unit-slice")
+    tcType match {
+      case "period-from-first" =>
+        val d = period.getOrElse(die("period-from-first needs a duration"))
+        PeriodFromFirst(HoconConfig.durationMs(d)
+          .getOrElse(die(s"duration must be millis or '<n> <unit>', got '$d'")))
+      case "chrono-unit-slice" => ChronoUnitSlice(chronoUnit(slice.getOrElse("hours")))
+      case other => die(s"unsupported time-configuration type '$other'")
+    }
+  }
+
+  /** Compression from `--gzip` or the config file's
+    * `backup.compression.{type,level}` block. */
+  private[cli] def compressionOf(
+      o: Map[String, String], cfg: Map[String, String]): (Option[Gzip.type], Option[Int]) = {
+    val gzip =
+      if (o.contains("gzip")) Some(Gzip)
+      else cfg.get("backup.compression.type") match {
+        case Some("gzip") => Some(Gzip)
+        case Some(other) => die(s"unsupported compression type '$other'")
+        case None => None
+      }
+    val level = o.get("compression-level")
+      .orElse(cfg.get("backup.compression.level"))
+      .map(_.toIntOption.getOrElse(die("compression level must be an int")))
+    (gzip, level)
+  }
+
+  private[cli] def overrideTopics(
+      o: Map[String, String], cfg: Map[String, String]): Map[String, String] =
+    optEnv(o, "override-topics", "RESTORE_OVERRIDE_TOPICS").map { s =>
+      s.split(',').map { kv =>
+        kv.split(':') match {
+          case Array(k, v) => k -> v
+          case _ => die(s"--override-topics entries must be old:new, got '$kv'")
+        }
+      }.toMap
+    }.getOrElse(HoconConfig.subKeys(cfg, "restore.override-topics"))
+
   private def session(): SparkSession = {
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -81,26 +167,11 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "backup" :: rest =>
       val o = parseArgs(rest)
+      val cfg = loadConfig(o)
       val in = o.getOrElse("in", die("--in <parquet> is required"))
       val out = o.getOrElse("out", die("--out <dir> is required"))
-      val timeConf: TimeConfiguration =
-        (optEnv(o, "period-from-first", "BACKUP_TIME_CONFIGURATION_DURATION"),
-          optEnv(o, "slice", "BACKUP_TIME_CONFIGURATION_CHRONO_UNIT")) match {
-        case (Some(ms), None) =>
-          PeriodFromFirst(ms.toLongOption.getOrElse(die(s"--period-from-first must be millis, got '$ms'")))
-        case (None, s) =>
-          val unit = s.getOrElse("hours") match {
-            case "hours" => ChronoUnit.HOURS
-            case "days" => ChronoUnit.DAYS
-            case "minutes" => ChronoUnit.MINUTES
-            case "seconds" => ChronoUnit.SECONDS
-            case other => die(s"unsupported --slice '$other'")
-          }
-          ChronoUnitSlice(unit)
-        case _ => die("--slice and --period-from-first are mutually exclusive")
-      }
-      val gzip = if (o.contains("gzip")) Some(Gzip) else None
-      val level = o.get("compression-level").map(_.toIntOption.getOrElse(die("--compression-level must be an int")))
+      val timeConf: TimeConfiguration = timeConfiguration(o, cfg)
+      val (gzip, level) = compressionOf(o, cfg)
       val spark = session()
       val records = ReducedConsumerRecord.fromEvents(
         spark.read.parquet(in),
@@ -113,21 +184,16 @@ object Main {
 
     case "restore" :: rest =>
       val o = parseArgs(rest)
+      val cfg = loadConfig(o)
       val dir = o.getOrElse("dir", die("--dir <dir> is required"))
-      val topics = optEnv(o, "topics", "KAFKA_CLUSTER_TOPICS")
+      val topics = resolved(o, cfg, "topics", "KAFKA_CLUSTER_TOPICS", "kafka-cluster.topics")
+        .filter(_.nonEmpty)
         .getOrElse(die("--topics is required")).split(',').toSet
-      val fromWhen = o.get("from-when").map { s =>
+      val fromWhen = resolved(o, cfg, "from-when", "RESTORE_FROM_WHEN", "restore.from-when").map { s =>
         try OffsetDateTime.parse(s)
         catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }
       }
-      val overrides = o.get("override-topics").map { s =>
-        s.split(',').map { kv =>
-          kv.split(':') match {
-            case Array(k, v) => k -> v
-            case _ => die(s"--override-topics entries must be old:new, got '$kv'")
-          }
-        }.toMap
-      }.getOrElse(Map.empty[String, String])
+      val overrides = overrideTopics(o, cfg)
       val spark = session()
       val df = RestoreEngine.restore(spark, dir, topics, fromWhen, overrides)
       o.get("out").foreach(p => df.write.mode("overwrite").parquet(p))
@@ -138,8 +204,10 @@ object Main {
 
     case "compact" :: rest =>
       val o = parseArgs(rest)
+      val cfg = loadConfig(o)
       val dir = o.getOrElse("dir", die("--dir <backupDir> is required"))
-      val topics = optEnv(o, "topics", "KAFKA_CLUSTER_TOPICS")
+      val topics = resolved(o, cfg, "topics", "KAFKA_CLUSTER_TOPICS", "kafka-cluster.topics")
+        .filter(_.nonEmpty)
         .getOrElse(die("--topics is required")).split(',').toSet
       val spark = session()
       val compacted = CompactionEngine.latestPerKey(
@@ -156,17 +224,14 @@ object Main {
       // processes what's available, checkpoints, exits; re-running with
       // the same --checkpoint resumes and appends (ChronoUnitSlice).
       val o = parseArgs(rest)
+      val cfg = loadConfig(o)
       val in = o.getOrElse("in", die("--in <parquetDir> is required"))
       val out = o.getOrElse("out", die("--out <dir> is required"))
       val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
-      val unit = optEnv(o, "slice", "BACKUP_TIME_CONFIGURATION_CHRONO_UNIT").getOrElse("hours") match {
-        case "hours" => java.time.temporal.ChronoUnit.HOURS
-        case "days" => java.time.temporal.ChronoUnit.DAYS
-        case "minutes" => java.time.temporal.ChronoUnit.MINUTES
-        case "seconds" => java.time.temporal.ChronoUnit.SECONDS
-        case other => die(s"unsupported --slice '$other'")
-      }
-      val gzipOpt = if (o.contains("gzip")) Some(Gzip) else None
+      val unit = chronoUnit(resolved(o, cfg, "slice",
+        "BACKUP_TIME_CONFIGURATION_CHRONO_UNIT", "backup.time-configuration.chrono-unit")
+        .getOrElse("hours"))
+      val (gzipOpt, _) = compressionOf(o, cfg)
       val spark = session()
       import org.apache.spark.sql.functions._
       val topic = o.getOrElse("topic", "events")
@@ -196,23 +261,18 @@ object Main {
       // already-processed slice (streaming append-resume) are not
       // re-read; use batch restore for dirs still being appended to.
       val o = parseArgs(rest)
+      val cfg = loadConfig(o)
       val dir = o.getOrElse("dir", die("--dir <backupDir> is required"))
       val out = o.getOrElse("out", die("--out <parquetDir> is required"))
       val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
-      val topics = optEnv(o, "topics", "KAFKA_CLUSTER_TOPICS")
+      val topics = resolved(o, cfg, "topics", "KAFKA_CLUSTER_TOPICS", "kafka-cluster.topics")
+        .filter(_.nonEmpty)
         .map(_.split(',').toSet).getOrElse(Set.empty)
-      val fromWhen = o.get("from-when").map { s =>
+      val fromWhen = resolved(o, cfg, "from-when", "RESTORE_FROM_WHEN", "restore.from-when").map { s =>
         try OffsetDateTime.parse(s)
         catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }
       }
-      val overrides = o.get("override-topics").map { s =>
-        s.split(',').map { kv =>
-          kv.split(':') match {
-            case Array(k, v) => k -> v
-            case _ => die(s"--override-topics entries must be old:new, got '$kv'")
-          }
-        }.toMap
-      }.getOrElse(Map.empty[String, String])
+      val overrides = overrideTopics(o, cfg)
       val spark = session()
       val records = graft.streaming.StreamingRestore.stream(
         spark, dir, topics, fromWhen, overrides)
