@@ -16,8 +16,10 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Buffers are kept sorted (insertion into a k-array), so reduce is
   * O(log k) search + O(k) shift with k small, and merge is a linear
-  * k-way merge. Determinism: the (score desc, id asc) total order has
-  * no equal elements for distinct ids, so results are independent of
+  * k-way merge. Determinism: scores compare via the IEEE-754 TOTAL
+  * order (`java.lang.Double.compare` — NaN ranks above +Inf, -0.0
+  * below 0.0), then id ascending, so the order has no incomparable
+  * elements even for NaN scores and results are independent of
   * partition order.
   */
 final case class TopKAggregator(k: Int)
@@ -25,9 +27,14 @@ final case class TopKAggregator(k: Int)
 
   override def zero: Array[(Double, Long)] = Array.empty
 
-  // true if a ranks strictly before b: higher score first, then lower id
-  private def before(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // true if a ranks strictly before b: higher score first (IEEE total
+  // order, so NaN sorts consistently instead of failing every
+  // comparison and landing wherever the partition order put it),
+  // then lower id
+  private def before(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def reduce(
       buf: Array[(Double, Long)], x: (Double, Long)): Array[(Double, Long)] = {

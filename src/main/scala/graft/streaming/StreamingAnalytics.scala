@@ -167,9 +167,16 @@ object StreamingAnalytics {
     * signup -> view -> purchase in event order across micro-batches and
     * emits ONE completion row the moment the last stage lands — the
     * monotone-stage formulation (each stage keeps its EARLIEST valid
-    * timestamp) makes the result independent of how events split across
-    * batches. State is three longs per user — bounded by the active
-    * userbase, the same bound any per-user personalization store has.
+    * timestamp) makes the result independent of how IN-ORDER events
+    * split across batches (events are sorted within a batch, so intra-
+    * batch disorder is also fine). A late event that crosses a batch
+    * boundary out of order — e.g. a view processed before an earlier-
+    * timestamped signup arrives — can still diverge from the batch
+    * e_funnel, because stages advance monotonically and are never
+    * re-opened; buffering behind an event-time watermark would close
+    * that gap at the cost of emission latency. State is three longs per
+    * user — bounded by the active userbase, the same bound any per-user
+    * personalization store has.
     */
   def streamingFunnel(events: Dataset[TypedEvent]): Dataset[FunnelCompletion] = {
     val spark = events.sparkSession

@@ -178,6 +178,79 @@ class BackupRestoreSpec extends SparkSuite {
     assert(topics == Set("new1", "keep"))
   }
 
+  private def wire(rs: Seq[ReducedConsumerRecord]) =
+    spark.createDataset(rs).toDF().withColumnRenamed("timestampType", "timestamp_type")
+
+  test("property: consecutive records inside one object are < period apart") {
+    // reference BackupClientInterfaceTest.scala:103-127 — randomized
+    // periods and corpus sizes; every adjacent pair within an object
+    // must fall inside the same period window
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 5).foreach { it =>
+      val periodMs = 200L + rnd.nextInt(2000)
+      val in = genRecords(150 + rnd.nextInt(200), seed = 1000L + it)
+      val dir = tmpDir(s"prop-gap-$it")
+      val written = BackupEngine.backupBatch(in, dir, PeriodFromFirst(periodMs))
+      assert(written.nonEmpty)
+      written.foreach { case (key, _) =>
+        val ts = RestoreEngine.readObjects(spark, dir, Seq(key))
+          .select("timestamp").as[Long].collect().sorted
+        ts.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b - a < periodMs, s"consecutive gap >= ${periodMs}ms in $key")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("property: every object is `}]`-terminated, plain and gzip") {
+    // reference BackupClientInterfaceTest.scala:275-303 requires every
+    // file BUT the in-flight last to end `}]`; the atomic writer here
+    // strengthens that to every file (SURVEY §7.3 divergence: no
+    // partial objects can exist)
+    val in = genRecords(300, seed = 21L)
+    val dir = tmpDir("prop-term")
+    val written = BackupEngine.backupBatch(in, dir, PeriodFromFirst(500L))
+    assert(written.size > 1)
+    written.foreach { case (key, _) =>
+      val s = java.nio.file.Files.readString(new java.io.File(dir, key).toPath)
+      assert(s.endsWith("}]"), s"object $key not }]-terminated")
+    }
+    val dirGz = tmpDir("prop-term-gz")
+    val writtenGz = BackupEngine.backupBatch(
+      in, dirGz, PeriodFromFirst(500L), compression = Some(Gzip))
+    writtenGz.foreach { case (key, _) =>
+      val gz = new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(new java.io.File(dirGz, key)))
+      val s = try new String(gz.readAllBytes(), "UTF-8") finally gz.close()
+      assert(s.endsWith("}]"), s"gzip object $key not }]-terminated after decode")
+    }
+  }
+
+  test("1-element backup round-trips (reference edge case)") {
+    // reference BackupClientInterfaceTest.scala:204-237
+    val one = ReducedConsumerRecord("t1", 0, 1, Some("a2V5"), "dmFsdWU=", 1700000000001L, 0)
+    val dir = tmpDir("prop-one")
+    val written = BackupEngine.backupBatch(wire(Seq(one)), dir, PeriodFromFirst(86400000L))
+    assert(written.size == 1 && written.head._2 == 1L)
+    assert(collectSorted(RestoreEngine.restore(spark, dir, Set("t1"))).toSeq ==
+      collectSorted(wire(Seq(one))).toSeq)
+  }
+
+  test("2-element backup with a 1ms period: one object per record (reference edge case)") {
+    // reference BackupClientInterfaceTest.scala:239-273
+    val recs = Seq(
+      ReducedConsumerRecord("t1", 0, 1, Some("a2V5"), "djE=", 1700000000001L, 0),
+      ReducedConsumerRecord("t1", 0, 2, Some("a2V5"), "djI=", 1700000000002L, 0))
+    val dir = tmpDir("prop-two")
+    val written = BackupEngine.backupBatch(wire(recs), dir, PeriodFromFirst(1L))
+    assert(written.size == 2, s"expected one object per record, got $written")
+    assert(written.map(_._2).sum == 2L)
+    assert(collectSorted(RestoreEngine.restore(spark, dir, Set("t1"))).toSeq ==
+      collectSorted(wire(recs)).toSeq)
+  }
+
   test("compaction: latest value per key (completes the reference's stub, SURVEY §2.9)") {
     val in = genRecords(300, seed = 15L).filter($"key".isNotNull)
     val compacted = graft.compact.CompactionEngine.latestPerKey(in)

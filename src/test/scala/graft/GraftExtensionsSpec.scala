@@ -47,15 +47,24 @@ class GraftExtensionsSpec extends SparkSuite {
       assert(cs.getDouble(0) == 1.0 && cs.getDouble(1) == 0.0)
       assert(cs.getDouble(2).isNaN && cs.getDouble(3).isNaN)
       // float arrays (the embeddings column type) work and agree with the
-      // double-widened sequential fold
-      val emb = s2.read.parquet(s"${SparkSuite.sf0001}/embeddings.parquet")
-        .limit(2).collect().map(_.getSeq[Float](1).toArray)
-      emb.foreach { v =>
-        val self = s2.sql(
-          s"SELECT cosine_similarity(e.embedding, e.embedding) FROM " +
-            s"parquet.`${SparkSuite.sf0001}/embeddings.parquet` e LIMIT 1").head().getDouble(0)
-        assert(math.abs(self - 1.0) < 1e-12)
+      // double-widened sequential fold computed on the driver from the
+      // same vectors (deterministic pick: the two lowest vec_ids)
+      val embRows = s2.read.parquet(s"${SparkSuite.sf0001}/embeddings.parquet")
+        .orderBy("vec_id").limit(2).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      val Array((idA, va), (idB, vb)) = embRows
+      def fold(x: Array[Double], y: Array[Double]): Double = {
+        var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+        d / (math.sqrt(nx) * math.sqrt(ny))
       }
+      val sqlCos = s2.sql(
+        s"""SELECT cosine_similarity(a.embedding, b.embedding)
+           |FROM parquet.`${SparkSuite.sf0001}/embeddings.parquet` a
+           |JOIN parquet.`${SparkSuite.sf0001}/embeddings.parquet` b
+           |ON a.vec_id = $idA AND b.vec_id = $idB""".stripMargin).head().getDouble(0)
+      assert(sqlCos == fold(va, vb),
+        s"SQL cosine $sqlCos != driver fold ${fold(va, vb)} for vec_ids ($idA, $idB)")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

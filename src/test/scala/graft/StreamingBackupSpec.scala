@@ -154,5 +154,18 @@ class StreamingBackupSpec extends SparkSuite {
     assert(keys.size == 2)
     val restored = RestoreEngine.restore(spark, dir, Set("t1"))
     assert(restored.count() == 40)
+    // merged-content equality across the codec change, not just counts
+    // (reference ConfigurationChangeRestartSpec.scala:53-180: the
+    // restored stream must equal the full input regardless of which
+    // codec each slice ended up with)
+    val expected = ((0L until 30L).map(i => rec(i, base + i * 1000)) ++
+      (30L until 40L).map(i => rec(i, nextHour + (i - 30) * 1000)))
+      .map(r => (r.topic, r.partition, r.offset, r.key, r.value, r.timestamp)).sorted
+    val got = restored
+      .select("topic", "partition", "offset", "key", "value", "timestamp")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        Option(r.getString(3)), r.getString(4), r.getLong(5))).toSeq.sorted
+    assert(got == expected, "restored content diverged from the input across the codec change")
   }
 }
