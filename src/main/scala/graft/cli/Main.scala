@@ -29,9 +29,12 @@ import java.time.temporal.ChronoUnit
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
   * chrono-unit,duration}`, `backup.compression.{type,level}`,
-  * `kafka-cluster.topics`, `restore.{from-when,override-topics}`).
-  * Precedence matches the reference's PureConfig+env layering:
-  * explicit flag > env var > config file > built-in default.
+  * `kafka-cluster.topics`, `restore.{from-when,override-topics}`,
+  * plus the S3 surface — `s3-headers.*`, `s3-config.data-bucket[-prefix]`,
+  * `pekko.connectors.s3.*` — translated to s3a options by [[S3Settings]];
+  * `s3-config.data-bucket` also serves as the default `--dir`/`--out`
+  * backup location). Precedence matches the reference's PureConfig+env
+  * layering: explicit flag > env var > config file > built-in default.
   */
 object Main {
   private def parseArgs(args: Seq[String]): Map[String, String] = {
@@ -144,8 +147,10 @@ object Main {
       }.toMap
     }.getOrElse(HoconConfig.subKeys(cfg, "restore.override-topics"))
 
-  private def session(): SparkSession = {
-    val s = SparkSession.builder()
+  private def session(cfg: Map[String, String] = Map.empty): SparkSession = {
+    val s3 = try S3Settings.hadoopConf(cfg)
+    catch { case e: IllegalArgumentException => die(e.getMessage) }
+    var b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
@@ -159,7 +164,10 @@ object Main {
       // constraint propagation quadratic-to-exponential; plans carry
       // explicit filters, so inferred constraints are expendable
       .config("spark.sql.constraintPropagation.enabled", "false")
-      .getOrCreate()
+    // the reference's S3 surface (ACLs, SSE, storage class, headers,
+    // endpoint/credentials) lands as s3a options on this session
+    s3.foreach { case (k, v) => b = b.config(s"spark.hadoop.$k", v) }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -169,10 +177,11 @@ object Main {
       val o = parseArgs(rest)
       val cfg = loadConfig(o)
       val in = o.getOrElse("in", die("--in <parquet> is required"))
-      val out = o.getOrElse("out", die("--out <dir> is required"))
+      val out = o.get("out").orElse(S3Settings.dataUri(cfg))
+        .getOrElse(die("--out <dir> is required"))
       val timeConf: TimeConfiguration = timeConfiguration(o, cfg)
       val (gzip, level) = compressionOf(o, cfg)
-      val spark = session()
+      val spark = session(cfg)
       val records = ReducedConsumerRecord.fromEvents(
         spark.read.parquet(in),
         topic = o.getOrElse("topic", "events"),
@@ -185,7 +194,8 @@ object Main {
     case "restore" :: rest =>
       val o = parseArgs(rest)
       val cfg = loadConfig(o)
-      val dir = o.getOrElse("dir", die("--dir <dir> is required"))
+      val dir = o.get("dir").orElse(S3Settings.dataUri(cfg))
+        .getOrElse(die("--dir <dir> is required"))
       val topics = resolved(o, cfg, "topics", "KAFKA_CLUSTER_TOPICS", "kafka-cluster.topics")
         .filter(_.nonEmpty)
         .getOrElse(die("--topics is required")).split(',').toSet
@@ -194,7 +204,7 @@ object Main {
         catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }
       }
       val overrides = overrideTopics(o, cfg)
-      val spark = session()
+      val spark = session(cfg)
       val df = RestoreEngine.restore(spark, dir, topics, fromWhen, overrides)
       o.get("out").foreach(p => df.write.mode("overwrite").parquet(p))
       val n = o.get("show").flatMap(_.toIntOption).getOrElse(20)
@@ -205,11 +215,12 @@ object Main {
     case "compact" :: rest =>
       val o = parseArgs(rest)
       val cfg = loadConfig(o)
-      val dir = o.getOrElse("dir", die("--dir <backupDir> is required"))
+      val dir = o.get("dir").orElse(S3Settings.dataUri(cfg))
+        .getOrElse(die("--dir <backupDir> is required"))
       val topics = resolved(o, cfg, "topics", "KAFKA_CLUSTER_TOPICS", "kafka-cluster.topics")
         .filter(_.nonEmpty)
         .getOrElse(die("--topics is required")).split(',').toSet
-      val spark = session()
+      val spark = session(cfg)
       val compacted = CompactionEngine.latestPerKey(
         RestoreEngine.restore(spark, dir, topics))
       o.get("out").foreach(p => compacted.write.mode("overwrite").parquet(p))
@@ -226,13 +237,14 @@ object Main {
       val o = parseArgs(rest)
       val cfg = loadConfig(o)
       val in = o.getOrElse("in", die("--in <parquetDir> is required"))
-      val out = o.getOrElse("out", die("--out <dir> is required"))
+      val out = o.get("out").orElse(S3Settings.dataUri(cfg))
+        .getOrElse(die("--out <dir> is required"))
       val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
       val unit = chronoUnit(resolved(o, cfg, "slice",
         "BACKUP_TIME_CONFIGURATION_CHRONO_UNIT", "backup.time-configuration.chrono-unit")
         .getOrElse("hours"))
       val (gzipOpt, _) = compressionOf(o, cfg)
-      val spark = session()
+      val spark = session(cfg)
       import org.apache.spark.sql.functions._
       val topic = o.getOrElse("topic", "events")
       val schema = spark.read.parquet(in).schema
@@ -262,7 +274,8 @@ object Main {
       // re-read; use batch restore for dirs still being appended to.
       val o = parseArgs(rest)
       val cfg = loadConfig(o)
-      val dir = o.getOrElse("dir", die("--dir <backupDir> is required"))
+      val dir = o.get("dir").orElse(S3Settings.dataUri(cfg))
+        .getOrElse(die("--dir <backupDir> is required"))
       val out = o.getOrElse("out", die("--out <parquetDir> is required"))
       val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
       val topics = resolved(o, cfg, "topics", "KAFKA_CLUSTER_TOPICS", "kafka-cluster.topics")
@@ -273,7 +286,7 @@ object Main {
         catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }
       }
       val overrides = overrideTopics(o, cfg)
-      val spark = session()
+      val spark = session(cfg)
       val records = graft.streaming.StreamingRestore.stream(
         spark, dir, topics, fromWhen, overrides)
       val q = records.writeStream

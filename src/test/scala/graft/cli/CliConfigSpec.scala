@@ -101,6 +101,54 @@ class CliConfigSpec extends AnyFunSuite {
     assert(Main.overrideTopics(Map("override-topics" -> "a:b"), cfg) == Map("a" -> "b"))
   }
 
+  test("S3 headers/connection config maps to s3a options with reference validation") {
+    val cfg = HoconConfig.parse(
+      """s3-headers = {
+        |    canned-acl = bucket-owner-full-control
+        |    storage-class = STANDARD_IA
+        |    server-side-encryption = { type = kms, key-id = "arn:aws:kms:k1" }
+        |    meta-headers { pipeline = graft }
+        |    custom-headers { Cache-Control = no-store }
+        |}
+        |pekko.connectors.s3 {
+        |    endpoint-url = "https://minio.local:9000"
+        |    path-style-access = true
+        |    aws { credentials { access-key-id = AK, secret-access-key = SK }
+        |          region { default-region = eu-north-1 } }
+        |    retry-settings { max-retries = 7, min-backoff = 200 millis }
+        |}
+        |s3-config = {
+        |    data-bucket = my-backups
+        |    data-bucket-prefix = prod/kafka
+        |}
+        |""".stripMargin, env = Map.empty)
+    val s3a = S3Settings.hadoopConf(cfg)
+    assert(s3a("fs.s3a.acl.default") == "BucketOwnerFullControl")
+    assert(s3a("fs.s3a.create.storage.class") == "standard_ia")
+    assert(s3a("fs.s3a.encryption.algorithm") == "SSE-KMS")
+    assert(s3a("fs.s3a.encryption.key") == "arn:aws:kms:k1")
+    assert(s3a("fs.s3a.create.header.x-amz-meta-pipeline") == "graft")
+    assert(s3a("fs.s3a.create.header.Cache-Control") == "no-store")
+    assert(s3a("fs.s3a.endpoint") == "https://minio.local:9000")
+    assert(s3a("fs.s3a.path.style.access") == "true")
+    assert(s3a("fs.s3a.access.key") == "AK" && s3a("fs.s3a.secret.key") == "SK")
+    assert(s3a("fs.s3a.endpoint.region") == "eu-north-1")
+    assert(s3a("fs.s3a.retry.limit") == "7")
+    assert(s3a("fs.s3a.retry.interval") == "200ms")
+    assert(S3Settings.dataUri(cfg).contains("s3a://my-backups/prod/kafka"))
+    // cross-field and enum validation, mirroring the reference's rules
+    def bad(extra: String): String =
+      intercept[IllegalArgumentException] {
+        S3Settings.hadoopConf(HoconConfig.parse(extra, env = Map.empty))
+      }.getMessage
+    assert(bad("s3-headers.canned-acl = sekrit").contains("authenticated-read"))
+    assert(bad("s3-headers.server-side-encryption.type = kms").contains("key-id"))
+    assert(bad("s3-headers.server-side-encryption = { type = rot13 }").contains("aes256"))
+    assert(bad("s3-config.error-restart-settings.max-restarts = 3")
+      .contains("max-restarts-within is missing"))
+    assert(S3Settings.hadoopConf(Map.empty) == Map.empty)
+  }
+
   test("type discriminator selects duration; HOCON durations parse") {
     val cfg = HoconConfig.parse(conf.replace(
       "type = chrono-unit-slice", "type = period-from-first"), env = Map.empty)
