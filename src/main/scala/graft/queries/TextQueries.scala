@@ -208,21 +208,20 @@ object TextQueries {
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     // Canonical order (df asc, gram asc) — the same comparator everywhere
     // makes "rarest first" a consistent global prefix order. The df join
-    // + (doc_id)-window form works at ANY vocabulary size; a broadcast-df
-    // + in-row-sort variant (collect dfreq, flatMap over the gram arrays)
-    // was measured ~1.7x SLOWER here despite two fewer exchanges — the
-    // typed-flatMap serialization boundary and the duplicated gram
-    // derivation cost more than the window's exchange + sort. The doc's
-    // gram count rides the SAME doc_id partitioning as the rank window
-    // (no sizes aggregate, no extra join or exchange).
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    // + doc-keyed collect_list + in-row array_sort/slice replaced an
+    // earlier row_number + count window pair over the same exchange:
+    // struct field order IS the canonical comparator, so one aggregate
+    // does the work of an exchange + sort + two windows — per self-join
+    // side, since Spark plans the pref subtree once per side. (A
+    // broadcast-df + typed-flatMap variant was measured ~1.7x slower
+    // still: the serialization boundary costs more than the shuffle.)
     val pref = grams.join(dfreq, "g")
-      .withColumn("pos", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .filter(col("pos") <= floor(col("n") * lit(0.2)) + lit(1))
-      .select(col("doc_id"), col("g"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("g"))).as("pairs"))
+      .select(col("doc_id"),
+        explode(expr(
+          "slice(array_sort(pairs), 1, cast(floor(size(pairs) * 0.2) as int) + 1).g"))
+          .as("g"))
     // candidate pairs: BOTH sides are prefixes (the classic both-prefix
     // theorem: the smallest shared gram in canonical order must sit
     // inside each doc's prefix — if it were outside A's prefix, A's
