@@ -98,6 +98,10 @@ object SparkEntry {
     "p_mix_order" -> (TextQueries.mixOrder _),
     "d_edit_dist" -> (TextQueries.editDistancePairs _),
     "p_sample_stratified" -> (TextQueries.stratifiedSample _),
+    "p_split_assign" -> (TextQueries.splitAssign _),
+    "d_dedup_best" -> (TextQueries.dedupBest _),
+    "d_overlap_matrix" -> (TextQueries.overlapMatrix _),
+    "t_ngram_lm" -> (TextQueries.ngramLm _),
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
@@ -903,6 +907,89 @@ object SparkEntry {
           |SELECT doc_id, source, bucket FROM b
           |WHERE bucket < CASE WHEN source IN ('src0','src1','src2','src3') THEN 50 ELSE 10 END
           |ORDER BY doc_id""".stripMargin,
+      "p_split_assign" ->
+        """WITH b AS (
+          |  SELECT doc_id, source,
+          |         list_reduce(list_transform(range(1, 9),
+          |           i -> (strpos('0123456789abcdef',
+          |                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+          |           (a, b) -> a * 16 + b) % 100 AS bucket
+          |  FROM documents)
+          |SELECT doc_id, source,
+          |       CASE WHEN bucket < 80 THEN 'train'
+          |            WHEN bucket < 90 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM b ORDER BY doc_id""".stripMargin,
+      // same recursive-CTE components as d_dup_clusters, then the
+      // highest-alpha member (ties -> lowest id) represents each cluster
+      "d_dedup_best" ->
+        """WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          |dup AS (
+          |  SELECT id1, id2
+          |  FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+          |edges AS (SELECT id1 AS a, id2 AS b FROM dup UNION ALL SELECT id2, id1 FROM dup),
+          |reach(node, lbl) AS (
+          |  SELECT a, a FROM edges
+          |  UNION
+          |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+          |clus AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+          |q AS (SELECT doc_id,
+          |             CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / n_chars AS alpha_ratio
+          |      FROM documents),
+          |r AS (SELECT c.cluster_id, c.doc_id, q.alpha_ratio,
+          |             row_number() OVER (PARTITION BY c.cluster_id
+          |                                ORDER BY q.alpha_ratio DESC, c.doc_id) AS rn,
+          |             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+          |      FROM clus c JOIN q USING (doc_id))
+          |SELECT cluster_id, doc_id AS keep_id,
+          |       CAST(n_members AS BIGINT) AS n_members,
+          |       round(alpha_ratio, 6) AS best_alpha
+          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+      // exact >= 0.8 pairs folded to an upper-triangular source matrix
+      "d_overlap_matrix" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          |dup AS (
+          |  SELECT id1, id2
+          |  FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8)
+          |SELECT least(d1.source, d2.source) AS src_a,
+          |       greatest(d1.source, d2.source) AS src_b,
+          |       count(*) AS n_pairs
+          |FROM dup JOIN documents d1 ON d1.doc_id = id1
+          |         JOIN documents d2 ON d2.doc_id = id2
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // add-one-smoothed bigram log-probabilities; history counts come
+      // from the bigram table so both engines share one definition
+      "t_ngram_lm" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |b AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+          |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+          |v AS (SELECT count(DISTINCT tok) AS vsize
+          |      FROM (SELECT UNNEST(w) AS tok FROM toks)),
+          |s AS (SELECT doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v.vsize)) AS logp
+          |      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+          |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
+          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
       "p_clean_corpus" ->
         """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
           |grams AS (

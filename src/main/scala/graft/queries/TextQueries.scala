@@ -695,6 +695,105 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split assignment: the same
+    * md5-derived bucket as [[stratifiedSample]] (retry/speculation-safe,
+    * replayable in SQL) cut at 80/90 — every engine that hashes the
+    * same doc_id agrees on the split forever, the property a training
+    * pipeline needs when the corpus is rebuilt incrementally. Pure
+    * per-row column algebra: zero shuffles before the output sort.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket", sampleBucket(col("doc_id")))
+      .select(col("doc_id"), col("source"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** Canonical-representative selection per near-duplicate cluster:
+    * dedup keeps the HIGHEST-QUALITY member (alpha ratio, ties to the
+    * lowest id), not an arbitrary one — the curation policy real
+    * pipelines want when boilerplate-heavy copies score lower than the
+    * original. Clusters come from the LSH pipeline ([[dupClusters]]);
+    * the argmax is one struct-max aggregate with k-independent map-side
+    * partials, so the shuffle carries one row per cluster per map
+    * partition. The (alpha desc, id asc) struct order is total — no
+    * partition-order dependence.
+    */
+  def dedupBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir)
+    val quality = docs(spark, dir).select(col("doc_id"),
+      (size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0)))
+        .cast(DoubleType) / col("n_chars")).as("alpha_ratio"))
+    // clusters are output-scale (duplicate docs only): broadcast them
+    // into the corpus-scale quality scan — no corpus shuffle
+    broadcast(clusters).join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("alpha_ratio"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("keep_id"),
+        col("n_members"),
+        round(col("best.alpha_ratio"), 6).as("best_alpha"))
+      .orderBy("cluster_id")
+  }
+
+  /** Cross-source near-duplicate leakage matrix: how many >= 0.8
+    * Jaccard pairs straddle each (source, source) combination — the
+    * audit that catches a "held-out" slice contaminated by another
+    * ingest feed. Pairs come from the LSH pipeline (exact-verified, so
+    * the oracle replays exact SQL); they are output-scale and broadcast
+    * into the doc->source lookups, so the corpus is never shuffled.
+    * Pair direction folds with least/greatest: the matrix is upper-
+    * triangular including the diagonal (intra-source dups).
+    */
+  def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("id1", "id2")
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    broadcast(pairs)
+      .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), "id2")
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Bigram language-model scoring — the classic perplexity proxy
+    * without an external model: corpus bigram/history counts with
+    * add-one smoothing give each doc its mean log-probability
+    * `avg ln((c(w1,w2)+1) / (c(w1·)+V))`; unusually improbable token
+    * sequences (mojibake, shuffled text, spam) score far below the
+    * corpus norm. Scale shape: the counts tables are vocab-bounded
+    * aggregates; scoring is two shuffle joins keyed on the bigram and
+    * its history — the standard count-then-join LM pipeline, nothing
+    * corpus-quadratic. The vocab size rides a broadcast 1-row
+    * aggregate (constant-key hash join, not a cartesian).
+    */
+  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "w1")))
+    val bigrams = toks
+      .withColumn("w2", lead("w1", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select("doc_id", "w1", "w2")
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct("w1").as("vsize")).withColumn("k", lit(1))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("k", lit(1))
+      .join(broadcast(vocab), "k")
+      .select(col("doc_id"),
+        log((col("c2") + lit(1.0)) / (col("c1") + col("vsize"))).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Training sequence packing: concatenate each source's docs in id
     * order and chunk every `budget` tokens — the standard "concatenate
     * and split" packing that turns a filtered corpus into fixed-budget

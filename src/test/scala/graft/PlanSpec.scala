@@ -222,7 +222,11 @@ class PlanSpec extends SparkSuite {
     // first broadcasts the one-row min-timestamp anchor (W1) into the
     // record scan; s_cosine_expr all-pairs both sides filtered to
     // vec_id < 50 at the scan (the expression-parity proof query).
-    val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr")
+    // allowed: joins whose build side is a 1-row aggregate (vocab size,
+    // global counts) — a nested loop over one row is a broadcast scalar,
+    // not a scale hazard
+    val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr",
+      "t_ngram_lm")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -246,6 +250,16 @@ class PlanSpec extends SparkSuite {
       "d_dedup_keep" -> 1, "d_df_prune" -> 0, "d_dup_by_source" -> 2,
       "d_dup_clusters" -> 0, "d_dup_clusters_lp" -> 0, "d_edit_dist" -> 0,
       "d_embed_neardup" -> 0,
+      // cluster argmax: clusters broadcast into the quality scan, one
+      // aggregate exchange
+      "d_dedup_best" -> 1,
+      // LSH candidate subtree (3) + the source-matrix aggregate
+      "d_overlap_matrix" -> 4,
+      // bigram window + two counts tables + two scoring joins + per-doc
+      // aggregate — the classic count-then-join LM pipeline; every
+      // exchange is vocab- or doc-keyed, nothing corpus-quadratic
+      "t_ngram_lm" -> 6,
+      "p_split_assign" -> 0,
       // both-prefix ssjoin: 4 exchanges but each carries a 0.2-sized
       // prefix table — the single-prefix form's 2 exchanges included
       // shuffling the FULL gram table into the candidate join (count

@@ -149,6 +149,54 @@ class TextOpsSpec extends SparkSuite {
     assert(edShuffle == edBroadcast)
   }
 
+  test("dedup-best keeps the max-alpha member; overlap matrix sums to the pair count") {
+    val clusters = TextQueries.dupClusters(spark, sf).as[(Long, Long)].collect()
+    val best = TextQueries.dedupBest(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(best.nonEmpty)
+    val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    best.foreach { case (cid, keepId, n, _) =>
+      assert(members(cid).contains(keepId), s"rep $keepId not in cluster $cid")
+      assert(members(cid).size.toLong == n)
+    }
+    assert(best.map(_._3).sum == clusters.length.toLong)
+    val nPairs = TextQueries.minhashLsh(spark, sf).count()
+    val matrix = TextQueries.overlapMatrix(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(matrix.map(_._3).sum == nPairs, "matrix must partition the pair set")
+    matrix.foreach { case (a, b, _) => assert(a <= b, "matrix must be upper-triangular") }
+  }
+
+  test("split assignment is deterministic and disjoint from nothing") {
+    val s1 = TextQueries.splitAssign(spark, sf).as[(Long, String, String)].collect()
+    val s2 = TextQueries.splitAssign(spark, sf).as[(Long, String, String)].collect()
+    assert(s1.toSeq == s2.toSeq, "same ids must always land in the same split")
+    val bySplit = s1.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    assert(s1.length == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("bigram LM scores match a driver-side replay on one doc") {
+    val docsTxt = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val allBigrams = docsTxt.values.toSeq.flatMap { t =>
+      val w = t.trim.split(" ", -1); w.zip(w.drop(1))
+    }
+    val c2 = allBigrams.groupBy(identity).view.mapValues(_.length).toMap
+    val c1 = allBigrams.groupBy(_._1).view.mapValues(_.length).toMap
+    val vocab = docsTxt.values.toSeq.flatMap(_.trim.split(" ", -1)).distinct.length
+    val got = TextQueries.ngramLm(spark, sf).as[(Long, Long, Double)].collect()
+    assert(got.length == docsTxt.size) // every doc has >= 2 tokens here
+    got.take(5).foreach { case (id, n, avgLogp) =>
+      val w = docsTxt(id).trim.split(" ", -1)
+      val bs = w.zip(w.drop(1))
+      assert(bs.length.toLong == n)
+      val expect = bs.map(b => math.log((c2(b) + 1.0) / (c1(b._1) + vocab))).sum / bs.length
+      assert(math.abs(expect - avgLogp) < 1e-6, s"doc $id: $expect vs $avgLogp")
+    }
+  }
+
   test("top terms are distinct-per-doc doc frequencies") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
