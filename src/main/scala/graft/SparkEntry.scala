@@ -102,6 +102,7 @@ object SparkEntry {
     "d_dedup_best" -> (TextQueries.dedupBest _),
     "d_overlap_matrix" -> (TextQueries.overlapMatrix _),
     "t_ngram_lm" -> (TextQueries.ngramLm _),
+    "d_containment" -> (TextQueries.containment _),
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
@@ -975,6 +976,21 @@ object SparkEntry {
           |FROM dup JOIN documents d1 ON d1.doc_id = id1
           |         JOIN documents d2 ON d2.doc_id = id2
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "d_containment" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1)
+          |SELECT id1, id2,
+          |       CAST(inter AS DOUBLE) / least(s1.n, s2.n) AS containment
+          |FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |WHERE CAST(inter AS DOUBLE) / least(s1.n, s2.n) >= 0.9
+          |ORDER BY id1, id2""".stripMargin,
       // add-one-smoothed bigram log-probabilities; history counts come
       // from the bigram table so both engines share one definition
       "t_ngram_lm" ->

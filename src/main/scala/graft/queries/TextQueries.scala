@@ -177,6 +177,31 @@ object TextQueries {
       sizes)
   }
 
+  /** Asymmetric containment join: pairs where the smaller doc's gram
+    * set is >= 90% inside the other's (overlap coefficient
+    * `inter / min(|A|,|B|)`). Symmetric Jaccard misses these — a
+    * paragraph quoted inside a much longer doc has tiny Jaccard but
+    * containment ~1 — and they are exactly the quote/snippet
+    * duplication a corpus curator wants surfaced. Same sparse
+    * inverted-index join as [[ngramJaccard]] (only docs sharing a gram
+    * pair), different acceptance predicate.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val (grams, sizes) = gramTables(spark, dir)
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("id1"), col("n").as("n1"))), "id1")
+      .join(broadcast(sizes.select(col("doc_id").as("id2"), col("n").as("n2"))), "id2")
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / least(col("n1"), col("n2")))
+      .filter(col("containment") >= 0.9)
+      .select("id1", "id2", "containment")
+      .orderBy("id1", "id2")
+  }
+
   private def jaccardOfPairs(
       inter: DataFrame, sizes: DataFrame,
       hint: DataFrame => DataFrame = broadcast): DataFrame = {

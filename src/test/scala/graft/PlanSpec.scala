@@ -253,6 +253,8 @@ class PlanSpec extends SparkSuite {
       // cluster argmax: clusters broadcast into the quality scan, one
       // aggregate exchange
       "d_dedup_best" -> 1,
+      // same inverted-index join shape as d_ngram_jaccard
+      "d_containment" -> 3,
       // LSH candidate subtree (3) + the source-matrix aggregate
       "d_overlap_matrix" -> 4,
       // bigram window + two counts tables + two scoring joins + per-doc
