@@ -100,8 +100,13 @@ object TextQueries {
     */
   def dupClustersLabelProp(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select("id1", "id2")
+    // every propagation round joins `edges`; without materialization
+    // each round re-executes the whole LSH + verify subtree (measured:
+    // the rounds dominated this operator's wall clock). The cache is
+    // released with the last round's label cache below.
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
     var prevCache: Option[DataFrame] = None
@@ -131,6 +136,7 @@ object TextQueries {
       // components are dense (diameter of a few), so hitting this cap
       // means a pathological graph or a bug.
       prevCache.foreach(_.unpersist())
+      edges.unpersist()
       throw new IllegalStateException(
         s"label propagation did not converge after $rounds rounds ($changed labels still changing)")
     }
@@ -139,6 +145,7 @@ object TextQueries {
     // materialize before releasing the last round's cache
     val rows = out.collect()
     prevCache.foreach(_.unpersist())
+    edges.unpersist()
     import spark.implicits._
     rows.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("doc_id", "cluster_id")
       .orderBy("doc_id")
