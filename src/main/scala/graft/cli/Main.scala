@@ -95,20 +95,41 @@ object Main {
     * still means period-from-first (the pre-config CLI contract).
     */
   private[cli] def timeConfiguration(
-      o: Map[String, String], cfg: Map[String, String]): TimeConfiguration = {
+      o: Map[String, String], cfg: Map[String, String],
+      env: Map[String, String] = sys.env): TimeConfiguration = {
     if (o.contains("slice") && o.contains("period-from-first"))
       die("--slice and --period-from-first are mutually exclusive")
-    val slice = resolved(o, cfg, "slice",
-      "BACKUP_TIME_CONFIGURATION_CHRONO_UNIT", "backup.time-configuration.chrono-unit")
-    val period = resolved(o, cfg, "period-from-first",
-      "BACKUP_TIME_CONFIGURATION_DURATION", "backup.time-configuration.duration")
+    val slice = o.get("slice")
+      .orElse(env.get("BACKUP_TIME_CONFIGURATION_CHRONO_UNIT"))
+      .orElse(cfg.get("backup.time-configuration.chrono-unit"))
+    val period = o.get("period-from-first")
+      .orElse(env.get("BACKUP_TIME_CONFIGURATION_DURATION"))
+      .orElse(cfg.get("backup.time-configuration.duration"))
+    // type resolution: flags imply it; else the explicit type key (env
+    // then file); else infer from which VALUES were explicitly given —
+    // both env values without a type is ambiguous (the pre-config CLI
+    // died here; keep dying), a lone env duration keeps meaning
+    // period-from-first even when a config file carries the reference's
+    // always-present chrono-unit default, and a file with only a
+    // duration infers period-from-first too.
     val tcType =
       if (o.contains("period-from-first")) "period-from-first"
       else if (o.contains("slice")) "chrono-unit-slice"
-      else sys.env.get("BACKUP_TIME_CONFIGURATION_TYPE")
+      else env.get("BACKUP_TIME_CONFIGURATION_TYPE")
         .orElse(cfg.get("backup.time-configuration.type"))
-        .getOrElse(if (period.isDefined && slice.isEmpty) "period-from-first"
-                   else "chrono-unit-slice")
+        .getOrElse {
+          val envPeriod = env.contains("BACKUP_TIME_CONFIGURATION_DURATION")
+          val envSlice = env.contains("BACKUP_TIME_CONFIGURATION_CHRONO_UNIT")
+          if (envPeriod && envSlice)
+            die("both BACKUP_TIME_CONFIGURATION_DURATION and " +
+              "BACKUP_TIME_CONFIGURATION_CHRONO_UNIT are set; set " +
+              "BACKUP_TIME_CONFIGURATION_TYPE to disambiguate")
+          else if (envPeriod) "period-from-first"
+          else if (envSlice) "chrono-unit-slice"
+          else if (cfg.contains("backup.time-configuration.duration") &&
+            !cfg.contains("backup.time-configuration.chrono-unit")) "period-from-first"
+          else "chrono-unit-slice"
+        }
     tcType match {
       case "period-from-first" =>
         val d = period.getOrElse(die("period-from-first needs a duration"))
@@ -137,8 +158,9 @@ object Main {
   }
 
   private[cli] def overrideTopics(
-      o: Map[String, String], cfg: Map[String, String]): Map[String, String] =
-    optEnv(o, "override-topics", "RESTORE_OVERRIDE_TOPICS").map { s =>
+      o: Map[String, String], cfg: Map[String, String],
+      env: Map[String, String] = sys.env): Map[String, String] =
+    o.get("override-topics").orElse(env.get("RESTORE_OVERRIDE_TOPICS")).map { s =>
       s.split(',').map { kv =>
         kv.split(':') match {
           case Array(k, v) => k -> v
@@ -146,6 +168,23 @@ object Main {
         }
       }.toMap
     }.getOrElse(HoconConfig.subKeys(cfg, "restore.override-topics"))
+
+  /** Topic set, flag > env > config file; `required` controls whether an
+    * empty resolution dies (batch restore/compact) or means "all topics"
+    * (stream-restore). */
+  private def topicsOf(
+      o: Map[String, String], cfg: Map[String, String], required: Boolean): Set[String] =
+    resolved(o, cfg, "topics", "KAFKA_CLUSTER_TOPICS", "kafka-cluster.topics")
+      .filter(_.nonEmpty)
+      .map(_.split(',').toSet)
+      .getOrElse(if (required) die("--topics is required") else Set.empty)
+
+  private def fromWhenOf(
+      o: Map[String, String], cfg: Map[String, String]): Option[OffsetDateTime] =
+    resolved(o, cfg, "from-when", "RESTORE_FROM_WHEN", "restore.from-when").map { s =>
+      try OffsetDateTime.parse(s)
+      catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }
+    }
 
   private def session(cfg: Map[String, String] = Map.empty): SparkSession = {
     val s3 = try S3Settings.hadoopConf(cfg)
@@ -196,13 +235,8 @@ object Main {
       val cfg = loadConfig(o)
       val dir = o.get("dir").orElse(S3Settings.dataUri(cfg))
         .getOrElse(die("--dir <dir> is required"))
-      val topics = resolved(o, cfg, "topics", "KAFKA_CLUSTER_TOPICS", "kafka-cluster.topics")
-        .filter(_.nonEmpty)
-        .getOrElse(die("--topics is required")).split(',').toSet
-      val fromWhen = resolved(o, cfg, "from-when", "RESTORE_FROM_WHEN", "restore.from-when").map { s =>
-        try OffsetDateTime.parse(s)
-        catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }
-      }
+      val topics = topicsOf(o, cfg, required = true)
+      val fromWhen = fromWhenOf(o, cfg)
       val overrides = overrideTopics(o, cfg)
       val spark = session(cfg)
       val df = RestoreEngine.restore(spark, dir, topics, fromWhen, overrides)
@@ -217,9 +251,7 @@ object Main {
       val cfg = loadConfig(o)
       val dir = o.get("dir").orElse(S3Settings.dataUri(cfg))
         .getOrElse(die("--dir <backupDir> is required"))
-      val topics = resolved(o, cfg, "topics", "KAFKA_CLUSTER_TOPICS", "kafka-cluster.topics")
-        .filter(_.nonEmpty)
-        .getOrElse(die("--topics is required")).split(',').toSet
+      val topics = topicsOf(o, cfg, required = true)
       val spark = session(cfg)
       val compacted = CompactionEngine.latestPerKey(
         RestoreEngine.restore(spark, dir, topics))
@@ -278,13 +310,8 @@ object Main {
         .getOrElse(die("--dir <backupDir> is required"))
       val out = o.getOrElse("out", die("--out <parquetDir> is required"))
       val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
-      val topics = resolved(o, cfg, "topics", "KAFKA_CLUSTER_TOPICS", "kafka-cluster.topics")
-        .filter(_.nonEmpty)
-        .map(_.split(',').toSet).getOrElse(Set.empty)
-      val fromWhen = resolved(o, cfg, "from-when", "RESTORE_FROM_WHEN", "restore.from-when").map { s =>
-        try OffsetDateTime.parse(s)
-        catch { case _: Exception => die(s"--from-when must be ISO_OFFSET_DATE_TIME, got '$s'") }
-      }
+      val topics = topicsOf(o, cfg, required = false)
+      val fromWhen = fromWhenOf(o, cfg)
       val overrides = overrideTopics(o, cfg)
       val spark = session(cfg)
       val records = graft.streaming.StreamingRestore.stream(

@@ -103,7 +103,9 @@ object S3Settings {
     cfg.get(s"$conn.aws.region.default-region").foreach(out += "fs.s3a.endpoint.region" -> _)
     cfg.get(s"$conn.retry-settings.max-retries").foreach(out += "fs.s3a.retry.limit" -> _)
     cfg.get(s"$conn.retry-settings.min-backoff").foreach { d =>
-      HoconConfig.durationMs(d).foreach(ms => out += "fs.s3a.retry.interval" -> s"${ms}ms")
+      val ms = HoconConfig.durationMs(d).getOrElse(
+        fail(s"retry-settings.min-backoff: cannot parse duration '$d'"))
+      out += "fs.s3a.retry.interval" -> s"${ms}ms"
     }
 
     // reference cross-field rule (Config.scala:117-131): max-restarts

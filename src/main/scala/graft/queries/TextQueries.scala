@@ -176,13 +176,17 @@ object TextQueries {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val (grams, sizes) = gramTables(spark, dir)
-    jaccardOfPairs(
-      grams.as("a").join(grams.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("inter")),
-      sizes)
+    jaccardOfPairs(interPairs(grams), sizes)
   }
+
+  /** Shared-gram pair intersection counts via the inverted-index
+    * self-join — the candidate kernel of every exact similarity join
+    * here (Jaccard, containment). */
+  private def interPairs(grams: DataFrame): DataFrame =
+    grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
 
   /** Asymmetric containment join: pairs where the smaller doc's gram
     * set is >= 90% inside the other's (overlap coefficient
@@ -195,11 +199,7 @@ object TextQueries {
     */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val (grams, sizes) = gramTables(spark, dir)
-    val inter = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+    interPairs(grams)
       .join(broadcast(sizes.select(col("doc_id").as("id1"), col("n").as("n1"))), "id1")
       .join(broadcast(sizes.select(col("doc_id").as("id2"), col("n").as("n2"))), "id2")
       .withColumn("containment",
@@ -676,13 +676,19 @@ object TextQueries {
     // pairs are usually output-scale (broadcast them, text joins become
     // broadcast-hash), but a duplicate-flooded corpus can make them
     // corpus-scale — then the pairs stay distributed and the text joins
-    // shuffle on doc id instead.
+    // shuffle on doc id instead. The persist keeps the overflow probe
+    // from re-running the whole LSH+verify pipeline a second time in
+    // the distributed branch; that branch deliberately leaves it
+    // persisted (its plan still references the pairs — releasing now
+    // would just re-trigger the recompute the persist exists to stop).
+    val probed = verified.persist()
     val capped = math.min(maxCollect + 1, Int.MaxValue.toLong).toInt
-    val pairRows = verified.limit(capped).as[(Long, Long)].collect()
-    if (pairRows.length <= maxCollect)
+    val pairRows = probed.limit(capped).as[(Long, Long)].collect()
+    if (pairRows.length <= maxCollect) {
+      probed.unpersist()
       score(broadcast(pairRows.toSeq.toDF("id1", "id2")))
-    else
-      score(verified)
+    } else
+      score(probed)
   }
 
   /** Per-source corpus statistics — the profiling pass every ingest runs
@@ -780,16 +786,30 @@ object TextQueries {
     * Pair direction folds with least/greatest: the matrix is upper-
     * triangular including the diagonal (intra-source dups).
     */
-  def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select("id1", "id2")
+  def overlapMatrix(spark: SparkSession, dir: String): DataFrame =
+    overlapMatrixImpl(spark, dir, maxDriverPairs)
+
+  /** [[overlapMatrix]] with the driver-collect cap exposed for the
+    * forced-distributed-branch test. */
+  private[graft] def overlapMatrixImpl(
+      spark: SparkSession, dir: String, maxCollect: Long): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLshImpl(spark, dir, maxCollect).select("id1", "id2")
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
-    broadcast(pairs)
+    def fold(p: DataFrame): DataFrame = p
       .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
       .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), "id2")
       .select(least(col("s1"), col("s2")).as("src_a"),
         greatest(col("s1"), col("s2")).as("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
       .orderBy("src_a", "src_b")
+    // same driver-budget guard as the LSH collect: a forced broadcast
+    // of a corpus-scale pair set would collect to the driver and undo
+    // exactly what the minhashLsh fallback protected against
+    val capped = math.min(maxCollect + 1, Int.MaxValue.toLong).toInt
+    val rows = pairs.limit(capped).as[(Long, Long)].collect()
+    if (rows.length <= maxCollect) fold(broadcast(rows.toSeq.toDF("id1", "id2")))
+    else fold(pairs)
   }
 
   /** Bigram language-model scoring — the classic perplexity proxy

@@ -147,6 +147,11 @@ class TextOpsSpec extends SparkSuite {
     val edShuffle = TextQueries.editDistancePairsImpl(spark, sf, 0L)
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(edShuffle == edBroadcast)
+    val omBroadcast = TextQueries.overlapMatrix(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    val omShuffle = TextQueries.overlapMatrixImpl(spark, sf, 0L)
+      .as[(String, String, Long)].collect().toSeq
+    assert(omShuffle == omBroadcast)
   }
 
   test("dedup-best keeps the max-alpha member; overlap matrix sums to the pair count") {

@@ -84,21 +84,21 @@ class CliConfigSpec extends AnyFunSuite {
     Files.write(f, conf.getBytes(StandardCharsets.UTF_8))
     try {
       val cfg = HoconConfig.parseFile(f.toString, env = Map.empty)
-      assert(Main.timeConfiguration(Map.empty, cfg) == ChronoUnitSlice(ChronoUnit.MINUTES))
+      assert(Main.timeConfiguration(Map.empty, cfg, env = Map.empty) == ChronoUnitSlice(ChronoUnit.MINUTES))
       assert(Main.compressionOf(Map.empty, cfg) == (Some(Gzip), Some(6)))
-      assert(Main.overrideTopics(Map.empty, cfg) == Map("events" -> "events-replayed"))
+      assert(Main.overrideTopics(Map.empty, cfg, env = Map.empty) == Map("events" -> "events-replayed"))
     } finally Files.delete(f)
   }
 
   test("explicit flags outrank the config file") {
     val cfg = HoconConfig.parse(conf, env = Map.empty)
-    assert(Main.timeConfiguration(Map("slice" -> "days"), cfg) ==
+    assert(Main.timeConfiguration(Map("slice" -> "days"), cfg, env = Map.empty) ==
       ChronoUnitSlice(ChronoUnit.DAYS))
     // a period flag flips the discriminator even though the file says
     // chrono-unit-slice (flag implies type, the reference CLI contract)
-    assert(Main.timeConfiguration(Map("period-from-first" -> "60000"), cfg) ==
+    assert(Main.timeConfiguration(Map("period-from-first" -> "60000"), cfg, env = Map.empty) ==
       PeriodFromFirst(60000L))
-    assert(Main.overrideTopics(Map("override-topics" -> "a:b"), cfg) == Map("a" -> "b"))
+    assert(Main.overrideTopics(Map("override-topics" -> "a:b"), cfg, env = Map.empty) == Map("a" -> "b"))
   }
 
   test("S3 headers/connection config maps to s3a options with reference validation") {
@@ -149,10 +149,26 @@ class CliConfigSpec extends AnyFunSuite {
     assert(S3Settings.hadoopConf(Map.empty) == Map.empty)
   }
 
+  test("env layering: type override wins; a lone env duration means period-from-first") {
+    val cfg = HoconConfig.parse(conf, env = Map.empty)
+    // env type flips the discriminator over the file's chrono-unit-slice
+    assert(Main.timeConfiguration(Map.empty, cfg,
+      env = Map("BACKUP_TIME_CONFIGURATION_TYPE" -> "period-from-first")) ==
+      PeriodFromFirst(3600000L))
+    // without any type key, an explicit env duration keeps the
+    // pre-config CLI contract even though the file carries the
+    // reference's always-present chrono-unit default
+    val cfgNoType = HoconConfig.parse(conf.linesIterator
+      .filterNot(_.trim.startsWith("type")).mkString("\n"), env = Map.empty)
+    assert(Main.timeConfiguration(Map.empty, cfgNoType,
+      env = Map("BACKUP_TIME_CONFIGURATION_DURATION" -> "10 seconds")) ==
+      PeriodFromFirst(10000L))
+  }
+
   test("type discriminator selects duration; HOCON durations parse") {
     val cfg = HoconConfig.parse(conf.replace(
       "type = chrono-unit-slice", "type = period-from-first"), env = Map.empty)
-    assert(Main.timeConfiguration(Map.empty, cfg) == PeriodFromFirst(3600000L))
+    assert(Main.timeConfiguration(Map.empty, cfg, env = Map.empty) == PeriodFromFirst(3600000L))
     assert(HoconConfig.durationMs("500 millis").contains(500L))
     assert(HoconConfig.durationMs("10 seconds").contains(10000L))
     assert(HoconConfig.durationMs("2 days").contains(172800000L))
