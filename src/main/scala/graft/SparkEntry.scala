@@ -103,6 +103,7 @@ object SparkEntry {
     "d_overlap_matrix" -> (TextQueries.overlapMatrix _),
     "t_ngram_lm" -> (TextQueries.ngramLm _),
     "d_containment" -> (TextQueries.containment _),
+    "d_dedup_incremental" -> (TextQueries.dedupIncremental _),
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
@@ -991,6 +992,25 @@ object SparkEntry {
           |FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
           |WHERE CAST(inter AS DOUBLE) / least(s1.n, s2.n) >= 0.9
           |ORDER BY id1, id2""".stripMargin,
+      // exact >= 0.8 pairs restricted to new-batch x existing-corpus;
+      // no id ordering — every corpus match of a new doc reports
+      "d_dedup_incremental" ->
+        """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS inter
+          |  FROM grams n JOIN grams o ON n.g = o.g
+          |  WHERE n.source = 'src12' AND o.source <> 'src12'
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1)
+          |SELECT new_id, old_id,
+          |       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+          |FROM pair JOIN sizes s1 ON s1.doc_id = new_id
+          |          JOIN sizes s2 ON s2.doc_id = old_id
+          |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+          |ORDER BY new_id, old_id""".stripMargin,
       // add-one-smoothed bigram log-probabilities; history counts come
       // from the bigram table so both engines share one definition
       "t_ngram_lm" ->

@@ -303,6 +303,67 @@ object TextQueries {
     * driver. */
   private[graft] val maxDriverPairs = 4000000L
 
+  /** Per-doc MinHash band hashes as narrow (doc_id, band, bh) rows —
+    * the LSH index representation, built in one tight per-row loop
+    * (grams never leave the row; see [[minhashLshImpl]] for why this
+    * beats both the flat-column and typed-udaf forms). Shared by the
+    * self-join dedup and the incremental new-vs-corpus probe. */
+  private def bandedSignatures(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .select(col("doc_id"), graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, gs) =>
+          if (gs.isEmpty) Iterator.empty // parity: gram-less docs were never banded
+          else {
+            val sig = graft.functions.MinHashAggregator.zero
+            gs.foreach { g =>
+              graft.functions.MinHashAggregator.reduce(sig, graft.functions.TextFunctions.fnv64(g))
+            }
+            val bh = graft.functions.MinHashBandAggregator.finish(sig)
+            bh.indices.iterator.map(b => (id, b, bh(b)))
+          }
+        }
+      }.toDF("doc_id", "band", "bh")
+  }
+
+  /** Incremental dedup — the production ingest flow: dedup a NEW batch
+    * against the EXISTING corpus without re-pairing the corpus with
+    * itself. Band hashes are built per side and joined new-vs-old only
+    * (an index probe, not a self-join: no old-old pair is ever
+    * generated, which is the entire cost at 100 TB where the corpus
+    * dwarfs the daily batch). Candidates verify exactly via in-row
+    * array_intersect on the gram arrays; output is every (new, old)
+    * pair at >= 0.8 Jaccard, no id ordering constraint — a new doc
+    * matching three corpus docs reports all three. `src12` plays the
+    * incoming batch on the fixture tables.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val newSide = d.filter(col("source") === "src12")
+    val oldSide = d.filter(col("source") =!= "src12")
+    val cand = bandedSignatures(newSide).as("x")
+      .join(bandedSignatures(oldSide).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+      .distinct()
+    def gsOf(side: DataFrame, idName: String, gsName: String): DataFrame =
+      side.select(col("doc_id").as(idName),
+        graft.functions.WordNGrams.word_ngrams(col("text"), 3).as(gsName))
+    val j = col("inter").cast(DoubleType) /
+      (size(col("gs_new")) + size(col("gs_old")) - col("inter"))
+    cand
+      .join(gsOf(newSide, "new_id", "gs_new"), "new_id")
+      .join(gsOf(oldSide, "old_id", "gs_old"), "old_id")
+      .withColumn("inter", size(array_intersect(col("gs_new"), col("gs_old"))))
+      .withColumn("jaccard", j)
+      .filter(col("jaccard") >= 0.8)
+      .select("new_id", "old_id", "jaccard")
+      .orderBy("new_id", "old_id")
+  }
+
   /** [[minhashLsh]] with the driver-collect cap exposed so tests can
     * force the distributed-verify branch and assert it agrees with the
     * broadcast branch. */
@@ -320,22 +381,7 @@ object TextQueries {
     // (doc_id, band, bh) band join. The gram hash is FNV-1a (any
     // deterministic 64-bit hash works: the splitmix permutations supply
     // avalanche, and the oracle verifies exact Jaccard, not signatures).
-    val banded = docs(spark, dir)
-      .select(col("doc_id"), graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs"))
-      .as[(Long, Seq[String])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, gs) =>
-          if (gs.isEmpty) Iterator.empty // parity: gram-less docs were never banded
-          else {
-            val sig = graft.functions.MinHashAggregator.zero
-            gs.foreach { g =>
-              graft.functions.MinHashAggregator.reduce(sig, graft.functions.TextFunctions.fnv64(g))
-            }
-            val bh = graft.functions.MinHashBandAggregator.finish(sig)
-            bh.indices.iterator.map(b => (id, b, bh(b)))
-          }
-        }
-      }.toDF("doc_id", "band", "bh")
+    val banded = bandedSignatures(docs(spark, dir))
     // Candidate pairs from a band-bucket self-join on the narrow
     // (doc_id, band, bh) rows. 64-bit band hashes make buckets
     // near-unique, so bucket-grouped pair expansion (collect_list +

@@ -255,8 +255,11 @@ class PlanSpec extends SparkSuite {
       "d_dedup_best" -> 1,
       // same inverted-index join shape as d_ngram_jaccard
       "d_containment" -> 3,
-      // LSH candidate subtree (3) + the source-matrix aggregate
-      "d_overlap_matrix" -> 4,
+      // new-vs-corpus band probe + distinct + verify joins
+      "d_dedup_incremental" -> 1,
+      // guarded probe collects the (output-scale) pairs first, so the
+      // folded plan is just the source-matrix aggregate
+      "d_overlap_matrix" -> 1,
       // bigram window + two counts tables + two scoring joins + per-doc
       // aggregate — the classic count-then-join LM pipeline; every
       // exchange is vocab- or doc-keyed, nothing corpus-quadratic

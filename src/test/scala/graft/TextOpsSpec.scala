@@ -202,6 +202,25 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("incremental dedup equals the symmetric exact join restricted to new-vs-corpus") {
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val batch = "src12"
+    val expected = TextQueries.ngramJaccard(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+      .flatMap { case (a, b, jac) =>
+        (srcOf(a) == batch, srcOf(b) == batch) match {
+          case (true, false) => Some((a, b, jac))
+          case (false, true) => Some((b, a, jac))
+          case _ => None // intra-batch or intra-corpus: not an incremental match
+        }
+      }.toSet
+    val got = TextQueries.dedupIncremental(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"incremental probe diverged: got $got expected $expected")
+  }
+
   test("top terms are distinct-per-doc doc frequencies") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
