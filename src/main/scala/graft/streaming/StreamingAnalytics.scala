@@ -115,6 +115,34 @@ object StreamingAnalytics {
       graft.functions.WordNGrams.word_ngrams(col("text"), 3),
       lit(benchGrams.toArray)))
 
+  /** Streaming near-dup probe against a static corpus index (streaming
+    * twin of the batch `d_dedup_incremental`): every micro-batch of new
+    * docs runs [[graft.queries.TextQueries.probeNearDups]] against the
+    * precomputed [[graft.queries.TextQueries.NearDupIndex]] — band
+    * hashes in-row, index equi-join, exact in-row verification. The
+    * probe runs inside `foreachBatch`, so each micro-batch is a plain
+    * batch frame (the candidate `distinct` is per-batch, never
+    * streaming state) and NOTHING buffers across batches: state is
+    * zero regardless of stream lifetime, the only shape that survives
+    * unbounded ingest. The index is the batch pipeline's nightly
+    * artifact; refreshing it means restarting the query with the new
+    * index, exactly like any other broadcast-dimension refresh.
+    * `sink` receives each micro-batch's verified (new_id, old_id,
+    * jaccard) rows.
+    */
+  def streamingNearDupProbe(
+      docs: DataFrame,
+      index: graft.queries.TextQueries.NearDupIndex,
+      checkpoint: String,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.queries.TextQueries.probeNearDups(batch.toDF(), index))
+      }
+      .start()
+
   /** Stream-stream inner join — both sides unbounded: orders and events
     * join on the customer key within a bounded event-time window
     * (event within 1 hour AFTER its order). The time-range predicate +

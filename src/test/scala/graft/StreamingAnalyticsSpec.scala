@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StreamingAnalytics
 import graft.streaming.StreamingAnalytics.{ClosedSession, UserEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** Streaming analytics properties: watermark-closed windows in append
   * mode, and flatMapGroupsWithState sessionization (gap close + event-
@@ -35,6 +36,39 @@ class StreamingAnalyticsSpec extends SparkSuite {
       .select("window_start_ms", "n_records").as[(Long, Long)].collect().toMap
     q.stop()
     assert(closed.get(h0).contains(10L), s"hour-0 window should be closed: $closed")
+  }
+
+  test("streaming near-dup probe equals the batch probe, stateless across batches") {
+    implicit val ctx = spark.sqlContext
+    val sf = SparkSuite.sf0001
+    // pick a planted near-dup pair (a, b): doc a plays the "new" stream
+    // while b stays in the corpus; c is an unrelated second stream doc
+    val (a, b, _) = graft.queries.TextQueries.ngramJaccard(spark, sf)
+      .as[(Long, Long, Double)].head()
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val c = d.select("doc_id").as[Long].collect().sorted
+      .find(i => i != a && i != b).get
+    val streamIds = Seq(a, c).map(Long.box)
+    val corpus = d.filter(!col("doc_id").isin(streamIds: _*))
+    val index = graft.queries.TextQueries.buildNearDupIndex(corpus)
+    val streamDocs = d.filter(col("doc_id").isin(streamIds: _*))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = StreamingAnalytics.streamingNearDupProbe(
+      mem.toDF().toDF("doc_id", "text"), index, tmpDir("ndp-ckpt"),
+      batch => got ++= batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    // one doc per micro-batch: the probe must not depend on batching
+    streamDocs.foreach { doc => mem.addData(doc); q.processAllAvailable() }
+    q.stop()
+    val expected = graft.queries.TextQueries.probeNearDups(
+      d.filter(col("doc_id").isin(streamIds: _*)), index)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.exists(p => p._1 == a && p._2 == b),
+      "planted dup must surface via the probe")
+    assert(got.toSet == expected,
+      s"streaming probe diverged: got ${got.toSet} expected $expected")
   }
 
   test("streaming compaction maintains latest value per key across batches") {
