@@ -104,6 +104,7 @@ object SparkEntry {
     "t_ngram_lm" -> (TextQueries.ngramLm _),
     "d_containment" -> (TextQueries.containment _),
     "d_dedup_incremental" -> (TextQueries.dedupIncremental _),
+    "p_filter_report" -> (TextQueries.filterReport _),
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
@@ -1026,6 +1027,29 @@ object SparkEntry {
           |      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
           |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+      // first-failing-rule attribution, same rule order as the engine
+      "p_filter_report" ->
+        """WITH q AS (
+          |  SELECT doc_id, n_chars, text,
+          |         string_split(trim(text), ' ') AS w,
+          |         CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / n_chars AS alpha
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id, len(w) AS n_tok, alpha,
+          |         1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)-1),
+          |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+          |             / (len(w) - 2) AS rep,
+          |         CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+          |             / len(w) AS stopr
+          |  FROM q),
+          |r AS (
+          |  SELECT CASE WHEN n_tok < 15 THEN 'too_short'
+          |              WHEN alpha < 0.81 THEN 'low_alpha'
+          |              WHEN rep > 0.2 THEN 'high_repetition'
+          |              WHEN stopr < 0.02 THEN 'low_stopword'
+          |              ELSE 'pass' END AS rule
+          |  FROM m)
+          |SELECT rule, count(*) AS n_docs FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
       "p_clean_corpus" ->
         """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
           |grams AS (

@@ -909,6 +909,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-filter cascade with per-rule reject attribution — the
+    * report every curation run produces before committing thresholds:
+    * each doc is charged to its FIRST failing rule (cheapest check
+    * first, the short-circuit order a production filter runs), and the
+    * output is the per-rule reject census. One projection + one
+    * metadata-scale aggregate: at 100 TB this is a single scan with
+    * map-side partials over a handful of rule keys.
+    */
+  def filterReport(spark: SparkSession, dir: String): DataFrame = {
+    val w = wsTokens(col("text"))
+    val nTok = size(w)
+    val alpha = size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0)))
+      .cast(DoubleType) / col("n_chars")
+    val rep = lit(1.0) -
+      size(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).cast(DoubleType) /
+        (nTok - lit(2))
+    val stop = tokensInSet(w, stopwords).cast(DoubleType) / nTok
+    docs(spark, dir)
+      .select(
+        when(nTok < 15, "too_short")
+          .when(alpha < 0.81, "low_alpha")
+          .when(rep > 0.2, "high_repetition")
+          .when(stop < 0.02, "low_stopword")
+          .otherwise("pass").as("rule"))
+      .groupBy("rule").agg(count(lit(1)).as("n_docs"))
+      .orderBy("rule")
+  }
+
   /** Training sequence packing: concatenate each source's docs in id
     * order and chunk every `budget` tokens — the standard "concatenate
     * and split" packing that turns a filtered corpus into fixed-budget

@@ -265,6 +265,8 @@ class PlanSpec extends SparkSuite {
       // exchange is vocab- or doc-keyed, nothing corpus-quadratic
       "t_ngram_lm" -> 6,
       "p_split_assign" -> 0,
+      // single scan + rule-key aggregate
+      "p_filter_report" -> 1,
       // both-prefix ssjoin: 4 exchanges but each carries a 0.2-sized
       // prefix table — the single-prefix form's 2 exchanges included
       // shuffling the FULL gram table into the candidate join (count
