@@ -308,11 +308,16 @@ object TextQueries {
     * (grams never leave the row; see [[minhashLshImpl]] for why this
     * beats both the flat-column and typed-udaf forms). Shared by the
     * self-join dedup and the incremental new-vs-corpus probe. */
-  private def bandedSignatures(docsDf: DataFrame): DataFrame = {
-    val spark = docsDf.sparkSession
+  private def bandedSignatures(docsDf: DataFrame): DataFrame =
+    bandedFromGramArrays(gramArrays(docsDf))
+
+  /** Band hashes from a prepared (doc_id, gs) gram-array frame — split
+    * out so index building and probing derive signatures and the
+    * verification arrays from ONE shared frame. */
+  private def bandedFromGramArrays(gramsDf: DataFrame): DataFrame = {
+    val spark = gramsDf.sparkSession
     import spark.implicits._
-    docsDf
-      .select(col("doc_id"), graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs"))
+    gramsDf
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         it.flatMap { case (id, gs) =>
@@ -332,15 +337,30 @@ object TextQueries {
   /** Static near-dup probe index for a corpus: narrow band-hash rows
     * plus per-doc gram arrays — the "nightly artifact" a production
     * ingest pipeline rebuilds from the batch side and probes from every
-    * new batch (or stream). Persist both frames for repeated probing.
+    * new batch (or stream).
+    *
+    * A one-shot probe (the batch gate query) uses the frames as-is —
+    * each evaluates exactly once inside the single plan, and persisting
+    * would leave session cache behind. Repeated probing (the streaming
+    * path probes EVERY micro-batch) must [[persist]] first, or every
+    * trigger re-derives the whole corpus index from source — the exact
+    * corpus-dominated cost the index exists to amortize.
     */
-  final case class NearDupIndex(bands: DataFrame, grams: DataFrame)
+  final case class NearDupIndex(bands: DataFrame, grams: DataFrame) {
+    def persist(): NearDupIndex = { bands.persist(); grams.persist(); this }
+    def unpersist(): Unit = { bands.unpersist(); grams.unpersist() }
+  }
 
-  def buildNearDupIndex(corpus: DataFrame): NearDupIndex =
+  def buildNearDupIndex(corpus: DataFrame): NearDupIndex = {
+    val g = gramArrays(corpus)
     NearDupIndex(
-      bandedSignatures(corpus),
-      corpus.select(col("doc_id").as("old_id"),
-        graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs_old")))
+      bandedFromGramArrays(g),
+      g.select(col("doc_id").as("old_id"), col("gs").as("gs_old")))
+  }
+
+  private def gramArrays(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs"))
 
   /** Probe a batch of new docs against a corpus [[NearDupIndex]]: band
     * hashes join new-vs-old only (an index probe, not a self-join — no
@@ -351,13 +371,13 @@ object TextQueries {
     * matching three corpus docs reports all three.
     */
   def probeNearDups(batch: DataFrame, index: NearDupIndex): DataFrame = {
-    val cand = bandedSignatures(batch).as("x")
+    val g = gramArrays(batch)
+    val cand = bandedFromGramArrays(g).as("x")
       .join(index.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
       .distinct()
-    val gsNew = batch.select(col("doc_id").as("new_id"),
-      graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs_new"))
+    val gsNew = g.select(col("doc_id").as("new_id"), col("gs").as("gs_new"))
     val j = col("inter").cast(DoubleType) /
       (size(col("gs_new")) + size(col("gs_old")) - col("inter"))
     cand

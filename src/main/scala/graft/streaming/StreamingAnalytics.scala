@@ -129,12 +129,20 @@ object StreamingAnalytics {
     * index, exactly like any other broadcast-dimension refresh.
     * `sink` receives each micro-batch's verified (new_id, old_id,
     * jaccard) rows.
+    *
+    * The index frames are persisted here — without materialization
+    * every trigger would re-derive the whole corpus index from source,
+    * the corpus-dominated cost the index exists to amortize. The
+    * caller releases them with `index.unpersist()` after stopping the
+    * query (the index outlives any single query on purpose: the same
+    * artifact serves concurrent probes).
     */
   def streamingNearDupProbe(
       docs: DataFrame,
       index: graft.queries.TextQueries.NearDupIndex,
       checkpoint: String,
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    index.persist()
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -142,6 +150,7 @@ object StreamingAnalytics {
         sink(graft.queries.TextQueries.probeNearDups(batch.toDF(), index))
       }
       .start()
+  }
 
   /** Stream-stream inner join — both sides unbounded: orders and events
     * join on the customer key within a bounded event-time window

@@ -65,6 +65,7 @@ class StreamingAnalyticsSpec extends SparkSuite {
     val expected = graft.queries.TextQueries.probeNearDups(
       d.filter(col("doc_id").isin(streamIds: _*)), index)
       .as[(Long, Long, Double)].collect().toSet
+    index.unpersist()
     assert(expected.exists(p => p._1 == a && p._2 == b),
       "planted dup must surface via the probe")
     assert(got.toSet == expected,
