@@ -105,6 +105,7 @@ object SparkEntry {
     "d_containment" -> (TextQueries.containment _),
     "d_dedup_incremental" -> (TextQueries.dedupIncremental _),
     "p_filter_report" -> (TextQueries.filterReport _),
+    "d_hybrid_verify" -> (TextQueries.hybridVerify _),
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
@@ -1027,6 +1028,27 @@ object SparkEntry {
           |      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
           |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+      // exact >= 0.8 lexical pairs, each also scored by embedding cosine
+      "d_hybrid_verify" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          |dup AS (
+          |  SELECT id1, id2, CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+          |  FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+          |SELECT id1, id2, jaccard,
+          |       round(list_dot_product(a.v, b.v) /
+          |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+          |FROM dup JOIN e a ON a.vec_id = id1 JOIN e b ON b.vec_id = id2
+          |ORDER BY id1, id2""".stripMargin,
       // first-failing-rule attribution, same rule order as the engine
       "p_filter_report" ->
         """WITH q AS (

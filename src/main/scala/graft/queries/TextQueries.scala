@@ -929,6 +929,28 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Hybrid lexical+semantic dup verification: every verified lexical
+    * near-dup pair (>= 0.8 exact Jaccard via the LSH pipeline) is also
+    * scored by embedding cosine — the curation diagnostic that
+    * separates true duplicates from template twins (same boilerplate,
+    * different payload: high Jaccard, diverging embeddings). Pairs are
+    * output-scale and broadcast into the embedding lookups, so the
+    * vector table is never shuffled; the cosine is the native
+    * codegen'd expression.
+    */
+  def hybridVerify(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    broadcast(pairs)
+      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+      .select(col("id1"), col("id2"), col("jaccard"),
+        round(graft.functions.CosineSimilarity.cosine_similarity(col("e1"), col("e2")), 6)
+          .as("cos_sim"))
+      .orderBy("id1", "id2")
+  }
+
   /** Quality-filter cascade with per-rule reject attribution — the
     * report every curation run produces before committing thresholds:
     * each doc is charged to its FIRST failing rule (cheapest check

@@ -257,6 +257,8 @@ class PlanSpec extends SparkSuite {
       "d_containment" -> 3,
       // new-vs-corpus band probe + distinct + verify joins
       "d_dedup_incremental" -> 1,
+      // LSH candidate subtree; embedding lookups join the broadcast pairs
+      "d_hybrid_verify" -> 3,
       // guarded probe collects the (output-scale) pairs first, so the
       // folded plan is just the source-matrix aggregate
       "d_overlap_matrix" -> 1,
