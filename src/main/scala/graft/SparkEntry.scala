@@ -106,6 +106,7 @@ object SparkEntry {
     "d_dedup_incremental" -> (TextQueries.dedupIncremental _),
     "p_filter_report" -> (TextQueries.filterReport _),
     "d_hybrid_verify" -> (TextQueries.hybridVerify _),
+    "t_lm_probe" -> (TextQueries.lmProbe _),
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
@@ -1049,6 +1050,23 @@ object SparkEntry {
           |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
           |FROM dup JOIN e a ON a.vec_id = id1 JOIN e b ON b.vec_id = id2
           |ORDER BY id1, id2""".stripMargin,
+      // corpus-trained counts score the src12 batch; unseen bigrams hit
+      // the add-one floor via left joins
+      "t_lm_probe" ->
+        """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+          |b AS (
+          |  SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+          |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+          |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b WHERE source <> 'src12' GROUP BY 1, 2),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM b WHERE source <> 'src12' GROUP BY 1),
+          |v AS (SELECT count(DISTINCT tok) AS vsize
+          |      FROM (SELECT UNNEST(w) AS tok FROM toks WHERE source <> 'src12')),
+          |s AS (SELECT b.doc_id,
+          |             ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + v.vsize)) AS logp
+          |      FROM b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+          |      WHERE b.source = 'src12')
+          |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
+          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
       // first-failing-rule attribution, same rule order as the engine
       "p_filter_report" ->
         """WITH q AS (

@@ -907,16 +907,12 @@ object TextQueries {
     * aggregate (constant-key hash join, not a cartesian).
     */
   def ngramLm(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "w1")))
-    val bigrams = toks
-      .withColumn("w2", lead("w1", 1).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("w2").isNotNull)
-      .select("doc_id", "w1", "w2")
+    val bigrams = docBigrams(docs(spark, dir))
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = toks.agg(countDistinct("w1").as("vsize")).withColumn("k", lit(1))
+    val vocab = docs(spark, dir)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("vsize")).withColumn("k", lit(1))
     bigrams
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
@@ -924,6 +920,47 @@ object TextQueries {
       .join(broadcast(vocab), "k")
       .select(col("doc_id"),
         log((col("c2") + lit(1.0)) / (col("c1") + col("vsize"))).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc (doc_id, w1, w2) bigram rows with duplicates kept. */
+  private def docBigrams(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select("doc_id", "w1", "w2")
+
+  /** Train-on-corpus / score-new-batch LM probe — the deployment split
+    * [[ngramLm]] self-scoring doesn't exercise: bigram and history
+    * counts come from the EXISTING corpus only, the incoming batch
+    * (`src12` on the fixtures) is scored against them, and bigrams the
+    * corpus never saw get the add-one floor `ln(1/(c1+V))` (or
+    * `ln(1/V)` for an unseen history) via left joins — so genuinely
+    * out-of-distribution text scores low instead of failing to join.
+    * Same count-then-join shape as [[ngramLm]]; the model tables are
+    * the nightly artifact next to the near-dup index.
+    */
+  def lmProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("source") =!= "src12")
+    val corpusBigrams = docBigrams(corpus)
+    val c2 = corpusBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = corpusBigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = corpus
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("vsize")).withColumn("k", lit(1))
+    docBigrams(d.filter(col("source") === "src12"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("k", lit(1))
+      .join(broadcast(vocab), "k")
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("vsize"))).as("logp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 6).as("avg_logp"))
       .orderBy("doc_id")

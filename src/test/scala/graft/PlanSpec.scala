@@ -226,7 +226,7 @@ class PlanSpec extends SparkSuite {
     // global counts) — a nested loop over one row is a broadcast scalar,
     // not a scale hazard
     val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr",
-      "t_ngram_lm")
+      "t_ngram_lm", "t_lm_probe")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -259,6 +259,8 @@ class PlanSpec extends SparkSuite {
       "d_dedup_incremental" -> 1,
       // LSH candidate subtree; embedding lookups join the broadcast pairs
       "d_hybrid_verify" -> 3,
+      // corpus-trained counts tables + left scoring joins + per-doc agg
+      "t_lm_probe" -> 6,
       // guarded probe collects the (output-scale) pairs first, so the
       // folded plan is just the source-matrix aggregate
       "d_overlap_matrix" -> 1,
