@@ -62,30 +62,43 @@ object TextQueries {
     * The pair set is OUTPUT-scale (bounded by the corpus duplicate rate,
     * orders of magnitude smaller than the corpus — same argument that
     * lets the LSH candidates be broadcast), so the component computation
-    * is a driver-side union-find over the collected pairs. For a
-    * pathological graph that outgrows the driver, swap in iterative
-    * min-label propagation (join + min-agg to fixpoint) — the pair
-    * *generation* stays distributed either way.
+    * is a driver-side union-find over the collected pairs — behind the
+    * same [[collectOrDistributed]] budget guard as every pair consumer:
+    * a pathological graph that outgrows the driver routes to the
+    * distributed min-label-propagation twin ([[dupClustersLabelProp]])
+    * instead of OOMing. Same output either way; the pair *generation*
+    * stays distributed always.
     */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersImpl(spark, dir, maxDriverPairs)
+
+  /** [[dupClusters]] with the driver-collect cap exposed for the
+    * forced-overflow test. */
+  private[graft] def dupClustersImpl(
+      spark: SparkSession, dir: String, maxCollect: Long): DataFrame = {
     import spark.implicits._
-    val pairs = minhashLsh(spark, dir)
-      .select(col("id1"), col("id2")).as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
+    val pairsDf = minhashLshImpl(spark, dir, maxCollect).select(col("id1"), col("id2"))
+    collectOrDistributed(pairsDf, maxCollect) { (rows, _) =>
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    } { dist =>
+      // pair graph outgrew the driver budget: cluster it distributed
+      labelPropagate(dist)
     }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
-    nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
-      .orderBy("doc_id")
   }
 
   /** Duplicate clusters via DISTRIBUTED min-label propagation — the
@@ -98,8 +111,14 @@ object TextQueries {
     * so a handful of rounds in practice. Same output and oracle as
     * [[dupClusters]].
     */
-  def dupClustersLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select("id1", "id2")
+  def dupClustersLabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropagate(minhashLsh(spark, dir).select("id1", "id2"))
+
+  /** Min-label propagation over an (id1, id2) pair frame — the
+    * distributed clustering kernel shared by [[dupClustersLabelProp]]
+    * and [[dupClusters]]' overflow fallback. */
+  private def labelPropagate(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     // every propagation round joins `edges`; without materialization
     // each round re-executes the whole LSH + verify subtree (measured:
     // the rounds dominated this operator's wall clock). The cache is
@@ -180,8 +199,7 @@ object TextQueries {
   }
 
   /** Shared-gram pair intersection counts via the inverted-index
-    * self-join — the candidate kernel of every exact similarity join
-    * here (Jaccard, containment). */
+    * self-join — the candidate kernel of the exact Jaccard join. */
   private def interPairs(grams: DataFrame): DataFrame =
     grams.as("a").join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -193,17 +211,54 @@ object TextQueries {
     * `inter / min(|A|,|B|)`). Symmetric Jaccard misses these — a
     * paragraph quoted inside a much longer doc has tiny Jaccard but
     * containment ~1 — and they are exactly the quote/snippet
-    * duplication a corpus curator wants surfaced. Same sparse
-    * inverted-index join as [[ngramJaccard]] (only docs sharing a gram
-    * pair), different acceptance predicate.
+    * duplication a corpus curator wants surfaced.
+    *
+    * The quadratic bucket term is BOUNDED by a containment-correct
+    * asymmetric prefix (PPJoin+-style): for a qualifying pair with
+    * |A| <= |B|, `inter >= 0.9|A|`, and A's suffix past its
+    * `floor(0.1|A|)+1` rarest grams holds fewer than `0.9|A|` grams —
+    * so at least one shared gram sits in A's PREFIX (rarest-first
+    * canonical order, same comparator as [[jaccardPrefixFiltered]]).
+    * Only the smaller-set side's prefix joins the full inverted index
+    * (size, then doc-id, breaks the tie), which is lossless at the
+    * threshold yet kills the boilerplate-gram blowup: a gram shared by
+    * 1M docs has huge doc frequency, lands in almost no prefix, and its
+    * index bucket meets a near-empty prefix side instead of itself.
+    * Candidates verify exactly (in-row array_intersect), so the output
+    * is identical to the unfiltered inverted-index join and the gate
+    * re-proves the bound per run.
     */
   def containment(spark: SparkSession, dir: String): DataFrame = {
-    val (grams, sizes) = gramTables(spark, dir)
-    interPairs(grams)
-      .join(broadcast(sizes.select(col("doc_id").as("id1"), col("n").as("n1"))), "id1")
-      .join(broadcast(sizes.select(col("doc_id").as("id2"), col("n").as("n2"))), "id2")
+    val docsG = gramArrays(docs(spark, dir))
+    // full inverted index, set size riding along scan-side (no join)
+    val idx = docsG.select(col("doc_id"), size(col("gs")).as("n"), explode(col("gs")).as("g"))
+    val dfreq = idx.groupBy("g").agg(count(lit(1)).as("df"))
+    // per-doc prefix of the floor(0.1*n)+1 globally-rarest grams — the
+    // df join + collect_list + in-row array_sort/slice form measured
+    // fastest for the Jaccard prefix (see [[jaccardPrefixFiltered]])
+    val pref = idx.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("g"))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).as("n"),
+        explode(expr(
+          "slice(array_sort(ps), 1, cast(floor(size(ps) * 0.1) as int) + 1).g"))
+          .as("g"))
+    // prefix side must be the smaller gram set (ties: lower doc_id), so
+    // every qualifying pair is generated exactly once, as (smaller side,
+    // index side); normalize to id1 < id2 before verification
+    val cand = pref.as("a").join(idx.as("b"),
+        col("a.g") === col("b.g") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+      .distinct()
+    cand
+      .join(docsG.select(col("doc_id").as("id1"), col("gs").as("gs1")), "id1")
+      .join(docsG.select(col("doc_id").as("id2"), col("gs").as("gs2")), "id2")
+      .withColumn("inter", size(array_intersect(col("gs1"), col("gs2"))))
       .withColumn("containment",
-        col("inter").cast(DoubleType) / least(col("n1"), col("n2")))
+        col("inter").cast(DoubleType) / least(size(col("gs1")), size(col("gs2"))))
       .filter(col("containment") >= 0.9)
       .select("id1", "id2", "containment")
       .orderBy("id1", "id2")
@@ -303,6 +358,51 @@ object TextQueries {
     * driver. */
   private[graft] val maxDriverPairs = 4000000L
 
+  /** Driver-budget guard for output-scale pair sets — THE single pattern
+    * every pair-consuming operator routes through (it was hand-rolled
+    * three times and forgotten twice before being extracted; with the
+    * helper, the next operator cannot skip it). Probes `pairs` with
+    * `limit(cap+1)`: when the set fits the driver budget, `local`
+    * receives the collected rows plus a LocalRelation rebuild of them
+    * (broadcast-ready — a broadcast IS a driver-side collect, so
+    * collecting up front costs nothing extra and the build side can
+    * never re-execute the probe subtree); when it overflows, the +1
+    * sentinel row proves it, `distributed` receives the original frame,
+    * and the pair set never materializes on the driver.
+    */
+  private[graft] def collectOrDistributed[T](
+      pairs: DataFrame, maxCollect: Long)(
+      local: (Array[org.apache.spark.sql.Row], DataFrame) => T)(
+      distributed: DataFrame => T): T = {
+    val spark = pairs.sparkSession
+    val capped = math.min(maxCollect + 1, Int.MaxValue.toLong).toInt
+    val rows = pairs.limit(capped).collect()
+    if (rows.length <= maxCollect) {
+      import scala.jdk.CollectionConverters._
+      local(rows, spark.createDataFrame(rows.toSeq.asJava, pairs.schema))
+    } else distributed(pairs)
+  }
+
+  /** Releases `df`'s persisted blocks after the NEXT query execution on
+    * its session completes — the release path for overflow branches
+    * whose returned plan still references the persisted frame: an eager
+    * unpersist would re-trigger the recompute the persist exists to
+    * stop, and never releasing leaks executor cache across a long-lived
+    * session running many queries (round-6 ADVICE). Firing on an
+    * unrelated query first is harmless — unpersist only drops cached
+    * blocks (the consumer then recomputes), never correctness.
+    */
+  private def unpersistAfterNextQuery(df: DataFrame): Unit = {
+    val lm = df.sparkSession.listenerManager
+    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def done(): Unit = { df.unpersist(); lm.unregister(this) }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = done()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = done()
+    })
+  }
+
   /** Per-doc MinHash band hashes as narrow (doc_id, band, bh) rows —
     * the LSH index representation, built in one tight per-row loop
     * (grams never leave the row; see [[minhashLshImpl]] for why this
@@ -349,6 +449,29 @@ object TextQueries {
   final case class NearDupIndex(bands: DataFrame, grams: DataFrame) {
     def persist(): NearDupIndex = { bands.persist(); grams.persist(); this }
     def unpersist(): Unit = { bands.unpersist(); grams.unpersist() }
+
+    /** Write the index to `path` as two parquet tables — the durable
+      * form of the nightly artifact: the ingest job that rebuilds the
+      * index saves it; every later probe job (batch or streaming
+      * restart) [[NearDupIndex.load]]s instead of re-deriving the whole
+      * corpus index from source. Bands are narrow (doc_id, band, bh)
+      * rows and grams one array row per doc, so both write partitioned
+      * and scan back with pushdown like any other table.
+      */
+    def save(path: String): Unit = {
+      bands.write.mode("overwrite").parquet(s"$path/bands")
+      grams.write.mode("overwrite").parquet(s"$path/grams")
+    }
+  }
+
+  object NearDupIndex {
+    /** Reload an index written by [[NearDupIndex.save]]; probes against
+      * the loaded index match probes against the freshly built one
+      * bit-for-bit (band hashes and gram arrays are deterministic). */
+    def load(spark: SparkSession, path: String): NearDupIndex =
+      NearDupIndex(
+        spark.read.parquet(s"$path/bands"),
+        spark.read.parquet(s"$path/grams"))
   }
 
   def buildNearDupIndex(corpus: DataFrame): NearDupIndex = {
@@ -440,12 +563,7 @@ object TextQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
-    // Collect at most maxCollect+1 rows: the +1 row is the overflow
-    // sentinel that proves the set outgrew the driver budget.
-    val capped = math.min(maxCollect + 1, Int.MaxValue.toLong).toInt
-    val candRows = candDF.limit(capped).as[(Long, Long)].collect()
-    if (candRows.length <= maxCollect) {
-      val candidates = candRows.toSeq.toDF("id1", "id2")
+    collectOrDistributed(candDF, maxCollect) { (candRows, candidates) =>
       // exact verification on candidates only — force broadcast so AQE can
       // never pick a shuffled join for it (observed plan-choice variance).
       // Candidate doc ids are known (just collected), so every verification
@@ -453,7 +571,7 @@ object TextQueries {
       // `isin` that pushes to the parquet scan: the explode re-runs over
       // ~|candidates| docs, not the corpus.
       val candIds = candRows.iterator
-        .flatMap { case (a, b) => Iterator(a, b) }.toArray.distinct.sorted
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toArray.distinct.sorted
       val candGrams =
         if (candIds.isEmpty) grams.filter(lit(false))
         else grams.filter(col("doc_id").isin(candIds.map(Long.box): _*))
@@ -464,7 +582,7 @@ object TextQueries {
         .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
       val candSizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       jaccardOfPairs(inter, candSizes)
-    } else {
+    } { candDist =>
       // Distributed-verify fallback: the pair set stays on the cluster.
       // Shuffle joins keyed on doc id expand each candidate pair by the
       // smaller side's grams, probe the other side on (id2, g), and the
@@ -474,7 +592,7 @@ object TextQueries {
       // persist.
       val g1 = grams.select(col("doc_id").as("id1"), col("g"))
       val g2 = grams.select(col("doc_id").as("id2"), col("g"))
-      val inter = candDF.join(g1, "id1").join(g2, Seq("id2", "g"))
+      val inter = candDist.join(g1, "id1").join(g2, Seq("id2", "g"))
         .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
       jaccardOfPairs(inter, sizes, hint = identity)
     }
@@ -761,17 +879,16 @@ object TextQueries {
     // corpus-scale — then the pairs stay distributed and the text joins
     // shuffle on doc id instead. The persist keeps the overflow probe
     // from re-running the whole LSH+verify pipeline a second time in
-    // the distributed branch; that branch deliberately leaves it
-    // persisted (its plan still references the pairs — releasing now
-    // would just re-trigger the recompute the persist exists to stop).
+    // the distributed branch; its release defers to the next query
+    // completion because the overflow plan still references the pairs.
     val probed = verified.persist()
-    val capped = math.min(maxCollect + 1, Int.MaxValue.toLong).toInt
-    val pairRows = probed.limit(capped).as[(Long, Long)].collect()
-    if (pairRows.length <= maxCollect) {
+    collectOrDistributed(probed, maxCollect) { (_, local) =>
       probed.unpersist()
-      score(broadcast(pairRows.toSeq.toDF("id1", "id2")))
-    } else
-      score(probed)
+      score(broadcast(local))
+    } { dist =>
+      unpersistAfterNextQuery(probed)
+      score(dist)
+    }
   }
 
   /** Per-source corpus statistics — the profiling pass every ingest runs
@@ -842,13 +959,23 @@ object TextQueries {
     * partition. The (alpha desc, id asc) struct order is total — no
     * partition-order dependence.
     */
-  def dedupBest(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dupClusters(spark, dir)
+  def dedupBest(spark: SparkSession, dir: String): DataFrame =
+    dedupBestImpl(spark, dir, maxDriverPairs)
+
+  /** [[dedupBest]] with the driver-collect cap exposed for the
+    * forced-overflow test (the cap reaches [[dupClustersImpl]], which
+    * routes an overflowing pair graph to distributed label
+    * propagation — this operator inherits that safety). */
+  private[graft] def dedupBestImpl(
+      spark: SparkSession, dir: String, maxCollect: Long): DataFrame = {
+    val clusters = dupClustersImpl(spark, dir, maxCollect)
     val quality = docs(spark, dir).select(col("doc_id"),
       (size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0)))
         .cast(DoubleType) / col("n_chars")).as("alpha_ratio"))
-    // clusters are output-scale (duplicate docs only): broadcast them
-    // into the corpus-scale quality scan — no corpus shuffle
+    // clusters are NODE-scale (duplicate docs only — quadratically
+    // smaller than the pair set, and both cluster paths materialize
+    // node-scale label rows): broadcast them into the corpus-scale
+    // quality scan — no corpus shuffle
     broadcast(clusters).join(quality, "doc_id")
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
@@ -876,8 +1003,6 @@ object TextQueries {
     * forced-distributed-branch test. */
   private[graft] def overlapMatrixImpl(
       spark: SparkSession, dir: String, maxCollect: Long): DataFrame = {
-    import spark.implicits._
-    val pairs = minhashLshImpl(spark, dir, maxCollect).select("id1", "id2")
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
     def fold(p: DataFrame): DataFrame = p
       .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
@@ -888,11 +1013,17 @@ object TextQueries {
       .orderBy("src_a", "src_b")
     // same driver-budget guard as the LSH collect: a forced broadcast
     // of a corpus-scale pair set would collect to the driver and undo
-    // exactly what the minhashLsh fallback protected against
-    val capped = math.min(maxCollect + 1, Int.MaxValue.toLong).toInt
-    val rows = pairs.limit(capped).as[(Long, Long)].collect()
-    if (rows.length <= maxCollect) fold(broadcast(rows.toSeq.toDF("id1", "id2")))
-    else fold(pairs)
+    // exactly what the minhashLsh fallback protected against. The
+    // persist keeps the probe from re-running the LSH pipeline a second
+    // time when fold() executes; release follows each branch's rule.
+    val probed = minhashLshImpl(spark, dir, maxCollect).select("id1", "id2").persist()
+    collectOrDistributed(probed, maxCollect) { (_, local) =>
+      probed.unpersist()
+      fold(broadcast(local))
+    } { dist =>
+      unpersistAfterNextQuery(probed)
+      fold(dist)
+    }
   }
 
   /** Bigram language-model scoring — the classic perplexity proxy
@@ -975,17 +1106,36 @@ object TextQueries {
     * vector table is never shuffled; the cosine is the native
     * codegen'd expression.
     */
-  def hybridVerify(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir)
+  def hybridVerify(spark: SparkSession, dir: String): DataFrame =
+    hybridVerifyImpl(spark, dir, maxDriverPairs)
+
+  /** [[hybridVerify]] with the driver-collect cap exposed for the
+    * forced-distributed-branch test. */
+  private[graft] def hybridVerifyImpl(
+      spark: SparkSession, dir: String, maxCollect: Long): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    broadcast(pairs)
+    def score(p: DataFrame): DataFrame = p
       .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
       .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
       .select(col("id1"), col("id2"), col("jaccard"),
         round(graft.functions.CosineSimilarity.cosine_similarity(col("e1"), col("e2")), 6)
           .as("cos_sim"))
       .orderBy("id1", "id2")
+    // same driver-budget guard as every pair consumer: pairs are
+    // output-scale on a sane corpus (broadcast them, the vector table is
+    // never shuffled), but when minhashLsh itself overflowed the cap its
+    // result IS corpus-scale — a forced broadcast here would collect it
+    // to the driver and undo exactly what the LSH fallback protected
+    // against. Past the cap the embedding joins shuffle on id instead.
+    val probed = minhashLshImpl(spark, dir, maxCollect).persist()
+    collectOrDistributed(probed, maxCollect) { (_, local) =>
+      probed.unpersist()
+      score(broadcast(local))
+    } { dist =>
+      unpersistAfterNextQuery(probed)
+      score(dist)
+    }
   }
 
   /** Quality-filter cascade with per-rule reject attribution — the

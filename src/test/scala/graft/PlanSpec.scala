@@ -253,12 +253,18 @@ class PlanSpec extends SparkSuite {
       // cluster argmax: clusters broadcast into the quality scan, one
       // aggregate exchange
       "d_dedup_best" -> 1,
-      // same inverted-index join shape as d_ngram_jaccard
+      // prefix-bounded inverted-index join (PPJoin+-style asymmetric
+      // bound on the overlap coefficient); the df table broadcasts, so
+      // the exchange count matches the unfiltered form while the
+      // quadratic bucket term is capped by prefix rarity
       "d_containment" -> 3,
       // new-vs-corpus band probe + distinct + verify joins
       "d_dedup_incremental" -> 1,
-      // LSH candidate subtree; embedding lookups join the broadcast pairs
-      "d_hybrid_verify" -> 3,
+      // guarded probe collects the (output-scale) pairs first, so the
+      // returned plan is just broadcast embedding lookups off a
+      // LocalRelation — zero exchanges (was 3 when the LSH subtree
+      // re-planned inside the forced broadcast)
+      "d_hybrid_verify" -> 0,
       // corpus-trained counts tables + left scoring joins + per-doc agg
       "t_lm_probe" -> 6,
       // guarded probe collects the (output-scale) pairs first, so the

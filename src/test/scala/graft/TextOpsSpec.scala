@@ -154,6 +154,52 @@ class TextOpsSpec extends SparkSuite {
     assert(omShuffle == omBroadcast)
   }
 
+  test("guarded-collect overflow: hybrid verify, clusters, dedup-best agree across branches") {
+    // maxCollect = 0 makes ANY pair set overflow the driver budget,
+    // forcing the distributed branch of every consumer built on
+    // collectOrDistributed — including the three operators that
+    // previously lacked the guard their siblings had (round-6 verdict):
+    // hybridVerify (forced broadcast), dupClusters (uncapped union-find
+    // collect, now routed to label propagation), and dedupBest on top.
+    val hvBroadcast = TextQueries.hybridVerify(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val hvShuffle = TextQueries.hybridVerifyImpl(spark, sf, 0L)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(hvBroadcast.nonEmpty)
+    assert(hvShuffle == hvBroadcast)
+    val dcUnionFind = TextQueries.dupClusters(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val dcLabelProp = TextQueries.dupClustersImpl(spark, sf, 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(dcUnionFind.nonEmpty)
+    assert(dcLabelProp == dcUnionFind)
+    val dbBroadcast = TextQueries.dedupBest(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val dbShuffle = TextQueries.dedupBestImpl(spark, sf, 0L)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(dbBroadcast.nonEmpty)
+    assert(dbShuffle == dbBroadcast)
+  }
+
+  test("near-dup index round-trips through parquet; probe output is identical") {
+    // the "nightly artifact" story: build once, save, and a probe
+    // against the reloaded index matches a probe against the fresh one
+    val dir01 = SparkSuite.sf001 // sf0.01 has cross-source src12 pairs
+    val d = spark.read.parquet(s"$dir01/documents.parquet")
+    val batch = d.filter(col("source") === "src12")
+    val corpus = d.filter(col("source") =!= "src12")
+    val built = TextQueries.buildNearDupIndex(corpus)
+    val path = tmpDir("neardup-index")
+    built.save(path)
+    val loaded = TextQueries.NearDupIndex.load(spark, path)
+    val fresh = TextQueries.probeNearDups(batch, built)
+      .orderBy("new_id", "old_id").as[(Long, Long, Double)].collect().toSeq
+    val viaDisk = TextQueries.probeNearDups(batch, loaded)
+      .orderBy("new_id", "old_id").as[(Long, Long, Double)].collect().toSeq
+    assert(fresh.nonEmpty)
+    assert(viaDisk == fresh)
+  }
+
   test("dedup-best keeps the max-alpha member; overlap matrix sums to the pair count") {
     val clusters = TextQueries.dupClusters(spark, sf).as[(Long, Long)].collect()
     val best = TextQueries.dedupBest(spark, sf)
