@@ -98,5 +98,14 @@ object Bench {
     // JSON line in a tail-based capture window
     spark.stop()
     println(json)
+    // The full line above overflows a tail-based capture window once the
+    // query board is large (r6: front of the line cut, parse failed), so
+    // the LAST stdout line is a short summary that always fits: total +
+    // errors + the slowest 20 queries. The complete per-query set lives
+    // in bench_out.json and the full line above.
+    val slowest = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }

@@ -147,7 +147,17 @@ object HoconConfig {
     if (raw.startsWith("[") && raw.endsWith("]")) {
       val body = raw.substring(1, raw.length - 1).trim
       if (body.isEmpty) ""
-      else splitTopLevel(body).map(s => unquote(s.trim)).mkString(",")
+      else {
+        val elems = splitTopLevel(body).map(s => unquote(s.trim))
+        // lists flatten to a comma-joined string that consumers
+        // (topicsOf) re-split on ',' — a quoted element containing a
+        // comma (["a,b"]) would silently become two elements there, so
+        // reject it at parse time instead of corrupting it later
+        elems.find(_.contains(",")).foreach(e =>
+          fail(s"list element '$e' contains ',' — comma-separated values inside " +
+            "a quoted list element are not representable; use separate elements"))
+        elems.mkString(",")
+      }
     } else unquote(raw)
 
   private def splitTopLevel(s: String): Seq[String] = {

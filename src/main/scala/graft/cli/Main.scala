@@ -272,9 +272,17 @@ object Main {
       val out = o.get("out").orElse(S3Settings.dataUri(cfg))
         .getOrElse(die("--out <dir> is required"))
       val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
-      val unit = chronoUnit(resolved(o, cfg, "slice",
-        "BACKUP_TIME_CONFIGURATION_CHRONO_UNIT", "backup.time-configuration.chrono-unit")
-        .getOrElse("hours"))
+      // resolve the FULL time-configuration (type included), then reject
+      // what streaming can't honor: silently substituting slice windows
+      // for a config that says period-from-first would make the same
+      // config file mean different windows in `backup` vs `stream-backup`
+      val unit = timeConfiguration(o, cfg) match {
+        case ChronoUnitSlice(u) => u
+        case PeriodFromFirst(_) => die(
+          "stream-backup supports chrono-unit-slice only; the resolved " +
+            "time-configuration type is period-from-first (anchoring windows at the " +
+            "first record of an unbounded stream is not supported — use `backup`)")
+      }
       val (gzipOpt, _) = compressionOf(o, cfg)
       val spark = session(cfg)
       import org.apache.spark.sql.functions._

@@ -16,21 +16,23 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Buffers are kept sorted (insertion into a k-array), so reduce is
   * O(log k) search + O(k) shift with k small, and merge is a linear
-  * k-way merge. Determinism: scores compare via the IEEE-754 TOTAL
-  * order (`java.lang.Double.compare` — NaN ranks above +Inf, -0.0
-  * below 0.0), then id ascending, so the order has no incomparable
-  * elements even for NaN scores and results are independent of
-  * partition order.
+  * k-way merge. Determinism: scores compare via the
+  * `java.lang.Double.compare` total order (a consistent total order,
+  * though not IEEE-754 totalOrder — it collapses NaN sign/payload):
+  * NaN ranks above +Inf (so NaN scores outrank every finite score in
+  * the top-k, matching DuckDB's NaN-greatest DESC ordering), -0.0
+  * below 0.0, then id ascending — no incomparable elements even for
+  * NaN scores, so results are independent of partition order.
   */
 final case class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)], Array[(Double, Long)]] {
 
   override def zero: Array[(Double, Long)] = Array.empty
 
-  // true if a ranks strictly before b: higher score first (IEEE total
-  // order, so NaN sorts consistently instead of failing every
-  // comparison and landing wherever the partition order put it),
-  // then lower id
+  // true if a ranks strictly before b: higher score first
+  // (Double.compare's total order, so NaN sorts consistently — at the
+  // very top — instead of failing every comparison and landing
+  // wherever the partition order put it), then lower id
   private def before(a: (Double, Long), b: (Double, Long)): Boolean = {
     val c = java.lang.Double.compare(a._1, b._1)
     c > 0 || (c == 0 && a._2 < b._2)

@@ -165,6 +165,17 @@ class CliConfigSpec extends AnyFunSuite {
       PeriodFromFirst(10000L))
   }
 
+  test("a quoted list element containing a comma is rejected, not silently split") {
+    // lists flatten to a comma-joined string that topicsOf re-splits on
+    // ','; ["a,b"] would silently become two topics — fail at parse time
+    val e = intercept[IllegalArgumentException] {
+      HoconConfig.parse("""kafka-cluster { topics = ["a,b", "c"] }""", env = Map.empty)
+    }
+    assert(e.getMessage.contains("separate elements"))
+    // plain multi-element lists still flatten
+    assert(HoconConfig.parse("""t = ["a", "b"]""", env = Map.empty) == Map("t" -> "a,b"))
+  }
+
   test("type discriminator selects duration; HOCON durations parse") {
     val cfg = HoconConfig.parse(conf.replace(
       "type = chrono-unit-slice", "type = period-from-first"), env = Map.empty)
