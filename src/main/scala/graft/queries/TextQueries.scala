@@ -227,6 +227,13 @@ object TextQueries {
     * Candidates verify exactly (in-row array_intersect), so the output
     * is identical to the unfiltered inverted-index join and the gate
     * re-proves the bound per run.
+    *
+    * Measured cost of the bound (Profile, warm, local[32]): ~0.8s at
+    * sf0.01 and ~4s at sf0.1 vs ~2.2s for the unbounded self-join it
+    * replaced — the same constant-vs-quadratic trade as
+    * [[jaccardPrefixFiltered]] (whose crossover extrapolates to ~sf1):
+    * the df aggregate + prefix build are linear passes bought to cap a
+    * bucket term that is unbounded in the corpus duplicate structure.
     */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val docsG = gramArrays(docs(spark, dir))
@@ -289,6 +296,14 @@ object TextQueries {
     * quadratic term — collapse. Candidates then verify exactly, so the
     * output equals [[ngramJaccard]] and shares its oracle: the filter
     * is provably lossless and the gate re-proves it per run.
+    *
+    * Measured crossover (Profile, warm, local[32]): the prefix
+    * machinery's constant costs 1.7x the unfiltered join at sf0.01
+    * (0.95s vs 0.56s) but only 1.25x at sf0.1 (3.2s vs 2.5s) — the
+    * gap closes as the quadratic bucket term grows, extrapolating to
+    * parity around sf1 (~10x the largest local fixture) and to the
+    * prefix path being the only affordable exact path at corpus scale,
+    * where bucket sizes, not scan constants, dominate.
     */
   def jaccardPrefixFiltered(spark: SparkSession, dir: String): DataFrame = {
     val (grams, _) = gramTables(spark, dir)
