@@ -70,6 +70,7 @@ object SparkEntry {
     "e_approx_quantiles" -> (AnalyticsQueries.approxQuantiles _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
+    "q19_disjunct" -> (AnalyticsQueries.q19Disjunct _),
     // LLM-pipeline: dedup + text analysis over `documents`
     "d_dedup_exact" -> (TextQueries.dedupExact _),
     "d_dedup_keep" -> (TextQueries.dedupKeep _),
@@ -108,6 +109,9 @@ object SparkEntry {
     "d_hybrid_verify" -> (TextQueries.hybridVerify _),
     "t_lm_probe" -> (TextQueries.lmProbe _),
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
+    "d_chunk_dedup" -> (TextQueries.chunkDedup _),
+    "p_adaptive_len" -> (TextQueries.adaptiveLenFilter _),
+    "t_hapax" -> (TextQueries.hapaxProfile _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
     "m_frame_sample" -> (TextQueries.mediaFrameSample _),
@@ -445,6 +449,13 @@ object SparkEntry {
           |  AND EXISTS (SELECT 1 FROM lineitem
           |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q19_disjunct" ->
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
       // Threshold cross-multiplied into exact DECIMAL space: qty < 0.2*avg
       // <=> qty * n * 5 < sum_qty — no division before the final output.
       "q17_small_qty" ->
@@ -751,6 +762,44 @@ object SparkEntry {
           |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
           |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "d_chunk_dedup" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+          |chunks AS (
+          |  SELECT doc_id, i AS chunk_idx,
+          |         md5(array_to_string(ts[(i*32+1):(i*32+32)], ' ')) AS fp
+          |  FROM toks,
+          |       LATERAL unnest(generate_series(0, CAST(ceil(len(ts)/32.0) AS BIGINT) - 1)) AS g(i)),
+          |first AS (
+          |  SELECT fp, min(doc_id * 1000000 + chunk_idx) AS first_key
+          |  FROM chunks GROUP BY 1),
+          |flagged AS (
+          |  SELECT c.doc_id,
+          |         CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key
+          |              THEN 1 ELSE 0 END AS kept
+          |  FROM chunks c JOIN first f USING (fp))
+          |SELECT doc_id, count(*) AS n_chunks,
+          |       CAST(sum(kept) AS BIGINT) AS n_kept,
+          |       CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
+          |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
+      "p_adaptive_len" ->
+        """WITH b AS (
+          |  SELECT source, quantile_cont(n_chars, 0.10) AS p10,
+          |         quantile_cont(n_chars, 0.90) AS p90
+          |  FROM documents GROUP BY 1)
+          |SELECT doc_id, d.source, n_chars
+          |FROM documents d JOIN b ON d.source = b.source
+          |WHERE n_chars >= p10 AND n_chars <= p90
+          |ORDER BY doc_id""".stripMargin,
+      "t_hapax" ->
+        """WITH tf AS (
+          |  SELECT source, u.w AS w, count(*) AS tf
+          |  FROM documents, unnest(string_split(trim(text), ' ')) AS u(w)
+          |  GROUP BY 1, 2)
+          |SELECT source, count(*) AS vocab,
+          |       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          |       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_ratio
+          |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
       "t_quality" ->
         """WITH q AS (
           |  SELECT doc_id, n_chars,

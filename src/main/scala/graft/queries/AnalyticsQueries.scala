@@ -485,6 +485,36 @@ object AnalyticsQueries {
           .as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q19-style disjunctive-predicate revenue: three OR'd
+    * brand/size/quantity arms over lineitem x part. The scale story is
+    * predicate PLACEMENT, not the OR itself: the union of the part-side
+    * conjuncts (brand set) prunes the dim before it broadcasts, the
+    * quantity band common to all arms pushes to the fact scan as a
+    * PushedFilter, and only the residual disjunction evaluates
+    * post-join — one fact scan for a 3-arm OR, where a naive
+    * union-of-three-queries plan reads the fact table three times.
+    * Revenue multiplies in exact DECIMAL space (same policy as q1).
+    */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val arms =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 30))
+    val part = pq(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+      .select("p_partkey", "p_brand", "p_size")
+    pq(spark, dir, "lineitem")
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(arms)
+      .agg(
+        sum(discPrice).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q4-style order-priority check: EXISTS decorrelated to a
     * left-semi hash join (no row multiplication — an order with many
     * flagged lineitems counts once), date filter pushed to the orders

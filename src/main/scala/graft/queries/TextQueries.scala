@@ -1388,6 +1388,84 @@ object TextQueries {
             org.apache.spark.sql.expressions.Window.currentRow)))
       .orderBy("first_bucket")
 
+  /** Cross-document repeated-chunk census — the chunk-granularity
+    * approximation of exact substring dedup (the pass corpus curation
+    * runs to strip boilerplate passages repeated ACROSS documents,
+    * which whole-doc dedup can't see and n-gram Jaccard undercounts):
+    * token streams cut into fixed 32-token chunks IN-ROW (zero shuffle
+    * — the chunk lambda and fingerprint run scan-side), each chunk
+    * reduced to its md5 before any exchange, the canonical first
+    * occurrence per fingerprint chosen as min(doc_id, chunk_idx) in one
+    * narrow aggregate, and each doc reports how many of its chunks
+    * survive (are the first occurrence) vs drop. At 100 TB both
+    * exchanges carry 32-char fingerprints + ids — chunk text never
+    * moves. (CollapseProject inlines the token split into the chunk
+    * lambda, re-evaluating it per chunk; chunks-per-doc is tokens/32,
+    * so that costs ~3% of one extra scan — harmless, noted so nobody
+    * "fixes" it with a shuffle barrier.)
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(ts) / 32.0) as int) - 1), " +
+            "i -> md5(cast(concat_ws(' ', slice(ts, i * 32 + 1, 32)) as binary)))"))
+          .as(Seq("chunk_idx", "fp")))
+    val first = chunks.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+    chunks.join(first, "fp")
+      .select(col("doc_id"),
+        (col("first.doc_id") === col("doc_id") &&
+          col("first.chunk_idx") === col("chunk_idx")).cast("long").as("kept"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("kept").as("n_kept"),
+        (count(lit(1)) - sum("kept")).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source adaptive length filter — threshold-free outlier
+    * trimming: keep docs inside their OWN source's [p10, p90] char-
+    * length band, so a source of tweets and a source of papers each
+    * lose their tails without one global cutoff mangling both. The
+    * bounds table is source-cardinality (tiny) and broadcasts into the
+    * corpus scan; the filter itself is then per-row algebra. The exact
+    * interpolated percentile is the oracle-gated form; at 100 TB the
+    * drop-in knob is approx_percentile on the same plan shape (the
+    * bounds aggregate stays metadata-scale either way).
+    */
+  def adaptiveLenFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bounds = d.groupBy("source").agg(
+      expr("percentile(n_chars, 0.10)").as("p10"),
+      expr("percentile(n_chars, 0.90)").as("p90"))
+    d.join(broadcast(bounds), "source")
+      .filter(col("n_chars") >= col("p10") && col("n_chars") <= col("p90"))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source hapax-legomena profile — the vocabulary-richness signal
+    * next to [[vocabGrowth]]: tokens occurring exactly once in their
+    * source, as a fraction of the source's vocabulary (machine-
+    * generated/templated text runs hapax-poor; natural text tracks
+    * Zipf). Two narrow aggregates — (source, term) frequency with
+    * map-side partials, then a vocab-scale rollup; raw text never
+    * shuffles.
+    */
+  def hapaxProfile(spark: SparkSession, dir: String): DataFrame = {
+    val hapax = sum(when(col("tf") === 1, 1L).otherwise(0L))
+    docs(spark, dir)
+      .select(col("source"), explode(wsTokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      .groupBy("source").agg(
+        count(lit(1)).as("vocab"),
+        hapax.as("hapax"),
+        round(hapax.cast(DoubleType) / count(lit(1)), 6).as("hapax_ratio"))
+      .orderBy("source")
+  }
+
   /** Per-source duplication profile — the dedup planning pass: how much
     * of each source is exact-duplicate mass, before any pair generation
     * runs. One hash aggregate over (source, fingerprint) partials; the

@@ -277,6 +277,18 @@ class PlanSpec extends SparkSuite {
       "p_split_assign" -> 0,
       // single scan + rule-key aggregate
       "p_filter_report" -> 1,
+      // fingerprint first-occurrence aggregate + fp join; chunk text
+      // reduces to md5 scan-side, so both exchanges carry 32-char
+      // fingerprints + ids, never tokens
+      "d_chunk_dedup" -> 2,
+      // source-keyed percentile bounds (metadata-scale) broadcast back
+      // into the corpus scan
+      "p_adaptive_len" -> 1,
+      // (source, term) frequency + vocab rollup, map-side partials
+      "t_hapax" -> 2,
+      // part dim prunes + broadcasts; common quantity band pushes to
+      // the fact scan; residual OR evaluates post-join — zero exchanges
+      "q19_disjunct" -> 0,
       // both-prefix ssjoin: 4 exchanges but each carries a 0.2-sized
       // prefix table — the single-prefix form's 2 exchanges included
       // shuffling the FULL gram table into the candidate join (count
