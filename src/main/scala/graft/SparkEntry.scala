@@ -71,6 +71,8 @@ object SparkEntry {
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     "q19_disjunct" -> (AnalyticsQueries.q19Disjunct _),
+    "q14_promo" -> (AnalyticsQueries.q14PromoShare _),
+    "q10_returns" -> (AnalyticsQueries.q10ReturnedItems _),
     // LLM-pipeline: dedup + text analysis over `documents`
     "d_dedup_exact" -> (TextQueries.dedupExact _),
     "d_dedup_keep" -> (TextQueries.dedupKeep _),
@@ -456,6 +458,27 @@ object SparkEntry {
           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
           |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+      "q14_promo" ->
+        """SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO'
+          |                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) END) AS DOUBLE) * 100 /
+          |             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 6) AS promo_pct,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE epoch_ms(l_shipdate) >= 820454400000 AND epoch_ms(l_shipdate) < 823132800000""".stripMargin,
+      "q10_returns" ->
+        """WITH rev AS (
+          |  SELECT o_custkey,
+          |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+          |         count(*) AS n_items
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE l_returnflag = 'R'
+          |    AND epoch_ms(o_orderdate) >= 820454400000 AND epoch_ms(o_orderdate) < 828316800000
+          |  GROUP BY 1)
+          |SELECT c_custkey, c_name, n_name, revenue, n_items
+          |FROM rev JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
       // Threshold cross-multiplied into exact DECIMAL space: qty < 0.2*avg
       // <=> qty * n * 5 < sum_qty — no division before the final output.
       "q17_small_qty" ->

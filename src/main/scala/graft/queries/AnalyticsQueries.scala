@@ -515,6 +515,53 @@ object AnalyticsQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q14-style promotion revenue share: what fraction of a
+    * month's revenue came from promo parts. The part dim projects to
+    * two columns and broadcasts; the date band pushes to the fact scan;
+    * the conditional and total revenues come out of ONE aggregate over
+    * one scan (sum(when) ignores non-promo rows as nulls — no second
+    * pass, no self-join). Both sums are exact DECIMAL; only the final
+    * ratio divides in double, rounded so both engines agree.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = pq(spark, dir, "part").select("p_partkey", "p_type")
+    pq(spark, dir, "lineitem")
+      .filter(tsMillis(col("l_shipdate")) >= lit(820454400000L) && // 1996-01-01
+        tsMillis(col("l_shipdate")) < lit(823132800000L)) // 1996-02-01
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", discPrice)).cast(DoubleType) * 100.0 /
+          sum(discPrice).cast(DoubleType), 6).as("promo_pct"),
+        sum(discPrice).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q10-style returned-item report: top 20 customers by revenue
+    * lost to returns in a quarter. The scale decision is aggregation
+    * ORDER: revenue reduces to customer grain (one fact-side aggregate)
+    * BEFORE the customer dim joins — the join input is one row per
+    * returning customer, not one per lineitem — and the nation name
+    * arrives via a broadcast at the very end. Top-20 ties break on
+    * custkey so the cut is deterministic.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = pq(spark, dir, "orders")
+      .filter(tsMillis(col("o_orderdate")) >= lit(820454400000L) && // 1996-01-01
+        tsMillis(col("o_orderdate")) < lit(828316800000L)) // 1996-04-01
+      .select("o_orderkey", "o_custkey")
+    val li = pq(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val cust = pq(spark, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    val nat = pq(spark, dir, "nation").select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q4-style order-priority check: EXISTS decorrelated to a
     * left-semi hash join (no row multiplication — an order with many
     * flagged lineitems counts once), date filter pushed to the orders

@@ -289,6 +289,10 @@ class PlanSpec extends SparkSuite {
       // part dim prunes + broadcasts; common quantity band pushes to
       // the fact scan; residual OR evaluates post-join — zero exchanges
       "q19_disjunct" -> 0,
+      // promo + total revenue from ONE scalar aggregate over one scan
+      "q14_promo" -> 0,
+      // fact side reduces to customer grain before the dim joins
+      "q10_returns" -> 1,
       // both-prefix ssjoin: 4 exchanges but each carries a 0.2-sized
       // prefix table — the single-prefix form's 2 exchanges included
       // shuffling the FULL gram table into the candidate join (count

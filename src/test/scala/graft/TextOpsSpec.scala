@@ -181,6 +181,54 @@ class TextOpsSpec extends SparkSuite {
     assert(dbShuffle == dbBroadcast)
   }
 
+  test("chunk dedup, adaptive length filter, hapax profile hold their invariants") {
+    import org.apache.spark.sql.functions.{ceil => sqlCeil, _}
+    // chunk dedup: chunks per doc == ceil(tokens/32); kept chunks across
+    // the corpus == distinct chunk fingerprints (every fingerprint keeps
+    // exactly its first occurrence)
+    val cd = TextQueries.chunkDedup(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(cd.nonEmpty)
+    cd.foreach { case (_, n, kept, dropped) => assert(kept + dropped == n) }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val expChunks = docs
+      .select(sqlCeil(size(graft.functions.TextFunctions.wsTokens(col("text"))) / 32.0)
+        .cast("long").as("n")).as[Long].collect().sum
+    assert(cd.map(_._2).sum == expChunks, "chunk count must be ceil(tokens/32) per doc")
+    val distinctFps = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.wsTokens(col("text")).as("ts"))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(ts) / 32.0) as int) - 1), " +
+          "i -> md5(cast(concat_ws(' ', slice(ts, i * 32 + 1, 32)) as binary)))")).as("fp"))
+      .distinct().count()
+    assert(cd.map(_._3).sum == distinctFps, "one kept chunk per distinct fingerprint")
+    // adaptive length filter: every survivor sits inside its own
+    // source's [p10, p90] band, recomputed independently here
+    val kept = TextQueries.adaptiveLenFilter(spark, sf)
+      .as[(Long, String, Long)].collect()
+    assert(kept.nonEmpty)
+    val bySource = docs.select(col("source"), col("n_chars").cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def pct(xs: Array[Long], f: Double): Double = {
+      val pos = (xs.length - 1) * f
+      val lo = xs(pos.toInt)
+      val hi = xs(math.min(pos.toInt + 1, xs.length - 1))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    kept.foreach { case (id, src, n) =>
+      val xs = bySource(src)
+      assert(n >= pct(xs, 0.10) && n <= pct(xs, 0.90), s"doc $id outside $src band")
+    }
+    // hapax: bounded by vocab; ratio consistent
+    val hp = TextQueries.hapaxProfile(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(hp.nonEmpty)
+    hp.foreach { case (src, vocab, hapax, ratio) =>
+      assert(hapax <= vocab, src)
+      assert(math.abs(ratio - hapax.toDouble / vocab) < 1e-6, src)
+    }
+  }
+
   test("near-dup index round-trips through parquet; probe output is identical") {
     // the "nightly artifact" story: build once, save, and a probe
     // against the reloaded index matches a probe against the fresh one
