@@ -85,6 +85,11 @@ object BackupEngine {
           .withColumn("slice_start",
             (col("anchor") + floor((col("timestamp") - col("anchor")) / lit(ms)) * lit(ms)).cast(LongType))
           .drop("anchor")
+      case AnchoredPeriod(anchor, ms) =>
+        // streaming runs arrive with the anchor already resolved, so no
+        // records-side aggregate — pure per-row algebra
+        records.withColumn("slice_start",
+          (lit(anchor) + floor((col("timestamp") - lit(anchor)) / lit(ms)) * lit(ms)).cast(LongType))
     }
 
   /** Write one JSON-array object per time slice under `outDir`.

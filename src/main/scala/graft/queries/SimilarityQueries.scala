@@ -31,6 +31,17 @@ object SimilarityQueries {
 
   /** float32 vector -> double matrix row (exact widening, same as the
     * old `element_at(embedding, i+1).cast("double")` projection). */
+  // Array overload first: the per-row hot loops hand in Array[Float]
+  // directly, and the old Seq-only signature silently COPIED each array
+  // to an immutable IndexedSeq before the element loop (the 2.13
+  // implicit conversion) — two copies per row where one suffices.
+  private def widen(emb: Array[Float]): Array[Double] = {
+    val v = new Array[Double](emb.length)
+    var i = 0
+    while (i < v.length) { v(i) = emb(i).toDouble; i += 1 }
+    v
+  }
+
   private def widen(emb: Seq[Float]): Array[Double] = {
     val v = new Array[Double](emb.length)
     var i = 0
@@ -146,7 +157,7 @@ object SimilarityQueries {
       val probs = (1 until nBlocks).map(_.toDouble / nBlocks).toArray
       val qs = vecs.stat.approxQuantile("vec_id", probs, 0.001).map(_.toLong)
       val bounds = (Long.MinValue +: qs :+ Long.MaxValue).distinct.sorted
-      bounds.init.zip(bounds.tail)
+      bounds.init.zip(bounds.tail).toSeq
     }
   }
 

@@ -98,10 +98,10 @@ object StreamingBackup {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val (sliced, keyConf) = timeConf match {
-      case AnchoredPeriod(anchor, ms) =>
-        (batch.withColumn("slice_start",
-          (lit(anchor) + floor((col("timestamp") - lit(anchor)) / lit(ms)) * lit(ms)).cast("long")),
-          PeriodFromFirst(ms))
+      case AnchoredPeriod(_, ms) =>
+        // slice math lives in withSliceStart's AnchoredPeriod case; the
+        // KEY codec still names by the raw period start (PeriodFromFirst)
+        (BackupEngine.withSliceStart(batch, timeConf), PeriodFromFirst(ms))
       case c =>
         (BackupEngine.withSliceStart(batch, c), c)
     }
