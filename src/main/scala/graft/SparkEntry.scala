@@ -112,6 +112,7 @@ object SparkEntry {
     "t_lm_probe" -> (TextQueries.lmProbe _),
     "p_clean_corpus" -> (TextQueries.cleanCorpus _),
     "d_chunk_dedup" -> (TextQueries.chunkDedup _),
+    "d_chunk_incremental" -> (TextQueries.chunkIncremental _),
     "p_adaptive_len" -> (TextQueries.adaptiveLenFilter _),
     "t_hapax" -> (TextQueries.hapaxProfile _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
@@ -805,6 +806,20 @@ object SparkEntry {
           |       CAST(sum(kept) AS BIGINT) AS n_kept,
           |       CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
           |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
+      "d_chunk_incremental" ->
+        """WITH toks AS (
+          |  SELECT doc_id, source, string_split(trim(text), ' ') AS ts FROM documents),
+          |chunks AS (
+          |  SELECT doc_id, source,
+          |         md5(array_to_string(ts[(i*32+1):(i*32+32)], ' ')) AS fp
+          |  FROM toks,
+          |       LATERAL unnest(generate_series(0, CAST(ceil(len(ts)/32.0) AS BIGINT) - 1)) AS g(i)),
+          |corpus AS (SELECT DISTINCT fp FROM chunks WHERE source <> 'src12')
+          |SELECT c.doc_id, count(*) AS n_chunks,
+          |       CAST(sum(CASE WHEN corpus.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+          |FROM chunks c LEFT JOIN corpus ON c.fp = corpus.fp
+          |WHERE c.source = 'src12'
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "p_adaptive_len" ->
         """WITH b AS (
           |  SELECT source, quantile_cont(n_chars, 0.10) AS p10,

@@ -1405,13 +1405,7 @@ object TextQueries {
     * "fixes" it with a shuffle barrier.)
     */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = docs(spark, dir)
-      .select(col("doc_id"), wsTokens(col("text")).as("ts"))
-      .select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, cast(ceil(size(ts) / 32.0) as int) - 1), " +
-            "i -> md5(cast(concat_ws(' ', slice(ts, i * 32 + 1, 32)) as binary)))"))
-          .as(Seq("chunk_idx", "fp")))
+    val chunks = chunkFingerprints(docs(spark, dir))
     val first = chunks.groupBy("fp")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
     chunks.join(first, "fp")
@@ -1422,6 +1416,67 @@ object TextQueries {
       .agg(count(lit(1)).as("n_chunks"),
         sum("kept").as("n_kept"),
         (count(lit(1)) - sum("kept")).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, chunk_idx, fp) rows: 32-token chunks fingerprinted
+    * IN-ROW — chunking, joining, and md5 all run scan-side, so the
+    * frame's rows are 32-char fingerprints + ids before any exchange. */
+  private def chunkFingerprints(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), wsTokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(ts) / 32.0) as int) - 1), " +
+            "i -> md5(cast(concat_ws(' ', slice(ts, i * 32 + 1, 32)) as binary)))"))
+          .as(Seq("chunk_idx", "fp")))
+
+  /** Corpus chunk-fingerprint index — the chunk-granularity sibling of
+    * [[NearDupIndex]] and the other half of the nightly artifact: the
+    * batch side rebuilds it from the corpus, every incoming batch (or
+    * stream micro-batch) probes it for passages the corpus already
+    * contains. Rows are (doc_id, chunk_idx, fp) — fingerprints only,
+    * never chunk text.
+    */
+  final case class ChunkIndex(fps: DataFrame) {
+    def persist(): ChunkIndex = { fps.persist(); this }
+    def unpersist(): Unit = fps.unpersist()
+    def save(path: String): Unit = fps.write.mode("overwrite").parquet(path)
+  }
+
+  object ChunkIndex {
+    def load(spark: SparkSession, path: String): ChunkIndex =
+      ChunkIndex(spark.read.parquet(path))
+  }
+
+  def buildChunkIndex(corpus: DataFrame): ChunkIndex =
+    ChunkIndex(chunkFingerprints(corpus))
+
+  /** Probe a batch of new docs against a corpus [[ChunkIndex]]: per new
+    * doc, how many of its 32-token chunks the corpus already contains —
+    * the ingest-time passage-contamination census. New-vs-corpus only
+    * (an index probe, not a self-join: no corpus-corpus pair work), the
+    * join keyed on fingerprints, left-join + flag so chunk counts and
+    * seen counts come from ONE aggregate.
+    */
+  def probeChunks(batch: DataFrame, index: ChunkIndex): DataFrame = {
+    val seen = index.fps.select("fp").distinct().withColumn("seen", lit(1L))
+    chunkFingerprints(batch)
+      .join(seen, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+  }
+
+  /** Incremental chunk-level contamination — the production ingest flow
+    * as a gate query (`src12` plays the incoming batch, the other
+    * sources the corpus). See [[probeChunks]].
+    */
+  def chunkIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    probeChunks(
+      d.filter(col("source") === "src12"),
+      buildChunkIndex(d.filter(col("source") =!= "src12")))
       .orderBy("doc_id")
   }
 

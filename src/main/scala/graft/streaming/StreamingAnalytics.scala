@@ -152,6 +152,33 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** Streaming chunk-contamination probe — the chunk-granularity twin
+    * of [[streamingNearDupProbe]], same zero-state shape: each
+    * micro-batch of docs runs [[graft.queries.TextQueries.probeChunks]]
+    * against the precomputed corpus
+    * [[graft.queries.TextQueries.ChunkIndex]] (chunks fingerprinted
+    * in-row, fingerprint-keyed index join, per-doc census inside
+    * `foreachBatch`). Nothing buffers across batches; the index is the
+    * batch pipeline's nightly artifact and is persisted here for the
+    * same reason as the near-dup index — every trigger would otherwise
+    * re-derive it from source. The caller releases it with
+    * `index.unpersist()` after stopping the query.
+    */
+  def streamingChunkProbe(
+      docs: DataFrame,
+      index: graft.queries.TextQueries.ChunkIndex,
+      checkpoint: String,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    index.persist()
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.queries.TextQueries.probeChunks(batch.toDF(), index))
+      }
+      .start()
+  }
+
   /** Stream-stream inner join — both sides unbounded: orders and events
     * join on the customer key within a bounded event-time window
     * (event within 1 hour AFTER its order). The time-range predicate +

@@ -281,6 +281,9 @@ class PlanSpec extends SparkSuite {
       // reduces to md5 scan-side, so both exchanges carry 32-char
       // fingerprints + ids, never tokens
       "d_chunk_dedup" -> 2,
+      // corpus fp distinct + fingerprint-keyed probe join, new-vs-corpus
+      // only — no corpus-corpus chunk work
+      "d_chunk_incremental" -> 2,
       // source-keyed percentile bounds (metadata-scale) broadcast back
       // into the corpus scan
       "p_adaptive_len" -> 1,

@@ -72,6 +72,36 @@ class StreamingAnalyticsSpec extends SparkSuite {
       s"streaming probe diverged: got ${got.toSet} expected $expected")
   }
 
+  test("streaming chunk probe equals the batch probe through a disk round-trip") {
+    implicit val ctx = spark.sqlContext
+    val sf = SparkSuite.sf0001
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val ids = d.select("doc_id").as[Long].collect().sorted.take(2).map(Long.box)
+    val corpus = d.filter(!col("doc_id").isin(ids.toSeq: _*))
+    // the streaming query probes the RELOADED index — proving the
+    // nightly-artifact flow (build, save, load elsewhere, probe) in one
+    val path = tmpDir("chunk-index")
+    graft.queries.TextQueries.buildChunkIndex(corpus).save(path)
+    val index = graft.queries.TextQueries.ChunkIndex.load(spark, path)
+    val streamDocs = d.filter(col("doc_id").isin(ids.toSeq: _*))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = StreamingAnalytics.streamingChunkProbe(
+      mem.toDF().toDF("doc_id", "text"), index, tmpDir("chunk-ckpt"),
+      batch => got ++= batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    streamDocs.foreach { doc => mem.addData(doc); q.processAllAvailable() }
+    q.stop()
+    val expected = graft.queries.TextQueries.probeChunks(
+      d.filter(col("doc_id").isin(ids.toSeq: _*)), index)
+      .as[(Long, Long, Long)].collect().toSet
+    index.unpersist()
+    assert(expected.nonEmpty && expected.forall(_._2 > 0))
+    assert(got.toSet == expected,
+      s"streaming chunk probe diverged: got ${got.toSet} expected $expected")
+  }
+
   test("streaming compaction maintains latest value per key across batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[graft.model.ReducedConsumerRecord]
