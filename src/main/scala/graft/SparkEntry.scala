@@ -115,6 +115,7 @@ object SparkEntry {
     "d_chunk_incremental" -> (TextQueries.chunkIncremental _),
     "p_adaptive_len" -> (TextQueries.adaptiveLenFilter _),
     "t_hapax" -> (TextQueries.hapaxProfile _),
+    "d_threshold_calib" -> (TextQueries.thresholdCalibration _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
     "m_frame_sample" -> (TextQueries.mediaFrameSample _),
@@ -1137,6 +1138,29 @@ object SparkEntry {
           |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
           |FROM dup JOIN e a ON a.vec_id = id1 JOIN e b ON b.vec_id = id2
           |ORDER BY id1, id2""".stripMargin,
+      "d_threshold_calib" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          |dup AS (
+          |  SELECT id1, id2, CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+          |  FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |hv AS (
+          |  SELECT id1, id2, jaccard,
+          |         round(list_dot_product(a.v, b.v) /
+          |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+          |  FROM dup JOIN e a ON a.vec_id = id1 JOIN e b ON b.vec_id = id2)
+          |SELECT CAST(floor(cos_sim * 5) AS BIGINT) AS cos_band, count(*) AS n_pairs,
+          |       round(avg(jaccard), 6) AS avg_jaccard, round(avg(cos_sim), 6) AS avg_cos
+          |FROM hv GROUP BY 1 ORDER BY 1""".stripMargin,
       // corpus-trained counts score the src12 batch; unseen bigrams hit
       // the add-one floor via left joins
       "t_lm_probe" ->

@@ -1153,6 +1153,26 @@ object TextQueries {
     }
   }
 
+  /** Semantic-threshold calibration census — the report a curator
+    * reads before picking the cosine cutoff in hybrid dedup: the
+    * embedding-cosine distribution of the VERIFIED lexical near-dup
+    * pairs in 0.2-wide bands, with each band's mean Jaccard and cosine.
+    * A corpus whose lexical dups concentrate in high-cosine bands can
+    * dedup on embeddings alone; a flat distribution (like these
+    * fixtures — embeddings uncorrelated with text dups) says the
+    * lexical pipeline must stay. Bands key off the 6-dp-rounded cosine
+    * both engines agree on, so membership can never flip cross-engine;
+    * the aggregate input is the output-scale pair set, so this is
+    * metadata-priced on top of [[hybridVerify]].
+    */
+  def thresholdCalibration(spark: SparkSession, dir: String): DataFrame =
+    hybridVerify(spark, dir)
+      .groupBy(floor(col("cos_sim") * 5).cast(LongType).as("cos_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("jaccard"), 6).as("avg_jaccard"),
+        round(avg("cos_sim"), 6).as("avg_cos"))
+      .orderBy("cos_band")
+
   /** Quality-filter cascade with per-rule reject attribution — the
     * report every curation run produces before committing thresholds:
     * each doc is charged to its FIRST failing rule (cheapest check

@@ -284,6 +284,9 @@ class PlanSpec extends SparkSuite {
       // corpus fp distinct + fingerprint-keyed probe join, new-vs-corpus
       // only — no corpus-corpus chunk work
       "d_chunk_incremental" -> 2,
+      // band census over the collected pair set: one tiny aggregate on
+      // top of the hybrid-verify LocalRelation plan
+      "d_threshold_calib" -> 1,
       // source-keyed percentile bounds (metadata-scale) broadcast back
       // into the corpus scan
       "p_adaptive_len" -> 1,
