@@ -73,6 +73,7 @@ object SparkEntry {
     "q19_disjunct" -> (AnalyticsQueries.q19Disjunct _),
     "q14_promo" -> (AnalyticsQueries.q14PromoShare _),
     "q10_returns" -> (AnalyticsQueries.q10ReturnedItems _),
+    "q7_bilateral" -> (AnalyticsQueries.q7BilateralVolume _),
     // LLM-pipeline: dedup + text analysis over `documents`
     "d_dedup_exact" -> (TextQueries.dedupExact _),
     "d_dedup_keep" -> (TextQueries.dedupKeep _),
@@ -468,6 +469,21 @@ object SparkEntry {
           |       count(*) AS n_items
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |WHERE epoch_ms(l_shipdate) >= 820454400000 AND epoch_ms(l_shipdate) < 823132800000""".stripMargin,
+      "q7_bilateral" ->
+        """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+          |       year(l_shipdate) AS ship_year,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ns ON s_nationkey = ns.n_nationkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation nc ON c_nationkey = nc.n_nationkey
+          |WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+          |  AND nc.n_name IN ('NATION_1', 'NATION_2')
+          |  AND ns.n_name <> nc.n_name
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       "q10_returns" ->
         """WITH rev AS (
           |  SELECT o_custkey,

@@ -77,6 +77,41 @@ object AnalyticsQueries {
       .orderBy("r_name", "n_name")
   }
 
+  /** TPC-H Q7-style bilateral shipping volume: revenue flowing between
+    * two nations, either direction, by ship year. The asymmetric join
+    * strategy is the point: the supplier side collapses to a
+    * nation-FILTERED (suppkey, nation) broadcast (2/N of suppliers),
+    * while the customer side — orders are fact-scale, never broadcast
+    * material — filters customer against the same nation pair, joins
+    * orders on custkey, and meets lineitem on a shuffled orderkey
+    * equi-join. The cross-nation predicate (supp != cust nation)
+    * evaluates post-join on already-tiny rows.
+    */
+  def q7BilateralVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    val nat = pq(spark, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+      .select("n_nationkey", "n_name")
+    val supp = pq(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = pq(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = pq(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    pq(spark, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("ship_year"))
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
   /** Ranking window: top-3 orders per customer by total price. */
   def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

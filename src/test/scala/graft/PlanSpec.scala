@@ -297,6 +297,9 @@ class PlanSpec extends SparkSuite {
       "q19_disjunct" -> 0,
       // promo + total revenue from ONE scalar aggregate over one scan
       "q14_promo" -> 0,
+      // supplier side broadcasts; customer side shuffles orders on
+      // custkey then meets the fact on orderkey; final aggregate
+      "q7_bilateral" -> 3,
       // fact side reduces to customer grain before the dim joins
       "q10_returns" -> 1,
       // both-prefix ssjoin: 4 exchanges but each carries a 0.2-sized
