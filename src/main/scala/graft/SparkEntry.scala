@@ -74,6 +74,15 @@ object SparkEntry {
     "q14_promo" -> (AnalyticsQueries.q14PromoShare _),
     "q10_returns" -> (AnalyticsQueries.q10ReturnedItems _),
     "q7_bilateral" -> (AnalyticsQueries.q7BilateralVolume _),
+    "q2_min_cost" -> (AnalyticsQueries.q2MinCost _),
+    "q8_market_share" -> (AnalyticsQueries.q8MarketShare _),
+    "q9_profit" -> (AnalyticsQueries.q9Profit _),
+    "q13_order_dist" -> (AnalyticsQueries.q13OrderDist _),
+    "q15_top_supplier" -> (AnalyticsQueries.q15TopSupplier _),
+    "q16_supplier_cnt" -> (AnalyticsQueries.q16SupplierCnt _),
+    "q20_qty_concentration" -> (AnalyticsQueries.q20QtyConcentration _),
+    "q21_late_supplier" -> (AnalyticsQueries.q21LateSupplier _),
+    "q22_dormant" -> (AnalyticsQueries.q22Dormant _),
     // LLM-pipeline: dedup + text analysis over `documents`
     "d_dedup_exact" -> (TextQueries.dedupExact _),
     "d_dedup_keep" -> (TextQueries.dedupKeep _),
@@ -484,6 +493,140 @@ object SparkEntry {
           |  AND nc.n_name IN ('NATION_1', 'NATION_2')
           |  AND ns.n_name <> nc.n_name
           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "q2_min_cost" ->
+        """WITH offer AS (
+          |  SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(18,2))) AS offer_price
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+          |  GROUP BY 1, 2),
+          |best AS (
+          |  SELECT l_partkey, min(offer_price) AS best_price FROM offer GROUP BY 1)
+          |SELECT s_acctbal, s_name, n_name, offer.l_partkey AS p_partkey,
+          |       CAST(best_price AS DOUBLE) AS best_price
+          |FROM offer
+          |JOIN best ON offer.l_partkey = best.l_partkey AND offer_price = best_price
+          |JOIN supplier ON offer.l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'EUROPE'
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin,
+      "q8_market_share" ->
+        """WITH flow AS (
+          |  SELECT year(o_orderdate) AS o_year,
+          |         CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS volume,
+          |         ns.n_name AS supp_nation
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+          |  JOIN region ON nc.n_regionkey = r_regionkey
+          |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+          |    AND epoch_ms(o_orderdate) >= 820454400000 AND epoch_ms(o_orderdate) < 883612800000)
+          |SELECT o_year,
+          |       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DOUBLE) /
+          |             CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+          |       CAST(sum(volume) AS DOUBLE) AS total_volume, count(*) AS n_items
+          |FROM flow GROUP BY 1 ORDER BY 1""".stripMargin,
+      // No partsupp in the harness schema: cost is a deterministic
+      // retail-price fraction; quantity casts to DECIMAL(9,0) so every
+      // decimal product stays well inside 38 digits in both engines.
+      "q9_profit" ->
+        """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+          |              - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,0)) * CAST(0.5 AS DECIMAL(4,2))) AS DOUBLE) AS profit,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE p_name LIKE '%widget%'
+          |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+      "q13_order_dist" ->
+        """WITH per_cust AS (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders
+          |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+          |  GROUP BY 1)
+          |SELECT c_count, count(*) AS custdist
+          |FROM per_cust GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      "q15_top_supplier" ->
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev_dec
+          |  FROM lineitem
+          |  WHERE epoch_ms(l_shipdate) >= 820454400000 AND epoch_ms(l_shipdate) < 828316800000
+          |  GROUP BY 1)
+          |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+          |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+          |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin,
+      "q16_supplier_cnt" ->
+        """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM part JOIN lineitem ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+      // >50% threshold cross-multiplied (qty * 2 > total) — exact
+      // DECIMAL compare, no division.
+      "q20_qty_concentration" ->
+        """WITH shipped AS (
+          |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sup_qty
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE p_type = 'PROMO'
+          |    AND epoch_ms(l_shipdate) >= 820454400000 AND epoch_ms(l_shipdate) < 852076800000
+          |  GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT l_partkey, sum(sup_qty) AS total_qty FROM shipped GROUP BY 1)
+          |SELECT DISTINCT s_suppkey, s_name, n_name
+          |FROM shipped
+          |JOIN tot ON shipped.l_partkey = tot.l_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE sup_qty * 2 > total_qty
+          |ORDER BY s_suppkey""".stripMargin,
+      "q21_late_supplier" ->
+        """WITH li AS (
+          |  SELECT l_orderkey, l_suppkey, l_shipdate
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE o_orderstatus = 'F'),
+          |per_order AS (
+          |  SELECT l_orderkey, max(l_shipdate) AS max_ship,
+          |         count(DISTINCT l_suppkey) AS n_supp
+          |  FROM li GROUP BY 1),
+          |at_max AS (
+          |  SELECT li.l_orderkey, min(l_suppkey) AS late_supp,
+          |         count(DISTINCT l_suppkey) AS n_at_max
+          |  FROM li JOIN per_order ON li.l_orderkey = per_order.l_orderkey AND l_shipdate = max_ship
+          |  GROUP BY 1)
+          |SELECT s_suppkey, s_name, count(*) AS numwait
+          |FROM at_max
+          |JOIN per_order ON at_max.l_orderkey = per_order.l_orderkey
+          |JOIN supplier ON late_supp = s_suppkey
+          |WHERE n_supp >= 2 AND n_at_max = 1
+          |GROUP BY 1, 2
+          |ORDER BY numwait DESC, s_suppkey
+          |LIMIT 20""".stripMargin,
+      // Positive-average threshold cross-multiplied (bal * n > sum) —
+      // exact DECIMAL compare, no division.
+      "q22_dormant" ->
+        """WITH pool AS (
+          |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          |  FROM customer
+          |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')),
+          |thresh AS (
+          |  SELECT sum(bal) AS sum_pos, count(*) AS n_pos FROM pool WHERE bal > 0)
+          |SELECT c_mktsegment, count(*) AS numcust, CAST(sum(bal) AS DOUBLE) AS totacctbal
+          |FROM pool, thresh
+          |WHERE bal * n_pos > sum_pos
+          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |                  AND epoch_ms(o_orderdate) >= 915148800000)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q10_returns" ->
         """WITH rev AS (
           |  SELECT o_custkey,

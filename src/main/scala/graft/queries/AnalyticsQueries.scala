@@ -919,4 +919,286 @@ object AnalyticsQueries {
         count(lit(1)).as("n"),
         sum(dec4(col("value"))).cast(DoubleType).as("sum_value"))
       .orderBy("event_type", "day_ms")
+
+  // --- The remaining TPC-H archetypes, adapted to the harness schema ---
+  // (no partsupp table / comment columns here, so the REFERENCE SHAPES —
+  // correlated-min decorrelation, outer-join histograms, scalar-max and
+  // scalar-avg subqueries, distinct-count + NOT IN, nested-aggregate
+  // semi-joins, multi-EXISTS self-joins — run against the columns that
+  // exist; lineitem stands in as the part-supplier bridge where TPC-H
+  // uses partsupp).
+
+  /** TPC-H Q2-style min-cost supplier: for each part in a size band /
+    * type, every supplier whose best offer (min line price, exact
+    * DECIMAL — no division, ties surface as extra rows like Q2's) hits
+    * the part's global minimum, with supplier dims attached. The
+    * correlated min subquery decorrelates into two aggregates that
+    * REUSE one shuffle: the (part, supp) offer grain partitions by
+    * part-major key, so the per-part min and the equality join back
+    * both land on the same exchange. The part filter broadcasts INTO
+    * the fact scan — offers aggregate over the ~0.1% of lineitem that
+    * can win, not the whole table — and the supplier/nation/region dim
+    * chain broadcasts at the end, region-filtered first.
+    */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val partF = pq(spark, dir, "part")
+      .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+      .select("p_partkey")
+    val suppDim = pq(spark, dir, "supplier")
+      .join(broadcast(pq(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(pq(spark, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val offer = pq(spark, dir, "lineitem")
+      .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(dec(col("l_extendedprice"))).as("offer_price"))
+    val best = offer.groupBy(col("l_partkey").as("bp_partkey"))
+      .agg(min(col("offer_price")).as("best_price"))
+    offer
+      .join(best, col("l_partkey") === col("bp_partkey") &&
+        col("offer_price") === col("best_price"))
+      .join(broadcast(suppDim), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"),
+        col("best_price").cast(DoubleType).as("best_price"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8-style national market share: of the revenue a region's
+    * customers spent on one part type over two years, what fraction
+    * was supplied by one nation, per order year. Share and total come
+    * out of ONE aggregate over one fact pass (`sum(when)` for the
+    * nation slice); the asymmetric join strategy is q7's — filtered
+    * part and supplier-nation dims broadcast into lineitem, while the
+    * customer→region side reduces orders BEFORE the fact-scale
+    * orderkey equi-join. Volumes sum in exact DECIMAL; only the final
+    * share divides in double, rounded 6 dp.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val partF = pq(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val supp = pq(spark, dir, "supplier")
+      .join(broadcast(pq(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custAsia = pq(spark, dir, "customer")
+      .join(broadcast(pq(spark, dir, "nation")
+          .join(broadcast(pq(spark, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ord = pq(spark, dir, "orders")
+      .filter(tsMillis(col("o_orderdate")) >= lit(820454400000L) && // 1996-01-01
+        tsMillis(col("o_orderdate")) < lit(883612800000L)) // 1998-01-01
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast(LongType).as("o_year"))
+    pq(spark, dir, "lineitem")
+      .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_year")
+      .agg(
+        round(
+          sum(when(col("supp_nation") === "NATION_3", discPrice)).cast(DoubleType) /
+            sum(discPrice).cast(DoubleType), 6).as("mkt_share"),
+        sum(discPrice).cast(DoubleType).as("total_volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9-style product-type profit by nation and year. The
+    * harness schema has no partsupp.ps_supplycost, so cost is a
+    * deterministic retail-price fraction (`p_retailprice * qty * 0.5`)
+    * — the SHAPE is Q9's: a name-pattern part filter and the supplier
+    * nation both broadcast into one lineitem pass, profit subtracts in
+    * exact DECIMAL (quantity casts to DECIMAL(9,0) so every product
+    * stays well inside 38 digits in both engines), one aggregate on
+    * (nation, year).
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val partF = pq(spark, dir, "part")
+      .filter(col("p_name").like("%widget%"))
+      .select("p_partkey", "p_retailprice")
+    val supp = pq(spark, dir, "supplier")
+      .join(broadcast(pq(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val cost = dec(col("p_retailprice")) *
+      col("l_quantity").cast(DecimalType(9, 0)) * rate(lit(0.5))
+    pq(spark, dir, "lineitem")
+      .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast(LongType).as("o_year"))
+      .agg(
+        sum(discPrice - cost).cast(DoubleType).as("profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed 0, 1, 2, … qualifying orders. Aggregation order
+    * is the scale story: orders reduce to customer grain FIRST (the
+    * priority filter pushed to that scan), customers LEFT-join the
+    * counts so order-less customers survive as count 0, and the
+    * histogram is a second aggregate over customer-grain rows — the
+    * outer join never touches order-grain data.
+    */
+  def q13OrderDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = pq(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    pq(spark, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15-style top supplier: the supplier(s) whose revenue over
+    * one quarter equals the maximum (the view + scalar-max subquery,
+    * decorrelated): the date filter pushes to the fact scan, revenue
+    * reduces to supplier grain in exact DECIMAL, and the max rides an
+    * unpartitioned window over the supplier-grain RESULT (metadata
+    * scale) — no second pass, no self-join; exact-DECIMAL equality
+    * keeps ties honest. Supplier names broadcast at the end.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = pq(spark, dir, "lineitem")
+      .filter(tsMillis(col("l_shipdate")) >= lit(820454400000L) && // 1996-01-01
+        tsMillis(col("l_shipdate")) < lit(828316800000L)) // 1996-04-01
+      .groupBy("l_suppkey")
+      .agg(sum(discPrice).as("rev_dec"))
+    rev
+      .withColumn("max_rev", max("rev_dec").over(Window.partitionBy()))
+      .filter(col("rev_dec") === col("max_rev"))
+      .join(broadcast(pq(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast(DoubleType).as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16-style supplier count per part attribute: how many
+    * distinct suppliers ship each (brand, type, size) combination,
+    * excluding one brand, one type, a size set, and black-listed
+    * suppliers (the NOT IN subquery → a broadcast anti-join on the
+    * 100-row supplier dim; lineitem stands in for partsupp as the
+    * part-supplier bridge). One fact pass: filtered part broadcasts
+    * in, the distinct-count aggregate dedups (brand,type,size,supp)
+    * map-side before the final shuffle.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val partF = pq(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val blacklist = pq(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    pq(spark, dir, "lineitem")
+      .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20-style quantity concentration (the availqty semi-join
+    * chain re-aimed at shipped volume): suppliers who shipped more
+    * than HALF of some promo part's total 1996 volume. The nested
+    * aggregates reuse one exchange — (part, supp) quantity grain, then
+    * a per-part total via a window over the part prefix of the SAME
+    * key — and the >50% threshold cross-multiplies (`qty * 2 >
+    * total`) so the compare stays in exact DECIMAL. The distinct
+    * supplier set is at most dim-scale, so the name/nation join
+    * broadcasts.
+    */
+  def q20QtyConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val partF = pq(spark, dir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val suppDim = pq(spark, dir, "supplier")
+      .join(broadcast(pq(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    val shipped = pq(spark, dir, "lineitem")
+      .filter(tsMillis(col("l_shipdate")) >= lit(820454400000L) && // 1996-01-01
+        tsMillis(col("l_shipdate")) < lit(852076800000L)) // 1997-01-01
+      .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec(col("l_quantity"))).as("sup_qty"))
+    shipped
+      .withColumn("total_qty", sum("sup_qty").over(Window.partitionBy("l_partkey")))
+      .filter(col("sup_qty") * 2 > col("total_qty"))
+      .select("l_suppkey").distinct()
+      .join(broadcast(suppDim), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21-style late supplier: for finished orders shipped by at
+    * least two distinct suppliers, the supplier who ALONE shipped last
+    * (EXISTS another supplier + NOT EXISTS another supplier at the max
+    * ship date), counted per supplier. Both EXISTS collapse into ONE
+    * aggregate over one fact pass: `max(struct(date, supp))` /
+    * `max(struct(date, -supp))` pin the max- and min-suppkey at the
+    * max date (equal ⟺ exactly one distinct late supplier), and
+    * `countDistinct` covers the ≥2-supplier test — no self-join, no
+    * second scan of lineitem.
+    */
+  def q21LateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ordF = pq(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val perOrder = pq(spark, dir, "lineitem")
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        max(struct(col("l_shipdate"), col("l_suppkey"))).as("mx"),
+        max(struct(col("l_shipdate"), (-col("l_suppkey")).as("neg"))).as("mn"))
+      .filter(col("n_supp") >= 2 &&
+        col("mx.l_suppkey") === -col("mn.neg"))
+    perOrder
+      .groupBy(col("mx.l_suppkey").as("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(pq(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-style dormant high-balance customers: per market
+    * segment, customers whose balance beats the segment pool's
+    * positive average and who placed NO recent orders (the scalar-avg
+    * subquery + anti-join). The average decorrelates to one
+    * metadata-scale (sum, count) pair broadcast back over the pool,
+    * and the compare cross-multiplies (`bal * n > sum`) to stay in
+    * exact DECIMAL; recent orders project to custkey and anti-join.
+    */
+  def q22Dormant(spark: SparkSession, dir: String): DataFrame = {
+    val pool = pq(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+      .select(col("c_custkey"), col("c_mktsegment"), dec(col("c_acctbal")).as("bal"))
+    val thresh = pool.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("sum_pos"),
+        count(lit(1)).cast(DecimalType(9, 0)).as("n_pos"))
+    val recent = pq(spark, dir, "orders")
+      .filter(tsMillis(col("o_orderdate")) >= lit(915148800000L)) // 1999-01-01
+      .select("o_custkey")
+    pool
+      .crossJoin(broadcast(thresh))
+      .filter(col("bal") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast(DoubleType).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
 }
