@@ -131,6 +131,7 @@ object SparkEntry {
     "m_frame_sample" -> (TextQueries.mediaFrameSample _),
     // LLM-pipeline: embedding similarity over `embeddings`
     "d_embed_neardup" -> (SimilarityQueries.embedNearDup _),
+    "d_semdedup" -> (SimilarityQueries.semDedup _),
     "s_ann_topk" -> (SimilarityQueries.annTopK _),
     "s_ann_ivf" -> (SimilarityQueries.annIvf _),
     "s_ivf_trained" -> (SimilarityQueries.ivfTrained _),
@@ -1476,6 +1477,45 @@ object SparkEntry {
           |         list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
           |SELECT id1, id2, round(c, 6) AS cos_sim FROM pairs WHERE c >= 0.45 ORDER BY id1, id2""".stripMargin,
+      // SemDeDup replay: the s_ivf_trained training CTE verbatim
+      // (quantized vectors -> 2 Lloyd rounds -> final assignment), then
+      // within-cell pairs on the EXACT integer dot products and the
+      // min-id keeper per dropped vector.
+      "d_semdedup" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 16),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c0 p) WHERE rn = 1),
+          |u1 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u1 GROUP BY 1),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c1 p) WHERE rn = 1),
+          |u2 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a2, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c2 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u2 GROUP BY 1),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT e.vec_id, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c2 p) WHERE rn = 1),
+          |nn AS (SELECT vec_id, sqrt(list_dot_product(q, q)) AS nrm FROM e),
+          |p AS (
+          |  SELECT xa.vec_id AS id1, xb.vec_id AS id2, xb.cell AS cell,
+          |         list_dot_product(ea.q, eb.q) / (na.nrm * nb.nrm) AS c
+          |  FROM a3 xa JOIN a3 xb ON xa.cell = xb.cell AND xa.vec_id < xb.vec_id
+          |  JOIN e ea ON ea.vec_id = xa.vec_id JOIN e eb ON eb.vec_id = xb.vec_id
+          |  JOIN nn na ON na.vec_id = xa.vec_id JOIN nn nb ON nb.vec_id = xb.vec_id)
+          |SELECT id2 AS vec_id, cell, min(id1) AS kept_by, round(arg_min(c, id1), 6) AS cos_sim
+          |FROM p WHERE c > 0.4 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
       "s_cosine_expr" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50)
           |SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -313,37 +313,39 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
-  /** TRAINED IVF coarse quantizer under the correctness gate — the
-    * upgrade [[annIvf]]'s scaladoc promises ("at scale seeds become
-    * k-means centroids"), made exactly replayable: vectors quantize to
-    * fixed-point integers (`floor(v * 2^20)` — the float->double->
-    * product->floor chain is bit-identical in any engine), so Lloyd's
-    * per-cell mean is an EXACT integer sum in any partial order
-    * divided by a count — the one formulation where iterative
-    * distributed training produces bit-identical centroids everywhere
-    * (plain double averaging is partition-order dependent, which is why
-    * [[KMeans.fit]] is spec-gated, not oracle-gated). Two rounds of
-    * (broadcast centroids -> one-pass argmax-cosine assignment ->
-    * single-shuffle integer mean), then the final assignment's cell
-    * profile. Cells that empty drop from the model (documented choice,
-    * same in the oracle). Cosines fold sequentially in double, ties
-    * break to the lowest cell — all decisions replay in SQL.
-    */
-  def ivfTrained(spark: SparkSession, dir: String): DataFrame = {
+  private val Q = 1048576.0 // 2^20 fixed-point quantization scale
+
+  /** Vectors quantized to fixed-point integers (`floor(v * 2^20)`) —
+    * the representation that makes iterative distributed training and
+    * within-cell cosine exactly replayable in any engine: integer dot
+    * products (≤ 64 · 2^40 ≪ 2^53) are exact in double no matter the
+    * fold order. Shared by [[ivfTrained]] and [[semDedup]]. */
+  private def quantizedVectors(
+      spark: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
     import spark.implicits._
-    val Q = 1048576.0 // 2^20
-    val qvecs = vectors(spark, dir).as[(Long, Array[Float])]
+    vectors(spark, dir).as[(Long, Array[Float])]
       .map { case (id, e) =>
         val q = new Array[Long](e.length)
         var i = 0
         while (i < e.length) { q(i) = math.floor(e(i).toDouble * Q).toLong; i += 1 }
         (id, q)
       }
+  }
+
+  /** Two Lloyd rounds over the quantized vectors, seeded by the first
+    * 16 ids: broadcast centroids -> one-pass argmax-cosine assignment
+    * -> single-shuffle EXACT integer mean. Bit-identical centroids in
+    * any partial order (the reason [[KMeans.fit]]'s plain double
+    * averaging stays spec-gated while this trains under the oracle).
+    * Cells that empty drop from the model. */
+  private def trainQuantizedCells(
+      qvecs: Dataset[(Long, Array[Long])]): Array[(Long, Array[Double], Double)] = {
+    import qvecs.sparkSession.implicits._
     var cents: Array[(Long, Array[Double], Double)] = qvecs
       .filter(_._1 < 16).collect().sortBy(_._1)
       .map { case (id, q) => val c = q.map(_.toDouble); (id, c, norm(c)) }
     (1 to 2).foreach { _ =>
-      val bc = spark.sparkContext.broadcast(cents)
+      val bc = qvecs.sparkSession.sparkContext.broadcast(cents)
       cents = qvecs
         .map { case (_, q) => (qArgmax(q, bc.value), q) }
         .groupByKey(_._1)
@@ -361,6 +363,75 @@ object SimilarityQueries {
         .collect().sortBy(_._1)
         .map { case (cell, c) => (cell, c, norm(c)) }
     }
+    cents
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the bit-exact trained
+    * quantizer, then mark every vector that has a SMALLER-id neighbor
+    * above 0.4 cosine in the SAME cell as a semantic duplicate —
+    * near-identical meaning under different surface text, which lexical
+    * dedup (MinHash/SimHash) cannot see. Output: one row per dropped
+    * vector with its keeper (the minimum qualifying id) and their
+    * cosine.
+    *
+    * This is the paper's scale recipe verbatim: the cells BOUND the
+    * quadratic term — pairing is a self-join on cell, never all-pairs
+    * — and at 100 TB k grows with the corpus (k ≈ N / target-cell-size)
+    * so per-cell populations stay flat; a skew-flooded cell sub-shards
+    * like the simhash oversized-bucket path. The pair scan stays fully
+    * distributed and codegen'd: the exact integer dot product is a
+    * `zip_with`/`aggregate` expression (no UDF), norms precompute per
+    * row, and the keeper-argmin is one struct-min aggregate.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qvecs = quantizedVectors(spark, dir)
+    val cents = trainQuantizedCells(qvecs)
+    val bcF = spark.sparkContext.broadcast(cents)
+    val assigned = qvecs
+      .map { case (id, q) => (id, qArgmax(q, bcF.value), q) }
+      .toDF("vec_id", "cell", "q")
+      .withColumn("nrm", sqrt(expr(
+        "cast(aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)")))
+    val a = assigned.select(col("vec_id").as("id1"), col("cell"),
+      col("q").as("q1"), col("nrm").as("n1"))
+    val b = assigned.select(col("vec_id").as("id2"), col("cell"),
+      col("q").as("q2"), col("nrm").as("n2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", expr(
+        "cast(aggregate(zip_with(q1, q2, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)") /
+        (col("n1") * col("n2")))
+      .filter(col("cos") > 0.4)
+      .groupBy(col("id2").as("vec_id"), col("cell"))
+      .agg(min(struct(col("id1"), col("cos"))).as("k"))
+      .select(col("vec_id"), col("cell"),
+        col("k.id1").as("kept_by"), round(col("k.cos"), 6).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** TRAINED IVF coarse quantizer under the correctness gate — the
+    * upgrade [[annIvf]]'s scaladoc promises ("at scale seeds become
+    * k-means centroids"), made exactly replayable: vectors quantize to
+    * fixed-point integers ([[quantizedVectors]] — the float->double->
+    * product->floor chain is bit-identical in any engine), so Lloyd's
+    * per-cell mean is an EXACT integer sum in any partial order
+    * divided by a count — the one formulation where iterative
+    * distributed training produces bit-identical centroids everywhere
+    * (plain double averaging is partition-order dependent, which is why
+    * [[KMeans.fit]] is spec-gated, not oracle-gated). Two rounds of
+    * (broadcast centroids -> one-pass argmax-cosine assignment ->
+    * single-shuffle integer mean; [[trainQuantizedCells]]), then the
+    * final assignment's cell
+    * profile. Cells that empty drop from the model (documented choice,
+    * same in the oracle). Cosines fold sequentially in double, ties
+    * break to the lowest cell — all decisions replay in SQL.
+    */
+  def ivfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qvecs = quantizedVectors(spark, dir)
+    val cents = trainQuantizedCells(qvecs)
     val bcF = spark.sparkContext.broadcast(cents)
     val members = qvecs
       .map { case (_, q) => qArgmax(q, bcF.value) }
