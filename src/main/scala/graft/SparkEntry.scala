@@ -77,6 +77,8 @@ object SparkEntry {
     "q2_min_cost" -> (AnalyticsQueries.q2MinCost _),
     "q8_market_share" -> (AnalyticsQueries.q8MarketShare _),
     "q9_profit" -> (AnalyticsQueries.q9Profit _),
+    "q11_value_stock" -> (AnalyticsQueries.q11ValueStock _),
+    "q12_ship_delay" -> (AnalyticsQueries.q12ShipDelay _),
     "q13_order_dist" -> (AnalyticsQueries.q13OrderDist _),
     "q15_top_supplier" -> (AnalyticsQueries.q15TopSupplier _),
     "q16_supplier_cnt" -> (AnalyticsQueries.q16SupplierCnt _),
@@ -546,6 +548,29 @@ object SparkEntry {
           |JOIN nation ON s_nationkey = n_nationkey
           |WHERE p_name LIKE '%widget%'
           |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+      // Scale-invariant Q11 threshold cross-multiplied into DECIMAL:
+      // share > 3x the average part's share <=> val * nparts > 3 * total.
+      "q11_value_stock" ->
+        """WITH nat AS (
+          |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_7'),
+          |v AS (
+          |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+          |  FROM lineitem JOIN nat ON l_suppkey = s_suppkey GROUP BY 1),
+          |t AS (SELECT sum(val) AS total, count(*) AS nparts FROM v)
+          |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS value
+          |FROM v, t
+          |WHERE val * nparts > 3 * total
+          |ORDER BY value DESC, p_partkey""".stripMargin,
+      "q12_ship_delay" ->
+        """SELECT l_linestatus,
+          |       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+          |       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count,
+          |       count(*) AS n_late
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE epoch_ms(l_shipdate) >= 820454400000 AND epoch_ms(l_shipdate) < 852076800000
+          |  AND epoch_ms(l_shipdate) - epoch_ms(o_orderdate) > 5184000000
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q13_order_dist" ->
         """WITH per_cust AS (
           |  SELECT c_custkey, count(o_orderkey) AS c_count

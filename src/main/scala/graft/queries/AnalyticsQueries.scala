@@ -1041,6 +1041,61 @@ object AnalyticsQueries {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** TPC-H Q11-style value concentration (the important-stock HAVING
+    * shape): parts whose shipped value through one nation's suppliers
+    * exceeds 3× the average part's share — a per-part aggregate
+    * HAVING-filtered against a scalar subquery of the global total.
+    * The threshold is SCALE-INVARIANT (`val * nparts > 3 * total`
+    * rather than Q11's fixed fraction) so the selectivity survives a
+    * 100× corpus, and it cross-multiplies so the compare stays in
+    * exact DECIMAL. The nation's supplier set broadcasts into the fact
+    * scan; the (total, nparts) scalar pair broadcasts back over the
+    * part-grain aggregate — fact rows are read once.
+    */
+  def q11ValueStock(spark: SparkSession, dir: String): DataFrame = {
+    val nat = pq(spark, dir, "supplier")
+      .join(broadcast(pq(spark, dir, "nation").filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = pq(spark, dir, "lineitem")
+      .join(broadcast(nat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(dec(col("l_extendedprice"))).as("val"))
+    val t = v.agg(sum(col("val")).as("total"),
+      count(lit(1)).cast(DecimalType(9, 0)).as("nparts"))
+    v.crossJoin(broadcast(t))
+      .filter(col("val") * col("nparts") > col("total") * 3)
+      .select(col("l_partkey").as("p_partkey"),
+        col("val").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12-style late-shipment priority census: among lineitems
+    * shipped more than 60 days after their order date in one year, how
+    * many belong to critical- vs normal-priority orders, per line
+    * status. The date-lag predicate and the year band push to the fact
+    * scan; orders project to (orderkey, priority) for the fact-scale
+    * equi-join; both priority counts come out of ONE aggregate
+    * (`count(when)`), no second pass.
+    */
+  def q12ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val ord = pq(spark, dir, "orders").select("o_orderkey", "o_orderpriority",
+      "o_orderdate")
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    pq(spark, dir, "lineitem")
+      .filter(tsMillis(col("l_shipdate")) >= lit(820454400000L) && // 1996-01-01
+        tsMillis(col("l_shipdate")) < lit(852076800000L)) // 1997-01-01
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(tsMillis(col("l_shipdate")) - tsMillis(col("o_orderdate")) >
+        lit(5184000000L)) // 60 days
+      .groupBy("l_linestatus")
+      .agg(
+        count(when(critical, lit(1))).as("high_line_count"),
+        count(when(!critical, lit(1))).as("low_line_count"),
+        count(lit(1)).as("n_late"))
+      .orderBy("l_linestatus")
+  }
+
   /** TPC-H Q13-style customer order-count distribution: how many
     * customers placed 0, 1, 2, … qualifying orders. Aggregation order
     * is the scale story: orders reduce to customer grain FIRST (the
