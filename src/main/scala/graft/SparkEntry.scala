@@ -128,6 +128,8 @@ object SparkEntry {
     "p_adaptive_len" -> (TextQueries.adaptiveLenFilter _),
     "t_hapax" -> (TextQueries.hapaxProfile _),
     "d_threshold_calib" -> (TextQueries.thresholdCalibration _),
+    "t_bpe_pairs" -> (TextQueries.bpePairs _),
+    "t_winnow" -> (TextQueries.winnowFingerprints _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
     "m_frame_sample" -> (TextQueries.mediaFrameSample _),
@@ -1024,6 +1026,44 @@ object SparkEntry {
           |       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
           |       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_ratio
           |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
+      "t_bpe_pairs" ->
+        """WITH wc AS (
+          |  SELECT u.w AS w, count(*) AS c
+          |  FROM documents, unnest(string_split(trim(text), ' ')) AS u(w)
+          |  GROUP BY 1),
+          |pairs AS (
+          |  SELECT substr(w, i, 2) AS pair, c
+          |  FROM wc, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+          |  WHERE length(w) >= 2)
+          |SELECT pair, CAST(sum(c) AS BIGINT) AS freq
+          |FROM pairs GROUP BY 1
+          |ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
+      "t_winnow" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT doc_id, i AS pos, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+          |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+          |wins AS (
+          |  SELECT doc_id, pos AS j,
+          |         min(h) OVER win AS minh,
+          |         count(*) OVER win AS cnt
+          |  FROM grams
+          |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+          |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+          |selw AS (
+          |  SELECT s.doc_id, s.j, s.minh AS h, min(g.pos) AS pos
+          |  FROM wins s JOIN grams g
+          |    ON g.doc_id = s.doc_id AND g.pos BETWEEN s.j AND s.j + 3 AND g.h = s.minh
+          |  WHERE s.cnt = 4
+          |  GROUP BY 1, 2, 3),
+          |sel AS (SELECT DISTINCT doc_id, pos, h FROM selw),
+          |n AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1)
+          |SELECT n.doc_id, n.n_grams,
+          |       count(*) AS n_fps,
+          |       md5(string_agg(sel.h, '' ORDER BY sel.pos)) AS digest
+          |FROM n JOIN sel USING (doc_id)
+          |WHERE n.n_grams >= 4
+          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
       "t_quality" ->
         """WITH q AS (
           |  SELECT doc_id, n_chars,

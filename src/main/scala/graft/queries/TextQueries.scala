@@ -1604,4 +1604,71 @@ object TextQueries {
         col("nSampled").as("n_sampled"),
         round(col("meanByte"), 6).as("mean_byte"))
       .orderBy("doc_id", "frame_idx")
+
+  /** BPE merge-candidate census — the first iteration of byte-pair-
+    * encoding tokenizer training (Sennrich et al. 2016) as a corpus
+    * pass: the most frequent adjacent character pairs, weighted by word
+    * frequency. Scale shape is the one real tokenizer trainers use:
+    * the corpus folds to its VOCABULARY first (one word-count
+    * aggregate with map-side partials — the only corpus-scale
+    * exchange), and the quadratic-ish pair expansion runs over
+    * distinct words only (vocab x word-length work, in-row), so the
+    * final aggregate is alphabet^2-scale. Merging pair-by-pair over
+    * the counted vocab is a driver loop over a TINY table at every
+    * scale — this query is the expensive distributed part.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wc = docs(spark, dir)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    wc.filter(length(col("w")) >= 2)
+      // sequence(1, n-1) guarded by the length filter: Spark's sequence
+      // DESCENDS when start > stop, so an unguarded length-1 word would
+      // fabricate pairs instead of none
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("c").as("freq"))
+      .orderBy(desc("freq"), asc("pair"))
+      .limit(50)
+  }
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
+    * algorithm): over each doc's word-3-gram md5 stream, every window
+    * of 4 consecutive hashes selects its minimum (ties to the LEFTMOST
+    * position — a deterministic variant of the paper's rightmost rule;
+    * selection density is identical), and the distinct selected
+    * (position, hash) pairs are the doc's fingerprints. Guarantees any
+    * shared run of >= 6 tokens yields a shared fingerprint, at ~2/(w+1)
+    * the density of [[rollingFingerprints]]' full hash stream — the
+    * standard plagiarism/overlap sketch.
+    *
+    * Scale shape: the gram stream NEVER leaves its row — hashing,
+    * window minima, selection, and the digest are all in-row column
+    * algebra over one scan (grams-per-doc x window work per row), so
+    * the only exchange is the final metadata-scale sort. The oracle
+    * replays the same selection with SQL window functions.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("ts"))
+      // >= 6 tokens = >= 4 grams = at least one full window; filtering
+      // BEFORE the hash transform also keeps Spark's descending
+      // sequence(1, 0) from fabricating indices on short docs
+      .filter(size(col("ts")) >= 6)
+      // positional gram hashes (1-based); WordNGrams is distinct-per-doc
+      // so it cannot supply the positional stream winnowing needs
+      .withColumn("hs", expr(
+        """transform(sequence(1, size(ts) - 2),
+          |  i -> md5(cast(concat_ws(' ', ts[i-1], ts[i], ts[i+1]) as binary)))""".stripMargin))
+      .withColumn("sel", expr(
+        """array_sort(array_distinct(transform(sequence(1, size(hs) - 3),
+          |  j -> struct(
+          |    j - 1 + array_position(slice(hs, j, 4), array_min(slice(hs, j, 4))) as pos,
+          |    array_min(slice(hs, j, 4)) as h))))""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast(LongType).as("n_grams"),
+        size(col("sel")).cast(LongType).as("n_fps"),
+        md5(expr("cast(concat_ws('', sel.h) as binary)")).as("digest"))
+      .orderBy("doc_id")
 }

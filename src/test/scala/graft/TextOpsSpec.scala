@@ -325,4 +325,79 @@ class TextOpsSpec extends SparkSuite {
       case (term, df) => assert(expectDf(term) == df, s"df mismatch for '$term'")
     }
   }
+
+  /** Writes a synthetic documents table (full harness schema) so doc-set
+    * properties can be pinned on constructed corpora, not just whatever
+    * the sf fixture happens to contain. */
+  private def withDocs(texts: Seq[String])(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-").toString
+    try {
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "srcT", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      body(dir)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  /** Independent reference winnowing (Schleimer et al. 2003, w=4, k=3,
+    * leftmost-min tie rule — the variant the query documents): returns
+    * the selected (pos, hash) fingerprints in position order. */
+  private def refWinnow(text: String): Seq[(Int, String)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ts = text.trim.split(" ", -1).toSeq
+    val hs = ts.sliding(3).filter(_.size == 3).map(g => md5hex(g.mkString(" "))).toVector
+    (0 to hs.length - 4).map { j =>
+      val win = hs.slice(j, j + 4)
+      val minh = win.min
+      (j + win.indexOf(minh) + 1, minh) // 1-based gram position, leftmost min
+    }.distinct.sortBy(_._1)
+  }
+
+  test("winnowing matches the reference selection; shared 6-token run shares a hash") {
+    // 6 tokens = w + k - 1 (w=4 windows over k=3 grams): one full window
+    // of shared grams exists in both docs, and both select ITS minimum,
+    // so the selected hash sets must intersect — the MOSS guarantee.
+    val run = "zq xv wk jm pt br" // 6 tokens, unique to the pair
+    val d0 = s"alpha beta gamma $run delta epsilon"
+    val d1 = s"one two three four five $run six seven"
+    val noise = "entirely different words in this document stream here"
+    val texts = Seq(d0, d1, noise)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    withDocs(texts) { dir =>
+      val rows = TextQueries.winnowFingerprints(spark, dir)
+        .select("doc_id", "n_grams", "n_fps", "digest")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      assert(rows.length == 3) // every doc here has >= 6 tokens
+      rows.foreach { case (id, nGrams, nFps, digest) =>
+        val ref = refWinnow(texts(id.toInt))
+        assert(nGrams == texts(id.toInt).trim.split(" ", -1).length - 2)
+        assert(nFps == ref.length, s"doc $id fingerprint count")
+        assert(digest == md5hex(ref.map(_._2).mkString("")), s"doc $id digest")
+      }
+      // the guarantee, via the (just-validated) reference selection:
+      val shared = refWinnow(d0).map(_._2).toSet intersect refWinnow(d1).map(_._2).toSet
+      assert(shared.nonEmpty, "docs sharing a 6-token run must share a fingerprint hash")
+      assert((refWinnow(d0).map(_._2).toSet intersect refWinnow(noise).map(_._2).toSet).isEmpty)
+    }
+  }
+
+  test("bpe pair census matches a hand-computed reference") {
+    val texts = Seq("aab ab", "aab bb x")
+    // word counts: aab->2, ab->1, bb->1, x->1 (len<2 dropped)
+    // pairs: aab -> aa, ab (x2 docs => weight 2 each); ab -> ab; bb -> bb
+    // freq: aa=2, ab=2+1=3, bb=1
+    withDocs(texts) { dir =>
+      val got = TextQueries.bpePairs(spark, dir)
+        .as[(String, Long)].collect().toSeq
+      assert(got == Seq(("ab", 3L), ("aa", 2L), ("bb", 1L)), got.toString)
+    }
+  }
 }
