@@ -932,13 +932,17 @@ object AnalyticsQueries {
     * type, every supplier whose best offer (min line price, exact
     * DECIMAL — no division, ties surface as extra rows like Q2's) hits
     * the part's global minimum, with supplier dims attached. The
-    * correlated min subquery decorrelates into two aggregates that
-    * REUSE one shuffle: the (part, supp) offer grain partitions by
-    * part-major key, so the per-part min and the equality join back
-    * both land on the same exchange. The part filter broadcasts INTO
-    * the fact scan — offers aggregate over the ~0.1% of lineitem that
-    * can win, not the whole table — and the supplier/nation/region dim
-    * chain broadcasts at the end, region-filtered first.
+    * correlated min subquery decorrelates into ONE shuffle: an explicit
+    * part-key repartition whose HashPartitioning satisfies BOTH the
+    * (part, supp) aggregate's clustered distribution (subset clustering
+    * co-locates full key groups) and the per-part window min — so the
+    * offer aggregate, the best-price min, and the tie filter all ride
+    * the same exchange, and the aggregate-vs-aggregate equality join
+    * the textbook decorrelation plans (2 extra exchanges + a join) is
+    * gone. The part filter broadcasts INTO the fact scan — offers
+    * aggregate over the ~0.1% of lineitem that can win, not the whole
+    * table — and the supplier/nation/region dim chain broadcasts at
+    * the end, region-filtered first.
     */
   def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
     val partF = pq(spark, dir, "part")
@@ -953,13 +957,13 @@ object AnalyticsQueries {
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     val offer = pq(spark, dir, "lineitem")
       .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(min(dec(col("l_extendedprice"))).as("offer_price"))
-    val best = offer.groupBy(col("l_partkey").as("bp_partkey"))
-      .agg(min(col("offer_price")).as("best_price"))
     offer
-      .join(best, col("l_partkey") === col("bp_partkey") &&
-        col("offer_price") === col("best_price"))
+      .withColumn("best_price", min(col("offer_price")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
+      .filter(col("offer_price") === col("best_price"))
       .join(broadcast(suppDim), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("l_partkey").as("p_partkey"),

@@ -225,8 +225,11 @@ class PlanSpec extends SparkSuite {
     // allowed: joins whose build side is a 1-row aggregate (vocab size,
     // global counts) — a nested loop over one row is a broadcast scalar,
     // not a scale hazard
+    // q11/q22: the scalar-subquery archetypes — the build side is the
+    // decorrelated 1-row (total, count) aggregate, same class as the
+    // vocab-size scalar in t_ngram_lm
     val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr",
-      "t_ngram_lm", "t_lm_probe")
+      "t_ngram_lm", "t_lm_probe", "q11_value_stock", "q22_dormant")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -325,7 +328,21 @@ class PlanSpec extends SparkSuite {
       "p_clean_corpus" -> 3, "p_mix_order" -> 1, "p_pack_sequences" -> 1,
       "p_sample_stratified" -> 0, "q17_small_qty" -> 1, "q18_large_orders" -> 1,
       "q1_pricing" -> 1, "q3_revenue" -> 1, "q4_order_priority" -> 1,
-      "q5_nation_revenue" -> 1, "q6_forecast" -> 0, "q_asof_order" -> 1,
+      "q5_nation_revenue" -> 1, "q6_forecast" -> 0,
+      // Q2: the repartition(partkey) exchange is the ONLY one — the
+      // (part,supp) aggregate, the per-part window min, and the tie
+      // filter all satisfy their distributions on it (subset clustering)
+      "q2_min_cost" -> 1,
+      // one fact pass each; dims broadcast, share/total from sum(when)
+      "q8_market_share" -> 3, "q9_profit" -> 1,
+      // scalar-subquery archetypes: per-key aggregate + 1-row threshold
+      "q11_value_stock" -> 2, "q12_ship_delay" -> 1, "q13_order_dist" -> 2,
+      "q15_top_supplier" -> 1, "q16_supplier_cnt" -> 2,
+      "q20_qty_concentration" -> 3, "q21_late_supplier" -> 3,
+      "q22_dormant" -> 1,
+      // SemDeDup: one cell-keyed pair-join exchange; centroids broadcast
+      "d_semdedup" -> 1,
+      "q_asof_order" -> 1,
       "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
       "q_first_order" -> 1,
@@ -333,10 +350,12 @@ class PlanSpec extends SparkSuite {
       "s_ann_ivf" -> 1, "s_ann_lsh" -> 1,
       "s_ann_topk" -> 1, "s_ivf_trained" -> 1, "s_cosine_expr" -> 0,
       "s_knn_classify" -> 3,
+      "t_bpe_pairs" -> 2, // word-count agg + pair agg; expansion in-row over the vocab
       "t_char_entropy" -> 2, "t_corpus_stats" -> 2, "t_fingerprint" -> 0,
       "t_langid" -> 0, "t_quality" -> 0, "t_redact" -> 0, "t_repetition" -> 0,
       "t_rolling_fp" -> 0, "t_tfidf" -> 3, "t_tokens" -> 0, "t_top_terms" -> 1,
-      "t_vocab_growth" -> 2)
+      "t_vocab_growth" -> 2,
+      "t_winnow" -> 0) // hash/select/digest all in-row; only the output sort exchanges
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))
