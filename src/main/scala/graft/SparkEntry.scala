@@ -113,6 +113,7 @@ object SparkEntry {
     "p_mix_order" -> (TextQueries.mixOrder _),
     "d_edit_dist" -> (TextQueries.editDistancePairs _),
     "p_sample_stratified" -> (TextQueries.stratifiedSample _),
+    "p_quota_sample" -> (TextQueries.quotaSample _),
     "p_split_assign" -> (TextQueries.splitAssign _),
     "d_dedup_best" -> (TextQueries.dedupBest _),
     "d_overlap_matrix" -> (TextQueries.overlapMatrix _),
@@ -1225,6 +1226,20 @@ object SparkEntry {
           |SELECT doc_id, source, bucket FROM b
           |WHERE bucket < CASE WHEN source IN ('src0','src1','src2','src3') THEN 50 ELSE 10 END
           |ORDER BY doc_id""".stripMargin,
+      "p_quota_sample" ->
+        """WITH h AS (
+          |  SELECT source, doc_id,
+          |         list_reduce(list_transform(range(1, 9),
+          |           i -> (strpos('0123456789abcdef',
+          |                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+          |           (a, b) -> a * 16 + b) AS h32
+          |  FROM documents),
+          |r AS (
+          |  SELECT source, doc_id,
+          |         row_number() OVER (PARTITION BY source ORDER BY h32 DESC, doc_id) AS rnk
+          |  FROM h)
+          |SELECT source, rnk, doc_id FROM r WHERE rnk <= 20
+          |ORDER BY source, rnk""".stripMargin,
       "p_split_assign" ->
         """WITH b AS (
           |  SELECT doc_id, source,

@@ -948,6 +948,33 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy("doc_id")
 
+  /** Deterministic per-source QUOTA sampling — the data-mixing primitive
+    * next to [[stratifiedSample]]'s rate sampling: exactly k docs per
+    * source (fewer only if the source is smaller), selected as the top-k
+    * by md5-derived hash so the draw is pseudo-random yet
+    * retry/speculation-stable and replayable in SQL. The selection runs
+    * as the bounded [[graft.functions.TopKAggregator]], NOT a
+    * row_number window: partial states are k-sized arrays merged
+    * map-side, so the shuffle carries k rows per source per map
+    * partition — at 100 TB the window form would shuffle and sort the
+    * whole corpus into a handful of source partitions (maximal skew);
+    * this form's exchange is quota-scale regardless of corpus size.
+    */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator(20))
+    // 32-bit md5 prefix: exact in Double (< 2^53), same value in SQL
+    val h32 = conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType)
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(topk(h32.cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("source"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("p._2").as("doc_id"))
+      .orderBy("source", "rnk")
+  }
+
   /** Deterministic train/val/test split assignment: the same
     * md5-derived bucket as [[stratifiedSample]] (retry/speculation-safe,
     * replayable in SQL) cut at 80/90 — every engine that hashes the

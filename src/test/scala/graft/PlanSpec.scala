@@ -326,6 +326,9 @@ class PlanSpec extends SparkSuite {
       "g_window_hour" -> 1, "g_window_period_from_first" -> 1,
       "m_frame_sample" -> 0, "m_media_features" -> 0, "m_media_meta" -> 0,
       "p_clean_corpus" -> 3, "p_mix_order" -> 1, "p_pack_sequences" -> 1,
+      // bounded top-k aggregate: the exchange carries k rows per source
+      // per map partition, never the corpus
+      "p_quota_sample" -> 1,
       "p_sample_stratified" -> 0, "q17_small_qty" -> 1, "q18_large_orders" -> 1,
       "q1_pricing" -> 1, "q3_revenue" -> 1, "q4_order_priority" -> 1,
       "q5_nation_revenue" -> 1, "q6_forecast" -> 0,

@@ -389,6 +389,45 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("bpe trainer learns the hand-computed merge sequence; encode replays it") {
+    import graft.operators.BpeTrainer
+    // Sennrich et al.'s worked vocabulary (sans the </w> marker — a
+    // documented simplification): low x5, lower x2, newest x6, widest x3.
+    // Hand-computed: (e,s)=9 ties (s,t)=9 -> lex smallest; then (es,t)=9;
+    // then (l,o)=7 ties (o,w)=7 -> lex; then (lo,w)=7.
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = BpeTrainer.trainLocal(vocab, 4)
+    assert(merges.map(m => (m.left, m.right, m.freq)) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+    // encoding an unseen word applies merges in rank order
+    assert(BpeTrainer.encode("lowest", merges) == Seq("low", "est"))
+    // symbols always concatenate back to the word
+    Seq("low", "lower", "newest", "widest", "lowest", "xyzzy").foreach { w =>
+      assert(BpeTrainer.encode(w, merges).mkString == w)
+    }
+    // the distributed pass agrees with the local loop: a corpus whose
+    // word counts equal the vocab learns the same merges...
+    val texts = vocab.flatMap { case (w, c) => Seq.fill(c.toInt)(w) } match {
+      case ws => Seq(ws.mkString(" "))
+    }
+    withDocs(texts) { dir =>
+      val viaSpark = BpeTrainer.train(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", 4)
+      assert(viaSpark == merges)
+      // ...and t_bpe_pairs IS iteration 0: its top row is merge #1
+      val top = TextQueries.bpePairs(spark, dir).as[(String, Long)].head()
+      assert(top == (merges.head.left + merges.head.right, merges.head.freq))
+    }
+    // vocabulary overflow fails loudly, pointing at minFreq
+    withDocs(Seq("a b c d e f g h")) { dir =>
+      val e = intercept[IllegalStateException] {
+        BpeTrainer.train(
+          spark.read.parquet(s"$dir/documents.parquet"), "text", 1, maxCollect = 3L)
+      }
+      assert(e.getMessage.contains("minFreq"))
+    }
+  }
+
   test("bpe pair census matches a hand-computed reference") {
     val texts = Seq("aab ab", "aab bb x")
     // word counts: aab->2, ab->1, bb->1, x->1 (len<2 dropped)
