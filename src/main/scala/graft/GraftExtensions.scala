@@ -1,10 +1,31 @@
 package graft
 
-import graft.functions.{CosineSimilarity, CountTokensInSet, RollingHash, WordNGrams}
+import graft.functions.{CosineSimilarity, CountTokensInSet, IntersectSize, RollingHash, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Expression, ExpressionInfo, Literal, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+
+/** Optimizer rule: fuse `size(array_intersect(a, b))` into the native
+  * [[IntersectSize]] count — same value, no per-row intersection array.
+  * Guarded to string arrays (the expression's domain) and to the
+  * default non-legacy `size` (legacy `size(null) = -1` would diverge
+  * from the fused form's null-out). Runs in the operatorOptimization
+  * batch, so it sees the composition wherever it appears — DataFrame
+  * code, views, or raw SQL.
+  */
+object RewriteIntersectSize extends Rule[LogicalPlan] {
+  private def strArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Size(ArrayIntersect(l, r), false) if strArr(l) && strArr(r) =>
+      IntersectSize(l, r)
+  }
+}
 
 /** SparkSessionExtensions entry point: makes the graft-native Catalyst
   * expressions callable from SQL. Deploy-time wiring is the standard
@@ -40,6 +61,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "cosine_similarity(a, b) takes exactly 2 arguments")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => IntersectSize(a, b)
+        case _ => throw new IllegalArgumentException(
+          "intersect_size(a, b) takes exactly 2 arguments")
+      }))
+    ext.injectOptimizerRule(_ => RewriteIntersectSize)
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),

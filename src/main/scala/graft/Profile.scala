@@ -19,7 +19,7 @@ object Profile {
       .split(';').filter(_.contains('=')).map { kv =>
         val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
       }
-    var b = SparkSession.builder()
+    var b = SparkSession.builder().withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -11,7 +11,7 @@ object Verify {
     val only = if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val spark = SparkSession.builder().withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

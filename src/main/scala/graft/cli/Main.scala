@@ -189,7 +189,7 @@ object Main {
   private def session(cfg: Map[String, String] = Map.empty): SparkSession = {
     val s3 = try S3Settings.hadoopConf(cfg)
     catch { case e: IllegalArgumentException => die(e.getMessage) }
-    var b = SparkSession.builder()
+    var b = SparkSession.builder().withExtensions(new graft.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions",

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 object IvfProbe {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
-    val spark = SparkSession.builder()
+    val spark = SparkSession.builder().withExtensions(new graft.GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

@@ -13,7 +13,7 @@ object MinhashProbe {
     val reps = if (args.length > 1) args(1).toInt else 1
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val spark = SparkSession.builder().withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

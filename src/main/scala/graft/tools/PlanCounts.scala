@@ -2,7 +2,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object PlanCounts {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder().withExtensions(new graft.GraftExtensions).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -8,6 +8,57 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftExtensionsSpec extends SparkSuite {
 
+  test("size(array_intersect) fuses to intersect_size with exact parity") {
+    import org.apache.spark.sql.functions.{array_intersect, col, size}
+    import spark.implicits._
+    // the shared suite session carries GraftExtensions, so the rewrite
+    // rule must fire on the plain composition
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")), // plain overlap -> 2
+      (Seq("a", "a", "b"), Seq("a", "a")),      // dups count once -> 1
+      (Seq.empty[String], Seq("a")),            // empty side -> 0
+      (Seq("x"), Seq.empty[String]),            // empty side -> 0
+      (Seq("a", null, "b"), Seq(null, "c")),    // null elem both sides -> 1
+      (Seq("a"), Seq("A")))                     // case-sensitive -> 0
+    // RDD-backed (not a LocalRelation): ConvertToLocalRelation would
+    // eagerly fold a local projection away before the plan can be read
+    val base = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map(c => org.apache.spark.sql.Row(c._1, c._2)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+    val df = base.select(size(array_intersect(col("a"), col("b"))).as("n"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("intersect_size"),
+      s"rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+    // parity reference: distinct intersection, null as a value
+    val expected = cases.map { case (a, b) =>
+      (a.map(Option(_)).distinct intersect b.map(Option(_)).distinct).size
+    }
+    assert(df.as[Int].collect().toSeq == expected)
+    // null INPUT stays null through the fused form
+    val nulls = spark.sql(
+      """SELECT size(array_intersect(cast(null as array<string>), array('a'))) AS a,
+        |       intersect_size(array('a'), cast(null as array<string>)) AS b""".stripMargin).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // non-string element types keep Spark's stock composition
+    val ints = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(Seq(1, 2), Seq(2, 3))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)))))
+      .select(size(array_intersect(col("a"), col("b"))).as("n"))
+    assert(!ints.queryExecution.optimizedPlan.toString.contains("intersect_size"))
+    assert(ints.as[Int].head() == 1)
+    // (The rule also guards on Size's legacySizeOfNull=false. Spark 4
+    // removed the spark.sql.legacy.sizeOfNull conf — size(null) is
+    // always null now — so the guard is unreachable belt-and-braces
+    // documenting the one semantic divergence the fusion would have.)
+  }
+
   test("rolling_hash and word_ngrams are SQL-callable via GraftExtensions") {
     val prev = spark // ensure the shared session/context exists first
     SparkSession.clearActiveSession()

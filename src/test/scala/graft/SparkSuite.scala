@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all suites (one JVM, forked by sbt). */
 object SparkSuite {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = SparkSession.builder().withExtensions(new graft.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
