@@ -142,7 +142,9 @@ object SparkEntry {
     "s_ivf_trained" -> (SimilarityQueries.ivfTrained _),
     "s_cosine_expr" -> (SimilarityQueries.cosineExprPairs _),
     "s_ann_lsh" -> (SimilarityQueries.annLsh _),
-    "s_knn_classify" -> (SimilarityQueries.knnClassify _)
+    "s_knn_classify" -> (SimilarityQueries.knnClassify _),
+    "s_recall_eval" -> (SimilarityQueries.recallEval _),
+    "p_epoch_plan" -> (TextQueries.epochPlan _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1226,6 +1228,17 @@ object SparkEntry {
           |SELECT doc_id, source, bucket FROM b
           |WHERE bucket < CASE WHEN source IN ('src0','src1','src2','src3') THEN 50 ELSE 10 END
           |ORDER BY doc_id""".stripMargin,
+      "p_epoch_plan" ->
+        """WITH tok AS (
+          |  SELECT source, CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+          |               CAST(count(*) AS BIGINT) AS n_sources FROM tok)
+          |SELECT source, n_tokens,
+          |       round(n_tokens / total, 6) AS share,
+          |       total // n_sources AS target_tokens,
+          |       round(total / n_sources / n_tokens, 6) AS epochs
+          |FROM tok, tot ORDER BY source""".stripMargin,
       "p_quota_sample" ->
         """WITH h AS (
           |  SELECT source, doc_id,
@@ -1674,6 +1687,47 @@ object SparkEntry {
           |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> q.query_id)
           |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cos_sim
           |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      // Recall@5 of the IVF probe path against exact brute force: both
+      // pipelines' oracle CTE chains glued, then a top-k-scale compare.
+      "s_recall_eval" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT * FROM e WHERE vec_id < 10),
+          |exact_sims AS (
+          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          |         list_dot_product(q.v, e.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS c
+          |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+          |exact5 AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+          |    FROM exact_sims) WHERE rnk <= 5),
+          |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+          |assign AS (
+          |  SELECT vec_id, v, cell FROM (
+          |    SELECT e.vec_id, e.v, seeds.cell,
+          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |             list_dot_product(e.v, sv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(sv, sv))) DESC, cell) AS rn
+          |    FROM e, seeds) WHERE rn = 1),
+          |qq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+          |probes AS (
+          |  SELECT query_id, cell FROM (
+          |    SELECT query_id, cell, row_number() OVER (PARTITION BY query_id ORDER BY
+          |             list_dot_product(qv, sv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(sv, sv))) DESC, cell) AS pr
+          |    FROM qq, seeds) WHERE pr <= 4),
+          |ivf5 AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT qq.query_id, a.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY qq.query_id ORDER BY
+          |             list_dot_product(qv, a.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))) DESC, a.vec_id) AS rnk
+          |    FROM qq JOIN probes p ON p.query_id = qq.query_id
+          |    JOIN assign a ON a.cell = p.cell AND a.vec_id <> qq.query_id)
+          |  WHERE rnk <= 5)
+          |SELECT x.query_id,
+          |       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+          |       round(count(i.neighbor_id) / count(*), 6) AS recall_at_5
+          |FROM exact5 x LEFT JOIN ivf5 i
+          |  ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       // Full hyperplane-LSH replay: ±1 planes from md5(j_d) first-hex-
       // digit parity, signature bits from the SEQUENTIAL ±v[d] fold
       // (list_prepend 0.0 = the Spark loop's s=0.0 start; ×±1 is exact

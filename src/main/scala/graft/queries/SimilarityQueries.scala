@@ -313,6 +313,32 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** ANN recall evaluation — the metric every approximate index ships
+    * with: per query, how many of the exact brute-force top-5
+    * ([[annTopK]]) the IVF probe path ([[annIvf]]) recovered, as
+    * recall@5. This is the eval harness a 100 TB deployment runs on a
+    * sampled query set before trusting the index: both sides' heavy
+    * work is their own (already scale-shaped) pipelines; the comparison
+    * itself joins two top-k-scale frames — k rows per query, nothing
+    * corpus-sized moves.
+    */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopK(spark, dir).select("query_id", "neighbor_id")
+    val approx = annIvf(spark, dir)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    exact
+      .join(approx,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("k"),
+        sum(when(col("n2").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast(org.apache.spark.sql.types.DoubleType) / col("k"), 6)
+          .as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
   private val Q = 1048576.0 // 2^20 fixed-point quantization scale
 
   /** Vectors quantized to fixed-point integers (`floor(v * 2^20)`) —

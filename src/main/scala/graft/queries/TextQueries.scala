@@ -1568,6 +1568,35 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Epoch/mixing plan — the data-mixing arithmetic every training run
+    * does before reading a byte: per-source token mass, its share of
+    * the corpus, and the repeat factor (epochs) needed to rebalance to
+    * a UNIFORM token mix (epochs > 1 = upsample that source, < 1 =
+    * subsample). One corpus scan folding to a source-cardinality
+    * aggregate; the (total, n_sources) pair comes from a GLOBAL window
+    * over those source-grain rows — single-partition by construction,
+    * but over source-cardinality data, so it is metadata-scale at any
+    * corpus size and the corpus is scanned exactly once (the scalar-
+    * aggregate crossJoin form planned the source aggregate twice).
+    */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    docs(spark, dir)
+      .select(col("source"), size(wsTokens(col("text"))).cast(LongType).as("t"))
+      .groupBy("source").agg(sum("t").as("n_tokens"))
+      .withColumn("total", sum("n_tokens").over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / col("total"), 6).as("share"),
+        (col("total") / col("n_sources")).cast(LongType).as("target_tokens"),
+        round((col("total").cast(DoubleType) / col("n_sources")) / col("n_tokens"), 6)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
   /** Per-source duplication profile — the dedup planning pass: how much
     * of each source is exact-duplicate mass, before any pair generation
     * runs. One hash aggregate over (source, fingerprint) partials; the

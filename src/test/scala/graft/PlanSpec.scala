@@ -345,6 +345,12 @@ class PlanSpec extends SparkSuite {
       "q22_dormant" -> 1,
       // SemDeDup: one cell-keyed pair-join exchange; centroids broadcast
       "d_semdedup" -> 1,
+      // eval compare of two top-k-scale frames; each ANN side carries
+      // its own window exchange
+      "s_recall_eval" -> 3,
+      // one source-grain aggregate; totals via a global window over the
+      // source-cardinality rows (single partition, metadata-scale)
+      "p_epoch_plan" -> 1,
       "q_asof_order" -> 1,
       "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
