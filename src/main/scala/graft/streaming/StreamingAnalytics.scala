@@ -179,6 +179,24 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** Running per-source token accounting — the live input feed of the
+    * batch epoch/mixing plan (`p_epoch_plan`): every micro-batch folds
+    * its docs' token counts into a per-source running (n_docs,
+    * n_tokens) aggregate. Token counting runs scan-side in the batch
+    * (size of the whitespace split, no explode), so each trigger
+    * shuffles ONE narrow row per source per map partition and the
+    * state store holds source-cardinality rows — O(sources), not
+    * O(stream), for any lifetime. Run with Update/Complete output into
+    * the mixing dashboard; the batch plan recomputes exactly from the
+    * archive whenever the live counters need re-anchoring.
+    */
+  def streamingTokenAccount(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(graft.functions.TextFunctions.wsTokens(col("text"))).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
+
   /** Stream-stream inner join — both sides unbounded: orders and events
     * join on the customer key within a bounded event-time window
     * (event within 1 hour AFTER its order). The time-range predicate +

@@ -58,4 +58,29 @@ class PropertySpec extends SparkSuite {
       assert(got == model, s"mismatch for n=$n text='$s'")
     }
   }
+
+  test("BPE training is vocab-order invariant; encode always reassembles the word") {
+    import graft.operators.BpeTrainer
+    def randWord(): String = {
+      val alpha = "abcd" // small alphabet forces heavy pair collisions
+      (0 until 1 + rnd.nextInt(8)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    (1 to 60).foreach { _ =>
+      val vocab = (1 to 2 + rnd.nextInt(20))
+        .map(_ => (randWord(), 1L + rnd.nextInt(9)))
+        .distinctBy(_._1)
+      val n = 1 + rnd.nextInt(8)
+      val merges = BpeTrainer.trainLocal(vocab, n)
+      // the claimed determinism: ANY vocab ordering learns the same merges
+      val shuffled = rnd.shuffle(vocab)
+      assert(BpeTrainer.trainLocal(shuffled, n) == merges,
+        s"order-dependent merges for vocab $vocab")
+      // encode must reassemble EVERY word, seen or unseen
+      (vocab.map(_._1) ++ (1 to 5).map(_ => randWord())).foreach { w =>
+        val enc = BpeTrainer.encode(w, merges)
+        assert(enc.mkString == w, s"encode lost content: '$w' -> $enc")
+        assert(enc.nonEmpty || w.isEmpty)
+      }
+    }
+  }
 }

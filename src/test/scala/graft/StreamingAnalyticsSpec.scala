@@ -286,4 +286,22 @@ class StreamingAnalyticsSpec extends SparkSuite {
     assert(streamed == batch, "stream and batch must produce identical rows")
     assert(streamed.exists(_._3.contains("<MASK>")))
   }
+
+  test("token accounting accumulates per source across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingAnalytics.streamingTokenAccount(
+      mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("tok_acct")
+      .outputMode("complete").start()
+    mem.addData((1L, "srcA", "one two three"), (2L, "srcB", "four"))
+    q.processAllAvailable()
+    mem.addData((3L, "srcA", "five six"))
+    q.processAllAvailable()
+    val got = spark.table("tok_acct")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    q.stop()
+    // running totals: srcA = 2 docs / 5 tokens, srcB = 1 doc / 1 token
+    assert(got == Seq(("srcA", 2L, 5L), ("srcB", 1L, 1L)), got.toString)
+  }
 }
