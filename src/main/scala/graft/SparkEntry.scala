@@ -144,7 +144,9 @@ object SparkEntry {
     "s_ann_lsh" -> (SimilarityQueries.annLsh _),
     "s_knn_classify" -> (SimilarityQueries.knnClassify _),
     "s_recall_eval" -> (SimilarityQueries.recallEval _),
-    "p_epoch_plan" -> (TextQueries.epochPlan _)
+    "p_epoch_plan" -> (TextQueries.epochPlan _),
+    "d_semdedup_incr" -> (SimilarityQueries.semDedupIncremental _),
+    "m_media_dedup" -> (TextQueries.mediaDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1609,6 +1611,54 @@ object SparkEntry {
           |  JOIN nn na ON na.vec_id = xa.vec_id JOIN nn nb ON nb.vec_id = xb.vec_id)
           |SELECT id2 AS vec_id, cell, min(id1) AS kept_by, round(arg_min(c, id1), 6) AS cos_sim
           |FROM p WHERE c > 0.4 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+      // Incremental SemDeDup: cells train on the corpus side only
+      // (vec_id % 7 <> 0), both sides assign against the trained
+      // centroids, pairs are new-vs-corpus within a cell.
+      "d_semdedup_incr" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |corp AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM corp WHERE vec_id < 16),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT corp.vec_id, corp.q, p.cell,
+          |         row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+          |           list_dot_product(corp.q, p.c) / (sqrt(list_dot_product(corp.q, corp.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM corp, c0 p) WHERE rn = 1),
+          |u1 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u1 GROUP BY 1),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT corp.vec_id, corp.q, p.cell,
+          |         row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+          |           list_dot_product(corp.q, p.c) / (sqrt(list_dot_product(corp.q, corp.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM corp, c1 p) WHERE rn = 1),
+          |u2 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a2, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c2 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u2 GROUP BY 1),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT e.vec_id, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c2 p) WHERE rn = 1),
+          |nn AS (SELECT vec_id, sqrt(list_dot_product(q, q)) AS nrm FROM e),
+          |p AS (
+          |  SELECT xa.vec_id, xb.vec_id AS old_id, xa.cell AS cell,
+          |         list_dot_product(ea.q, eb.q) / (na.nrm * nb.nrm) AS c
+          |  FROM a3 xa JOIN a3 xb ON xa.cell = xb.cell
+          |  AND xa.vec_id % 7 = 0 AND xb.vec_id % 7 <> 0
+          |  JOIN e ea ON ea.vec_id = xa.vec_id JOIN e eb ON eb.vec_id = xb.vec_id
+          |  JOIN nn na ON na.vec_id = xa.vec_id JOIN nn nb ON nb.vec_id = xb.vec_id)
+          |SELECT vec_id, cell, min(old_id) AS kept_by, round(arg_min(c, old_id), 6) AS cos_sim
+          |FROM p WHERE c > 0.4 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+      "m_media_dedup" ->
+        """SELECT count(*) AS n_payloads,
+          |       CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_bytes,
+          |       CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_byte_dups,
+          |       CAST(count(DISTINCT sha256(text))
+          |            - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT)
+          |         AS n_only_normalized_dups
+          |FROM documents""".stripMargin,
       "s_cosine_expr" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50)
           |SELECT a.vec_id AS id1, b.vec_id AS id2,

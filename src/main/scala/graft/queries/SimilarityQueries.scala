@@ -437,6 +437,43 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Incremental SemDeDup — the semantic twin of `d_dedup_incremental`:
+    * a NEW batch of embeddings (vec_id % 7 == 0 plays the incoming
+    * batch) probes cells trained on the CORPUS side only; each new
+    * vector reports its minimum-id corpus neighbor above 0.4 cosine in
+    * its assigned cell. New-vs-corpus pairs only — no corpus-corpus
+    * pair is ever generated, the asymmetry that IS the operator at
+    * 100 TB where the corpus dwarfs the daily batch. Training,
+    * assignment, and cosine all run on the fixed-point quantization, so
+    * the whole chain replays bit-for-bit in the oracle.
+    */
+  def semDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qvecs = quantizedVectors(spark, dir)
+    val corpus = qvecs.filter(_._1 % 7 != 0)
+    val cents = trainQuantizedCells(corpus) // seeds: corpus ids < 16
+    val bcF = spark.sparkContext.broadcast(cents)
+    def assigned(ds: Dataset[(Long, Array[Long])]): DataFrame = ds
+      .map { case (id, q) => (id, qArgmax(q, bcF.value), q) }
+      .toDF("vec_id", "cell", "q")
+      .withColumn("nrm", sqrt(expr(
+        "cast(aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)")))
+    val old = assigned(corpus).select(col("vec_id").as("old_id"), col("cell"),
+      col("q").as("q_old"), col("nrm").as("n_old"))
+    val nw = assigned(qvecs.filter(_._1 % 7 == 0)).select(col("vec_id"), col("cell"),
+      col("q").as("q_new"), col("nrm").as("n_new"))
+    nw.join(old, Seq("cell"))
+      .withColumn("cos", expr(
+        "cast(aggregate(zip_with(q_new, q_old, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)") /
+        (col("n_new") * col("n_old")))
+      .filter(col("cos") > 0.4)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(struct(col("old_id"), col("cos"))).as("k"))
+      .select(col("vec_id"), col("cell"),
+        col("k.old_id").as("kept_by"), round(col("k.cos"), 6).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
   /** TRAINED IVF coarse quantizer under the correctness gate — the
     * upgrade [[annIvf]]'s scaladoc promises ("at scale seeds become
     * k-means centroids"), made exactly replayable: vectors quantize to

@@ -1623,6 +1623,27 @@ object TextQueries {
       expr("CAST(16 * (1 + n_chars % 36) AS INT)").as("fake_height"))
       .orderBy("doc_id")
 
+  /** Exact dedup census over BINARY payloads — the multimodal sibling
+    * of [[dedupExact]]: media dedup can't normalize text, so identity
+    * is the payload's sha-256, computed scan-side. One aggregate gives
+    * the byte-identical dup mass; the normalized-text census alongside
+    * shows how much only normalization catches (the synthetic corpus's
+    * planted dups differ in case/whitespace, so the two counts differ —
+    * a real media column has no normalized form at all). Only
+    * fingerprints shuffle — payload bytes never leave their scan, the
+    * property that matters when the column holds video.
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .agg(
+        count(lit(1)).as("n_payloads"),
+        countDistinct(sha2(col("text").cast(BinaryType), 256)).as("n_distinct_bytes"),
+        countDistinct(fingerprint(col("text"))).as("n_distinct_normalized"))
+      .select(col("n_payloads"), col("n_distinct_bytes"),
+        (col("n_payloads") - col("n_distinct_bytes")).as("n_byte_dups"),
+        (col("n_distinct_bytes") - col("n_distinct_normalized"))
+          .as("n_only_normalized_dups"))
+
   /** Multimodal decode path under the correctness gate: binary payloads
     * through MediaPipeline.decodeAndFeaturize (per-partition batch
     * iteration — the exact shape a real codec UDF runs in), features

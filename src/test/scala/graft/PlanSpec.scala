@@ -345,6 +345,10 @@ class PlanSpec extends SparkSuite {
       "q22_dormant" -> 1,
       // SemDeDup: one cell-keyed pair-join exchange; centroids broadcast
       "d_semdedup" -> 1,
+      // incremental probe: new-vs-corpus cell join only
+      "d_semdedup_incr" -> 1,
+      // one aggregate; payload bytes never shuffle
+      "m_media_dedup" -> 1,
       // eval compare of two top-k-scale frames; each ANN side carries
       // its own window exchange
       "s_recall_eval" -> 3,
