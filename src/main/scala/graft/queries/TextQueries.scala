@@ -1723,7 +1723,11 @@ object TextQueries {
     * window minima, selection, and the digest are all in-row column
     * algebra over one scan (grams-per-doc x window work per row), so
     * the only exchange is the final metadata-scale sort. The oracle
-    * replays the same selection with SQL window functions.
+    * replays the same selection with SQL window functions. md5 as the
+    * gram hash is the cross-engine-parity tax (~4s of the sf0.1 bench
+    * is hashing); a production deployment swaps in xxhash64 — same
+    * selection, same plan, ~10x cheaper hash — and loses only DuckDB
+    * replayability.
     */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
