@@ -146,7 +146,8 @@ object SparkEntry {
     "s_recall_eval" -> (SimilarityQueries.recallEval _),
     "p_epoch_plan" -> (TextQueries.epochPlan _),
     "d_semdedup_incr" -> (SimilarityQueries.semDedupIncremental _),
-    "m_media_dedup" -> (TextQueries.mediaDedup _)
+    "m_media_dedup" -> (TextQueries.mediaDedup _),
+    "d_winnow_overlap" -> (TextQueries.winnowOverlap _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1069,6 +1070,22 @@ object SparkEntry {
           |FROM n JOIN sel USING (doc_id)
           |WHERE n.n_grams >= 4
           |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+      "d_winnow_overlap" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT doc_id, i AS pos, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+          |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+          |wins AS (
+          |  SELECT doc_id, pos AS j,
+          |         min(h) OVER win AS minh,
+          |         count(*) OVER win AS cnt
+          |  FROM grams
+          |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+          |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+          |sel AS (SELECT DISTINCT doc_id, minh AS h FROM wins WHERE cnt = 4)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+          |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "t_quality" ->
         """WITH q AS (
           |  SELECT doc_id, n_chars,

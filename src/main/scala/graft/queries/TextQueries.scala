@@ -1730,6 +1730,18 @@ object TextQueries {
     * replayability.
     */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowSelected(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast(LongType).as("n_grams"),
+        size(col("sel")).cast(LongType).as("n_fps"),
+        md5(expr("cast(concat_ws('', sel.h) as binary)")).as("digest"))
+      .orderBy("doc_id")
+
+  /** The winnowing selection pipeline shared by [[winnowFingerprints]]
+    * and [[winnowOverlap]]: per doc, the positional gram-hash stream
+    * `hs` and the selected (pos, h) fingerprints `sel` — all in-row. */
+  private def winnowSelected(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), wsTokens(col("text")).as("ts"))
       // >= 6 tokens = >= 4 grams = at least one full window; filtering
@@ -1746,10 +1758,25 @@ object TextQueries {
           |  j -> struct(
           |    j - 1 + array_position(slice(hs, j, 4), array_min(slice(hs, j, 4))) as pos,
           |    array_min(slice(hs, j, 4)) as h))))""".stripMargin))
-      .select(
-        col("doc_id"),
-        size(col("hs")).cast(LongType).as("n_grams"),
-        size(col("sel")).cast(LongType).as("n_fps"),
-        md5(expr("cast(concat_ws('', sel.h) as binary)")).as("digest"))
-      .orderBy("doc_id")
+
+  /** Winnowing overlap detection — what MOSS actually does with the
+    * fingerprints: doc pairs sharing at least one SELECTED hash, with
+    * the shared-fingerprint count as the overlap signal. The guarantee
+    * makes it a candidate kernel: any >= 6-token shared run WILL share
+    * a fingerprint, so no such pair is missed, while the index holds
+    * only the winnowed ~2/(w+1) of gram hashes — a ~2.5x smaller
+    * inverted index (and correspondingly smaller join buckets) than
+    * the full gram table [[ngramJaccard]] joins on. The downstream
+    * exact verify (array_intersect on candidates) composes exactly as
+    * in the prefix/LSH paths.
+    */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowSelected(spark, dir)
+      .select(col("doc_id"), explode(expr("array_distinct(sel.h)")).as("h"))
+    fps.as("a").join(fps.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id1", "id2")
+  }
 }

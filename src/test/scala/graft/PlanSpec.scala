@@ -368,7 +368,10 @@ class PlanSpec extends SparkSuite {
       "t_langid" -> 0, "t_quality" -> 0, "t_redact" -> 0, "t_repetition" -> 0,
       "t_rolling_fp" -> 0, "t_tfidf" -> 3, "t_tokens" -> 0, "t_top_terms" -> 1,
       "t_vocab_growth" -> 2,
-      "t_winnow" -> 0) // hash/select/digest all in-row; only the output sort exchanges
+      "t_winnow" -> 0, // hash/select/digest all in-row; only the output sort exchanges
+      // winnowed inverted-index self-join: ~2.5x smaller index than the
+      // full gram join; h-keyed join + pair aggregate
+      "d_winnow_overlap" -> 3)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))
