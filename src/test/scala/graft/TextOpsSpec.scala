@@ -386,6 +386,11 @@ class TextOpsSpec extends SparkSuite {
       val shared = refWinnow(d0).map(_._2).toSet intersect refWinnow(d1).map(_._2).toSet
       assert(shared.nonEmpty, "docs sharing a 6-token run must share a fingerprint hash")
       assert((refWinnow(d0).map(_._2).toSet intersect refWinnow(noise).map(_._2).toSet).isEmpty)
+      // ...and the overlap JOIN surfaces exactly that pair, no other
+      val pairs = TextQueries.winnowOverlap(spark, dir)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(pairs == Seq((0L, 1L, shared.size.toLong)),
+        s"overlap join must report exactly the planted pair: $pairs")
     }
   }
 
