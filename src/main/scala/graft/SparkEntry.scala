@@ -131,6 +131,9 @@ object SparkEntry {
     "d_threshold_calib" -> (TextQueries.thresholdCalibration _),
     "t_bpe_pairs" -> (TextQueries.bpePairs _),
     "t_winnow" -> (TextQueries.winnowFingerprints _),
+    "t_novelty" -> (TextQueries.novelty _),
+    "t_boilerplate" -> (TextQueries.boilerplate _),
+    "p_dsir_sample" -> (TextQueries.dsirSample _),
     "m_media_meta" -> (TextQueries.mediaMeta _),
     "m_media_features" -> (TextQueries.mediaFeatures _),
     "m_frame_sample" -> (TextQueries.mediaFrameSample _),
@@ -1449,6 +1452,53 @@ object SparkEntry {
           |      FROM b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
           |      WHERE b.source = 'src12')
           |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
+          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+      // first-corpus-occurrence novelty over distinct word-3-grams
+      "t_novelty" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |fst AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_grams,
+          |       round(avg(CASE WHEN doc_id = first_doc THEN 1.0 ELSE 0.0 END), 6) AS novel_frac
+          |FROM grams JOIN fst USING (g)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // fraction of a doc's distinct 3-grams shared with >= 2 other docs
+      "t_boilerplate" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_grams,
+          |       round(avg(CASE WHEN df >= 3 THEN 1.0 ELSE 0.0 END), 6) AS boiler_frac
+          |FROM grams JOIN dfreq USING (g)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // DSIR importance weight: target LM (src1) minus raw LM (all), both
+      // add-one smoothed; unseen-in-target bigrams hit the floor via left
+      // joins, the raw LM saw everything so its joins are inner
+      "p_dsir_sample" ->
+        """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+          |b AS (
+          |  SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+          |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+          |tc2 AS (SELECT w1, w2, count(*) AS tc2 FROM b WHERE source = 'src1' GROUP BY 1, 2),
+          |tc1 AS (SELECT w1, count(*) AS tc1 FROM b WHERE source = 'src1' GROUP BY 1),
+          |tv AS (SELECT count(DISTINCT tok) AS tvsize
+          |       FROM (SELECT UNNEST(w) AS tok FROM toks WHERE source = 'src1')),
+          |rc2 AS (SELECT w1, w2, count(*) AS rc2 FROM b GROUP BY 1, 2),
+          |rc1 AS (SELECT w1, count(*) AS rc1 FROM b GROUP BY 1),
+          |rv AS (SELECT count(DISTINCT tok) AS rvsize
+          |       FROM (SELECT UNNEST(w) AS tok FROM toks)),
+          |s AS (SELECT b.doc_id,
+          |             ln((coalesce(tc2.tc2, 0) + 1.0) / (coalesce(tc1.tc1, 0) + tv.tvsize))
+          |           - ln((rc2.rc2 + 1.0) / (rc1.rc1 + rv.rvsize)) AS lr
+          |      FROM b LEFT JOIN tc2 USING (w1, w2) LEFT JOIN tc1 USING (w1)
+          |             JOIN rc2 USING (w1, w2) JOIN rc1 USING (w1)
+          |             CROSS JOIN tv CROSS JOIN rv)
+          |SELECT doc_id, count(*) AS n_bigrams, round(avg(lr), 6) AS dsir_weight,
+          |       CAST(round(avg(lr), 6) > 0.0 AS INT) AS selected
           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
       // first-failing-rule attribution, same rule order as the engine
       "p_filter_report" ->

@@ -1139,6 +1139,91 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-order n-gram novelty — the memorization/diversity signal a
+    * curator reads per ingest batch: for each doc, the fraction of its
+    * distinct word-3-grams whose FIRST corpus occurrence (min doc_id)
+    * is this doc. A doc full of grams already seen earlier contributes
+    * little new text; a novelty-1.0 doc is all-new. Shape: one
+    * gram-keyed aggregate (map-side combine) and a gram-keyed join
+    * that reuses the aggregate's partitioning — one shuffle family on
+    * the gram key, then a doc-keyed aggregate. Nothing pairwise,
+    * nothing corpus-quadratic.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val (grams, _) = gramTables(spark, dir)
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(when(col("doc_id") === col("first_doc"), 1.0).otherwise(0.0)), 6)
+          .as("novel_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc boilerplate fraction — the RefinedWeb/CCNet-style shared-
+    * text signal: the fraction of a doc's distinct word-3-grams whose
+    * corpus document frequency is >= 3 (i.e., text shared with at
+    * least two other docs). High-boilerplate docs are template/nav
+    * chrome candidates for removal before training. Same one-shuffle-
+    * family gram-df shape as [[novelty]]; the df table is
+    * vocabulary-bounded, never pairwise.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val (grams, _) = gramTables(spark, dir)
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(when(col("df") >= 3, 1.0).otherwise(0.0)), 6).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", public arXiv
+    * 2302.03169): every doc in the raw pool is weighted by
+    * `avg log p_target(bigram) - avg log p_raw(bigram)` where the
+    * target LM is trained on the high-quality exemplar slice (`src1`
+    * on these fixtures) and the raw LM on the whole pool, both with
+    * the same add-one smoothing as [[lmProbe]] (unseen-in-target
+    * bigrams hit the `ln(1/(c1+V))` floor via left joins; the raw LM
+    * saw everything, so its joins are inner). `selected` marks docs
+    * whose 6-dp weight is positive — text the target distribution
+    * likes MORE than the pool average, the importance-resampling keep
+    * set. Shape: two vocabulary-bounded count tables over one bigram
+    * scan; the per-bigram frame shuffles on (w1,w2) then w1 — the
+    * [[ngramLm]] count-then-join kernel twice, nothing quadratic.
+    */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val all = docBigrams(d)
+    val target = docBigrams(d.filter(col("source") === "src1"))
+    val tc2 = target.groupBy("w1", "w2").agg(count(lit(1)).as("tc2"))
+    val tc1 = target.groupBy("w1").agg(count(lit(1)).as("tc1"))
+    val tv = d.filter(col("source") === "src1")
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("tvsize")).withColumn("k", lit(1))
+    val rc2 = all.groupBy("w1", "w2").agg(count(lit(1)).as("rc2"))
+    val rc1 = all.groupBy("w1").agg(count(lit(1)).as("rc1"))
+    val rv = d.select(explode(wsTokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("rvsize")).withColumn("k", lit(1))
+    all
+      .join(tc2, Seq("w1", "w2"), "left")
+      .join(tc1, Seq("w1"), "left")
+      .join(rc2, Seq("w1", "w2"))
+      .join(rc1, Seq("w1"))
+      .withColumn("k", lit(1))
+      .join(broadcast(tv), "k")
+      .join(broadcast(rv), "k")
+      .select(col("doc_id"),
+        (log((coalesce(col("tc2"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("tc1"), lit(0L)) + col("tvsize"))) -
+          log((col("rc2") + lit(1.0)) / (col("rc1") + col("rvsize")))).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("lr"), 6).as("dsir_weight"))
+      .withColumn("selected", (col("dsir_weight") > 0.0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Hybrid lexical+semantic dup verification: every verified lexical
     * near-dup pair (>= 0.8 exact Jaccard via the LSH pipeline) is also
     * scored by embedding cosine — the curation diagnostic that

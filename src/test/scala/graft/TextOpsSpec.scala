@@ -433,6 +433,61 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("novelty: every gram is first-seen exactly once across the corpus") {
+    val out = TextQueries.novelty(spark, sf)
+      .select(col("doc_id"), col("n_grams"), col("novel_frac")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val f = r.getDouble(2)
+      assert(f >= 0.0 && f <= 1.0, r.toString)
+    }
+    // the first doc in corpus order can only contain first-seen grams
+    val first = out.minBy(_.getLong(0))
+    assert(first.getDouble(2) == 1.0, first.toString)
+    // each distinct gram is novel in exactly one doc, so the weighted
+    // novelty mass equals the corpus' distinct-gram count
+    val mass = out.map(r => math.round(r.getLong(1) * r.getDouble(2))).sum
+    val distinctGrams = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+      .agg(countDistinct("g")).head().getLong(0)
+    assert(mass == distinctGrams, s"$mass != $distinctGrams")
+  }
+
+  test("boilerplate fraction is bounded and df-consistent") {
+    val out = TextQueries.boilerplate(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val f = r.getDouble(2)
+      assert(f >= 0.0 && f <= 1.0, r.toString)
+    }
+    // weighted boilerplate mass = number of (doc, gram) rows whose gram
+    // document frequency >= 3, recomputed independently
+    val mass = out.map(r => math.round(r.getLong(1) * r.getDouble(2))).sum
+    val grams = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+    val expected = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .agg(sum("df")).head().getLong(0)
+    assert(mass == expected, s"$mass != $expected")
+  }
+
+  test("dsir: selected tracks the weight sign and exemplar docs score higher") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source")
+    val out = TextQueries.dsirSample(spark, sf)
+    out.collect().foreach { r =>
+      val w = r.getDouble(2)
+      assert(r.getInt(3) == (if (w > 0.0) 1 else 0), r.toString)
+    }
+    // the target LM is trained on src1, so src1 docs must on average
+    // look MORE like the target than the pool does
+    val byTarget = out.join(d, "doc_id")
+      .groupBy(col("source") === "src1")
+      .agg(avg("dsir_weight").as("w")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byTarget(true) > byTarget(false),
+      s"src1 ${byTarget(true)} should exceed rest ${byTarget(false)}")
+  }
+
   test("bpe pair census matches a hand-computed reference") {
     val texts = Seq("aab ab", "aab bb x")
     // word counts: aab->2, ab->1, bb->1, x->1 (len<2 dropped)
