@@ -145,6 +145,7 @@ object SparkEntry {
     "s_ivf_trained" -> (SimilarityQueries.ivfTrained _),
     "s_cosine_expr" -> (SimilarityQueries.cosineExprPairs _),
     "s_ann_lsh" -> (SimilarityQueries.annLsh _),
+    "s_ann_pq" -> (SimilarityQueries.annPq _),
     "s_knn_classify" -> (SimilarityQueries.knnClassify _),
     "s_recall_eval" -> (SimilarityQueries.recallEval _),
     "p_epoch_plan" -> (TextQueries.epochPlan _),
@@ -1780,6 +1781,47 @@ object SparkEntry {
           |       round(sqrt(list_dot_product(c2.c, c2.c)) / 1048576.0, 6) AS centroid_norm,
           |       round(c2.c[1] / 1048576.0, 6) AS c_dim0
           |FROM m JOIN c2 USING (cell) ORDER BY cell""".stripMargin,
+      // PQ/ADC replay: per-subspace codebooks trained with one exact
+      // integer-mean Lloyd update from vec_id<4 seeds, codes = argmin-L2
+      // (same dot-product expansion both engines), ADC score pivoted and
+      // summed in subspace order
+      "s_ann_pq" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |sub AS (SELECT vec_id, s, list_slice(q, 16*s + 1, 16*s + 16) AS v
+          |        FROM e, UNNEST(range(0, 4)) AS t(s)),
+          |c0 AS (SELECT s, vec_id AS cell, v AS c FROM sub WHERE vec_id < 4),
+          |a1 AS (SELECT vec_id, s, v, cell FROM (
+          |  SELECT sub.vec_id, sub.s, sub.v, p.cell,
+          |         row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+          |           list_dot_product(sub.v, sub.v) - 2 * list_dot_product(sub.v, p.c) + list_dot_product(p.c, p.c), p.cell) AS rn
+          |  FROM sub JOIN c0 p USING (s)) WHERE rn = 1),
+          |u1 AS (SELECT s, cell, i, sum(v[i]) AS sm, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 17)) AS t(i) GROUP BY 1, 2, 3),
+          |c1 AS (SELECT s, cell, list(sm / n ORDER BY i) AS c FROM u1 GROUP BY 1, 2),
+          |codes AS (SELECT vec_id, s, cell FROM (
+          |  SELECT sub.vec_id, sub.s, p.cell,
+          |         row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+          |           list_dot_product(sub.v, sub.v) - 2 * list_dot_product(sub.v, p.c) + list_dot_product(p.c, p.c), p.cell) AS rn
+          |  FROM sub JOIN c1 p USING (s)) WHERE rn = 1),
+          |q AS (SELECT vec_id AS query_id, s, v AS qv FROM sub WHERE vec_id < 10),
+          |part AS (
+          |  SELECT q.query_id, codes.vec_id AS neighbor_id, q.s,
+          |         list_dot_product(q.qv, c1.c) AS d
+          |  FROM q JOIN codes ON codes.s = q.s AND codes.vec_id <> q.query_id
+          |         JOIN c1 ON c1.s = q.s AND c1.cell = codes.cell),
+          |sc AS (
+          |  SELECT query_id, neighbor_id,
+          |         max(CASE WHEN s = 0 THEN d END) + max(CASE WHEN s = 1 THEN d END)
+          |       + max(CASE WHEN s = 2 THEN d END) + max(CASE WHEN s = 3 THEN d END) AS score
+          |  FROM part GROUP BY 1, 2)
+          |SELECT query_id, rnk, neighbor_id,
+          |       round(score / (1048576.0 * 1048576.0), 6) AS adc_score
+          |FROM (SELECT query_id, neighbor_id, score,
+          |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk
+          |      FROM sc)
+          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
       "s_ann_ivf" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),

@@ -510,6 +510,120 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** Product-quantization ANN (the memory-bound half of IVF-PQ; Jégou
+    * et al., "Product Quantization for Nearest Neighbor Search", public
+    * IEEE TPAMI 2011): the 64-dim space splits into 4 subspaces of 16
+    * dims; each subspace trains a 4-centroid codebook (seeds = the
+    * first 4 vectors' subvectors, one Lloyd update with EXACT integer
+    * means on the 2^20 fixed-point grid — the [[trainQuantizedCells]]
+    * trick, so the DuckDB oracle replays training bit-for-bit); every
+    * vector is encoded as 4 code ids; queries (vec_id < 10) score
+    * neighbors by ADC (asymmetric distance computation): the sum over
+    * subspaces of dot(query subvector, codebook centroid of the
+    * neighbor's code), accumulated in subspace order — the oracle
+    * pivots per-subspace terms and adds them in the same order.
+    *
+    * The 100 TB story is the point: after encode, the scoring scan
+    * reads the CODE table (4 small ints per vector, ~64x smaller than
+    * the float[64] row) plus a broadcast codebook of 16 centroids —
+    * the shape that serves an index too big to hold its raw vectors in
+    * memory. Here encode+score fuse into one mapPartitions pass (the
+    * fixtures fit), but nothing downstream of the codes touches a raw
+    * vector. Distance ties break to the lower cell, score ties to the
+    * lower neighbor id — both matching the oracle's row_number orders;
+    * the argmin compares `dot(v,v) - 2*dot(v,c) + dot(c,c)` term-for-
+    * term with the oracle's list_dot_product formula so both engines
+    * order identical doubles.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qvecs = quantizedVectors(spark, dir)
+    // seed codebooks: the first 4 vectors' subvectors
+    val seeds = qvecs.filter(_._1 < 4L).collect().sortBy(_._1)
+    var books: Array[Array[(Long, Array[Double])]] = Array.tabulate(pqSubspaces) { s =>
+      seeds.map { case (id, q) => (id, pqSubvec(q, s)) }
+    }
+    // one Lloyd update: per-subspace argmin-L2 assignment, then exact
+    // integer means (sums of 2^20-grid ints stay exact; the single
+    // double division is deterministic) — re-runs and the oracle land
+    // on identical codebooks
+    val bc0 = spark.sparkContext.broadcast(books)
+    val updated = qvecs.flatMap { case (_, q) =>
+        val bks = bc0.value
+        (0 until pqSubspaces).iterator.map { s =>
+          ((s, pqArgmin(pqSubvec(q, s), bks(s))),
+            q.slice(s * pqSubDim, (s + 1) * pqSubDim))
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key: (Int, Long), it: Iterator[((Int, Long), Array[Long])]) =>
+        var n = 0L
+        val sums = new Array[Long](pqSubDim)
+        it.foreach { case (_, v) =>
+          var i = 0
+          while (i < pqSubDim) { sums(i) += v(i); i += 1 }
+          n += 1
+        }
+        (key._1, key._2, sums.map(_.toDouble / n))
+      }
+      .collect()
+    books = Array.tabulate(pqSubspaces) { s =>
+      updated.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1)
+    }
+    // queries stay on the int grid (widened exactly to double)
+    val queries = qvecs.filter(_._1 < 10).collect().sortBy(_._1)
+      .map { case (id, q) => (id, Array.tabulate(pqSubspaces)(s => pqSubvec(q, s))) }
+    val bc = spark.sparkContext.broadcast((books, queries))
+    val scored = qvecs.mapPartitions { it =>
+      val (bks, qs) = bc.value
+      val byCell: Array[Map[Long, Array[Double]]] =
+        bks.map(_.toMap)
+      it.flatMap { case (id, q) =>
+        val codes = Array.tabulate(pqSubspaces)(s => pqArgmin(pqSubvec(q, s), bks(s)))
+        qs.iterator.filter(_._1 != id).map { case (qid, qsubs) =>
+          var score = 0.0
+          var s = 0
+          while (s < pqSubspaces) { score += dot(qsubs(s), byCell(s)(codes(s))); s += 1 }
+          (qid, id, score)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("score") / lit(Q * Q), 6).as("adc_score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val pqSubspaces = 4
+  private val pqSubDim = 16
+
+  /** Subvector s of a quantized vector, widened exactly to double. */
+  private def pqSubvec(q: Array[Long], s: Int): Array[Double] = {
+    val v = new Array[Double](pqSubDim)
+    var i = 0
+    while (i < pqSubDim) { v(i) = q(s * pqSubDim + i).toDouble; i += 1 }
+    v
+  }
+
+  /** Argmin-L2 cell over a codebook, distance computed as
+    * `dot(v,v) - 2*dot(v,c) + dot(c,c)` — term-for-term the oracle's
+    * list_dot_product formula, so both engines compare identical
+    * doubles. Ascending scan + strict < breaks ties to the lower cell
+    * id, matching the oracle's `ORDER BY distance, cell`. */
+  private def pqArgmin(v: Array[Double], book: Array[(Long, Array[Double])]): Long = {
+    val vv = dot(v, v)
+    var bestCell = -1L
+    var bestD = Double.PositiveInfinity
+    book.foreach { case (cell, c) =>
+      val d = vv - 2.0 * dot(v, c) + dot(c, c)
+      if (d < bestD) { bestD = d; bestCell = cell }
+    }
+    bestCell
+  }
+
   /** IVF-style ANN: coarse cells seeded by the first 16 vectors; each
     * vector assigned to its max-cosine cell; queries probe their 4
     * nearest cells and rank only those cells' members.

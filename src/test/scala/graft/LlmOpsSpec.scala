@@ -70,6 +70,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(ivf.size == brute.size) // same k per query
   }
 
+  test("PQ ANN: well-formed top-5 per query, deterministic across runs") {
+    val rows = SimilarityQueries.annPq(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted == Seq(1, 2, 3, 4, 5), s"query $qid ranks")
+      // ADC scores non-increasing down the ranking; self excluded
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.sliding(2).forall { case Seq(a, b) => a._4 >= b._4 }, s"query $qid order")
+      assert(rs.forall(_._3 != qid), s"query $qid scored itself")
+    }
+    // exact-integer Lloyd: a re-run trains identical codebooks and
+    // returns the identical ranking, bit for bit
+    val again = SimilarityQueries.annPq(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(again == rows)
+  }
+
   test("decontamination flags only non-benchmark docs, with positive evidence") {
     val flagged = TextQueries.decontaminate(spark, sf)
       .as[(Long, Long)].collect()
