@@ -1477,27 +1477,26 @@ object SparkEntry {
           |FROM grams JOIN dfreq USING (g)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
       // DSIR importance weight: target LM (src1) minus raw LM (all), both
-      // add-one smoothed; unseen-in-target bigrams hit the floor via left
-      // joins, the raw LM saw everything so its joins are inner
+      // add-one smoothed from ONE conditional-count pass per key;
+      // target-unseen bigrams count 0 and hit the add-one floor directly
       "p_dsir_sample" ->
         """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
           |b AS (
           |  SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
           |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
-          |tc2 AS (SELECT w1, w2, count(*) AS tc2 FROM b WHERE source = 'src1' GROUP BY 1, 2),
-          |tc1 AS (SELECT w1, count(*) AS tc1 FROM b WHERE source = 'src1' GROUP BY 1),
-          |tv AS (SELECT count(DISTINCT tok) AS tvsize
-          |       FROM (SELECT UNNEST(w) AS tok FROM toks WHERE source = 'src1')),
-          |rc2 AS (SELECT w1, w2, count(*) AS rc2 FROM b GROUP BY 1, 2),
-          |rc1 AS (SELECT w1, count(*) AS rc1 FROM b GROUP BY 1),
-          |rv AS (SELECT count(DISTINCT tok) AS rvsize
-          |       FROM (SELECT UNNEST(w) AS tok FROM toks)),
+          |c2 AS (SELECT w1, w2, count(*) AS rc2,
+          |              count(CASE WHEN source = 'src1' THEN 1 END) AS tc2
+          |       FROM b GROUP BY 1, 2),
+          |c1 AS (SELECT w1, count(*) AS rc1,
+          |              count(CASE WHEN source = 'src1' THEN 1 END) AS tc1
+          |       FROM b GROUP BY 1),
+          |v AS (SELECT count(DISTINCT tok) AS rvsize,
+          |             count(DISTINCT CASE WHEN source = 'src1' THEN tok END) AS tvsize
+          |      FROM (SELECT source, UNNEST(w) AS tok FROM toks)),
           |s AS (SELECT b.doc_id,
-          |             ln((coalesce(tc2.tc2, 0) + 1.0) / (coalesce(tc1.tc1, 0) + tv.tvsize))
-          |           - ln((rc2.rc2 + 1.0) / (rc1.rc1 + rv.rvsize)) AS lr
-          |      FROM b LEFT JOIN tc2 USING (w1, w2) LEFT JOIN tc1 USING (w1)
-          |             JOIN rc2 USING (w1, w2) JOIN rc1 USING (w1)
-          |             CROSS JOIN tv CROSS JOIN rv)
+          |             ln((tc2 + 1.0) / (tc1 + v.tvsize))
+          |           - ln((rc2 + 1.0) / (rc1 + v.rvsize)) AS lr
+          |      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
           |SELECT doc_id, count(*) AS n_bigrams, round(avg(lr), 6) AS dsir_weight,
           |       CAST(round(avg(lr), 6) > 0.0 AS INT) AS selected
           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,

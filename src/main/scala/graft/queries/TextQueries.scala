@@ -1184,39 +1184,46 @@ object TextQueries {
     * `avg log p_target(bigram) - avg log p_raw(bigram)` where the
     * target LM is trained on the high-quality exemplar slice (`src1`
     * on these fixtures) and the raw LM on the whole pool, both with
-    * the same add-one smoothing as [[lmProbe]] (unseen-in-target
-    * bigrams hit the `ln(1/(c1+V))` floor via left joins; the raw LM
-    * saw everything, so its joins are inner). `selected` marks docs
-    * whose 6-dp weight is positive — text the target distribution
-    * likes MORE than the pool average, the importance-resampling keep
-    * set. Shape: two vocabulary-bounded count tables over one bigram
-    * scan; the per-bigram frame shuffles on (w1,w2) then w1 — the
-    * [[ngramLm]] count-then-join kernel twice, nothing quadratic.
+    * the same add-one smoothing as [[lmProbe]]. Both models' counts
+    * come from ONE conditional-count aggregation per key (target-
+    * unseen bigrams count 0 and hit the `ln(1/(c1+V))` floor
+    * directly), so the corpus-scale bigram stream shuffles once per
+    * key — (w1,w2) then w1 — not once per model. `selected` marks
+    * docs whose 6-dp weight is positive — text the target
+    * distribution likes MORE than the pool average, the importance-
+    * resampling keep set. Count tables stay vocabulary-bounded;
+    * nothing quadratic.
     */
   def dsirSample(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val all = docBigrams(d)
-    val target = docBigrams(d.filter(col("source") === "src1"))
-    val tc2 = target.groupBy("w1", "w2").agg(count(lit(1)).as("tc2"))
-    val tc1 = target.groupBy("w1").agg(count(lit(1)).as("tc1"))
-    val tv = d.filter(col("source") === "src1")
-      .select(explode(wsTokens(col("text"))).as("w"))
-      .agg(countDistinct("w").as("tvsize")).withColumn("k", lit(1))
-    val rc2 = all.groupBy("w1", "w2").agg(count(lit(1)).as("rc2"))
-    val rc1 = all.groupBy("w1").agg(count(lit(1)).as("rc1"))
-    val rv = d.select(explode(wsTokens(col("text"))).as("w"))
-      .agg(countDistinct("w").as("rvsize")).withColumn("k", lit(1))
-    all
-      .join(tc2, Seq("w1", "w2"), "left")
-      .join(tc1, Seq("w1"), "left")
-      .join(rc2, Seq("w1", "w2"))
-      .join(rc1, Seq("w1"))
+    // one bigram stream carries the source tag, so BOTH LMs' counts come
+    // from single aggregation passes (conditional count for the target
+    // slice) — the corpus-scale frame shuffles once per key, not once
+    // per model. A target-unseen bigram counts 0 (not null), which the
+    // add-one floor absorbs directly.
+    val all = d
+      .select(col("doc_id"), col("source"),
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select("doc_id", "source", "w1", "w2")
+    val isTgt = col("source") === "src1"
+    val c2 = all.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("rc2"), count(when(isTgt, 1)).as("tc2"))
+    val c1 = all.groupBy("w1")
+      .agg(count(lit(1)).as("rc1"), count(when(isTgt, 1)).as("tc1"))
+    val v = d.select(col("source"), explode(wsTokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("rvsize"),
+        countDistinct(when(isTgt, col("w"))).as("tvsize"))
       .withColumn("k", lit(1))
-      .join(broadcast(tv), "k")
-      .join(broadcast(rv), "k")
+    all
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("k", lit(1))
+      .join(broadcast(v), "k")
       .select(col("doc_id"),
-        (log((coalesce(col("tc2"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("tc1"), lit(0L)) + col("tvsize"))) -
+        (log((col("tc2") + lit(1.0)) / (col("tc1") + col("tvsize"))) -
           log((col("rc2") + lit(1.0)) / (col("rc1") + col("rvsize")))).as("lr"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg("lr"), 6).as("dsir_weight"))

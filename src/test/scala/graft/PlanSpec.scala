@@ -229,7 +229,7 @@ class PlanSpec extends SparkSuite {
     // decorrelated 1-row (total, count) aggregate, same class as the
     // vocab-size scalar in t_ngram_lm
     val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr",
-      "t_ngram_lm", "t_lm_probe", "q11_value_stock", "q22_dormant")
+      "t_ngram_lm", "t_lm_probe", "p_dsir_sample", "q11_value_stock", "q22_dormant")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -368,6 +368,17 @@ class PlanSpec extends SparkSuite {
       "t_langid" -> 0, "t_quality" -> 0, "t_redact" -> 0, "t_repetition" -> 0,
       "t_rolling_fp" -> 0, "t_tfidf" -> 3, "t_tokens" -> 0, "t_top_terms" -> 1,
       "t_vocab_growth" -> 2,
+      // gram-min / gram-df table broadcasts back into the exploded gram
+      // stream (vocab-bounded build side): the corpus-scale grams never
+      // shuffle; one aggregate + one doc-keyed output exchange
+      "t_novelty" -> 2, "t_boilerplate" -> 2,
+      // one source-tagged bigram stream, conditional counts for both
+      // LMs in single passes: window + c2 + c1 + vocab + scoring joins
+      // + doc agg, every exchange vocab- or doc-keyed
+      "p_dsir_sample" -> 7,
+      // codebooks train on a driver-collected 16x16 table; scoring is
+      // one mapPartitions over codes + the query-window exchange
+      "s_ann_pq" -> 1,
       "t_winnow" -> 0, // hash/select/digest all in-row; only the output sort exchanges
       // winnowed inverted-index self-join: ~2.5x smaller index than the
       // full gram join; h-keyed join + pair aggregate
