@@ -295,7 +295,7 @@ object Main {
           col("event_id").as("offset"), // monotonic source id as offset
           base64(col("user_id").cast("string").cast("binary")).as("key"),
           base64(col("props").cast("binary")).as("value"),
-          expr("ts div 1000000").as("timestamp"),
+          graft.model.Tables.tsMillisCol(schema("ts").dataType).as("timestamp"),
           lit(0).as("timestamp_type"))
       val q = graft.streaming.StreamingBackup.start(
         stream, out, ChronoUnitSlice(unit), ckpt, gzipOpt,

@@ -66,7 +66,7 @@ object ReducedConsumerRecord {
       // integer division (not `/` which is double and can misround at
       // integer boundaries vs the DuckDB oracle's epoch_ms truncation)
       case LongType => expr("ts div 1000000")
-      case _        => unix_millis(col("ts"))
+      case _        => unix_millis(col("ts").cast(TimestampType))
     }
     events
       .withColumn("partition", (col("user_id") % partitions).cast(IntegerType))

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
 object AnalyticsQueries {
 
   private def pq(spark: SparkSession, dir: String, t: String): DataFrame =
-    spark.read.parquet(s"$dir/$t.parquet")
+    graft.model.Tables.pq(spark, dir, t)
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))

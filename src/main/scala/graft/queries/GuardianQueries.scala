@@ -30,7 +30,7 @@ object GuardianQueries {
       |)""".stripMargin
 
   def records(spark: SparkSession, dir: String): DataFrame =
-    ReducedConsumerRecord.fromEvents(spark.read.parquet(s"$dir/events.parquet"))
+    ReducedConsumerRecord.fromEvents(graft.model.Tables.pq(spark, dir, "events"))
 
   /** S1/S2: Kafka-shaped ingest projection (KafkaConsumer.scala:127-138). */
   def ingestProject(spark: SparkSession, dir: String): DataFrame =

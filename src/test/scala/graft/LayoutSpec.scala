@@ -15,7 +15,7 @@ class LayoutSpec extends SparkSuite {
   test("partitioned write -> partition-pruned read (directories skipped)") {
     val out = tmpDir("layout-part") + "/events"
     val sf = SparkSuite.sf0001
-    spark.read.parquet(s"$sf/events.parquet")
+    graft.model.Tables.pq(spark, sf, "events")
       .withColumn("day", expr("(ts div 1000000) div 86400000"))
       .repartitionByRange(4, col("day"), col("user_id"))
       .sortWithinPartitions("day", "user_id")
