@@ -1845,11 +1845,19 @@ object TextQueries {
       .withColumn("hs", expr(
         """transform(sequence(1, size(ts) - 2),
           |  i -> md5(cast(concat_ws(' ', ts[i-1], ts[i], ts[i+1]) as binary)))""".stripMargin))
+      // one pass per window: track (pos, h) of the leftmost minimum in a
+      // 4-comparison fold — vs the naive 3x slice + 2x array_min +
+      // array_position scan, which allocated three 4-arrays per window.
+      // 'zz' sorts above every lowercase-hex md5 digest, so the first
+      // comparison always seeds the accumulator; strict < keeps the
+      // LEFTMOST occurrence on ties, matching array_position semantics.
       .withColumn("sel", expr(
         """array_sort(array_distinct(transform(sequence(1, size(hs) - 3),
-          |  j -> struct(
-          |    j - 1 + array_position(slice(hs, j, 4), array_min(slice(hs, j, 4))) as pos,
-          |    array_min(slice(hs, j, 4)) as h))))""".stripMargin))
+          |  j -> aggregate(sequence(j, j + 3),
+          |    struct(cast(0 as bigint) as pos, 'zz' as h),
+          |    (acc, k) -> if(hs[k-1] < acc.h,
+          |                   struct(cast(k as bigint) as pos, hs[k-1] as h),
+          |                   acc)))))""".stripMargin))
 
   /** Winnowing overlap detection — what MOSS actually does with the
     * fingerprints: doc pairs sharing at least one SELECTED hash, with
@@ -1865,9 +1873,21 @@ object TextQueries {
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
     val fps = winnowSelected(spark, dir)
       .select(col("doc_id"), explode(expr("array_distinct(sel.h)")).as("h"))
-    fps.as("a").join(fps.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    // Bucket-grouped pair expansion instead of a hash self-join: the
+    // join form computed the md5-heavy winnow projection TWICE (build
+    // and probe side are separate subtrees; no exchange to reuse under
+    // a broadcast). Grouping by fingerprint computes it once behind a
+    // single exchange, and the sorted in-bucket expansion emits each
+    // (id1 < id2) pair directly — the same pair set the join produced,
+    // with the identical quadratic bucket term, minus the double scan.
+    fps.groupBy("h")
+      .agg(expr("sort_array(collect_list(doc_id))").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x as id1, y as id2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("id1", "id2")
   }
