@@ -151,7 +151,10 @@ object SparkEntry {
     "p_epoch_plan" -> (TextQueries.epochPlan _),
     "d_semdedup_incr" -> (SimilarityQueries.semDedupIncremental _),
     "m_media_dedup" -> (TextQueries.mediaDedup _),
-    "d_winnow_overlap" -> (TextQueries.winnowOverlap _)
+    "d_winnow_overlap" -> (TextQueries.winnowOverlap _),
+    "m_phash_neardup" -> (TextQueries.phashNearDup _),
+    "t_kl_drift" -> (TextQueries.klDrift _),
+    "t_quality_lr" -> (TextQueries.qualityLr _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1726,6 +1729,77 @@ object SparkEntry {
           |            - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT)
           |         AS n_only_normalized_dups
           |FROM documents""".stripMargin,
+      // 32-bit aHash over the payload byte stream; bit decided by integer
+      // cross-multiplication so both engines agree exactly; candidates =
+      // band-equality pairs, hamming verified and re-derived per pair.
+      "m_phash_neardup" ->
+        """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 32),
+          |b AS (SELECT doc_id, n, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS byte
+          |      FROM d, UNNEST(range(0, n)) AS t(i)),
+          |tot AS (SELECT doc_id, sum(byte) AS tot FROM b GROUP BY 1),
+          |seg AS (SELECT doc_id, (i * 32) // n AS s, sum(byte) AS segsum,
+          |               count(*) AS seglen, any_value(n) AS n
+          |        FROM b GROUP BY 1, 2),
+          |bits AS (SELECT seg.doc_id, s,
+          |                CASE WHEN segsum * seg.n >= tot.tot * seglen THEN 1 ELSE 0 END AS bit
+          |         FROM seg JOIN tot ON seg.doc_id = tot.doc_id),
+          |bands AS (SELECT doc_id, s // 8 AS band_idx, CAST(sum(bit << CAST(s % 8 AS INT)) AS INT) AS band_val
+          |          FROM bits GROUP BY 1, 2),
+          |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          |         FROM bands a JOIN bands b
+          |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          |          AND a.doc_id < b.doc_id),
+          |ham AS (SELECT c.id1, c.id2,
+          |               CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS INT) AS hamming
+          |        FROM cand c
+          |        JOIN bands x ON x.doc_id = c.id1
+          |        JOIN bands y ON y.doc_id = c.id2 AND y.band_idx = x.band_idx
+          |        GROUP BY 1, 2)
+          |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin,
+      // contributions rounded then summed as DECIMAL: order-independent,
+      // and the 1e-12 per-row round absorbs cross-engine ln() ulp drift
+      // far below the 1e-6 output round.
+      "t_kl_drift" ->
+        """WITH t AS (SELECT source, tok AS term
+          |           FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(tok)),
+          |st AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2),
+          |stot AS (SELECT source, sum(c) AS stot FROM st GROUP BY 1),
+          |ct AS (SELECT term, sum(c) AS ct FROM st GROUP BY 1),
+          |g AS (SELECT sum(c) AS gt FROM st),
+          |x AS (SELECT source,
+          |             CAST(round((c::DOUBLE / stot) *
+          |                        ln((c::DOUBLE / stot) / (ct::DOUBLE / gt)), 12)
+          |                  AS DECIMAL(38, 12)) AS contrib,
+          |             stot
+          |      FROM st JOIN stot USING (source) JOIN ct USING (term), g)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+          |       CAST(max(stot) AS BIGINT) AS n_tokens,
+          |       round(CAST(sum(contrib) AS DOUBLE), 6) AS kl_divergence
+          |FROM x GROUP BY source ORDER BY source""".stripMargin,
+      // kept thresholds the ROUNDED score so the 0.5 cutoff cannot flip
+      // on cross-engine exp() ulp differences.
+      "t_quality_lr" ->
+        """WITH q AS (
+          |  SELECT doc_id, n_chars, string_split(trim(text), ' ') AS w,
+          |         CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id,
+          |         CAST(len(w) AS BIGINT) AS n_tokens,
+          |         CAST(n_chars AS DOUBLE) / len(w) AS avg_token_len,
+          |         CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+          |         CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+          |           / len(w) AS stopword_ratio
+          |  FROM q),
+          |s AS (
+          |  SELECT doc_id,
+          |         -2.0::DOUBLE + 6.0::DOUBLE * stopword_ratio + 2.5::DOUBLE * alpha_ratio
+          |           - 0.3::DOUBLE * avg_token_len + 0.25::DOUBLE * ln(n_tokens) AS z
+          |  FROM f)
+          |SELECT doc_id,
+          |       round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 6) AS lr_score,
+          |       CASE WHEN round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 6) >= 0.5 THEN 1 ELSE 0 END AS kept
+          |FROM s ORDER BY doc_id""".stripMargin,
       "s_cosine_expr" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50)
           |SELECT a.vec_id AS id1, b.vec_id AS id2,

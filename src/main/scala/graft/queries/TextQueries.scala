@@ -1736,6 +1736,149 @@ object TextQueries {
         (col("n_distinct_bytes") - col("n_distinct_normalized"))
           .as("n_only_normalized_dups"))
 
+  /** Perceptual-hash near-dup over the media payload stream, via
+    * multi-index hashing (Norouzi & Fleet, CVPR'12): a 32-bit
+    * aHash-style fingerprint per payload — 32 equal byte segments, bit
+    * s = (segment byte-mean >= whole-payload byte-mean), decided by
+    * integer cross-multiplication (`segsum * n >= tot * seglen`) so the
+    * bit is exact in every engine — split into 4 bands of 8 bits.
+    * Candidate pairs share at least one band value (pigeonhole: any
+    * pair at hamming <= 3 over 32 bits agrees exactly on >= 1 of the 4
+    * bands, so recall at the tau=3 output is COMPLETE, not heuristic);
+    * hamming is then verified in-row on the carried band vectors and
+    * multi-band collisions collapse under one distinct.
+    *
+    * Payload = the UTF-8 byte stream of `text` (the corpus is ASCII, so
+    * `ascii(char)` == byte), standing in for image bytes exactly as in
+    * [[mediaDedup]] — a real pHash swaps the per-byte stream for DCT
+    * coefficients; the banding, candidate join, and verify are
+    * unchanged. 100 TB shape: fingerprints are 4 band-rows per payload
+    * (bytes never leave the scan), the join is bucket-grouped on
+    * (band_idx, band_val) like every dedup kernel here, and the
+    * quadratic term is confined to same-band buckets — near-identical
+    * payload clusters, output-scale by the same duplicate-rate argument
+    * as the LSH pipeline.
+    */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The fingerprint kernel runs as a typed per-row map — the same
+    // per-partition batch shape as MediaPipeline's codec path (this IS
+    // the media family; a real pHash replaces this loop with a decoder
+    // + DCT). One O(n) pass per payload; a column-algebra formulation
+    // of the 32-segment fold re-evaluates the byte extraction per
+    // segment pass under projection collapse (interpreted higher-order
+    // exprs, no codegen), which is O(32 n^2) per row — measured
+    // pathological, hence the deliberate Dataset.map here.
+    val banded = docs(spark, dir)
+      .filter(length(col("text")) >= 32)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = bytes.length.toLong
+        val sums = new Array[Long](32)
+        val cnts = new Array[Long](32)
+        var tot = 0L
+        var k = 0
+        while (k < bytes.length) {
+          val b = bytes(k).toLong & 0xffL
+          val s = ((k * 32L) / n).toInt // byte k -> segment (k*32) div n
+          sums(s) += b; cnts(s) += 1; tot += b
+          k += 1
+        }
+        val bands = Array.tabulate(4) { bIdx =>
+          var v = 0
+          var j = 0
+          while (j < 8) {
+            val s = bIdx * 8 + j
+            // segment mean >= payload mean, decided exactly in integers
+            if (sums(s) * n >= tot * cnts(s)) v |= 1 << j
+            j += 1
+          }
+          v
+        }
+        (id, bands)
+      }
+      .toDF("doc_id", "bands")
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    banded.groupBy("band_idx", "band_val")
+      .agg(expr("array_sort(collect_list(struct(doc_id, bands)))").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x.doc_id as id1, y.doc_id as id2,
+          |      aggregate(zip_with(x.bands, y.bands, (p, q) -> bit_count(p ^ q)),
+          |                0, (a, h) -> a + h) as hamming))))""".stripMargin)).as("p"))
+      .filter(col("p.hamming") <= 3)
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.hamming").as("hamming"))
+      .distinct()
+      .orderBy("id1", "id2")
+  }
+
+  /** Distribution drift census: per-source unigram KL divergence
+    * against the whole-corpus unigram distribution — the standard
+    * "did this crawl snapshot / new source shift the token mix" check
+    * run before admitting a source into a training mix. KL(source ||
+    * corpus) is finite by construction (every source term is in the
+    * corpus), and the corpus counts derive from the per-source counts
+    * by a second aggregate over the SAME (source, term) table — one
+    * corpus scan total. Per-term contributions are rounded then summed
+    * as DECIMAL so the result is partition-order independent; the
+    * per-source total joins back broadcast (sources are few), the
+    * per-term total joins at vocab scale — nothing corpus-quadratic.
+    */
+  def klDrift(spark: SparkSession, dir: String): DataFrame = {
+    val st = docs(spark, dir)
+      .select(col("source"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val srcTot  = st.groupBy("source").agg(sum("c").as("stot"))
+    val termTot = st.groupBy("term").agg(sum("c").as("ct"))
+    val grand   = st.agg(sum("c").as("gt"))
+    st.join(broadcast(srcTot), "source")
+      .join(termTot, "term")
+      .crossJoin(broadcast(grand))
+      .withColumn("contrib", round(
+        (col("c") / col("stot")) *
+          log((col("c") / col("stot")) / (col("ct") / col("gt"))), 12)
+        .cast(DecimalType(38, 12)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max("stot").as("n_tokens"),
+        round(sum("contrib").cast(DoubleType), 6).as("kl_divergence"))
+      .orderBy("source")
+  }
+
+  /** Classifier-based quality filtering — the "quality classifier"
+    * stage of a GPT-3/LLaMA-style pipeline: a logistic model over the
+    * [[qualityScore]] features plus log-length, with fixed public
+    * stand-in weights (training the classifier is a separate offline
+    * concern; the operator under test is the corpus-scale SCORING pass,
+    * one scan, no shuffle before the output sort). `kept` thresholds
+    * the ROUNDED score so the cutoff is engine-exact.
+    */
+  def qualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val w = wsTokens(col("text"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(w).cast(LongType).as("n_tokens"),
+      (col("n_chars").cast(DoubleType) / size(w)).as("avg_token_len"),
+      (size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0))).cast(LongType)
+        .cast(DoubleType) / col("n_chars")).as("alpha_ratio"),
+      (tokensInSet(w, stopwords).cast(DoubleType) / size(w)).as("stopword_ratio"))
+      .withColumn("z",
+        lit(-2.0) + lit(6.0) * col("stopword_ratio") + lit(2.5) * col("alpha_ratio")
+          - lit(0.3) * col("avg_token_len") + lit(0.25) * log(col("n_tokens")))
+      .withColumn("lr_score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .select(
+        col("doc_id"),
+        col("lr_score"),
+        when(col("lr_score") >= 0.5, 1).otherwise(0).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal decode path under the correctness gate: binary payloads
     * through MediaPipeline.decodeAndFeaturize (per-partition batch
     * iteration — the exact shape a real codec UDF runs in), features

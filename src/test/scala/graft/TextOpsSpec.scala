@@ -499,4 +499,97 @@ class TextOpsSpec extends SparkSuite {
       assert(got == Seq(("ab", 3L), ("aa", 2L), ("bb", 1L)), got.toString)
     }
   }
+
+  /** Independent aHash reimplementation for the phash test oracle. */
+  private def refAHashBands(text: String): Array[Int] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length.toLong
+    val sums = new Array[Long](32); val cnts = new Array[Long](32)
+    var tot = 0L
+    bytes.indices.foreach { k =>
+      val s = ((k * 32L) / n).toInt
+      sums(s) += bytes(k).toLong & 0xffL; cnts(s) += 1; tot += bytes(k).toLong & 0xffL
+    }
+    Array.tabulate(4) { b =>
+      (0 until 8).foldLeft(0) { (v, j) =>
+        val s = b * 8 + j
+        if (sums(s) * n >= tot * cnts(s)) v | (1 << j) else v
+      }
+    }
+  }
+
+  test("phash near-dup equals brute-force hamming<=3 (MIH completeness) on planted payloads") {
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val texts = Seq(
+      base,                       // 0: anchor
+      base,                       // 1: byte-identical -> hamming 0
+      base.replace("quick", "quack"), // 2: tiny perturbation
+      "zzzz " * 12 + "yy",        // 3: different distribution
+      ("ab" * 20) + "Q")          // 4: another shape
+    withDocs(texts) { dir =>
+      val got = TextQueries.phashNearDup(spark, dir)
+        .as[(Long, Long, Int)].collect().toSet
+      // brute force over the same fingerprints: every pair at hamming<=3
+      // MUST be in the output (multi-index pigeonhole guarantee), and
+      // nothing else may be
+      val bands = texts.map(refAHashBands)
+      val expect = (for {
+        i <- texts.indices; j <- texts.indices if i < j
+        h = (0 until 4).map(b => Integer.bitCount(bands(i)(b) ^ bands(j)(b))).sum
+        if h <= 3
+      } yield (i.toLong, j.toLong, h)).toSet
+      assert(got == expect, s"got $got expect $expect")
+      assert(expect.contains((0L, 1L, 0)), "identical payloads must pair at hamming 0")
+    }
+  }
+
+  test("kl drift matches a hand-computed two-source reference and is non-negative") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kl-").toString
+    try {
+      Seq(
+        (0L, "a a b", "en", "s1", 5L),
+        (1L, "a b b b", "en", "s2", 7L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val got = TextQueries.klDrift(spark, dir)
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      // corpus: a=3, b=4, total 7
+      def kl(counts: Map[String, Long]): Double = {
+        val stot = counts.values.sum.toDouble
+        counts.map { case (t, c) =>
+          val p = c / stot
+          val q = Map("a" -> 3L, "b" -> 4L)(t) / 7.0
+          p * math.log(p / q)
+        }.sum
+      }
+      val s1 = kl(Map("a" -> 2L, "b" -> 1L))
+      val s2 = kl(Map("a" -> 1L, "b" -> 3L))
+      assert(got.keySet == Set("s1", "s2"))
+      assert(got("s1")._2 == 2L && got("s1")._3 == 3L)
+      assert(got("s2")._2 == 2L && got("s2")._3 == 4L)
+      assert(math.abs(got("s1")._4 - s1) < 2e-6, s"s1 ${got("s1")._4} vs $s1")
+      assert(math.abs(got("s2")._4 - s2) < 2e-6, s"s2 ${got("s2")._4} vs $s2")
+      assert(got.values.forall(_._4 >= -1e-9), "KL(source||corpus) is non-negative")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("quality LR: scores in (0,1), kept thresholds the rounded score, stopwords raise it") {
+    val texts = Seq(
+      "the cat is in the hat and it is of the best",  // stopword-rich
+      "xylophone quartz jackdaw vortex glyph numb")    // stopword-free
+    withDocs(texts) { dir =>
+      val got = TextQueries.qualityLr(spark, dir)
+        .as[(Long, Double, Int)].collect().sortBy(_._1)
+      got.foreach { case (_, s, kept) =>
+        assert(s > 0.0 && s < 1.0, s"score $s out of (0,1)")
+        assert(kept == (if (s >= 0.5) 1 else 0), s"kept mismatch at $s")
+      }
+      assert(got(0)._2 > got(1)._2,
+        s"stopword-rich ${got(0)._2} should outscore stopword-free ${got(1)._2}")
+    }
+  }
 }
