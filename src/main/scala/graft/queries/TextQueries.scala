@@ -198,12 +198,26 @@ object TextQueries {
     jaccardOfPairs(interPairs(grams), sizes)
   }
 
-  /** Shared-gram pair intersection counts via the inverted-index
-    * self-join — the candidate kernel of the exact Jaccard join. */
+  /** Shared-gram pair intersection counts — the candidate kernel of the
+    * exact Jaccard join, as a bucket-grouped expansion rather than an
+    * inverted-index self-join: the join form shuffles and computes the
+    * gram extraction TWICE (build and probe subtrees are separate);
+    * grouping by gram computes it once behind one exchange and expands
+    * each sorted bucket's (id1 < id2) pairs. The expansion is staged —
+    * posexplode to one row per (bucket, position), then explode the
+    * per-position suffix — so a row never materializes more than one
+    * bucket's id list (O(B) not O(B^2) memory); the pair COUNT is the
+    * join's quadratic term either way, which is exactly what the
+    * prefix-filtered twin bounds at corpus scale.
+    */
   private def interPairs(grams: DataFrame): DataFrame =
-    grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    grams.groupBy("g")
+      .agg(expr("sort_array(collect_list(doc_id))").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id2"))
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter"))
 
   /** Asymmetric containment join: pairs where the smaller doc's gram
@@ -1804,15 +1818,14 @@ object TextQueries {
     banded.groupBy("band_idx", "band_val")
       .agg(expr("array_sort(collect_list(struct(doc_id, bands)))").as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x.doc_id as id1, y.doc_id as id2,
-          |      aggregate(zip_with(x.bands, y.bands, (p, q) -> bit_count(p ^ q)),
-          |                0, (a, h) -> a + h) as hamming))))""".stripMargin)).as("p"))
-      .filter(col("p.hamming") <= 3)
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        col("p.hamming").as("hamming"))
+      // staged expansion: per-row memory O(bucket), not O(bucket^2)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("y"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        expr("aggregate(zip_with(x.bands, y.bands, (p, q) -> bit_count(p ^ q)), 0, (a, h) -> a + h)")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
       .distinct()
       .orderBy("id1", "id2")
   }
@@ -2026,11 +2039,13 @@ object TextQueries {
     fps.groupBy("h")
       .agg(expr("sort_array(collect_list(doc_id))").as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x as id1, y as id2))))""".stripMargin)).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      // staged expansion: one row per (bucket, position), then the
+      // per-position suffix — per-row memory stays O(bucket), never
+      // O(bucket^2)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id2"))
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("id1", "id2")
   }

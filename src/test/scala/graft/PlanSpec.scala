@@ -228,8 +228,11 @@ class PlanSpec extends SparkSuite {
     // q11/q22: the scalar-subquery archetypes — the build side is the
     // decorrelated 1-row (total, count) aggregate, same class as the
     // vocab-size scalar in t_ngram_lm
+    // t_kl_drift: the corpus-total scalar (1-row sum) broadcast into the
+    // vocab-scale contribution join — same class
     val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr",
-      "t_ngram_lm", "t_lm_probe", "p_dsir_sample", "q11_value_stock", "q22_dormant")
+      "t_ngram_lm", "t_lm_probe", "p_dsir_sample", "q11_value_stock", "q22_dormant",
+      "t_kl_drift")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -310,7 +313,12 @@ class PlanSpec extends SparkSuite {
       // shuffling the FULL gram table into the candidate join (count
       // is not bytes; this is the deliberate trade)
       "d_jaccard_prefix" -> 4, "d_minhash_lsh" -> 3,
-      "d_ngram_jaccard" -> 3, "d_simhash" -> 4, "e_anomaly_zscore" -> 2,
+      // d_ngram_jaccard 3 -> 4: the bucket-grouped pair expansion trades
+      // the broadcast self-join (double gram compute; would be TWO
+      // corpus shuffles as sort-merge at scale) for one gram exchange —
+      // one more exchange here, strictly fewer at corpus scale
+      "d_ngram_jaccard" -> 4, "d_simhash" -> 4, "e_anomaly_zscore" -> 2,
+      "m_phash_neardup" -> 2, "t_kl_drift" -> 7, "t_quality_lr" -> 0,
       "e_approx_distinct" -> 2, "e_approx_quantiles" -> 1, "e_event_cube" -> 1,
       "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
       "e_event_stats_salted" -> 2, "e_funnel" -> 1, "e_grouping_sets" -> 1,
