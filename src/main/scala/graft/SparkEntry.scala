@@ -154,7 +154,8 @@ object SparkEntry {
     "d_winnow_overlap" -> (TextQueries.winnowOverlap _),
     "m_phash_neardup" -> (TextQueries.phashNearDup _),
     "t_kl_drift" -> (TextQueries.klDrift _),
-    "t_quality_lr" -> (TextQueries.qualityLr _)
+    "t_quality_lr" -> (TextQueries.qualityLr _),
+    "t_bm25" -> (TextQueries.bm25 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1776,6 +1777,27 @@ object SparkEntry {
           |       CAST(max(stot) AS BIGINT) AS n_tokens,
           |       round(CAST(sum(contrib) AS DOUBLE), 6) AS kl_divergence
           |FROM x GROUP BY source ORDER BY source""".stripMargin,
+      // BM25 with Lucene idf smoothing; contributions rounded then
+      // DECIMAL-summed so the top-20 cut is engine-exact.
+      "t_bm25" ->
+        """WITH toks AS (SELECT doc_id, tok AS term
+          |             FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(tok)),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+          |       WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          |x AS (SELECT tf.doc_id,
+          |             CAST(round(
+          |               ln(((n_docs - df)::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE) *
+          |               ((tf::DOUBLE * 2.2::DOUBLE) /
+          |                (tf::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl))), 12)
+          |               AS DECIMAL(38, 12)) AS contrib
+          |      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+          |       round(CAST(sum(contrib) AS DOUBLE), 6) AS bm25
+          |FROM x GROUP BY doc_id
+          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
       // kept thresholds the ROUNDED score so the 0.5 cutoff cannot flip
       // on cross-engine exp() ulp differences.
       "t_quality_lr" ->

@@ -1864,6 +1864,49 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** BM25 retrieval scoring (Robertson/Sparck Jones, k1=1.2 b=0.75,
+    * Lucene's +1 idf smoothing) for a fixed query-term set — the
+    * retrieval stage a curation pipeline uses to mine domain exemplars
+    * ("find docs like my seed set") before DSIR-style reweighting. One
+    * token pass feeds both the doc-length aggregate and the scan-side
+    * term-filtered tf table (query terms are a literal IN filter, so
+    * the tf side never carries the corpus vocabulary); df and the
+    * (N, avgdl) scalars broadcast. Per-term contributions are rounded
+    * then DECIMAL-summed (partition-order independent), making the
+    * top-20 ordering engine-exact.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "hash", "merge")
+    val (k1, b) = (1.2, 0.75)
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    // literals written out (2.2, 0.25) rather than computed (k1+1, 1-b):
+    // the oracle writes the same decimal text, and text -> nearest-double
+    // agrees across engines where constant ARITHMETIC need not
+    val _ = (k1, b) // parameters documented above; expression uses literals
+    val idf = log(
+      ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+        (col("df").cast(DoubleType) + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl")))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", round(idf * tfNorm, 12).cast(DecimalType(38, 12)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_matched"),
+        round(sum(col("contrib")).cast(DoubleType), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Classifier-based quality filtering — the "quality classifier"
     * stage of a GPT-3/LLaMA-style pipeline: a logistic model over the
     * [[qualityScore]] features plus log-length, with fixed public

@@ -232,7 +232,7 @@ class PlanSpec extends SparkSuite {
     // vocab-scale contribution join — same class
     val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr",
       "t_ngram_lm", "t_lm_probe", "p_dsir_sample", "q11_value_stock", "q22_dormant",
-      "t_kl_drift")
+      "t_kl_drift", "t_bm25")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -319,6 +319,7 @@ class PlanSpec extends SparkSuite {
       // one more exchange here, strictly fewer at corpus scale
       "d_ngram_jaccard" -> 4, "d_simhash" -> 4, "e_anomaly_zscore" -> 2,
       "m_phash_neardup" -> 2, "t_kl_drift" -> 7, "t_quality_lr" -> 0,
+      "t_bm25" -> 6,
       "e_approx_distinct" -> 2, "e_approx_quantiles" -> 1, "e_event_cube" -> 1,
       "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
       "e_event_stats_salted" -> 2, "e_funnel" -> 1, "e_grouping_sets" -> 1,

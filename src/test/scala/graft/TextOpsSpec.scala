@@ -577,6 +577,28 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("bm25 matches a hand-computed score on a tiny corpus") {
+    // q terms: spark, hash, merge; k1=1.2, b=0.75, Lucene +1 idf
+    val texts = Seq(
+      "spark spark hash x y",   // doc 0: tf(spark)=2, tf(hash)=1, dl=5
+      "merge a b c",            // doc 1: tf(merge)=1, dl=4
+      "u v w z")                // doc 2: no match, dl=4
+    withDocs(texts) { dir =>
+      val got = TextQueries.bm25(spark, dir)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      val n = 3.0; val avgdl = (5.0 + 4.0 + 4.0) / 3.0
+      def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      def tfn(tf: Double, dl: Double) =
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      val d0 = idf(1) * tfn(2, 5) + idf(1) * tfn(1, 5)
+      val d1 = idf(1) * tfn(1, 4)
+      assert(got.keySet == Set(0L, 1L), s"docs with no query term must not score: $got")
+      assert(got(0L)._2 == 2L && got(1L)._2 == 1L)
+      assert(math.abs(got(0L)._3 - d0) < 2e-6, s"${got(0L)._3} vs $d0")
+      assert(math.abs(got(1L)._3 - d1) < 2e-6, s"${got(1L)._3} vs $d1")
+    }
+  }
+
   test("quality LR: scores in (0,1), kept thresholds the rounded score, stopwords raise it") {
     val texts = Seq(
       "the cat is in the hat and it is of the best",  // stopword-rich
