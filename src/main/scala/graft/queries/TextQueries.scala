@@ -510,6 +510,68 @@ object TextQueries {
       g.select(col("doc_id").as("old_id"), col("gs").as("gs_old")))
   }
 
+  /** Corpus unigram reference for drift probes — the distribution twin
+    * of [[NearDupIndex]]: vocab-scale (term, ct) rows plus the two
+    * scalars a probe needs. Same artifact lifecycle: the batch side
+    * rebuilds it nightly ([[buildTermDistribution]]), probes
+    * [[persist]] it when they run repeatedly (the streaming path hits
+    * it every micro-batch), [[save]]/[[load]] make it durable.
+    */
+  final case class TermDistribution(counts: DataFrame, gt: Long, vocab: Long) {
+    def persist(): TermDistribution = { counts.persist(); this }
+    def unpersist(): Unit = counts.unpersist()
+    def save(path: String): Unit = {
+      counts.write.mode("overwrite").parquet(s"$path/counts")
+      val spark = counts.sparkSession
+      import spark.implicits._
+      Seq((gt, vocab)).toDF("gt", "vocab")
+        .write.mode("overwrite").parquet(s"$path/totals")
+    }
+  }
+
+  object TermDistribution {
+    def load(spark: SparkSession, path: String): TermDistribution = {
+      val t = spark.read.parquet(s"$path/totals").head()
+      TermDistribution(
+        spark.read.parquet(s"$path/counts"), t.getLong(0), t.getLong(1))
+    }
+  }
+
+  def buildTermDistribution(corpus: DataFrame): TermDistribution = {
+    val counts = corpus
+      .select(explode(wsTokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ct"))
+    val row = counts.agg(sum("ct"), count(lit(1))).head()
+    TermDistribution(counts, row.getLong(0), row.getLong(1))
+  }
+
+  /** KL(batch || corpus) against a [[TermDistribution]] — the
+    * ingest-time twin of [[klDrift]]: is today's batch drawn from the
+    * distribution the corpus was? Unseen terms get the add-one floor
+    * `q = (ct+1)/(gt+vocab)` (same smoothing contract as the LM probe),
+    * so the divergence stays finite and `n_unseen` rides along as the
+    * direct novelty signal. One batch-scale aggregate, one vocab-keyed
+    * left join against the reference — nothing corpus-scale recomputes
+    * at probe time.
+    */
+  def klAgainst(batch: DataFrame, ref: TermDistribution): DataFrame = {
+    val bt = batch
+      .select(explode(wsTokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val btot = bt.agg(sum("c").as("btot"))
+    bt.join(ref.counts, Seq("term"), "left")
+      .crossJoin(broadcast(btot))
+      .withColumn("q",
+        (coalesce(col("ct"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+          lit(ref.gt.toDouble + ref.vocab.toDouble))
+      .withColumn("p", col("c").cast(DoubleType) / col("btot"))
+      .select(
+        count(lit(1)).as("n_terms"),
+        max(col("btot")).as("n_tokens"),
+        sum(when(col("ct").isNull, 1).otherwise(0)).cast(LongType).as("n_unseen"),
+        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_divergence"))
+  }
+
   private def gramArrays(docsDf: DataFrame): DataFrame =
     docsDf.select(col("doc_id"),
       graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs"))

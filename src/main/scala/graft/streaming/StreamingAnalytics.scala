@@ -152,6 +152,33 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** Streaming distribution-drift probe — the distribution twin of
+    * [[streamingNearDupProbe]], same zero-state shape: each micro-batch
+    * of docs runs [[graft.queries.TextQueries.klAgainst]] against the
+    * precomputed corpus
+    * [[graft.queries.TextQueries.TermDistribution]], emitting one
+    * (n_terms, n_tokens, n_unseen, kl_divergence) row per batch — the
+    * ingest-monitoring signal that gates a crawl snapshot before it
+    * joins the training mix. Nothing buffers across batches; the
+    * reference is the batch side's nightly artifact, persisted here
+    * because every trigger probes it. The caller releases it with
+    * `ref.unpersist()` after stopping the query.
+    */
+  def streamingDriftProbe(
+      docs: DataFrame,
+      ref: graft.queries.TextQueries.TermDistribution,
+      checkpoint: String,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    ref.persist()
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.queries.TextQueries.klAgainst(batch.toDF(), ref))
+      }
+      .start()
+  }
+
   /** Streaming chunk-contamination probe — the chunk-granularity twin
     * of [[streamingNearDupProbe]], same zero-state shape: each
     * micro-batch of docs runs [[graft.queries.TextQueries.probeChunks]]

@@ -102,6 +102,39 @@ class StreamingAnalyticsSpec extends SparkSuite {
       s"streaming chunk probe diverged: got ${got.toSet} expected $expected")
   }
 
+  test("streaming drift probe: in-distribution batch scores below a skewed one, through disk") {
+    implicit val ctx = spark.sqlContext
+    val sf = SparkSuite.sf0001
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // the streaming query probes the RELOADED reference — the nightly-
+    // artifact flow (build, save, load elsewhere, probe) in one test
+    val path = tmpDir("term-dist")
+    graft.queries.TextQueries.buildTermDistribution(d).save(path)
+    val ref = graft.queries.TextQueries.TermDistribution.load(spark, path)
+    val inDist = d.as[(Long, String)].head() // a corpus doc: low drift
+    val skewed = (9999L, "qqxx qqxx qqxx zzyy zzyy wwvv") // unseen terms
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = StreamingAnalytics.streamingDriftProbe(
+      mem.toDF().toDF("doc_id", "text"), ref, tmpDir("drift-ckpt"),
+      batch => got ++= batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+    Seq(inDist, skewed).foreach { doc => mem.addData(doc); q.processAllAvailable() }
+    q.stop()
+    ref.unpersist()
+    assert(got.size == 2, s"one drift row per micro-batch: $got")
+    val Seq(low, high) = got.toSeq
+    assert(low._3 == 0, s"corpus doc has no unseen terms: $low")
+    assert(high._3 == 3, s"skewed batch has 3 unseen terms: $high")
+    assert(high._4 > low._4 + 1.0,
+      s"skewed batch must show much larger drift: $low vs $high")
+    // the streaming row equals the batch kernel on the same frame
+    val batchRow = graft.queries.TextQueries.klAgainst(
+      Seq(skewed).toDF("doc_id", "text"), ref)
+      .as[(Long, Long, Long, Double)].head()
+    assert(batchRow == high, s"streaming diverged from batch: $batchRow vs $high")
+  }
+
   test("streaming compaction maintains latest value per key across batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[graft.model.ReducedConsumerRecord]
