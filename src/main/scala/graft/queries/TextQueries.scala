@@ -126,8 +126,12 @@ object TextQueries {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .cache()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // fused first round: label = min(node, direct neighbors) straight
+    // from the edge aggregate — one groupBy instead of distinct +
+    // join + groupBy, and the loop starts a hop ahead
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min("b").as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("lbl"))
     var prevCache: Option[DataFrame] = None
     var changed = 1L
     var rounds = 0
