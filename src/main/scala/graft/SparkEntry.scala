@@ -155,7 +155,8 @@ object SparkEntry {
     "m_phash_neardup" -> (TextQueries.phashNearDup _),
     "t_kl_drift" -> (TextQueries.klDrift _),
     "t_quality_lr" -> (TextQueries.qualityLr _),
-    "t_bm25" -> (TextQueries.bm25 _)
+    "t_bm25" -> (TextQueries.bm25 _),
+    "s_pca_project" -> (SimilarityQueries.pcaProject _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1845,6 +1846,32 @@ object SparkEntry {
       // Exact Lloyd replay: fixed-point quantization makes per-cell means
       // integer-exact (sums of integer-valued doubles stay below 2^53),
       // so two training rounds + final assignment replay bit-for-bit.
+      // PCA power iteration replay: quantized grid, exact integer-double
+      // means, per-iteration DECIMAL reductions of 6-rounded terms, and
+      // an exact 2^-40 rescale between iterations; one in-row normalize
+      // at projection time (see pcaProject scaladoc for the magnitude
+      // proof).
+      "s_pca_project" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |mm AS (SELECT i, sum(q[i]) / count(*) AS m
+          |       FROM e, UNNEST(range(1, 65)) AS t(i) GROUP BY i),
+          |ml AS (SELECT list(m ORDER BY i) AS ml FROM mm),
+          |c AS (SELECT vec_id, list_transform(range(1, 65), i -> q[i] - ml.ml[i]) AS c
+          |      FROM e, ml),
+          |o AS (SELECT list_transform(range(1, 65), i -> 1.0::DOUBLE) AS v),
+          |y1 AS (SELECT vec_id, c.c AS c, list_dot_product(c.c, o.v) AS y FROM c, o),
+          |w1 AS (SELECT i, sum(CAST(round(y * c[i], 6) AS DECIMAL(38, 6))) AS w
+          |       FROM y1, UNNEST(range(1, 65)) AS t(i) GROUP BY i),
+          |v1 AS (SELECT list(CAST(w AS DOUBLE) / 1099511627776.0 ORDER BY i) AS v FROM w1),
+          |y2 AS (SELECT vec_id, c.c AS c, list_dot_product(c.c, v1.v) AS y FROM c, v1),
+          |w2 AS (SELECT i, sum(CAST(round(y * c[i], 6) AS DECIMAL(38, 6))) AS w
+          |       FROM y2, UNNEST(range(1, 65)) AS t(i) GROUP BY i),
+          |v2 AS (SELECT list(CAST(w AS DOUBLE) / 1099511627776.0 ORDER BY i) AS v FROM w2)
+          |SELECT vec_id,
+          |       round(list_dot_product(c.c, v2.v) / sqrt(list_dot_product(v2.v, v2.v)) / 1048576.0, 6) AS pc1
+          |FROM c, v2 ORDER BY vec_id""".stripMargin,
       "s_ivf_trained" ->
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -491,6 +491,68 @@ object SimilarityQueries {
     * same in the oracle). Cosines fold sequentially in double, ties
     * break to the lowest cell — all decisions replay in SQL.
     */
+  /** Top-principal-component projection via two power-iteration steps —
+    * the dimensionality-reduction stage of an embedding pipeline
+    * (SemDeDup-style pipelines whiten/compress before clustering).
+    * Replayability contract, same family as [[ivfTrained]]:
+    *
+    *  - vectors quantize to the 2^20 integer grid (exact: float
+    *    mantissa 24 bits + 20 < 53), so per-dim sums are sums of
+    *    integer-valued doubles — exact at ANY accumulation order while
+    *    below 2^53, making the means engine-exact with no DECIMAL;
+    *  - each iteration's per-dim reduction rounds the (y * c_i) terms
+    *    to 6 decimals and sums DECIMAL(38,6) — partition-order
+    *    independent, magnitudes proven to fit (<= ~1e24 vs the 1e32
+    *    integer headroom);
+    *  - between iterations the vector rescales by 2^-40 — a
+    *    power-of-two scale is EXACT in doubles, keeping the next
+    *    pass inside the DECIMAL range without a norm (whose sqrt
+    *    would not replay exactly); the single normalization happens
+    *    once at projection time, in-row, with the same left-to-right
+    *    fold both engines use for dot products.
+    *
+    * The driver collects only 64-row per-dim aggregates per step
+    * (metadata-scale, like the IVF seed collect); the corpus-scale
+    * passes — one per iteration plus the projection — stay distributed
+    * and the final plan is scan -> project -> sort, no join.
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = 64
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> floor(cast(x as double) * 1048576.0))").as("q"))
+    val means = e.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg((sum("qi") / count(lit(1))).as("m"))
+      .orderBy("i").select("m").as[Double].collect()
+    require(means.length == dims, s"expected $dims dims, got ${means.length}")
+    val ml = array(means.map(lit): _*)
+    def centered = e.withColumn("c", zip_with(col("q"), ml, (a, b) => a - b))
+    def dotCol(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
+    def step(v: Array[Double]): Array[Double] = {
+      val vl = array(v.map(lit): _*)
+      centered
+        .withColumn("y", dotCol(col("c"), vl))
+        .select(col("y"), posexplode(col("c")).as(Seq("i", "ci")))
+        .groupBy("i")
+        .agg(sum(round(col("y") * col("ci"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("w"))
+        .orderBy("i")
+        .select(col("w").cast("double")).as[Double].collect()
+        .map(_ / 1099511627776.0) // 2^-40, exact
+    }
+    val v1 = step(Array.fill(dims)(1.0))
+    val v2 = step(v1)
+    // left fold = the list_dot_product order both engines use in-row
+    val norm = math.sqrt(v2.foldLeft(0.0)((a, x) => a + x * x))
+    val vl2 = array(v2.map(lit): _*)
+    centered
+      .select(col("vec_id"),
+        round(dotCol(col("c"), vl2) / lit(norm) / lit(1048576.0), 6).as("pc1"))
+      .orderBy("vec_id")
+  }
+
   def ivfTrained(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val qvecs = quantizedVectors(spark, dir)

@@ -335,4 +335,46 @@ class LlmOpsSpec extends SparkSuite {
         s"$tpe: approx $approx too far from exact $exact")
     }
   }
+
+  test("pca projection replays the quantized power iteration driver-side") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val dims = 64
+    val q = raw.map { case (_, v) => v.map(x => math.floor(x.toDouble * 1048576.0)) }
+    val n = q.length
+    val means = Array.tabulate(dims)(i => q.map(_(i)).sum / n)
+    val c = q.map(row => Array.tabulate(dims)(i => row(i) - means(i)))
+    def step(v: Array[Double]): Array[Double] = {
+      val acc = Array.fill(dims)(JBD.ZERO)
+      c.foreach { row =>
+        var y = 0.0
+        var i = 0
+        while (i < dims) { y += row(i) * v(i); i += 1 }
+        i = 0
+        while (i < dims) {
+          // valueOf (Double.toString repr) matches Spark's round-on-double
+          acc(i) = acc(i).add(JBD.valueOf(y * row(i)).setScale(6, RoundingMode.HALF_UP))
+          i += 1
+        }
+      }
+      acc.map(_.doubleValue / 1099511627776.0)
+    }
+    val v2 = step(step(Array.fill(dims)(1.0)))
+    val norm = math.sqrt(v2.foldLeft(0.0)((a, x) => a + x * x))
+    val expect = raw.map(_._1).zip(c.map { row =>
+      var d = 0.0
+      var i = 0
+      while (i < dims) { d += row(i) * v2(i); i += 1 }
+      BigDecimal(d / norm / 1048576.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }).toMap
+    val got = graft.queries.SimilarityQueries.pcaProject(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, p) =>
+      assert(math.abs(p - expect(id)) < 2e-6, s"vec $id: $p vs ${expect(id)}")
+    }
+    // the projection is a real spread, not a degenerate constant
+    assert(got.values.max - got.values.min > 1e-3, "pc1 collapsed to a constant")
+  }
 }

@@ -320,6 +320,9 @@ class PlanSpec extends SparkSuite {
       "d_ngram_jaccard" -> 4, "d_simhash" -> 4, "e_anomaly_zscore" -> 2,
       "m_phash_neardup" -> 2, "t_kl_drift" -> 7, "t_quality_lr" -> 0,
       "t_bm25" -> 6,
+      // training passes run at construction; the returned plan is
+      // scan -> project -> sort, zero hash exchanges
+      "s_pca_project" -> 0,
       "e_approx_distinct" -> 2, "e_approx_quantiles" -> 1, "e_event_cube" -> 1,
       "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
       "e_event_stats_salted" -> 2, "e_funnel" -> 1, "e_grouping_sets" -> 1,
