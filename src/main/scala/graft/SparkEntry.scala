@@ -1652,7 +1652,8 @@ object SparkEntry {
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
           |  FROM embeddings),
-          |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 16),
+          |kk AS (SELECT greatest(16, CAST(ceil(count(*) / 1024.0) AS BIGINT)) AS k FROM e),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < (SELECT k FROM kk)),
           |a1 AS (SELECT vec_id, q, cell FROM (
           |  SELECT e.vec_id, e.q, p.cell,
           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1691,7 +1692,8 @@ object SparkEntry {
           |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
           |  FROM embeddings),
           |corp AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
-          |c0 AS (SELECT vec_id AS cell, q AS c FROM corp WHERE vec_id < 16),
+          |kk AS (SELECT greatest(16, CAST(ceil(count(*) / 1024.0) AS BIGINT)) AS k FROM corp),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM corp WHERE vec_id < (SELECT k FROM kk)),
           |a1 AS (SELECT vec_id, q, cell FROM (
           |  SELECT corp.vec_id, corp.q, p.cell,
           |         row_number() OVER (PARTITION BY corp.vec_id ORDER BY

@@ -358,17 +358,32 @@ object SimilarityQueries {
       }
   }
 
+  /** Cell count for SemDeDup-style clustering: k ∝ corpus size so the
+    * per-cell population stays ~[[semDedupTargetCellSize]] as the corpus
+    * grows — the SemDeDup paper's regime (k in the tens of thousands at
+    * web scale), which keeps the within-cell pair term linear in N
+    * instead of quadratic. Floor of 16 so the harness scale factors
+    * (500–5000 vectors) train the same 16-seed model the oracle replays;
+    * the DuckDB oracle computes the same `greatest(16, ceil(n/1024))`
+    * from its own count so the two engines derive k identically at any
+    * scale. */
+  private[graft] def semDedupCellCount(n: Long): Long =
+    math.max(16L, (n + semDedupTargetCellSize - 1) / semDedupTargetCellSize)
+
+  private val semDedupTargetCellSize = 1024L
+
   /** Two Lloyd rounds over the quantized vectors, seeded by the first
-    * 16 ids: broadcast centroids -> one-pass argmax-cosine assignment
+    * `k` ids: broadcast centroids -> one-pass argmax-cosine assignment
     * -> single-shuffle EXACT integer mean. Bit-identical centroids in
     * any partial order (the reason [[KMeans.fit]]'s plain double
     * averaging stays spec-gated while this trains under the oracle).
     * Cells that empty drop from the model. */
   private def trainQuantizedCells(
-      qvecs: Dataset[(Long, Array[Long])]): Array[(Long, Array[Double], Double)] = {
+      qvecs: Dataset[(Long, Array[Long])],
+      k: Long = 16L): Array[(Long, Array[Double], Double)] = {
     import qvecs.sparkSession.implicits._
     var cents: Array[(Long, Array[Double], Double)] = qvecs
-      .filter(_._1 < 16).collect().sortBy(_._1)
+      .filter(_._1 < k).collect().sortBy(_._1)
       .map { case (id, q) => val c = q.map(_.toDouble); (id, c, norm(c)) }
     (1 to 2).foreach { _ =>
       val bc = qvecs.sparkSession.sparkContext.broadcast(cents)
@@ -401,41 +416,77 @@ object SimilarityQueries {
     * vector with its keeper (the minimum qualifying id) and their
     * cosine.
     *
-    * This is the paper's scale recipe verbatim: the cells BOUND the
-    * quadratic term — pairing is a self-join on cell, never all-pairs
-    * — and at 100 TB k grows with the corpus (k ≈ N / target-cell-size)
-    * so per-cell populations stay flat; a skew-flooded cell sub-shards
-    * like the simhash oversized-bucket path. The pair scan stays fully
-    * distributed and codegen'd: the exact integer dot product is a
-    * `zip_with`/`aggregate` expression (no UDF), norms precompute per
-    * row, and the keeper-argmin is one struct-min aggregate.
+    * This is the paper's scale recipe verbatim, with BOTH bounds on the
+    * pair term in place:
+    *
+    *  - the cells bound it horizontally — pairing is a self-join on
+    *    cell, never all-pairs, and k GROWS with the corpus
+    *    ([[semDedupCellCount]], k ≈ N / 1024, floor 16) so the average
+    *    cell population stays flat at 100×;
+    *  - exact-duplicate collapse bounds it vertically — vectors with
+    *    byte-identical quantizations (the degenerate corpus that floods
+    *    any single cell: boilerplate, default embeddings, repeated
+    *    documents) first reduce to their min-id REPRESENTATIVE per
+    *    (cell, q) group, the pair scan runs over representatives only,
+    *    and members rejoin afterwards. Output-identical by construction:
+    *    every group member shares its rep's cosine to everything, a
+    *    group's min qualifying member IS its rep, so a member's keeper =
+    *    min qualifying rep below its id (own rep included at the
+    *    self-cosine). An all-identical corpus — worst case for fixed k —
+    *    collapses to ONE rep and ZERO pairs (DegenerateSpec proves it).
+    *
+    * The pair scan stays fully distributed and codegen'd: the exact
+    * integer dot product is a `zip_with`/`aggregate` expression (no
+    * UDF), norms precompute per row, and the keeper-argmin is one
+    * struct-min aggregate.
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val qvecs = quantizedVectors(spark, dir)
-    val cents = trainQuantizedCells(qvecs)
+    val k = semDedupCellCount(qvecs.count())
+    val cents = trainQuantizedCells(qvecs, k)
     val bcF = spark.sparkContext.broadcast(cents)
     val assigned = qvecs
       .map { case (id, q) => (id, qArgmax(q, bcF.value), q) }
       .toDF("vec_id", "cell", "q")
-      .withColumn("nrm", sqrt(expr(
-        "cast(aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)")))
-    val a = assigned.select(col("vec_id").as("id1"), col("cell"),
+    // exact-duplicate collapse: min-id representative per (cell, q)
+    val wrep = Window.partitionBy("cell", "q")
+    val withRep = assigned.withColumn("rep", min(col("vec_id")).over(wrep))
+    val reps = withRep.filter(col("vec_id") === col("rep"))
+      .withColumn("nrm", sqrt(intDot("q", "q")))
+    val a = reps.select(col("rep").as("r1"), col("cell"),
       col("q").as("q1"), col("nrm").as("n1"))
-    val b = assigned.select(col("vec_id").as("id2"), col("cell"),
+    val b = reps.select(col("rep").as("r2"), col("cell"),
       col("q").as("q2"), col("nrm").as("n2"))
-    a.join(b, Seq("cell"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cos", expr(
-        "cast(aggregate(zip_with(q1, q2, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)") /
-        (col("n1") * col("n2")))
+    // candidate keepers per rep: every qualifying partner rep (both
+    // directions of the undirected pair scan) + the rep itself at its
+    // self-cosine (what a member pays to pair with its own rep — the
+    // same dot/(sqrt·sqrt) doubles the direct pair join produced)
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("r1") < col("r2"))
+      .withColumn("cos", intDot("q1", "q2") / (col("n1") * col("n2")))
       .filter(col("cos") > 0.4)
-      .groupBy(col("id2").as("vec_id"), col("cell"))
-      .agg(min(struct(col("id1"), col("cos"))).as("k"))
+      .select(col("r1"), col("r2"), col("cos"))
+    val partners = pairs.select(col("r1").as("rep"), col("r2").as("cand"), col("cos"))
+      .unionByName(pairs.select(col("r2").as("rep"), col("r1").as("cand"), col("cos")))
+    val selfCand = reps.select(col("rep"), col("rep").as("cand"),
+      (intDot("q", "q") / (col("nrm") * col("nrm"))).as("cos"))
+      .filter(col("cos") > 0.4)
+    withRep.select(col("vec_id"), col("cell"), col("rep"))
+      .join(partners.unionByName(selfCand), Seq("rep"))
+      .filter(col("cand") < col("vec_id"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(struct(col("cand"), col("cos"))).as("kk"))
       .select(col("vec_id"), col("cell"),
-        col("k.id1").as("kept_by"), round(col("k.cos"), 6).as("cos_sim"))
+        col("kk.cand").as("kept_by"), round(col("kk.cos"), 6).as("cos_sim"))
       .orderBy("vec_id")
   }
+
+  /** Exact integer dot product of two quantized-vector columns as a
+    * codegen'd SQL expression (sums of 2^20-grid products stay below
+    * 2^53 — exact in any order). */
+  private def intDot(x: String, y: String): Column = expr(
+    s"cast(aggregate(zip_with($x, $y, (a, b) -> a * b), 0L, (acc, v) -> acc + v) as double)")
 
   /** Incremental SemDeDup — the semantic twin of `d_dedup_incremental`:
     * a NEW batch of embeddings (vec_id % 7 == 0 plays the incoming
@@ -446,20 +497,31 @@ object SimilarityQueries {
     * 100 TB where the corpus dwarfs the daily batch. Training,
     * assignment, and cosine all run on the fixed-point quantization, so
     * the whole chain replays bit-for-bit in the oracle.
+    *
+    * Same two pair-term bounds as [[semDedup]]: k derives from the
+    * CORPUS size ([[semDedupCellCount]]), and the corpus side collapses
+    * byte-identical quantizations to their min-id representative before
+    * the cell join — exact, because a new vector's keeper is the minimum
+    * qualifying corpus id, every member of a qualifying group qualifies
+    * at the same cosine, and a group's minimum member is its rep.
     */
   def semDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val qvecs = quantizedVectors(spark, dir)
     val corpus = qvecs.filter(_._1 % 7 != 0)
-    val cents = trainQuantizedCells(corpus) // seeds: corpus ids < 16
+    val k = semDedupCellCount(corpus.count())
+    val cents = trainQuantizedCells(corpus, k) // seeds: first k corpus ids
     val bcF = spark.sparkContext.broadcast(cents)
     def assigned(ds: Dataset[(Long, Array[Long])]): DataFrame = ds
       .map { case (id, q) => (id, qArgmax(q, bcF.value), q) }
       .toDF("vec_id", "cell", "q")
-      .withColumn("nrm", sqrt(expr(
-        "cast(aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)")))
-    val old = assigned(corpus).select(col("vec_id").as("old_id"), col("cell"),
-      col("q").as("q_old"), col("nrm").as("n_old"))
+      .withColumn("nrm", sqrt(intDot("q", "q")))
+    // corpus-side exact-duplicate collapse (min-id rep per (cell, q))
+    val old = assigned(corpus)
+      .withColumn("rep", min(col("vec_id")).over(Window.partitionBy("cell", "q")))
+      .filter(col("vec_id") === col("rep"))
+      .select(col("vec_id").as("old_id"), col("cell"),
+        col("q").as("q_old"), col("nrm").as("n_old"))
     val nw = assigned(qvecs.filter(_._1 % 7 == 0)).select(col("vec_id"), col("cell"),
       col("q").as("q_new"), col("nrm").as("n_new"))
     nw.join(old, Seq("cell"))

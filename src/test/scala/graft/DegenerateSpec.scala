@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.queries.SimilarityQueries
+
+/** Degenerate-corpus bounds for the semantic-dedup family: a corpus of
+  * ALL-IDENTICAL embeddings floods every clustering scheme's densest
+  * cell (no k, however derived, can split byte-identical vectors), so
+  * it is the worst case for any within-cell pair join. The exact-
+  * duplicate collapse must reduce it to ONE representative and ZERO
+  * rep pairs — these tests assert both the exact output and, via the
+  * executed plan's join metrics, that no join ever materialized a
+  * corpus-quadratic row count.
+  */
+class DegenerateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val n = 3000
+
+  /** embeddings.parquet with `n` byte-identical 64-dim vectors. */
+  private lazy val dir: String = {
+    val d = tmpDir("degenerate-emb")
+    val v = Array.tabulate(64)(i => 0.125f * ((i % 8) + 1))
+    (0 until n).map(i => (i.toLong, v, i % 3))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  /** Sum of output rows over every join node actually executed (AQE
+    * final plan, subqueries included). */
+  private def joinOutputRows(df: DataFrame): Long = {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def rows(p: SparkPlan): Long = {
+      val here = unwrap(p)
+      val own =
+        if (here.nodeName.contains("Join"))
+          here.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        else 0L
+      own + here.children.map(rows).sum
+    }
+    rows(df.queryExecution.executedPlan)
+  }
+
+  test("semDedup on an all-identical corpus: linear output, no quadratic join") {
+    val df = SimilarityQueries.semDedup(spark, dir)
+    val out = df.collect()
+    // every vector except id 0 is kept by id 0 at self-cosine 1.0
+    assert(out.length === n - 1)
+    assert(out.forall(r => r.getAs[Long]("kept_by") == 0L))
+    assert(out.forall(r => math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9))
+    // one rep, zero rep pairs: the only join rows are the n-1 members
+    // meeting their own rep's self-candidate (plus metadata-scale
+    // centroid traffic) — nowhere near the n*(n-1)/2 a naive
+    // within-cell pair join would materialize
+    val joined = joinOutputRows(df)
+    assert(joined < 4L * n,
+      s"pair term not bounded: $joined join rows for $n identical vectors")
+  }
+
+  test("semDedupIncremental on an all-identical corpus stays linear") {
+    val df = SimilarityQueries.semDedupIncremental(spark, dir)
+    val out = df.collect()
+    // new batch = ids % 7 == 0; corpus min id (and thus sole rep) is 1
+    val expected = (0 until n).count(_ % 7 == 0)
+    assert(out.length === expected)
+    assert(out.forall(r => r.getAs[Long]("kept_by") == 1L))
+    val joined = joinOutputRows(df)
+    assert(joined < 4L * n,
+      s"pair term not bounded: $joined join rows for $n identical vectors")
+  }
+
+  test("semDedupCellCount grows with the corpus, floored at 16") {
+    assert(SimilarityQueries.semDedupCellCount(1L) === 16L)
+    assert(SimilarityQueries.semDedupCellCount(500L) === 16L)
+    assert(SimilarityQueries.semDedupCellCount(16384L) === 16L)
+    assert(SimilarityQueries.semDedupCellCount(16385L) === 17L)
+    assert(SimilarityQueries.semDedupCellCount(1000000L) === 977L)
+    // the paper's regime: tens of thousands of cells at web scale
+    assert(SimilarityQueries.semDedupCellCount(100000000L) === 97657L)
+  }
+}

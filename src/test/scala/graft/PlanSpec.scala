@@ -355,10 +355,15 @@ class PlanSpec extends SparkSuite {
       "q15_top_supplier" -> 1, "q16_supplier_cnt" -> 2,
       "q20_qty_concentration" -> 3, "q21_late_supplier" -> 3,
       "q22_dormant" -> 1,
-      // SemDeDup: one cell-keyed pair-join exchange; centroids broadcast
-      "d_semdedup" -> 1,
-      // incremental probe: new-vs-corpus cell join only
-      "d_semdedup_incr" -> 1,
+      // SemDeDup with exact-duplicate collapse: the corpus crosses an
+      // exchange twice ((cell,q) rep window + member/candidate rejoin
+      // on rep, both narrow rows); the remaining exchanges carry
+      // rep- or output-scale frames (rep pair join, keeper aggregate).
+      // Bought deliberately: the old single cell join materialized
+      // quadratic pairs on dense cells (DegenerateSpec pins the bound)
+      "d_semdedup" -> 7,
+      // incremental probe: corpus rep window + new-vs-rep cell join
+      "d_semdedup_incr" -> 2,
       // one aggregate; payload bytes never shuffle
       "m_media_dedup" -> 1,
       // eval compare of two top-k-scale frames; each ANN side carries
