@@ -1736,9 +1736,14 @@ object SparkEntry {
       // 32-bit aHash over the payload byte stream; bit decided by integer
       // cross-multiplication so both engines agree exactly; candidates =
       // band-equality pairs, hamming verified and re-derived per pair.
+      // Bytes come from hex(encode(text)) — the ACTUAL UTF-8 octets, the
+      // same stream Spark fingerprints — so non-ASCII text agrees too.
       "m_phash_neardup" ->
-        """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 32),
-          |b AS (SELECT doc_id, n, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS byte
+        """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+          |           FROM documents WHERE octet_length(encode(text)) >= 32),
+          |b AS (SELECT doc_id, n, i,
+          |             16*(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)
+          |               + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1) AS byte
           |      FROM d, UNNEST(range(0, n)) AS t(i)),
           |tot AS (SELECT doc_id, sum(byte) AS tot FROM b GROUP BY 1),
           |seg AS (SELECT doc_id, (i * 32) // n AS s, sum(byte) AS segsum,

@@ -545,7 +545,9 @@ object TextQueries {
     val counts = corpus
       .select(explode(wsTokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("ct"))
-    val row = counts.agg(sum("ct"), count(lit(1))).head()
+    // empty corpus: sum over zero rows is null — coalesce so the NPE
+    // doesn't surface far from the cause in a later probe
+    val row = counts.agg(coalesce(sum("ct"), lit(0L)), count(lit(1))).head()
     TermDistribution(counts, row.getLong(0), row.getLong(1))
   }
 
@@ -557,6 +559,13 @@ object TextQueries {
     * direct novelty signal. One batch-scale aggregate, one vocab-keyed
     * left join against the reference — nothing corpus-scale recomputes
     * at probe time.
+    *
+    * Per-term contributions round-then-DECIMAL-sum (the [[klDrift]]
+    * pattern) so the divergence is partition-order independent — the
+    * streaming probe and its batch twin must produce byte-equal rows.
+    * An EMPTY batch (a restart's first micro-batch) aggregates over
+    * zero rows; every typed column coalesces to its zero so sinks
+    * reading `getLong`/`getDouble` never hit a null.
     */
   def klAgainst(batch: DataFrame, ref: TermDistribution): DataFrame = {
     val bt = batch
@@ -569,11 +578,15 @@ object TextQueries {
         (coalesce(col("ct"), lit(0L)).cast(DoubleType) + lit(1.0)) /
           lit(ref.gt.toDouble + ref.vocab.toDouble))
       .withColumn("p", col("c").cast(DoubleType) / col("btot"))
+      .withColumn("contrib",
+        round(col("p") * log(col("p") / col("q")), 12).cast(DecimalType(38, 12)))
       .select(
         count(lit(1)).as("n_terms"),
-        max(col("btot")).as("n_tokens"),
-        sum(when(col("ct").isNull, 1).otherwise(0)).cast(LongType).as("n_unseen"),
-        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_divergence"))
+        coalesce(max(col("btot")), lit(0L)).as("n_tokens"),
+        coalesce(sum(when(col("ct").isNull, 1).otherwise(0)).cast(LongType), lit(0L))
+          .as("n_unseen"),
+        round(coalesce(sum(col("contrib")).cast(DoubleType), lit(0.0)), 6)
+          .as("kl_divergence"))
   }
 
   private def gramArrays(docsDf: DataFrame): DataFrame =
@@ -1828,11 +1841,14 @@ object TextQueries {
     * hamming is then verified in-row on the carried band vectors and
     * multi-band collisions collapse under one distinct.
     *
-    * Payload = the UTF-8 byte stream of `text` (the corpus is ASCII, so
-    * `ascii(char)` == byte), standing in for image bytes exactly as in
-    * [[mediaDedup]] — a real pHash swaps the per-byte stream for DCT
-    * coefficients; the banding, candidate join, and verify are
-    * unchanged. 100 TB shape: fingerprints are 4 band-rows per payload
+    * Payload = the UTF-8 byte stream of `text` — and the contract is
+    * bytes on BOTH sides: the oracle extracts the same UTF-8 octets via
+    * `hex(encode(text))` (the [[MediaPipeline]] oracle trick) and the
+    * length floor is `octet_length`, so non-ASCII corpora fingerprint
+    * identically in both engines instead of silently diverging. It
+    * stands in for image bytes exactly as in [[mediaDedup]] — a real
+    * pHash swaps the per-byte stream for DCT coefficients; the banding,
+    * candidate join, and verify are unchanged. 100 TB shape: fingerprints are 4 band-rows per payload
     * (bytes never leave the scan), the join is bucket-grouped on
     * (band_idx, band_val) like every dedup kernel here, and the
     * quadratic term is confined to same-band buckets — near-identical
@@ -1850,7 +1866,7 @@ object TextQueries {
     // exprs, no codegen), which is O(32 n^2) per row — measured
     // pathological, hence the deliberate Dataset.map here.
     val banded = docs(spark, dir)
-      .filter(length(col("text")) >= 32)
+      .filter(octet_length(col("text")) >= 32)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -135,6 +135,20 @@ class StreamingAnalyticsSpec extends SparkSuite {
     assert(batchRow == high, s"streaming diverged from batch: $batchRow vs $high")
   }
 
+  test("drift kernel survives empty inputs with typed zeros, not nulls") {
+    val sf = SparkSuite.sf0001
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val ref = graft.queries.TextQueries.buildTermDistribution(d)
+    // empty micro-batch (a restart's first trigger): every column must
+    // read as its typed zero — getLong/getDouble sinks crash on nulls
+    val row = graft.queries.TextQueries.klAgainst(d.limit(0), ref)
+      .as[(Long, Long, Long, Double)].head()
+    assert(row == ((0L, 0L, 0L, 0.0)), s"empty batch must yield zeros: $row")
+    // empty corpus: the reference builds with zero totals, no NPE
+    val empty = graft.queries.TextQueries.buildTermDistribution(d.limit(0))
+    assert(empty.gt == 0L && empty.vocab == 0L)
+  }
+
   test("streaming compaction maintains latest value per key across batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[graft.model.ReducedConsumerRecord]
