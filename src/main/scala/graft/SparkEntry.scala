@@ -146,6 +146,7 @@ object SparkEntry {
     "s_cosine_expr" -> (SimilarityQueries.cosineExprPairs _),
     "s_ann_lsh" -> (SimilarityQueries.annLsh _),
     "s_ann_pq" -> (SimilarityQueries.annPq _),
+    "s_ann_ivfpq" -> (SimilarityQueries.annIvfPq _),
     "s_knn_classify" -> (SimilarityQueries.knnClassify _),
     "s_recall_eval" -> (SimilarityQueries.recallEval _),
     "p_epoch_plan" -> (TextQueries.epochPlan _),
@@ -1951,6 +1952,76 @@ object SparkEntry {
           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk
           |      FROM sc)
           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      // IVF×PQ replay: the s_ivf_trained coarse-quantizer chain (2 exact
+      // integer Lloyd rounds, final assignment a3, query probes = top-4
+      // cells by cosine) glued to the s_ann_pq codebook/codes/ADC chain,
+      // with the candidate set restricted to probed cells before scoring.
+      "s_ann_ivfpq" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 16),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c0 p) WHERE rn = 1),
+          |u1 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u1 GROUP BY 1),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c1 p) WHERE rn = 1),
+          |u2 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a2, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c2 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u2 GROUP BY 1),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT e.vec_id, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c2 p) WHERE rn = 1),
+          |probes AS (SELECT query_id, cell FROM (
+          |  SELECT e.vec_id AS query_id, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS pr
+          |  FROM e, c2 p WHERE e.vec_id < 10) WHERE pr <= 4),
+          |sub AS (SELECT vec_id, s, list_slice(q, 16*s + 1, 16*s + 16) AS v
+          |        FROM e, UNNEST(range(0, 4)) AS t(s)),
+          |p0 AS (SELECT s, vec_id AS cell, v AS c FROM sub WHERE vec_id < 4),
+          |b1 AS (SELECT vec_id, s, v, cell FROM (
+          |  SELECT sub.vec_id, sub.s, sub.v, p.cell,
+          |         row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+          |           list_dot_product(sub.v, sub.v) - 2 * list_dot_product(sub.v, p.c) + list_dot_product(p.c, p.c), p.cell) AS rn
+          |  FROM sub JOIN p0 p USING (s)) WHERE rn = 1),
+          |v1 AS (SELECT s, cell, i, sum(v[i]) AS sm, count(*) AS n
+          |       FROM b1, UNNEST(range(1, 17)) AS t(i) GROUP BY 1, 2, 3),
+          |p1 AS (SELECT s, cell, list(sm / n ORDER BY i) AS c FROM v1 GROUP BY 1, 2),
+          |codes AS (SELECT vec_id, s, cell FROM (
+          |  SELECT sub.vec_id, sub.s, p.cell,
+          |         row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+          |           list_dot_product(sub.v, sub.v) - 2 * list_dot_product(sub.v, p.c) + list_dot_product(p.c, p.c), p.cell) AS rn
+          |  FROM sub JOIN p1 p USING (s)) WHERE rn = 1),
+          |qs AS (SELECT vec_id AS query_id, s, v AS qv FROM sub WHERE vec_id < 10),
+          |part AS (
+          |  SELECT qs.query_id, codes.vec_id AS neighbor_id, qs.s,
+          |         list_dot_product(qs.qv, p1.c) AS d
+          |  FROM qs JOIN codes ON codes.s = qs.s AND codes.vec_id <> qs.query_id
+          |         JOIN p1 ON p1.s = qs.s AND p1.cell = codes.cell
+          |         JOIN a3 ON a3.vec_id = codes.vec_id
+          |         JOIN probes pr ON pr.query_id = qs.query_id AND pr.cell = a3.cell),
+          |sc AS (
+          |  SELECT query_id, neighbor_id,
+          |         max(CASE WHEN s = 0 THEN d END) + max(CASE WHEN s = 1 THEN d END)
+          |       + max(CASE WHEN s = 2 THEN d END) + max(CASE WHEN s = 3 THEN d END) AS score
+          |  FROM part GROUP BY 1, 2)
+          |SELECT query_id, rnk, neighbor_id,
+          |       round(score / (1048576.0 * 1048576.0), 6) AS adc_score
+          |FROM (SELECT query_id, neighbor_id, score,
+          |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rnk
+          |      FROM sc)
+          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
       "s_ann_ivf" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
@@ -1975,8 +2046,9 @@ object SparkEntry {
           |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> q.query_id)
           |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cos_sim
           |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
-      // Recall@5 of the IVF probe path against exact brute force: both
-      // pipelines' oracle CTE chains glued, then a top-k-scale compare.
+      // Recall@5 of the ivf / pq / ivfpq index variants against exact
+      // brute force: each variant's oracle CTE chain glued in, then
+      // three top-k-scale compares unioned with a method tag.
       "s_recall_eval" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |q AS (SELECT * FROM e WHERE vec_id < 10),
@@ -2009,13 +2081,104 @@ object SparkEntry {
           |             list_dot_product(qv, a.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))) DESC, a.vec_id) AS rnk
           |    FROM qq JOIN probes p ON p.query_id = qq.query_id
           |    JOIN assign a ON a.cell = p.cell AND a.vec_id <> qq.query_id)
-          |  WHERE rnk <= 5)
-          |SELECT x.query_id,
-          |       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
-          |       round(count(i.neighbor_id) / count(*), 6) AS recall_at_5
-          |FROM exact5 x LEFT JOIN ivf5 i
-          |  ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
-          |GROUP BY 1 ORDER BY 1""".stripMargin,
+          |  WHERE rnk <= 5),
+          |eq AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS qv
+          |       FROM embeddings),
+          |sub AS (SELECT vec_id, s, list_slice(qv, 16*s + 1, 16*s + 16) AS v
+          |        FROM eq, UNNEST(range(0, 4)) AS t(s)),
+          |p0 AS (SELECT s, vec_id AS cell, v AS c FROM sub WHERE vec_id < 4),
+          |b1 AS (SELECT vec_id, s, v, cell FROM (
+          |  SELECT sub.vec_id, sub.s, sub.v, p.cell,
+          |         row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+          |           list_dot_product(sub.v, sub.v) - 2 * list_dot_product(sub.v, p.c) + list_dot_product(p.c, p.c), p.cell) AS rn
+          |  FROM sub JOIN p0 p USING (s)) WHERE rn = 1),
+          |v1 AS (SELECT s, cell, i, sum(v[i]) AS sm, count(*) AS n
+          |       FROM b1, UNNEST(range(1, 17)) AS t(i) GROUP BY 1, 2, 3),
+          |p1 AS (SELECT s, cell, list(sm / n ORDER BY i) AS c FROM v1 GROUP BY 1, 2),
+          |codes AS (SELECT vec_id, s, cell FROM (
+          |  SELECT sub.vec_id, sub.s, p.cell,
+          |         row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+          |           list_dot_product(sub.v, sub.v) - 2 * list_dot_product(sub.v, p.c) + list_dot_product(p.c, p.c), p.cell) AS rn
+          |  FROM sub JOIN p1 p USING (s)) WHERE rn = 1),
+          |qsub AS (SELECT vec_id AS query_id, s, v AS qv FROM sub WHERE vec_id < 10),
+          |partp AS (
+          |  SELECT qsub.query_id, codes.vec_id AS neighbor_id, qsub.s,
+          |         list_dot_product(qsub.qv, p1.c) AS d
+          |  FROM qsub JOIN codes ON codes.s = qsub.s AND codes.vec_id <> qsub.query_id
+          |         JOIN p1 ON p1.s = qsub.s AND p1.cell = codes.cell),
+          |scp AS (
+          |  SELECT query_id, neighbor_id,
+          |         max(CASE WHEN s = 0 THEN d END) + max(CASE WHEN s = 1 THEN d END)
+          |       + max(CASE WHEN s = 2 THEN d END) + max(CASE WHEN s = 3 THEN d END) AS score
+          |  FROM partp GROUP BY 1, 2),
+          |pq5 AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+          |    FROM scp) WHERE rnk <= 5),
+          |qc0 AS (SELECT vec_id AS cell, qv AS c FROM eq WHERE vec_id < 16),
+          |qa1 AS (SELECT vec_id, qv, cell FROM (
+          |  SELECT eq.vec_id, eq.qv, p.cell,
+          |         row_number() OVER (PARTITION BY eq.vec_id ORDER BY
+          |           list_dot_product(eq.qv, p.c) / (sqrt(list_dot_product(eq.qv, eq.qv)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM eq, qc0 p) WHERE rn = 1),
+          |qu1 AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS n
+          |       FROM qa1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |qc1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM qu1 GROUP BY 1),
+          |qa2 AS (SELECT vec_id, qv, cell FROM (
+          |  SELECT eq.vec_id, eq.qv, p.cell,
+          |         row_number() OVER (PARTITION BY eq.vec_id ORDER BY
+          |           list_dot_product(eq.qv, p.c) / (sqrt(list_dot_product(eq.qv, eq.qv)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM eq, qc1 p) WHERE rn = 1),
+          |qu2 AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS n
+          |       FROM qa2, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |qc2 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM qu2 GROUP BY 1),
+          |qa3 AS (SELECT vec_id, cell FROM (
+          |  SELECT eq.vec_id, p.cell,
+          |         row_number() OVER (PARTITION BY eq.vec_id ORDER BY
+          |           list_dot_product(eq.qv, p.c) / (sqrt(list_dot_product(eq.qv, eq.qv)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM eq, qc2 p) WHERE rn = 1),
+          |iprobes AS (SELECT query_id, cell FROM (
+          |  SELECT eq.vec_id AS query_id, p.cell,
+          |         row_number() OVER (PARTITION BY eq.vec_id ORDER BY
+          |           list_dot_product(eq.qv, p.c) / (sqrt(list_dot_product(eq.qv, eq.qv)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS pr
+          |  FROM eq, qc2 p WHERE eq.vec_id < 10) WHERE pr <= 4),
+          |parti AS (
+          |  SELECT partp.* FROM partp
+          |  JOIN qa3 ON qa3.vec_id = partp.neighbor_id
+          |  JOIN iprobes pr ON pr.query_id = partp.query_id AND pr.cell = qa3.cell),
+          |sci AS (
+          |  SELECT query_id, neighbor_id,
+          |         max(CASE WHEN s = 0 THEN d END) + max(CASE WHEN s = 1 THEN d END)
+          |       + max(CASE WHEN s = 2 THEN d END) + max(CASE WHEN s = 3 THEN d END) AS score
+          |  FROM parti GROUP BY 1, 2),
+          |ivfpq5 AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+          |    FROM sci) WHERE rnk <= 5)
+          |SELECT query_id, method, n_hits, recall_at_5 FROM (
+          |  SELECT x.query_id, 'ivf' AS method,
+          |         CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+          |         round(count(i.neighbor_id) / count(*), 6) AS recall_at_5
+          |  FROM exact5 x LEFT JOIN ivf5 i
+          |    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+          |  GROUP BY 1
+          |  UNION ALL
+          |  SELECT x.query_id, 'pq' AS method,
+          |         CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+          |         round(count(i.neighbor_id) / count(*), 6) AS recall_at_5
+          |  FROM exact5 x LEFT JOIN pq5 i
+          |    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+          |  GROUP BY 1
+          |  UNION ALL
+          |  SELECT x.query_id, 'ivfpq' AS method,
+          |         CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+          |         round(count(i.neighbor_id) / count(*), 6) AS recall_at_5
+          |  FROM exact5 x LEFT JOIN ivfpq5 i
+          |    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+          |  GROUP BY 1)
+          |ORDER BY query_id, method""".stripMargin,
       // Full hyperplane-LSH replay: ±1 planes from md5(j_d) first-hex-
       // digit parity, signature bits from the SEQUENTIAL ±v[d] fold
       // (list_prepend 0.0 = the Spark loop's s=0.0 start; ×±1 is exact

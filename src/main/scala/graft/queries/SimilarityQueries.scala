@@ -314,29 +314,32 @@ object SimilarityQueries {
   }
 
   /** ANN recall evaluation — the metric every approximate index ships
-    * with: per query, how many of the exact brute-force top-5
-    * ([[annTopK]]) the IVF probe path ([[annIvf]]) recovered, as
-    * recall@5. This is the eval harness a 100 TB deployment runs on a
-    * sampled query set before trusting the index: both sides' heavy
-    * work is their own (already scale-shaped) pipelines; the comparison
-    * itself joins two top-k-scale frames — k rows per query, nothing
-    * corpus-sized moves.
+    * with: per (query, index-variant), how many of the exact
+    * brute-force top-5 ([[annTopK]]) the variant recovered, as
+    * recall@5. Variants: `ivf` (coarse probe, exact rerank), `pq`
+    * (brute ADC over codes), `ivfpq` (coarse probe + ADC — the
+    * production composition). This is the eval harness
+    * a 100 TB deployment runs on a sampled query set before trusting
+    * an index: each side's heavy work is its own (already
+    * scale-shaped) pipeline; the comparisons join top-k-scale frames —
+    * k rows per query per variant, nothing corpus-sized moves.
     */
   def recallEval(spark: SparkSession, dir: String): DataFrame = {
     val exact = annTopK(spark, dir).select("query_id", "neighbor_id")
-    val approx = annIvf(spark, dir)
-      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
-    exact
-      .join(approx,
+    def recallOf(method: String, approx: DataFrame): DataFrame = exact
+      .join(approx.select(col("query_id").as("q2"), col("neighbor_id").as("n2")),
         col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
       .groupBy("query_id")
       .agg(
         count(lit(1)).as("k"),
         sum(when(col("n2").isNotNull, 1L).otherwise(0L)).as("n_hits"))
-      .select(col("query_id"), col("n_hits"),
+      .select(col("query_id"), lit(method).as("method"), col("n_hits"),
         round(col("n_hits").cast(org.apache.spark.sql.types.DoubleType) / col("k"), 6)
           .as("recall_at_5"))
-      .orderBy("query_id")
+    recallOf("ivf", annIvf(spark, dir))
+      .unionByName(recallOf("pq", annPq(spark, dir)))
+      .unionByName(recallOf("ivfpq", annIvfPq(spark, dir)))
+      .orderBy("query_id", "method")
   }
 
   private val Q = 1048576.0 // 2^20 fixed-point quantization scale
@@ -662,38 +665,7 @@ object SimilarityQueries {
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val qvecs = quantizedVectors(spark, dir)
-    // seed codebooks: the first 4 vectors' subvectors
-    val seeds = qvecs.filter(_._1 < 4L).collect().sortBy(_._1)
-    var books: Array[Array[(Long, Array[Double])]] = Array.tabulate(pqSubspaces) { s =>
-      seeds.map { case (id, q) => (id, pqSubvec(q, s)) }
-    }
-    // one Lloyd update: per-subspace argmin-L2 assignment, then exact
-    // integer means (sums of 2^20-grid ints stay exact; the single
-    // double division is deterministic) — re-runs and the oracle land
-    // on identical codebooks
-    val bc0 = spark.sparkContext.broadcast(books)
-    val updated = qvecs.flatMap { case (_, q) =>
-        val bks = bc0.value
-        (0 until pqSubspaces).iterator.map { s =>
-          ((s, pqArgmin(pqSubvec(q, s), bks(s))),
-            q.slice(s * pqSubDim, (s + 1) * pqSubDim))
-        }
-      }
-      .groupByKey(_._1)
-      .mapGroups { (key: (Int, Long), it: Iterator[((Int, Long), Array[Long])]) =>
-        var n = 0L
-        val sums = new Array[Long](pqSubDim)
-        it.foreach { case (_, v) =>
-          var i = 0
-          while (i < pqSubDim) { sums(i) += v(i); i += 1 }
-          n += 1
-        }
-        (key._1, key._2, sums.map(_.toDouble / n))
-      }
-      .collect()
-    books = Array.tabulate(pqSubspaces) { s =>
-      updated.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1)
-    }
+    val books = trainPqCodebooks(qvecs)
     // queries stay on the int grid (widened exactly to double)
     val queries = qvecs.filter(_._1 < 10).collect().sortBy(_._1)
       .map { case (id, q) => (id, Array.tabulate(pqSubspaces)(s => pqSubvec(q, s))) }
@@ -723,6 +695,120 @@ object SimilarityQueries {
 
   private val pqSubspaces = 4
   private val pqSubDim = 16
+
+  /** Per-subspace PQ codebooks: seeds = the first 4 vectors' subvectors,
+    * then ONE Lloyd update — per-subspace argmin-L2 assignment, exact
+    * integer means (sums of 2^20-grid ints stay exact; the single
+    * double division is deterministic) — so re-runs and the DuckDB
+    * oracle land on identical codebooks. Shared by [[annPq]] and
+    * [[annIvfPq]]. At corpus scale the codebook COUNT is what grows
+    * (more centroids per subspace, still metadata-sized), never the
+    * training shuffle shape: one flatMap + one grouped integer-sum. */
+  private def trainPqCodebooks(
+      qvecs: Dataset[(Long, Array[Long])]): Array[Array[(Long, Array[Double])]] = {
+    import qvecs.sparkSession.implicits._
+    val seeds = qvecs.filter(_._1 < 4L).collect().sortBy(_._1)
+    val books: Array[Array[(Long, Array[Double])]] = Array.tabulate(pqSubspaces) { s =>
+      seeds.map { case (id, q) => (id, pqSubvec(q, s)) }
+    }
+    val bc0 = qvecs.sparkSession.sparkContext.broadcast(books)
+    val updated = qvecs.flatMap { case (_, q) =>
+        val bks = bc0.value
+        (0 until pqSubspaces).iterator.map { s =>
+          ((s, pqArgmin(pqSubvec(q, s), bks(s))),
+            q.slice(s * pqSubDim, (s + 1) * pqSubDim))
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key: (Int, Long), it: Iterator[((Int, Long), Array[Long])]) =>
+        var n = 0L
+        val sums = new Array[Long](pqSubDim)
+        it.foreach { case (_, v) =>
+          var i = 0
+          while (i < pqSubDim) { sums(i) += v(i); i += 1 }
+          n += 1
+        }
+        (key._1, key._2, sums.map(_.toDouble / n))
+      }
+      .collect()
+    Array.tabulate(pqSubspaces) { s =>
+      updated.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1)
+    }
+  }
+
+  /** IVF × PQ — the production ANN index composition (IVFADC's
+    * coarse-prune half glued to PQ's memory-bound scoring half, Jégou
+    * et al. 2011; codes here encode the raw vector, not the residual —
+    * the IVFFlat+PQ variant, which keeps both halves independently
+    * oracle-replayable): the trained coarse quantizer
+    * ([[trainQuantizedCells]], exact integer Lloyd) assigns every
+    * vector to a cell; each query probes its 4 max-cosine cells and
+    * scores ONLY those cells' members, by ADC against the
+    * [[trainPqCodebooks]] codebooks. One pass computes assignment +
+    * codes + scores fused; nothing downstream of the codes touches a
+    * raw vector.
+    *
+    * The 100 TB arithmetic is the point of the composition: brute ADC
+    * still reads N code rows per query; with k cells and nprobe=4 the
+    * scan shrinks to ~4N/k candidates, and the candidate read is 4
+    * small ints + a broadcast codebook — the index serves from ~1/64
+    * of the raw bytes AND ~nprobe/k of the rows. `s_recall_eval`
+    * reports what that buys per query. (Pruning does NOT bound ivfpq's
+    * recall by pq's: dropping unprobed cells also drops ADC-favored
+    * spurious candidates, which can promote true neighbors into the
+    * top-5 — the sf0.01 fixtures show both directions.)
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qvecs = quantizedVectors(spark, dir)
+    val cents = trainQuantizedCells(qvecs)
+    val books = trainPqCodebooks(qvecs)
+    // per query: its 4 max-cosine coarse cells (ties to the lower cell,
+    // matching the oracle's row_number order), selected on the driver —
+    // queries and centroids are metadata-scale
+    val cellQueries: Map[Long, Array[(Long, Array[Array[Double]])]] = {
+      val perQuery = qvecs.filter(_._1 < 10).collect().sortBy(_._1)
+        .flatMap { case (qid, q) =>
+          val subs = Array.tabulate(pqSubspaces)(s => pqSubvec(q, s))
+          val v = new Array[Double](q.length)
+          var i = 0
+          while (i < q.length) { v(i) = q(i).toDouble; i += 1 }
+          val nv = norm(v)
+          cents
+            .map { case (cell, c, cn) => (cell, dot(v, c) / (nv * cn)) }
+            .sortBy { case (cell, c) => (-c, cell) }
+            .take(4)
+            .map { case (cell, _) => (cell, (qid, subs)) }
+        }
+      perQuery.groupBy(_._1).map { case (cell, qs) => cell -> qs.map(_._2) }
+    }
+    val bc = spark.sparkContext.broadcast((cents, books, cellQueries))
+    val scored = qvecs.mapPartitions { it =>
+      val (cts, bks, cellQ) = bc.value
+      val byCell: Array[Map[Long, Array[Double]]] = bks.map(_.toMap)
+      it.flatMap { case (id, q) =>
+        val cell = qArgmax(q, cts)
+        val probing = cellQ.getOrElse(cell, Array.empty[(Long, Array[Array[Double]])])
+        if (probing.isEmpty) Iterator.empty
+        else {
+          val codes = Array.tabulate(pqSubspaces)(s => pqArgmin(pqSubvec(q, s), bks(s)))
+          probing.iterator.filter(_._1 != id).map { case (qid, qsubs) =>
+            var score = 0.0
+            var s = 0
+            while (s < pqSubspaces) { score += dot(qsubs(s), byCell(s)(codes(s))); s += 1 }
+            (qid, id, score)
+          }
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("score") / lit(Q * Q), 6).as("adc_score"))
+      .orderBy("query_id", "rnk")
+  }
 
   /** Subvector s of a quantized vector, widened exactly to double. */
   private def pqSubvec(q: Array[Long], s: Int): Array[Double] = {

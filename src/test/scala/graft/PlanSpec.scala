@@ -366,9 +366,9 @@ class PlanSpec extends SparkSuite {
       "d_semdedup_incr" -> 2,
       // one aggregate; payload bytes never shuffle
       "m_media_dedup" -> 1,
-      // eval compare of two top-k-scale frames; each ANN side carries
-      // its own window exchange
-      "s_recall_eval" -> 3,
+      // eval compares of top-k-scale frames, one per index variant
+      // (ivf, pq, ivfpq); each variant carries its own window exchange
+      "s_recall_eval" -> 6,
       // one source-grain aggregate; totals via a global window over the
       // source-cardinality rows (single partition, metadata-scale)
       "p_epoch_plan" -> 1,
@@ -396,6 +396,9 @@ class PlanSpec extends SparkSuite {
       // codebooks train on a driver-collected 16x16 table; scoring is
       // one mapPartitions over codes + the query-window exchange
       "s_ann_pq" -> 1,
+      // coarse cells prune candidates before the same fused ADC pass;
+      // still just the query-window exchange
+      "s_ann_ivfpq" -> 1,
       "t_winnow" -> 0, // hash/select/digest all in-row; only the output sort exchanges
       // winnowed inverted-index self-join: ~2.5x smaller index than the
       // full gram join; h-keyed join + pair aggregate
