@@ -76,19 +76,26 @@ object Bench {
       dt
     }
     val firstPass = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map(_ => timeOnce(name, fn))
-      name -> (if (errors.contains(name)) times.max else times.min)
+      name -> (1 to 2).map(_ => timeOnce(name, fn))
     }
     // The box shows a multi-minute throttle duty cycle (README noise
-    // note): a slow query's back-to-back runs can BOTH land in a bad
-    // window minutes long, so its min still reads inflated. One more
-    // pass over the slow tail, taken after the rest of the board has
-    // run (i.e., in a different window), tightens exactly the numbers
-    // that dominate the total — a bounded extra cost (the tail only).
-    val results = firstPass.map { case (name, t) =>
-      if (t > 2.0 && !errors.contains(name))
-        name -> math.min(t, timeOnce(name, SparkEntry.queries(name)))
-      else name -> t
+    // note): a query's back-to-back runs can BOTH land in a bad window
+    // minutes long, so its min still reads inflated. One more pass in a
+    // LATER window (after the rest of the board has run) covers the two
+    // cases where that matters: the slow tail (dominates the total) and
+    // any query whose two timings disagree >1.5x (noise-suspect — r7's
+    // phantom "regressions" were sub-second queries whose pair of runs
+    // shared a bad window; min-of-2 alone can't see that). Bounded
+    // extra cost: unstable queries are mostly sub-second.
+    val results = firstPass.map { case (name, times) =>
+      if (errors.contains(name)) name -> times.max
+      else {
+        val t = times.min
+        val unstable = times.max > times.min * 1.5
+        if (t > 2.0 || unstable)
+          name -> math.min(t, timeOnce(name, SparkEntry.queries(name)))
+        else name -> t
+      }
     }
     // millisecond precision keeps the line short (full-precision doubles
     // nearly tripled it and overflowed the driver's tail capture in r5)
