@@ -107,6 +107,33 @@ class PlanSpec extends SparkSuite {
     assert(gramExchanges <= 1, s"corpus grams must not shuffle:\n$plan")
   }
 
+  test("cosine expr pairs: codegen'd expression inside a broadcast join, no hash exchange") {
+    // r7 showed a 3x timing swing with an unchanged plan — these pins
+    // make a future plan-shape change fail a test instead of leaving a
+    // bench delta ambiguous between noise and regression
+    val plan = planOf(graft.queries.SimilarityQueries.cosineExprPairs(spark, sf))
+    assert(plan.contains("cosine_similarity"),
+      s"native expression must stay in-plan (no mapPartitions boundary):\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 50-row self-pair join must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"pair scoring must be shuffle-free before the output sort:\n$plan")
+  }
+
+  test("order ranks: all four rank functions fuse into one window on one custkey exchange") {
+    val plan = planOf(AnalyticsQueries.orderRanks(spark, sf))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(o_custkey"))
+    assert(exchanges == 1, s"all window functions must reuse ONE custkey exchange:\n$plan")
+    // all four rank functions share ONE Window node (same spec), not a
+    // window-per-withColumn chain; percent_rank needs the full
+    // partition, so a WindowGroupLimit can never apply here — the fused
+    // single pass IS the optimal shape
+    val windows = plan.linesIterator.count(_.trim.startsWith("+- Window"))
+    assert(windows == 1, s"expected ONE fused Window node, got $windows:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"),
+      s"orders scan must be pruned to 3 columns:\n$plan")
+  }
+
   test("df-prune applies the frequent set scan-side: no join in the pruning pass") {
     val plan = planOf(TextQueries.dfPrune(spark, sf))
     assert(!plan.contains("Join"),
