@@ -25,6 +25,8 @@ import java.time.temporal.ChronoUnit
   *                  [--slice ...] [--gzip] [--topic <name>]
   *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
+  *   build-index --kind neardup|chunk|drift|winnow --in <documents parquet>
+  *               --out <dir>
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -334,7 +336,39 @@ object Main {
       println(s"stream-restore: replayed available objects from $dir into $out")
       spark.stop()
 
+    case "build-index" :: rest =>
+      // The nightly index-refresh job as a CLI verb: rebuild one of the
+      // durable probe artifacts (IndexArtifact layout) from a documents
+      // table, so the production "batch side rebuilds, every ingest job
+      // probes" story is drivable without writing a Spark app.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (kind, out, n) = buildIndexCmd(spark, o)
+      println(s"build-index: $kind index over $n docs written to $out")
+      spark.stop()
+
     case cmd :: _ => die(s"unknown command '$cmd'")
     case Nil => die("a command is required")
+  }
+
+  /** `build-index` body, session-injected so specs drive it against the
+    * shared test session (main owns session lifecycle and would stop it). */
+  private[cli] def buildIndexCmd(
+      spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
+    import graft.queries.TextQueries
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow is required"))
+    val in = o.getOrElse("in", die("--in <documents parquet> is required"))
+    val out = o.getOrElse("out", die("--out <dir> is required"))
+    val corpus = spark.read.parquet(in)
+    kind match {
+      case "neardup" => TextQueries.buildNearDupIndex(corpus).save(out)
+      case "chunk" => TextQueries.buildChunkIndex(corpus).save(out)
+      case "drift" => TextQueries.buildTermDistribution(corpus).save(out)
+      case "winnow" => TextQueries.buildWinnowIndex(corpus).save(out)
+      case other => die(s"unsupported index kind '$other' " +
+        "(expected neardup|chunk|drift|winnow)")
+    }
+    (kind, out, corpus.count())
   }
 }

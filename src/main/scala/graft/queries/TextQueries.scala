@@ -483,18 +483,16 @@ object TextQueries {
     def persist(): NearDupIndex = { bands.persist(); grams.persist(); this }
     def unpersist(): Unit = { bands.unpersist(); grams.unpersist() }
 
-    /** Write the index to `path` as two parquet tables — the durable
-      * form of the nightly artifact: the ingest job that rebuilds the
-      * index saves it; every later probe job (batch or streaming
-      * restart) [[NearDupIndex.load]]s instead of re-deriving the whole
-      * corpus index from source. Bands are narrow (doc_id, band, bh)
-      * rows and grams one array row per doc, so both write partitioned
-      * and scan back with pushdown like any other table.
+    /** Write the index to `path` on the [[IndexArtifact]] layout — the
+      * durable form of the nightly artifact: the ingest job that
+      * rebuilds the index saves it; every later probe job (batch or
+      * streaming restart) [[NearDupIndex.load]]s instead of re-deriving
+      * the whole corpus index from source. Bands are narrow (doc_id,
+      * band, bh) rows and grams one array row per doc, so both write
+      * partitioned and scan back with pushdown like any other table.
       */
-    def save(path: String): Unit = {
-      bands.write.mode("overwrite").parquet(s"$path/bands")
-      grams.write.mode("overwrite").parquet(s"$path/grams")
-    }
+    def save(path: String): Unit =
+      IndexArtifact.save(path, Map("bands" -> bands, "grams" -> grams))
   }
 
   object NearDupIndex {
@@ -503,8 +501,8 @@ object TextQueries {
       * bit-for-bit (band hashes and gram arrays are deterministic). */
     def load(spark: SparkSession, path: String): NearDupIndex =
       NearDupIndex(
-        spark.read.parquet(s"$path/bands"),
-        spark.read.parquet(s"$path/grams"))
+        IndexArtifact.frame(spark, path, "bands"),
+        IndexArtifact.frame(spark, path, "grams"))
   }
 
   def buildNearDupIndex(corpus: DataFrame): NearDupIndex = {
@@ -524,20 +522,16 @@ object TextQueries {
   final case class TermDistribution(counts: DataFrame, gt: Long, vocab: Long) {
     def persist(): TermDistribution = { counts.persist(); this }
     def unpersist(): Unit = counts.unpersist()
-    def save(path: String): Unit = {
-      counts.write.mode("overwrite").parquet(s"$path/counts")
-      val spark = counts.sparkSession
-      import spark.implicits._
-      Seq((gt, vocab)).toDF("gt", "vocab")
-        .write.mode("overwrite").parquet(s"$path/totals")
-    }
+    def save(path: String): Unit =
+      IndexArtifact.save(path, Map("counts" -> counts),
+        meta = Map("gt" -> gt, "vocab" -> vocab))
   }
 
   object TermDistribution {
     def load(spark: SparkSession, path: String): TermDistribution = {
-      val t = spark.read.parquet(s"$path/totals").head()
+      val m = IndexArtifact.meta(spark, path)
       TermDistribution(
-        spark.read.parquet(s"$path/counts"), t.getLong(0), t.getLong(1))
+        IndexArtifact.frame(spark, path, "counts"), m("gt"), m("vocab"))
     }
   }
 
@@ -1673,12 +1667,12 @@ object TextQueries {
   final case class ChunkIndex(fps: DataFrame) {
     def persist(): ChunkIndex = { fps.persist(); this }
     def unpersist(): Unit = fps.unpersist()
-    def save(path: String): Unit = fps.write.mode("overwrite").parquet(path)
+    def save(path: String): Unit = IndexArtifact.save(path, Map("fps" -> fps))
   }
 
   object ChunkIndex {
     def load(spark: SparkSession, path: String): ChunkIndex =
-      ChunkIndex(spark.read.parquet(path))
+      ChunkIndex(IndexArtifact.frame(spark, path, "fps"))
   }
 
   def buildChunkIndex(corpus: DataFrame): ChunkIndex =
@@ -2103,10 +2097,16 @@ object TextQueries {
     * replayability.
     */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
-    winnowSelected(spark, dir)
+    winnowFingerprintsFrom(WinnowIndex(winnowFrame(spark, dir)))
+
+  /** [[winnowFingerprints]] against a prebuilt [[WinnowIndex]] — the
+    * artifact-consumer form (everything derives from the saved frame;
+    * nothing re-tokenizes the corpus). */
+  def winnowFingerprintsFrom(index: WinnowIndex): DataFrame =
+    index.fps
       .select(
         col("doc_id"),
-        size(col("hs")).cast(LongType).as("n_grams"),
+        col("n_grams"),
         size(col("sel")).cast(LongType).as("n_fps"),
         md5(expr("cast(concat_ws('', sel.h) as binary)")).as("digest"))
       .orderBy("doc_id")
@@ -2114,8 +2114,8 @@ object TextQueries {
   /** The winnowing selection pipeline shared by [[winnowFingerprints]]
     * and [[winnowOverlap]]: per doc, the positional gram-hash stream
     * `hs` and the selected (pos, h) fingerprints `sel` — all in-row. */
-  private def winnowSelected(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  private def winnowSelected(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), wsTokens(col("text")).as("ts"))
       // >= 6 tokens = >= 4 grams = at least one full window; filtering
       // BEFORE the hash transform also keeps Spark's descending
@@ -2140,6 +2140,57 @@ object TextQueries {
           |                   struct(cast(k as bigint) as pos, hs[k-1] as h),
           |                   acc)))))""".stripMargin))
 
+  /** Durable winnow-fingerprint index — the fourth nightly artifact
+    * (with [[NearDupIndex]], [[ChunkIndex]], [[TermDistribution]]):
+    * one row per doc of `(doc_id, n_grams, sel)` where `sel` is the
+    * winnow-selected (pos, h) fingerprint array. The md5-heavy
+    * positional selection is the dominant cost of every winnow
+    * consumer, so it is computed ONCE here and each consumer derives
+    * from the frame: [[winnowFingerprintsFrom]] digests `sel.h`,
+    * [[winnowOverlapFrom]] explodes it into the inverted index. The
+    * `hs` stream is deliberately NOT kept — it is gram-count wide and
+    * no consumer needs more than its length.
+    */
+  final case class WinnowIndex(fps: DataFrame) {
+    def persist(): WinnowIndex = { fps.persist(); this }
+    def unpersist(): Unit = fps.unpersist()
+    def save(path: String): Unit = IndexArtifact.save(path, Map("fps" -> fps))
+  }
+
+  object WinnowIndex {
+    def load(spark: SparkSession, path: String): WinnowIndex =
+      WinnowIndex(IndexArtifact.frame(spark, path, "fps"))
+  }
+
+  def buildWinnowIndex(corpus: DataFrame): WinnowIndex =
+    WinnowIndex(winnowSelected(corpus)
+      .select(col("doc_id"), size(col("hs")).cast(LongType).as("n_grams"), col("sel")))
+
+  /** In-session memo of the winnow index frame per (session, corpus
+    * dir): `t_winnow` and `d_winnow_overlap` both consume the same
+    * selection, and without sharing each gate query re-ran the md5
+    * selection from scratch (the exact double-compute a persisted index
+    * exists to remove). The frame persists MEMORY_AND_DISK — it is the
+    * ~2/(w+1)-winnowed projection, far smaller than the corpus — and
+    * stays cached for the session like a loaded nightly artifact would;
+    * [[dropWinnowCache]] releases it. Keyed by dir, so tests and
+    * multi-corpus sessions never cross-contaminate; index semantics are
+    * snapshot-at-build, matching the durable artifact contract.
+    */
+  private val winnowMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def winnowFrame(spark: SparkSession, dir: String): DataFrame =
+    winnowMemo.getOrElseUpdate((spark, dir),
+      buildWinnowIndex(docs(spark, dir)).fps
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Release every memoized winnow frame held by `spark`. */
+  def dropWinnowCache(spark: SparkSession): Unit =
+    winnowMemo.keys.filter(_._1 eq spark).foreach { k =>
+      winnowMemo.remove(k).foreach(_.unpersist())
+    }
+
   /** Winnowing overlap detection — what MOSS actually does with the
     * fingerprints: doc pairs sharing at least one SELECTED hash, with
     * the shared-fingerprint count as the overlap signal. The guarantee
@@ -2151,8 +2202,13 @@ object TextQueries {
     * exact verify (array_intersect on candidates) composes exactly as
     * in the prefix/LSH paths.
     */
-  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowSelected(spark, dir)
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    winnowOverlapFrom(WinnowIndex(winnowFrame(spark, dir)))
+
+  /** [[winnowOverlap]] against a prebuilt [[WinnowIndex]] — the probe a
+    * nightly job runs against the saved artifact. */
+  def winnowOverlapFrom(index: WinnowIndex): DataFrame = {
+    val fps = index.fps
       .select(col("doc_id"), explode(expr("array_distinct(sel.h)")).as("h"))
     // Bucket-grouped pair expansion instead of a hash self-join: the
     // join form computed the md5-heavy winnow projection TWICE (build

@@ -1,0 +1,95 @@
+package graft.cli
+
+import graft.SparkSuite
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions.col
+
+/** `build-index` round-trips: the CLI verb writes each index kind on
+  * the shared [[graft.queries.IndexArtifact]] layout, and a probe
+  * against the reloaded artifact matches a probe against a freshly
+  * built index — the whole nightly-refresh story, driven through the
+  * command surface a production job would use.
+  */
+class BuildIndexCliSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docsPath = s"${SparkSuite.sf001}/documents.parquet"
+
+  private def cmd(kind: String): String = {
+    val out = tmpDir(s"cli-$kind-index")
+    val (k, o, n) = Main.buildIndexCmd(
+      spark, Map("kind" -> kind, "in" -> docsPath, "out" -> out))
+    assert(k == kind && o == out && n > 0)
+    out
+  }
+
+  private lazy val d = spark.read.parquet(docsPath)
+  private lazy val batch = d.filter(col("source") === "src12")
+  private lazy val corpus = d.filter(col("source") =!= "src12")
+
+  test("build-index neardup: probe against the CLI artifact matches a fresh build") {
+    val out = tmpDir("cli-neardup-index")
+    // neardup/chunk indexes are corpus-side artifacts: build them over
+    // the corpus split so the probe-vs-batch flow is the real one
+    corpus.write.mode("overwrite").parquet(s"$out-corpus")
+    Main.buildIndexCmd(spark,
+      Map("kind" -> "neardup", "in" -> s"$out-corpus", "out" -> out))
+    val loaded = TextQueries.NearDupIndex.load(spark, out)
+    val fresh = TextQueries.probeNearDups(batch, TextQueries.buildNearDupIndex(corpus))
+      .orderBy("new_id", "old_id").as[(Long, Long, Double)].collect().toSeq
+    val viaCli = TextQueries.probeNearDups(batch, loaded)
+      .orderBy("new_id", "old_id").as[(Long, Long, Double)].collect().toSeq
+    assert(fresh.nonEmpty && viaCli == fresh)
+  }
+
+  test("build-index chunk: probe against the CLI artifact matches a fresh build") {
+    val out = tmpDir("cli-chunk-index")
+    corpus.write.mode("overwrite").parquet(s"$out-corpus")
+    Main.buildIndexCmd(spark,
+      Map("kind" -> "chunk", "in" -> s"$out-corpus", "out" -> out))
+    val loaded = TextQueries.ChunkIndex.load(spark, out)
+    val fresh = TextQueries.probeChunks(batch, TextQueries.buildChunkIndex(corpus))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val viaCli = TextQueries.probeChunks(batch, loaded)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(fresh.nonEmpty && viaCli == fresh)
+  }
+
+  test("build-index drift: klAgainst the CLI artifact matches a fresh reference") {
+    val out = cmd("drift")
+    val loaded = TextQueries.TermDistribution.load(spark, out)
+    val fresh = TextQueries.buildTermDistribution(d)
+    assert(loaded.gt == fresh.gt && loaded.vocab == fresh.vocab)
+    val a = TextQueries.klAgainst(batch, fresh).head()
+    val b = TextQueries.klAgainst(batch, loaded).head()
+    assert(a == b)
+  }
+
+  test("build-index winnow: overlap and fingerprints from the CLI artifact match") {
+    val out = cmd("winnow")
+    val loaded = TextQueries.WinnowIndex.load(spark, out)
+    val freshIdx = TextQueries.buildWinnowIndex(d)
+    val fresh = TextQueries.winnowOverlapFrom(freshIdx)
+      .as[(Long, Long, Long)].collect().toSeq
+    val viaCli = TextQueries.winnowOverlapFrom(loaded)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fresh.nonEmpty && viaCli == fresh)
+    val fp = TextQueries.winnowFingerprintsFrom(freshIdx)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val fpCli = TextQueries.winnowFingerprintsFrom(loaded)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(fp.nonEmpty && fpCli == fp)
+  }
+
+  test("every kind lands on the shared IndexArtifact layout") {
+    // one convention across kinds: named frames under <out>/<frame>,
+    // scalars (drift only) under <out>/_meta — so any downstream job
+    // can scan an index frame like an ordinary parquet table
+    def frames(out: String): Set[String] =
+      new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(frames(cmd("neardup")) == Set("bands", "grams"))
+    assert(frames(cmd("chunk")) == Set("fps"))
+    assert(frames(cmd("winnow")) == Set("fps"))
+    assert(frames(cmd("drift")) == Set("counts", "_meta"))
+  }
+}
