@@ -157,7 +157,11 @@ object SparkEntry {
     "t_kl_drift" -> (TextQueries.klDrift _),
     "t_quality_lr" -> (TextQueries.qualityLr _),
     "t_bm25" -> (TextQueries.bm25 _),
-    "s_pca_project" -> (SimilarityQueries.pcaProject _)
+    "s_pca_project" -> (SimilarityQueries.pcaProject _),
+    "t_top2gram" -> (TextQueries.topBigramFraction _),
+    "t_dupgram_cover" -> (TextQueries.dupGramCoverage _),
+    "p_curation_funnel" -> (TextQueries.curationFunnel _),
+    "s_embed_drift" -> (SimilarityQueries.labelDrift _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2237,7 +2241,78 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS pr
           |  FROM votes)
           |SELECT query_id, label AS pred_label, n_votes
-          |FROM best WHERE pr = 1 ORDER BY query_id""".stripMargin
+          |FROM best WHERE pr = 1 ORDER BY query_id""".stripMargin,
+      // Gopher top-bigram mass: tie-break = max count then max bigram
+      // (Spark max over a (ct, bg) struct == ORDER BY ct DESC, bg DESC).
+      "t_top2gram" ->
+        """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+          |f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts FROM t WHERE len(ts) >= 2),
+          |bg AS (SELECT doc_id, n_tokens, ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] AS bg
+          |       FROM f, UNNEST(range(1, len(ts))) AS u(i)),
+          |c AS (SELECT doc_id, n_tokens, bg, count(*) AS ct FROM bg GROUP BY 1, 2, 3),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ct DESC, bg DESC) AS rn FROM c)
+          |SELECT doc_id, n_tokens, bg AS top_bigram, ct AS top_ct,
+          |       round(ct * 2.0 / n_tokens, 6) AS top_frac
+          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      // Duplicate-5-gram coverage: gram start positions are 1-based here
+      // and 0-based in Spark — coverage counts are shift-invariant.
+      "t_dupgram_cover" ->
+        """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+          |f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts FROM t WHERE len(ts) >= 5),
+          |g AS (SELECT doc_id, n_tokens, i AS p,
+          |             array_to_string(list_slice(ts, CAST(i AS INT), CAST(i+4 AS INT)), ' ') AS g
+          |      FROM f, UNNEST(range(1, len(ts) - 3)) AS u(i)),
+          |c AS (SELECT *, count(*) OVER (PARTITION BY doc_id, g) AS ct FROM g),
+          |cov AS (SELECT doc_id, n_tokens,
+          |               CAST(count(DISTINCT CASE WHEN ct >= 2 THEN p + j END) AS BIGINT) AS n_covered
+          |        FROM c, UNNEST(range(0, 5)) AS u2(j) GROUP BY 1, 2)
+          |SELECT doc_id, n_tokens, n_covered, round(n_covered / n_tokens, 6) AS dup_frac
+          |FROM cov ORDER BY doc_id""".stripMargin,
+      // Curation funnel: stages replay langId's marker argmax, the
+      // stopword density, and dedupKeep's min-id survivor rule.
+      "p_curation_funnel" ->
+        """WITH t AS (SELECT doc_id, source, lang, text, string_split(trim(text), ' ') AS ts FROM documents),
+          |s AS (SELECT doc_id, source, lang,
+          |             CAST(len(ts) AS BIGINT) AS n,
+          |             len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is','it'))) AS sw,
+          |             len(list_filter(ts, x -> x IN ('the','and','of','is'))) AS c_en,
+          |             len(list_filter(ts, x -> x IN ('der','und','die','ist'))) AS c_de,
+          |             len(list_filter(ts, x -> x IN ('le','et','les','est'))) AS c_fr,
+          |             len(list_filter(ts, x -> x IN ('el','y','los','es'))) AS c_es,
+          |             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+          |      FROM t),
+          |k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep FROM s),
+          |p AS (SELECT *,
+          |        CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+          |             WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+          |             WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred,
+          |        n >= 30 AS s1 FROM k),
+          |f AS (SELECT *, s1 AND pred = lang AS s2,
+          |             s1 AND pred = lang AND sw * 1.0 / n >= 0.08 AS s3,
+          |             s1 AND pred = lang AND sw * 1.0 / n >= 0.08 AND keep = doc_id AS s4
+          |      FROM p)
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS after_length,
+          |       CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
+          |       CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+          |       CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Embedding drift: centroids from exact fixed-point integer sums
+      // (order-independent), cosine in ascending-dim order on both sides.
+      "s_embed_drift" ->
+        """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+          |                  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+          |           FROM embeddings),
+          |u AS (SELECT label, i, sum(q[i]) AS s, count(*) AS n
+          |      FROM e, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |lc AS (SELECT label, list(s * 1.0 / n ORDER BY i) AS c, any_value(n) AS n FROM u GROUP BY 1),
+          |g AS (SELECT i, sum(s) AS ts FROM u GROUP BY 1),
+          |tot AS (SELECT sum(nn) AS tn FROM (SELECT label, any_value(n) AS nn FROM u GROUP BY 1) q2),
+          |cc AS (SELECT list(g.ts * 1.0 / tot.tn ORDER BY g.i) AS c FROM g, tot GROUP BY tot.tn)
+          |SELECT lc.label, lc.n AS n_vectors,
+          |       round(list_dot_product(lc.c, cc.c) /
+          |             (sqrt(list_dot_product(lc.c, lc.c)) * sqrt(list_dot_product(cc.c, cc.c))), 6) AS centroid_cos
+          |FROM lc, cc ORDER BY label""".stripMargin
     )
   }
 }

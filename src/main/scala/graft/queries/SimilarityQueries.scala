@@ -342,6 +342,55 @@ object SimilarityQueries {
       .orderBy("query_id", "method")
   }
 
+  /** Embedding-space distribution drift per shard: cosine between each
+    * label's centroid and the whole-corpus centroid — the embedding
+    * twin of the token-space KL probe (`t_kl_drift`). A shard whose
+    * centroid swings away from the corpus mean is the cheapest
+    * train-time signal that a source changed character (new domain,
+    * pipeline bug, poisoning). Sums run on the 2^20 fixed-point grid
+    * (exact longs, order-independent — the [[quantizedVectors]]
+    * contract), so both engines derive bit-identical centroids; only
+    * the final cosine is float math, folded in ascending-dim order on
+    * both sides. One narrow (label, dim) aggregate with map-side
+    * partials is the only distributed work — labels x 64 rows reach the
+    * driver, never a vector.
+    */
+  def labelDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sums = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("label").cast(org.apache.spark.sql.types.LongType).as("label"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0) as bigint))"))
+          .as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val dim = sums.map(_.getInt(1)).max + 1
+    val byLabel = sums.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val labelCents = byLabel.map { case (label, rows) =>
+      val c = new Array[Double](dim)
+      rows.foreach(r => c(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3))
+      (label, rows.head.getLong(3), c)
+    }
+    val totalN = byLabel.map(_._2.head.getLong(3)).sum
+    val corpus = new Array[Double](dim)
+    // exact long addition per dim before the single division — the
+    // corpus centroid is derived from the same integer sums, not from
+    // averaging the per-label doubles (which would order-depend)
+    (0 until dim).foreach { i =>
+      corpus(i) = byLabel.map(_._2.find(_.getInt(1) == i).get.getLong(2)).sum.toDouble / totalN
+    }
+    val cn = norm(corpus)
+    labelCents.map { case (label, n, c) =>
+      (label, n, dot(c, corpus) / (norm(c) * cn))
+    }.toDF("label", "n_vectors", "cos_raw")
+      // Catalyst round, not driver BigDecimal — same HALF_UP-on-toString
+      // semantics as every other 6-dp oracle-compared double in the repo
+      .select(col("label"), col("n_vectors"),
+        round(col("cos_raw"), 6).as("centroid_cos"))
+      .orderBy("label")
+  }
+
   private val Q = 1048576.0 // 2^20 fixed-point quantization scale
 
   /** Vectors quantized to fixed-point integers (`floor(v * 2^20)`) —

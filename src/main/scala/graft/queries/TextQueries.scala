@@ -942,6 +942,109 @@ object TextQueries {
         round(lit(1.0) - col("n_distinct_3g").cast(DoubleType) / (col("n_tokens") - lit(2)), 6))
       .orderBy("doc_id")
 
+  /** Gopher-rule "top n-gram mass": per doc, the share of the token
+    * stream covered by its single most frequent bigram (the Gopher
+    * quality filter drops docs where one 2-gram accounts for > 20% of
+    * the text; Rae et al. 2021 measure characters, we measure tokens —
+    * same signal, engine-replayable arithmetic). Positional bigrams
+    * are built in-row (scan-side), so the shuffled rows are narrow
+    * (doc, bigram) pairs with map-side partial counts; the per-doc max
+    * is a second doc-scale aggregate. Tie-break: highest count, then
+    * lexicographically greatest bigram (max over a (ct, bg) struct) —
+    * deterministic and identical to the oracle's ORDER BY ct DESC,
+    * bg DESC.
+    */
+  def topBigramFraction(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tokens"),
+        explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))")).as("bg"))
+      .groupBy("doc_id", "n_tokens", "bg").agg(count(lit(1)).as("ct"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(max(struct(col("ct"), col("bg"))).as("top"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("top.bg").as("top_bigram"), col("top.ct").as("top_ct"),
+        round(col("top.ct").cast(DoubleType) * lit(2.0) / col("n_tokens"), 6)
+          .as("top_frac"))
+      .orderBy("doc_id")
+
+  /** Gopher-rule duplicate-n-gram coverage: per doc, the fraction of
+    * token positions covered by a 5-gram that occurs at least twice IN
+    * THAT DOC (Rae et al. 2021's "duplicate 5-grams" family — repeated
+    * passages inflate the metric even when no single gram dominates,
+    * the case [[topBigramFraction]] misses). Positional 5-grams build
+    * in-row; multiplicity comes from one window count over (doc, gram)
+    * — narrow rows, one exchange — and coverage is a distinct-position
+    * count per doc (positions covered by BOTH a repeated and an
+    * unrepeated gram count once, via distinct-over-non-null). Docs
+    * whose grams are all unique stay in the output with coverage 0 —
+    * no join back against the corpus for the zero rows.
+    */
+  def dupGramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "g")
+    docs(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tokens"),
+        posexplode(expr(
+          "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
+          .as(Seq("p", "g")))
+      .withColumn("ct", count(lit(1)).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(p, p + 4)")).as("pos"),
+        (col("ct") >= 2).as("rep"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(countDistinct(when(col("rep"), col("pos"))).as("n_covered"))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        round(col("n_covered").cast(DoubleType) / col("n_tokens"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source curation funnel — the whole cleaning pipeline as ONE
+    * conditional aggregate: how many docs each source contributes after
+    * each successive gate (length floor -> language consistency ->
+    * stopword-density quality -> exact-dedup survivor). This is the
+    * per-source yield report a 100 TB curation run publishes nightly;
+    * stages compose the operators that exist as standalone queries
+    * ([[langId]]'s marker argmax, [[qualityScore]]'s stopword ratio,
+    * [[dedupKeep]]'s min-id survivor rule). One fingerprint window for
+    * the survivor flag, then a single source-keyed aggregate with
+    * `sum(when(...))` partials — two exchanges total, no joins.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = wsTokens(col("text"))
+    val kw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val staged = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(w).cast(LongType).as("n_tokens"),
+        tokensInSet(w, stopwords).cast(DoubleType).as("sw"),
+        tokensInSet(w, Seq("the", "and", "of", "is")).as("c_en"),
+        tokensInSet(w, Seq("der", "und", "die", "ist")).as("c_de"),
+        tokensInSet(w, Seq("le", "et", "les", "est")).as("c_fr"),
+        tokensInSet(w, Seq("el", "y", "los", "es")).as("c_es"),
+        fingerprint(col("text")).as("fp"))
+      .withColumn("pred_lang",
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
+          col("c_en") >= col("c_es"), "en")
+          .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+          .when(col("c_fr") >= col("c_es"), "fr")
+          .otherwise("es"))
+      .withColumn("keeper", min("doc_id").over(kw) === col("doc_id"))
+      .withColumn("s1", col("n_tokens") >= 30)
+      .withColumn("s2", col("s1") && col("pred_lang") === col("lang"))
+      .withColumn("s3", col("s2") && col("sw") / col("n_tokens") >= 0.08)
+      .withColumn("s4", col("s3") && col("keeper"))
+    staged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("s1").cast(LongType)).as("after_length"),
+        sum(col("s2").cast(LongType)).as("after_lang"),
+        sum(col("s3").cast(LongType)).as("after_quality"),
+        sum(col("s4").cast(LongType)).as("after_dedup"))
+      .orderBy("source")
+  }
+
   /** Character-level edit-distance verification of near-dup candidates:
     * levenshtein + normalized similarity over the exact-Jaccard >= 0.8
     * pairs. The candidate set is output-scale (same argument as the LSH

@@ -85,4 +85,14 @@ class DegenerateSpec extends SparkSuite {
     // the paper's regime: tens of thousands of cells at web scale
     assert(SimilarityQueries.semDedupCellCount(100000000L) === 97657L)
   }
+
+  test("labelDrift on identical vectors reports cosine 1.0 for every label") {
+    // every label centroid equals the corpus centroid exactly (integer
+    // sums of identical quantized vectors), so drift must read 1.0
+    val rows = SimilarityQueries.labelDrift(spark, dir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_._2).sum === n.toLong)
+    rows.foreach { case (l, _, c) => assert(c === 1.0, s"label $l drifted: $c") }
+  }
 }

@@ -614,4 +614,38 @@ class TextOpsSpec extends SparkSuite {
         s"stopword-rich ${got(0)._2} should outscore stopword-free ${got(1)._2}")
     }
   }
+
+  test("gopher rules: top-bigram mass and dup-5-gram coverage match hand-computed values") {
+    val texts = Seq(
+      // "a b"x3, "b a"x2, "b c"x1 -> top ("a b", 3), frac 6/7;
+      // 5-grams all unique -> coverage 0
+      "a b a b a b c",
+      // every 5-gram repeats (period-5 stream) -> full coverage;
+      // bigram tie at ct 3 -> lexicographically greatest wins ("z w")
+      "x y z w v x y z w v x y z w v")
+    withDocs(texts) { dir =>
+      val tb = TextQueries.topBigramFraction(spark, dir)
+        .as[(Long, Long, String, Long, Double)].collect().sortBy(_._1)
+      assert(tb(0) == ((0L, 7L, "a b", 3L, BigDecimal(6.0 / 7).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      assert(tb(1) == ((1L, 15L, "z w", 3L, 0.4)))
+      val dg = TextQueries.dupGramCoverage(spark, dir)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      assert(dg(0) == ((0L, 7L, 0L, 0.0)))
+      assert(dg(1) == ((1L, 15L, 15L, 1.0)))
+    }
+  }
+
+  test("curation funnel: stages are monotone and account for every doc") {
+    val rows = TextQueries.curationFunnel(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, s1, s2, s3, s4) =>
+      assert(n >= s1 && s1 >= s2 && s2 >= s3 && s3 >= s4, s"non-monotone at $src")
+    }
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_._2).sum == d.count(), "every doc lands in exactly one source row")
+    assert(rows.map(_._4).sum < rows.map(_._3).sum,
+      "the language gate must cut something (corpus has non-en docs)")
+  }
 }
