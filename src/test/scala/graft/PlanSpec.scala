@@ -426,6 +426,16 @@ class PlanSpec extends SparkSuite {
       // coarse cells prune candidates before the same fused ADC pass;
       // still just the query-window exchange
       "s_ann_ivfpq" -> 1,
+      // (doc,bigram) count + per-doc max; both narrow-row aggregates
+      "t_top2gram" -> 2,
+      // (doc,gram) multiplicity window + two-phase distinct-position
+      // count; positions are ints, grams never leave their doc key
+      "t_dupgram_cover" -> 3,
+      // fingerprint survivor window + source-keyed conditional aggregate
+      "p_curation_funnel" -> 2,
+      // centroid sums aggregate at construction (labels x 64 rows);
+      // the returned frame is a LocalRelation sort
+      "s_embed_drift" -> 0,
       "t_winnow" -> 0, // hash/select/digest all in-row; only the output sort exchanges
       // winnowed inverted-index self-join: ~2.5x smaller index than the
       // full gram join; h-keyed join + pair aggregate
