@@ -161,7 +161,8 @@ object SparkEntry {
     "t_top2gram" -> (TextQueries.topBigramFraction _),
     "t_dupgram_cover" -> (TextQueries.dupGramCoverage _),
     "p_curation_funnel" -> (TextQueries.curationFunnel _),
-    "s_embed_drift" -> (SimilarityQueries.labelDrift _)
+    "s_embed_drift" -> (SimilarityQueries.labelDrift _),
+    "p_cluster_sample" -> (SimilarityQueries.clusterSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2312,7 +2313,46 @@ object SparkEntry {
           |SELECT lc.label, lc.n AS n_vectors,
           |       round(list_dot_product(lc.c, cc.c) /
           |             (sqrt(list_dot_product(lc.c, lc.c)) * sqrt(list_dot_product(cc.c, cc.c))), 6) AS centroid_cos
-          |FROM lc, cc ORDER BY label""".stripMargin
+          |FROM lc, cc ORDER BY label""".stripMargin,
+      // Cluster-balanced sampling: replays the SemDeDup quantizer
+      // training (same CTE chain as d_semdedup), then per-cell
+      // proportional quotas with a deterministic md5 rank.
+      "p_cluster_sample" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |kk AS (SELECT greatest(16, CAST(ceil(count(*) / 1024.0) AS BIGINT)) AS k FROM e),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < (SELECT k FROM kk)),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c0 p) WHERE rn = 1),
+          |u1 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u1 GROUP BY 1),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c1 p) WHERE rn = 1),
+          |u2 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a2, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c2 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u2 GROUP BY 1),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT e.vec_id, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c2 p) WHERE rn = 1),
+          |r AS (SELECT vec_id, cell,
+          |             count(*) OVER (PARTITION BY cell) AS n_cell,
+          |             CAST(row_number() OVER (PARTITION BY cell
+          |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rnk
+          |      FROM a3),
+          |tot AS (SELECT count(*) AS nn FROM e)
+          |SELECT vec_id, cell, n_cell, rnk FROM r, tot
+          |WHERE rnk <= ceil(100 * n_cell * 1.0 / nn)
+          |ORDER BY cell, rnk""".stripMargin
     )
   }
 }

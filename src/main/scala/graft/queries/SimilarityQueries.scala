@@ -534,6 +534,42 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Cluster-balanced sampling — the diversity-aware curation step
+    * that follows SemDeDup in a training-data pipeline: instead of
+    * sampling the corpus uniformly (which reproduces its cluster
+    * imbalance), each trained cell contributes a PROPORTIONAL quota
+    * `ceil(budget * n_cell / N)` of its members, chosen by a
+    * deterministic hash rank (md5 of the id — reproducible across runs
+    * and engines, uncorrelated with id order). Training and assignment
+    * reuse the exact-replayable SemDeDup quantizer, so cells — and
+    * therefore the sample — are bit-identical in the oracle. Both
+    * window functions (cell population, in-cell rank) share ONE
+    * cell-keyed exchange; nothing corpus-quadratic exists anywhere.
+    * The 100-row budget is the harness fixture (the `vec_id < 10`
+    * query-set pattern); [[clusterSampleN]] takes it as a parameter.
+    */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame =
+    clusterSampleN(spark, dir, budget = 100L)
+
+  def clusterSampleN(spark: SparkSession, dir: String, budget: Long): DataFrame = {
+    import spark.implicits._
+    val qvecs = quantizedVectors(spark, dir)
+    val n = qvecs.count()
+    val cents = trainQuantizedCells(qvecs, semDedupCellCount(n))
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = qvecs.map { case (id, q) => (id, qArgmax(q, bc.value)) }
+      .toDF("vec_id", "cell")
+    val wc = Window.partitionBy("cell")
+    val wr = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("n_cell", count(lit(1)).over(wc))
+      .withColumn("rnk", row_number().over(wr).cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rnk") <= ceil(lit(budget) * col("n_cell") / lit(n)))
+      .select(col("vec_id"), col("cell"), col("n_cell"), col("rnk"))
+      .orderBy("cell", "rnk")
+  }
+
   /** Exact integer dot product of two quantized-vector columns as a
     * codegen'd SQL expression (sums of 2^20-grid products stay below
     * 2^53 — exact in any order). */

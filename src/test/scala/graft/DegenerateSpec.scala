@@ -86,6 +86,24 @@ class DegenerateSpec extends SparkSuite {
     assert(SimilarityQueries.semDedupCellCount(100000000L) === 97657L)
   }
 
+  test("clusterSample on identical vectors: one cell, exactly the budget, hash-ranked") {
+    // all vectors land in one cell -> quota = ceil(budget * n/n) = budget;
+    // rank must follow the md5-of-id order, reproducibly
+    val rows = SimilarityQueries.clusterSampleN(spark, dir, budget = 100L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length === 100)
+    assert(rows.map(_._2).distinct.length === 1, "identical vectors must share a cell")
+    assert(rows.forall(_._3 == n.toLong))
+    assert(rows.map(_._4).sorted.toSeq == (1L to 100L))
+    val expected = (0 until n).map(_.toLong)
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+      .take(100)
+    assert(rows.sortBy(_._4).map(_._1).toSeq == expected,
+      "sample must follow the deterministic md5 rank")
+  }
+
   test("labelDrift on identical vectors reports cosine 1.0 for every label") {
     // every label centroid equals the corpus centroid exactly (integer
     // sums of identical quantized vectors), so drift must read 1.0

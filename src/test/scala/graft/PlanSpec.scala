@@ -436,6 +436,9 @@ class PlanSpec extends SparkSuite {
       // centroid sums aggregate at construction (labels x 64 rows);
       // the returned frame is a LocalRelation sort
       "s_embed_drift" -> 0,
+      // population + rank windows share one cell-keyed exchange;
+      // quantizer training runs at construction
+      "p_cluster_sample" -> 1,
       "t_winnow" -> 0, // hash/select/digest all in-row; only the output sort exchanges
       // winnowed inverted-index self-join: ~2.5x smaller index than the
       // full gram join; h-keyed join + pair aggregate
