@@ -162,7 +162,11 @@ object SparkEntry {
     "t_dupgram_cover" -> (TextQueries.dupGramCoverage _),
     "p_curation_funnel" -> (TextQueries.curationFunnel _),
     "s_embed_drift" -> (SimilarityQueries.labelDrift _),
-    "p_cluster_sample" -> (SimilarityQueries.clusterSample _)
+    "p_cluster_sample" -> (SimilarityQueries.clusterSample _),
+    "s_hard_negatives" -> (SimilarityQueries.hardNegatives _),
+    "d_split_leak" -> (TextQueries.splitLeak _),
+    "p_token_budget" -> (TextQueries.tokenBudgetSelect _),
+    "e_decay_sum" -> (AnalyticsQueries.decayedValueSums _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2352,7 +2356,82 @@ object SparkEntry {
           |tot AS (SELECT count(*) AS nn FROM e)
           |SELECT vec_id, cell, n_cell, rnk FROM r, tot
           |WHERE rnk <= ceil(100 * n_cell * 1.0 / nn)
-          |ORDER BY cell, rnk""".stripMargin
+          |ORDER BY cell, rnk""".stripMargin,
+      // Hard negatives: annTopK's scoring algebra plus the wrong-label
+      // restriction inside the candidate join (which also removes the
+      // query row itself: a row shares its own label).
+      "s_hard_negatives" ->
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT * FROM e WHERE vec_id < 10),
+          |sims AS (
+          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+          |         list_dot_product(q.v, e.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS c
+          |  FROM q JOIN e ON e.label <> q.label),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, neighbor_label, c,
+          |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rnk
+          |  FROM sims)
+          |SELECT query_id, rnk, neighbor_id, neighbor_label, round(c, 6) AS cos_sim
+          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      // d_minhash_lsh's exact-Jaccard pair contract, annotated with the
+      // p_split_assign bucket of each id and restricted to pairs that
+      // straddle a split boundary.
+      "d_split_leak" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          |nd AS (
+          |  SELECT id1, id2,
+          |         CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+          |  FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+          |sp AS (
+          |  SELECT doc_id,
+          |         CASE WHEN bucket < 80 THEN 'train'
+          |              WHEN bucket < 90 THEN 'val'
+          |              ELSE 'test' END AS split
+          |  FROM (
+          |    SELECT doc_id,
+          |           list_reduce(list_transform(range(1, 9),
+          |             i -> (strpos('0123456789abcdef',
+          |                          substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+          |             (a, b) -> a * 16 + b) % 100 AS bucket
+          |    FROM documents))
+          |SELECT id1, s1.split AS split1, id2, s2.split AS split2, jaccard
+          |FROM nd JOIN sp s1 ON s1.doc_id = id1 JOIN sp s2 ON s2.doc_id = id2
+          |WHERE s1.split <> s2.split
+          |ORDER BY id1, id2""".stripMargin,
+      // The single-window reference form of the two-pass bucket-offset
+      // selection: one global cumulative sum over (quality desc, doc_id).
+      "p_token_budget" ->
+        """WITH s AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+          |         round(CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / n_chars, 6) AS q
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, q, n_tokens,
+          |         CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          |  FROM s)
+          |SELECT doc_id, q, n_tokens, cum_tokens FROM c
+          |WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+      // Half-life-quantized decay: weights are exact powers of two, so
+      // value * weight is exact in DECIMAL and the sum order-free.
+      "e_decay_sum" ->
+        """WITH anch AS (SELECT max(epoch_ms(ts)) AS tmax FROM events)
+          |SELECT event_type,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,4)) *
+          |                CAST(power(0.5, least((tmax - epoch_ms(ts)) // 604800000, 10)) AS DECIMAL(14,10))) AS DOUBLE) AS decayed_sum,
+          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS raw_sum
+          |FROM events, anch GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

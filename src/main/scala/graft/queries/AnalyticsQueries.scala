@@ -1260,4 +1260,30 @@ object AnalyticsQueries {
         sum(col("bal")).cast(DoubleType).as("totacctbal"))
       .orderBy("c_mktsegment")
   }
+
+  /** Exponentially time-decayed value totals per event type — the
+    * recency-weighted engagement score behind freshness dashboards:
+    * sum(value * 0.5^k) with k = whole 7-day half-lives between the
+    * event and the corpus's newest timestamp. Decay quantizes to whole
+    * half-lives (capped at 10, where the residual weight is < 0.1%) so
+    * every weight is an exact power of two: DECIMAL(18,4) value times an
+    * exactly-representable DECIMAL(14,10) weight makes each contribution
+    * exact and the sum order-independent — no transcendental in the hot
+    * path, no cross-engine ulp risk. The anchor is one scalar max; the
+    * decayed sum is a single hash aggregate with map-side partials.
+    */
+  def decayedValueSums(spark: SparkSession, dir: String): DataFrame = {
+    // events.ts is epoch-nanos BIGINT after Tables.pq normalization —
+    // integer div to millis (double rounding diverges at boundaries)
+    val ev = pq(spark, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+    val tmax = ev.agg(max(col("ts_ms"))).head().getLong(0)
+    val k = least(floor((lit(tmax) - col("ts_ms")) / lit(604800000.0)), lit(10L))
+    val weight = pow(lit(0.5), k).cast(DecimalType(14, 10))
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec4(col("value")) * weight).cast(DoubleType).as("decayed_sum"),
+        sum(dec4(col("value"))).cast(DoubleType).as("raw_sum"))
+      .orderBy("event_type")
+  }
 }

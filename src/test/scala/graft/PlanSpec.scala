@@ -442,7 +442,17 @@ class PlanSpec extends SparkSuite {
       "t_winnow" -> 0, // hash/select/digest all in-row; only the output sort exchanges
       // winnowed inverted-index self-join: ~2.5x smaller index than the
       // full gram join; h-keyed join + pair aggregate
-      "d_winnow_overlap" -> 3)
+      "d_winnow_overlap" -> 3,
+      // the LSH pipeline's exchanges unchanged: split membership is
+      // column algebra of the pair ids, zero added joins
+      "d_split_leak" -> 3,
+      // one event_type aggregate; the decay anchor is a driver scalar
+      "e_decay_sum" -> 1,
+      // per-quality-bucket cumulative window (the histogram pass runs at
+      // construction); bucket offsets broadcast
+      "p_token_budget" -> 1,
+      // broadcast labeled-query scan + the query-window exchange
+      "s_hard_negatives" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))
