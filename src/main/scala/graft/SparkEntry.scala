@@ -166,7 +166,9 @@ object SparkEntry {
     "s_hard_negatives" -> (SimilarityQueries.hardNegatives _),
     "d_split_leak" -> (TextQueries.splitLeak _),
     "p_token_budget" -> (TextQueries.tokenBudgetSelect _),
-    "e_decay_sum" -> (AnalyticsQueries.decayedValueSums _)
+    "e_decay_sum" -> (AnalyticsQueries.decayedValueSums _),
+    "t_ppl_bucket" -> (TextQueries.pplBuckets _),
+    "p_doremi_weights" -> (TextQueries.doremiWeights _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2431,7 +2433,55 @@ object SparkEntry {
           |       CAST(sum(CAST(value AS DECIMAL(18,4)) *
           |                CAST(power(0.5, least((tmax - epoch_ms(ts)) // 604800000, 10)) AS DECIMAL(14,10))) AS DOUBLE) AS decayed_sum,
           |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS raw_sum
-          |FROM events, anch GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM events, anch GROUP BY 1 ORDER BY 1""".stripMargin,
+      // ntile(10) over the bigram-LM score (the Spark side assembles the
+      // same global rank from the bounded score histogram)
+      "t_ppl_bucket" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |b AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+          |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+          |v AS (SELECT count(DISTINCT tok) AS vsize
+          |      FROM (SELECT UNNEST(w) AS tok FROM toks)),
+          |s AS (SELECT doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v.vsize)) AS logp
+          |      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+          |sc AS (SELECT doc_id, round(avg(logp), 6) AS avg_logp FROM s GROUP BY 1),
+          |t AS (SELECT doc_id, avg_logp,
+          |             CAST(ntile(10) OVER (ORDER BY avg_logp, doc_id) AS INT) AS decile
+          |      FROM sc)
+          |SELECT decile, count(*) AS n_docs,
+          |       min(avg_logp) AS min_logp, max(avg_logp) AS max_logp,
+          |       round(CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_logp
+          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+      // per-source LM-score means -> excess vs corpus mean -> normalized
+      // weights; excess terms round to 12 dp and sum in DECIMAL so the
+      // normalizer is order-free
+      "p_doremi_weights" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |b AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+          |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+          |v AS (SELECT count(DISTINCT tok) AS vsize
+          |      FROM (SELECT UNNEST(w) AS tok FROM toks)),
+          |s AS (SELECT doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v.vsize)) AS logp
+          |      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+          |sc AS (SELECT doc_id, round(avg(logp), 6) AS avg_logp FROM s GROUP BY 1),
+          |per AS (SELECT d.source, count(*) AS n_docs,
+          |               sum(CAST(avg_logp AS DECIMAL(18,6))) AS sm
+          |        FROM sc JOIN documents d USING (doc_id) GROUP BY 1),
+          |tot AS (SELECT CAST(sum(sm) AS DOUBLE) / sum(n_docs) AS cmean FROM per),
+          |x AS (SELECT source, n_docs, CAST(sm AS DOUBLE) / n_docs AS smean,
+          |             CAST(round(greatest(cmean - CAST(sm AS DOUBLE) / n_docs, 0.000001), 12)
+          |                  AS DECIMAL(38,12)) AS exr
+          |      FROM per, tot),
+          |tx AS (SELECT sum(exr) AS tx FROM x)
+          |SELECT source, n_docs, round(smean, 6) AS mean_logp,
+          |       round(CAST(exr AS DOUBLE) / CAST(tx.tx AS DOUBLE), 6) AS weight
+          |FROM x, tx ORDER BY source""".stripMargin
     )
   }
 }

@@ -1363,6 +1363,96 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing: the corpus split into ntile(10)
+    * deciles of the bigram-LM score ([[ngramLm]]'s avg_logp, ties by
+    * doc_id), with per-decile population and score stats — the
+    * "head/middle/tail by LM perplexity" partition used to stage
+    * training data by quality. ntile needs a GLOBAL rank — a
+    * single-partition sort at any scale — so the rank is assembled the
+    * same way [[tokenBudgetSelect]]'s cumsum is: the 6-dp score grid
+    * bounds the distinct-score histogram (collected at construction,
+    * bounded rows at any corpus size), its prefix counts give each
+    * score value a global rank offset, and a PER-SCORE window supplies
+    * the within-value tie-break — parallel across score values, never
+    * global. The decile falls out of the rank in closed form (ntile's
+    * first n%10 buckets hold one extra row). Decile means go through
+    * exact DECIMAL sums (avg_logp is already 6-dp) so the stats are
+    * partition-order-free.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scores = ngramLm(spark, dir).select(col("doc_id"), col("avg_logp"))
+    val hist = scores.groupBy("avg_logp").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offs = hist.map { case (v, c) => val o = acc; acc += c; (v, o) }
+    val n = acc
+    val q = n / 10
+    val r = n % 10
+    val offsDf = offs.toSeq.toDF("avg_logp", "off")
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("avg_logp").orderBy("doc_id")
+    val ranked = scores.join(broadcast(offsDf), "avg_logp")
+      .withColumn("rnk", col("off") + row_number().over(wS))
+    // ntile(10): buckets 1..r hold q+1 rows, the rest q. With n < 10
+    // every bucket holds one row and the first branch covers all ranks
+    // (guarded in Scala: the q = 0 divisor never reaches the plan).
+    val decile =
+      if (q == 0L) col("rnk").cast(IntegerType)
+      else // integral DIV: no double-division misround at any rank
+        when(col("rnk") <= lit(r * (q + 1)),
+          expr(s"CAST(((rnk - 1) DIV ${q + 1}) + 1 AS INT)"))
+          .otherwise(expr(s"CAST($r + ((rnk - ${r * (q + 1)} - 1) DIV $q) + 1 AS INT)"))
+    ranked.withColumn("decile", decile)
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("avg_logp").as("min_logp"),
+        max("avg_logp").as("max_logp"),
+        round(sum(col("avg_logp").cast(DecimalType(18, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_logp"))
+      .orderBy("decile")
+  }
+
+  /** DoReMi-flavored domain reweighting from the corpus's own bigram
+    * LM: sources whose documents the LM finds hardest (mean avg_logp
+    * furthest BELOW the corpus mean) get proportionally more sampling
+    * weight — the deterministic one-shot cousin of DoReMi's
+    * excess-loss reweighting, with the bigram score standing in for
+    * reference-model loss. The per-source score table is
+    * domain-cardinality-scale, so after ONE corpus pass it collects and
+    * the weight algebra runs over a local 20-row frame (no second
+    * corpus scan for the corpus-mean or the normalizer). Excess terms
+    * round to 12 dp and sum in DECIMAL, so the normalizer is
+    * order-free; the 1e-6 floor keeps easier-than-average sources
+    * present (never zero weight) and the total strictly positive.
+    */
+  def doremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = ngramLm(spark, dir).select(col("doc_id"), col("avg_logp"))
+      .join(docs(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("avg_logp").cast(DecimalType(18, 6))).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .toSeq.toDF("source", "n_docs", "s")
+    val tot = per.agg(
+      (sum(col("s")).cast(DoubleType) / sum(col("n_docs"))).as("cmean"))
+    val x = per.crossJoin(broadcast(tot))
+      .withColumn("smean", col("s").cast(DoubleType) / col("n_docs"))
+      .withColumn("exr",
+        round(greatest(col("cmean") - col("smean"), lit(1e-6)), 12)
+          .cast(DecimalType(38, 12)))
+    val totx = x.agg(sum("exr").as("tx"))
+    x.crossJoin(broadcast(totx))
+      .select(col("source"), col("n_docs"),
+        round(col("smean"), 6).as("mean_logp"),
+        round(col("exr").cast(DoubleType) / col("tx").cast(DoubleType), 6).as("weight"))
+      .orderBy("source")
+  }
+
   /** Per-doc (doc_id, w1, w2) bigram rows with duplicates kept. */
   private def docBigrams(docsDf: DataFrame): DataFrame =
     docsDf

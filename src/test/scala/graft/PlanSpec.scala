@@ -257,9 +257,12 @@ class PlanSpec extends SparkSuite {
     // vocab-size scalar in t_ngram_lm
     // t_kl_drift: the corpus-total scalar (1-row sum) broadcast into the
     // vocab-scale contribution join — same class
+    // t_ppl_bucket: inherits t_ngram_lm's vocab-size scalar join
+    // p_doremi_weights: crosses two 1-row aggregates (corpus mean,
+    // weight normalizer) over the collected source-scale LocalRelation
     val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr",
       "t_ngram_lm", "t_lm_probe", "p_dsir_sample", "q11_value_stock", "q22_dormant",
-      "t_kl_drift", "t_bm25")
+      "t_kl_drift", "t_bm25", "t_ppl_bucket", "p_doremi_weights")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -452,7 +455,14 @@ class PlanSpec extends SparkSuite {
       // construction); bucket offsets broadcast
       "p_token_budget" -> 1,
       // broadcast labeled-query scan + the query-window exchange
-      "s_hard_negatives" -> 1)
+      "s_hard_negatives" -> 1,
+      // ngramLm's 6 count-then-join exchanges + the per-score tie-break
+      // window + the decile aggregate; the rank itself comes from the
+      // broadcast histogram offsets, never a global sort
+      "t_ppl_bucket" -> 8,
+      // weight algebra over a collected source-scale LocalRelation —
+      // the one corpus pass runs at construction
+      "p_doremi_weights" -> 0)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -648,4 +648,46 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.map(_._4).sum < rows.map(_._3).sum,
       "the language gate must cut something (corpus has non-en docs)")
   }
+
+  test("ppl deciles equal a single-window ntile over the LM scores") {
+    val scores = TextQueries.ngramLm(spark, sf)
+      .select($"doc_id", $"avg_logp").as[(Long, Double)].collect()
+    val n = scores.length
+    val ordered = scores.sortBy { case (id, s) => (s, id) }
+    // reference ntile(10): first n%10 buckets hold one extra row
+    val q = n / 10
+    val r = n % 10
+    val expect = ordered.zipWithIndex.map { case ((_, s), i) =>
+      val rnk = i + 1
+      val d = if (rnk <= r * (q + 1)) (rnk - 1) / (q + 1) + 1
+              else r + (rnk - r * (q + 1) - 1) / q + 1
+      (d, s)
+    }.groupBy(_._1).map { case (d, xs) =>
+      val vs = xs.map(_._2)
+      // mirror the query: exact decimal sum -> double division -> round 6
+      val mean = vs.map(v => BigDecimal(v).setScale(6)).sum.toDouble / vs.length
+      (d, vs.length.toLong, vs.min, vs.max,
+        BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = TextQueries.pplBuckets(spark, sf)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4)) ==
+      expect.map(e => (e._1, e._2, e._3, e._4)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 1e-9, s"decile ${g._1} mean: ${g._5} vs ${e._5}")
+    }
+    assert(got.map(_._2).sum == n, "every scored doc lands in exactly one decile")
+  }
+
+  test("doremi weights: normalized, floor-bounded, hardest source heaviest") {
+    val w = TextQueries.doremiWeights(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(w.length == 20)
+    assert(math.abs(w.map(_._4).sum - 1.0) < 1e-4, "weights must normalize")
+    assert(w.forall(_._4 > 0), "the 1e-6 floor keeps every source present")
+    // the source with the lowest mean score (hardest) gets the max weight
+    val hardest = w.minBy(r => (r._3, r._1))._1
+    val heaviest = w.maxBy(r => (r._4, r._1))._1
+    assert(hardest == heaviest, s"hardest $hardest should be heaviest, got $heaviest")
+  }
 }
