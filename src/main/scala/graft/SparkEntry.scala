@@ -168,7 +168,11 @@ object SparkEntry {
     "p_token_budget" -> (TextQueries.tokenBudgetSelect _),
     "e_decay_sum" -> (AnalyticsQueries.decayedValueSums _),
     "t_ppl_bucket" -> (TextQueries.pplBuckets _),
-    "p_doremi_weights" -> (TextQueries.doremiWeights _)
+    "p_doremi_weights" -> (TextQueries.doremiWeights _),
+    "d_substring_scrub" -> (TextQueries.substringScrub _),
+    "d_dedup_norm" -> (TextQueries.dedupNorm _),
+    "p_sample_weighted" -> (TextQueries.sampleWeighted _),
+    "t_diversity" -> (TextQueries.diversity _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2481,7 +2485,61 @@ object SparkEntry {
           |tx AS (SELECT sum(exr) AS tx FROM x)
           |SELECT source, n_docs, round(smean, 6) AS mean_logp,
           |       round(CAST(exr AS DOUBLE) / CAST(tx.tx AS DOUBLE), 6) AS weight
-          |FROM x, tx ORDER BY source""".stripMargin
+          |FROM x, tx ORDER BY source""".stripMargin,
+      // Duplicate-substring scrub: gram starts are 1-based here, 0-based
+      // in Spark — the rebuilt text is position-shift-invariant.
+      "d_substring_scrub" ->
+        """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+          |g AS (SELECT doc_id, i - 1 AS p,
+          |             array_to_string(list_slice(ts, CAST(i AS INT), CAST(i+4 AS INT)), ' ') AS g
+          |      FROM t, UNNEST(range(1, len(ts) - 3)) AS u(i)),
+          |d AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+          |cov AS (SELECT DISTINCT doc_id, p + j AS pos
+          |        FROM g JOIN d USING (g), UNNEST(range(0, 5)) AS u2(j)),
+          |tok AS (SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS tok
+          |        FROM t, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+          |s AS (SELECT tok.doc_id, string_agg(tok.tok, ' ' ORDER BY tok.pos) AS scrubbed
+          |      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+          |      WHERE cov.doc_id IS NULL GROUP BY tok.doc_id),
+          |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id)
+          |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+          |       COALESCE(c.n_removed, 0) AS n_removed,
+          |       COALESCE(s.scrubbed, '') AS scrubbed
+          |FROM t LEFT JOIN c USING (doc_id) LEFT JOIN s USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+      "d_dedup_norm" ->
+        """WITH n AS (SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(regexp_replace(
+          |    lower(text), '[0-9]', '0', 'g'), '[^a-z0 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          |  FROM documents)
+          |SELECT md5(norm) AS norm_fp, min(doc_id) AS keep_id,
+          |       CAST(count(*) AS BIGINT) AS n_copies
+          |FROM n GROUP BY norm ORDER BY keep_id""".stripMargin,
+      // Priority sampling: priority = n_chars / (h32+1) is one IEEE
+      // division — identical in any engine, so the draw replays exactly.
+      "p_sample_weighted" ->
+        """WITH h AS (
+          |  SELECT doc_id, source, n_chars,
+          |         CAST(n_chars AS DOUBLE) /
+          |         (list_reduce(list_transform(range(1, 9),
+          |            i -> (strpos('0123456789abcdef',
+          |                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT),
+          |            (a, b) -> a * 16 + b) + 1) AS priority
+          |  FROM documents),
+          |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM h)
+          |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source, n_chars,
+          |       round(priority, 6) AS priority
+          |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin,
+      "t_diversity" ->
+        """WITH t AS (SELECT source, string_split(trim(text), ' ') AS ts FROM documents),
+          |f AS (SELECT source, ts FROM t WHERE len(ts) >= 3),
+          |g AS (SELECT source,
+          |             array_to_string(list_slice(ts, CAST(i AS INT), CAST(i+2 AS INT)), ' ') AS g
+          |      FROM f, UNNEST(range(1, len(ts) - 1)) AS u(i))
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+          |       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+          |       round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio
+          |FROM g GROUP BY source ORDER BY source""".stripMargin
     )
   }
 }

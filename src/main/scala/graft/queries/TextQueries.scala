@@ -2498,4 +2498,134 @@ object TextQueries {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("id1", "id2")
   }
+
+  /** Duplicate-substring scrub — the span-REMOVAL half of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): instead of dropping whole
+    * documents, cut every token span that appears verbatim elsewhere in
+    * the corpus and keep the rest. Granularity here is word-5-grams (the
+    * paper uses 50-BPE-token runs via a suffix array; the distributed
+    * equivalent is gram-multiplicity counting — e.g. Dolma's paragraph
+    * dedup uses the same count-then-mark shape): a 5-gram occurring at
+    * >= 2 positions corpus-wide (cross-doc OR repeated within one doc)
+    * marks all 5 of its token positions for removal, and the document
+    * is rebuilt from the surviving positions.
+    *
+    * Scale shape: positional grams build in-row (one scan); corpus-wide
+    * multiplicity is a hash aggregate over the gram key with map-side
+    * partials — NOT a window over `g`, which would shuffle the full
+    * positional table into per-gram partitions and put a billion-row
+    * boilerplate gram ("all rights reserved ...") in ONE task; the
+    * aggregate's partials absorb exactly that skew. The surviving dup
+    * set is output-scale (bounded by the corpus duplication rate), so
+    * the mark join is narrow, and AQE turns it into a broadcast when
+    * the dup set is small. Rebuild is per-row array algebra: covered
+    * positions collect per doc (arrays bounded by doc length), and an
+    * indexed `filter` HOF drops them — no per-token shuffle.
+    */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"), wsTokens(col("text")).as("ts"))
+    val grams = toks
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
+          .as(Seq("p", "g")))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("ct"))
+      .filter(col("ct") >= 2).select("g")
+    val covered = grams.join(dup, "g")
+      .select(col("doc_id"), explode(expr("sequence(p, p + 4)")).as("pos"))
+      .groupBy("doc_id")
+      .agg(collect_set("pos").as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ts")).cast(LongType).as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast(LongType).as("n_removed"),
+        concat_ws(" ", expr(
+          "filter(ts, (t, i) -> cov IS NULL OR NOT array_contains(cov, i))"))
+          .as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** Aggressive normalization for near-exact dedup (the CCNet / ExactSubstr
+    * preprocessing convention): lowercase, mask every digit to `0`, map
+    * everything outside `[a-z0 ]` to space, collapse runs of spaces.
+    * Catches the duplicate class [[fingerprint]]'s whitespace+case
+    * normalization misses — reformatted punctuation, edition numbers,
+    * timestamps — while staying pure per-row column algebra.
+    */
+  def normAggressive(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(text), "[0-9]", "0"), "[^a-z0 ]", " "), " +", " "))
+
+  /** Survivor selection under [[normAggressive]] — same min-id rule and
+    * single hash aggregate as [[dedupKeep]] (map-side partials; the one
+    * exchange carries (fp, keep-partial, count-partial), never text).
+    */
+  def dedupNorm(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(normAggressive(col("text")).cast(BinaryType)).as("norm_fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Deterministic weighted sampling without replacement — priority
+    * sampling (Duffield, Lund & Thorup 2007): each doc draws a
+    * reproducible uniform from its id hash and gets priority
+    * weight / uniform; the k largest priorities are the sample, giving
+    * inclusion probability proportional to weight (here `n_chars` —
+    * longer docs carry more training tokens). The textbook
+    * Efraimidis–Spirakis key u^(1/w) needs transcendentals whose last
+    * ulp differs across engines; priority's single IEEE division is
+    * correctly rounded everywhere, so any engine replays the identical
+    * sample — the property that makes the draw auditable.
+    *
+    * Scale shape: the priority is scan-side column algebra and the
+    * selection is the bounded [[graft.functions.TopKAggregator]]
+    * (k-sized partials merged map-side) — the exchange carries k rows
+    * per map partition regardless of corpus size, where a global
+    * row_number window would sort the whole corpus into one partition.
+    * The 25-row winner set broadcasts back against the corpus scan to
+    * recover its attributes.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator(25))
+    // 32-bit md5 prefix as in [[quotaSample]]: exact in Double, same in SQL
+    val h32 = conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType)
+    val d = docs(spark, dir)
+    val winners = d
+      .select(col("doc_id"),
+        (col("n_chars").cast(DoubleType) / (h32 + lit(1L)).cast(DoubleType)).as("priority"))
+      .groupBy()
+      .agg(topk(col("priority"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "p")))
+      .select((col("pos") + 1).cast(LongType).as("rnk"),
+        col("p._2").as("doc_id"), col("p._1").as("priority"))
+    d.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(winners), "doc_id")
+      .select(col("rnk"), col("doc_id"), col("source"), col("n_chars"),
+        round(col("priority"), 6).as("priority"))
+      .orderBy("rnk")
+  }
+
+  /** Corpus diversity per source: positional 3-gram type/token ratio
+    * (the distinct-n family of diversity metrics) — low ratios flag
+    * template farms and machine-generated spam whose per-doc signals
+    * ([[repetitionRatio]]) look clean because the repetition is ACROSS
+    * documents. countDistinct expands to the standard two-phase
+    * aggregate — dedup keyed (source, gram) with map-side partials,
+    * then a source-keyed count — so the wide positional gram stream
+    * collapses before the second exchange.
+    */
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), wsTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', slice(ts, i, 3)))")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"), countDistinct("g").as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast(DoubleType) / col("n_grams"), 6))
+      .orderBy("source")
 }

@@ -1,0 +1,109 @@
+package graft
+
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-8 curation additions: duplicate-substring scrub,
+  * aggressive-normalization dedup, priority-weighted sampling, and the
+  * per-source distinct-n diversity metric.
+  */
+class ScrubSamplingSpec extends SparkSuite {
+  import spark.implicits._
+  private val sf = SparkSuite.sf0001
+
+  /** Crafted corpus: docs 1/2 share a verbatim 7-token run (every one of
+    * its 5-grams duplicates), doc 3 repeats a 5-gram within itself, doc 4
+    * is all-unique, doc 5 is shorter than one gram.
+    */
+  private lazy val craftedDir: String = {
+    val d = tmpDir("scrub-docs")
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    Seq(
+      (1L, s"intro one $shared tail one", "en", "src0"),
+      (2L, s"other words here $shared closing remark", "en", "src1"),
+      (3L, "p q r s t u p q r s t u", "en", "src0"),
+      (4L, "completely unique tokens never repeated anywhere honestly", "en", "src1"),
+      (5L, "tiny doc here", "en", "src0"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("substring scrub removes shared spans, keeps unique text verbatim") {
+    val out = TextQueries.substringScrub(spark, craftedDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+    // docs 1 and 2: exactly the 7 shared-run positions are covered (the
+    // run's three 5-grams all occur in both docs), the framing survives
+    assert(out(1L) == ((11L, 7L, "intro one tail one")))
+    assert(out(2L) == ((12L, 7L, "other words here closing remark")))
+    // doc 3: within-doc repetition — every 5-gram of the repeated block
+    // occurs twice, so the whole doc is scrubbed away
+    assert(out(3L)._2 == 12L && out(3L)._3 == "")
+    // doc 4: nothing shared, nothing removed
+    assert(out(4L) == ((7L, 0L, "completely unique tokens never repeated anywhere honestly")))
+    // doc 5: below gram width, passes through whole
+    assert(out(5L) == ((3L, 0L, "tiny doc here")))
+  }
+
+  test("substring scrub conserves tokens: kept + removed = total (sf0.001)") {
+    val bad = TextQueries.substringScrub(spark, sf)
+      .select(col("n_tokens"), col("n_removed"),
+        when(col("scrubbed") === "", lit(0))
+          .otherwise(size(split(col("scrubbed"), " "))).as("n_kept"))
+      .filter(col("n_kept") + col("n_removed") =!= col("n_tokens"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("aggressive-norm dedup collapses punctuation/case/digit variants") {
+    val d = tmpDir("norm-docs")
+    Seq(
+      (1L, "Hello, World! Edition 3 (2024)"),
+      (2L, "hello world edition 7 2019"),   // digits masked, punct stripped
+      (3L, "HELLO   world — edition 5, 2021."),
+      (4L, "a genuinely different document"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextQueries.dedupNorm(spark, d)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == Set((1L, 3L), (4L, 1L)))
+  }
+
+  test("norm dedup partitions the corpus: copies sum to corpus size") {
+    val total = TextQueries.dedupNorm(spark, sf)
+      .agg(sum("n_copies")).as[Long].head()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == n)
+  }
+
+  test("priority sample is deterministic, ranked, and length-biased") {
+    val a = TextQueries.sampleWeighted(spark, sf).collect()
+    val b = TextQueries.sampleWeighted(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "hash-derived draw must replay exactly")
+    assert(a.length == 25)
+    val pr = a.map(_.getDouble(4))
+    assert(pr.zip(pr.tail).forall { case (x, y) => x >= y }, "rank = priority desc")
+    // inclusion probability is proportional to n_chars, so the sample
+    // mean must sit above the corpus mean (deterministic given the data)
+    val sampleMean = a.map(_.getLong(3)).sum.toDouble / a.length
+    val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(avg("n_chars")).as[Double].head()
+    assert(sampleMean > corpusMean,
+      s"weighted draw should favor long docs: $sampleMean vs $corpusMean")
+  }
+
+  test("diversity ratios are in (0, 1] and cover every source") {
+    val rows = TextQueries.diversity(spark, sf).collect()
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      val ratio = r.getDouble(3)
+      assert(ratio > 0.0 && ratio <= 1.0, r.toString)
+      assert(r.getLong(2) <= r.getLong(1), r.toString)
+    }
+  }
+}
