@@ -172,7 +172,9 @@ object SparkEntry {
     "d_substring_scrub" -> (TextQueries.substringScrub _),
     "d_dedup_norm" -> (TextQueries.dedupNorm _),
     "p_sample_weighted" -> (TextQueries.sampleWeighted _),
-    "t_diversity" -> (TextQueries.diversity _)
+    "t_diversity" -> (TextQueries.diversity _),
+    "t_lang_confusion" -> (TextQueries.langConfusion _),
+    "t_bpe_encode" -> (TextQueries.bpeEncodeCorpus _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2539,7 +2541,29 @@ object SparkEntry {
           |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
           |       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
           |       round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio
-          |FROM g GROUP BY source ORDER BY source""".stripMargin
+          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+      // Lang-ID confusion matrix: replays langId's marker argmax
+      // (t_bpe_encode has NO oracle by design — the BPE merge list is an
+      // iterative data-dependent argmax no single SQL query expresses;
+      // rows-only gate + ScrubSamplingSpec semantics)
+      "t_lang_confusion" ->
+        """WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ts FROM documents),
+          |s AS (SELECT lang,
+          |             len(list_filter(ts, x -> x IN ('the','and','of','is'))) AS c_en,
+          |             len(list_filter(ts, x -> x IN ('der','und','die','ist'))) AS c_de,
+          |             len(list_filter(ts, x -> x IN ('le','et','les','est'))) AS c_fr,
+          |             len(list_filter(ts, x -> x IN ('el','y','los','es'))) AS c_es
+          |      FROM t),
+          |p AS (SELECT lang,
+          |        CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+          |             WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+          |             WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
+          |      FROM s),
+          |c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+          |      FROM p GROUP BY 1, 2)
+          |SELECT lang, pred_lang, n_docs,
+          |       round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 6) AS share
+          |FROM c ORDER BY lang, pred_lang""".stripMargin
     )
   }
 }

@@ -812,7 +812,11 @@ object TextQueries {
   /** N-gram-heuristic language ID: marker-word counts per language,
     * argmax with fixed priority (en > de > fr > es).
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdCore(spark, dir).orderBy("doc_id")
+
+  /** Unsorted core of [[langId]] — [[langConfusion]] aggregates it. */
+  private def langIdCore(spark: SparkSession, dir: String): DataFrame = {
     val w = wsTokens(col("text"))
     val markers = Map(
       "en" -> Seq("the", "and", "of", "is"),
@@ -830,7 +834,23 @@ object TextQueries {
           .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
           .when(col("c_fr") >= col("c_es"), "fr")
           .otherwise("es"))
-      .orderBy("doc_id")
+  }
+
+  /** Language-ID confusion matrix — the QA report behind [[langId]]:
+    * (labeled, predicted) doc counts plus each cell's share of its
+    * labeled language. The report any curation run publishes before
+    * trusting a language filter to route 100 TB. Scan-side marker
+    * counts, then one (lang, pred) aggregate with map-side partials and
+    * a tiny label-keyed window for the row shares — cells are at most
+    * |langs|^2 rows regardless of corpus size.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    langIdCore(spark, dir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round(col("n_docs").cast(DoubleType) / sum("n_docs").over(w), 6))
+      .orderBy("lang", "pred_lang")
   }
 
   /** TF-IDF relevance: top-5 terms per document.
@@ -2628,4 +2648,43 @@ object TextQueries {
       .withColumn("distinct_ratio",
         round(col("n_distinct").cast(DoubleType) / col("n_grams"), 6))
       .orderBy("source")
+
+  /** Corpus-scale tokenizer APPLICATION — the per-doc BPE token count
+    * and fertility (subtokens per word) that budget planning
+    * ([[tokenBudgetSelectImpl]]) and cost models actually need, where
+    * [[graft.operators.BpeTrainer]] covers training. The scale trick is
+    * the word-level cache every real tokenizer uses (HF tokenizers'
+    * word cache, SentencePiece's trie): the merge loop runs ONCE PER
+    * DISTINCT WORD (vocabulary scale, Heaps' law — millions of rows at
+    * 100 TB), never per occurrence; the corpus-scale work is then a
+    * word-keyed count join + one doc-keyed aggregate. The encode UDF is
+    * deliberately confined to that vocab-scale frame — at billions of
+    * occurrences a per-token UDF would dominate the job.
+    *
+    * No DuckDB oracle: the learned merge list is the fixed point of an
+    * iterative data-dependent argmax (not expressible in one SQL
+    * query), so this query carries the weaker rows-only gate and its
+    * semantics are spec-gated instead: encode/training-segmentation
+    * agreement, subtoken concatenation identity, and the word-cache
+    * path equaling the direct per-doc encode (ScrubSamplingSpec).
+    */
+  def bpeEncodeCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = graft.operators.BpeTrainer
+      .train(d, "text", nMerges = 30, minFreq = 2L).sortBy(_.rank)
+    val bc = spark.sparkContext.broadcast(merges)
+    val nSub = udf((w: String) => graft.operators.BpeTrainer.encode(w, bc.value).size)
+    val words = d
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = words.select("w").distinct().withColumn("n_sub", nSub(col("w")))
+    words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_sub")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast(DoubleType) / col("n_words"), 6))
+      .orderBy("doc_id")
+  }
 }

@@ -95,6 +95,41 @@ class ScrubSamplingSpec extends SparkSuite {
       s"weighted draw should favor long docs: $sampleMean vs $corpusMean")
   }
 
+  test("bpe encode: concat identity, bounds, and word-cache parity") {
+    import graft.operators.BpeTrainer
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = BpeTrainer.train(d, "text", nMerges = 30, minFreq = 2L).sortBy(_.rank)
+    assert(merges.nonEmpty)
+    // subtokens concatenate back to the word, for every distinct word
+    val vocab = d.select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().as[String].collect()
+    vocab.foreach { w =>
+      val enc = BpeTrainer.encode(w, merges)
+      assert(enc.mkString("") == w, s"round-trip failed for '$w'")
+    }
+    // the distributed word-cache path equals a direct per-doc encode
+    val got = TextQueries.bpeEncodeCorpus(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = d.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val ws = t.trim.split(" ").filter(_.nonEmpty)
+        id -> (ws.length.toLong, ws.map(w => BpeTrainer.encode(w, merges).size.toLong).sum)
+      }.toMap
+    assert(got == direct)
+    // bounds: one token per word minimum, one per char maximum
+    got.values.foreach { case (nw, nb) => assert(nb >= nw && nb <= nw * 64) }
+  }
+
+  test("lang confusion cells sum to the corpus and shares to 1 per label") {
+    val rows = TextQueries.langConfusion(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == n)
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val share = cells.map(_.getDouble(3)).sum
+      assert(math.abs(share - 1.0) < 1e-4, s"$lang shares sum to $share")
+    }
+  }
+
   test("diversity ratios are in (0, 1] and cover every source") {
     val rows = TextQueries.diversity(spark, sf).collect()
     val nSources = spark.read.parquet(s"$sf/documents.parquet")
