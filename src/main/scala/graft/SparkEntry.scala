@@ -174,7 +174,8 @@ object SparkEntry {
     "p_sample_weighted" -> (TextQueries.sampleWeighted _),
     "t_diversity" -> (TextQueries.diversity _),
     "t_lang_confusion" -> (TextQueries.langConfusion _),
-    "t_bpe_encode" -> (TextQueries.bpeEncodeCorpus _)
+    "t_bpe_encode" -> (TextQueries.bpeEncodeCorpus _),
+    "s_embed_outliers" -> (SimilarityQueries.embedOutliers _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2563,7 +2564,26 @@ object SparkEntry {
           |      FROM p GROUP BY 1, 2)
           |SELECT lang, pred_lang, n_docs,
           |       round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 6) AS share
-          |FROM c ORDER BY lang, pred_lang""".stripMargin
+          |FROM c ORDER BY lang, pred_lang""".stripMargin,
+      // Embedding outliers: exact integer centroid arithmetic on the
+      // 2^20 grid; ranking on the shared IEEE double image of dd.
+      "s_embed_outliers" ->
+        """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i - 1 AS i,
+          |                  CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576.0)
+          |                       AS BIGINT) AS qv
+          |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+          |s AS (SELECT label, i, sum(qv) AS sv, count(*) AS n FROM q GROUP BY 1, 2),
+          |d AS (SELECT q.vec_id, q.label,
+          |             sum(CAST(q.qv * s.n - s.sv AS DECIMAL(38,0)) *
+          |                 CAST(q.qv * s.n - s.sv AS DECIMAL(38,0))) AS dd,
+          |             max(s.n) AS n
+          |      FROM q JOIN s USING (label, i) GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (
+          |        PARTITION BY label ORDER BY CAST(dd AS DOUBLE) DESC, vec_id) AS rnk
+          |      FROM d)
+          |SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id,
+          |       round(sqrt(CAST(dd AS DOUBLE)) / (n * 1048576.0), 6) AS dist
+          |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin
     )
   }
 }

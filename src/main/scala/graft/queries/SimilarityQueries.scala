@@ -1024,4 +1024,51 @@ object SimilarityQueries {
         col("neighbor_label"), round(col("c"), 6).as("cos_sim"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Embedding outlier report: the 5 vectors farthest from their
+    * label's centroid, per label — the cheapest detector for corrupt
+    * encodes, mislabeled shards, and poisoned inserts before they sway
+    * a semantic-dedup or ANN pass. All ranking arithmetic is EXACT:
+    * distances scale by n_label^2 so the centroid never becomes a
+    * lossy double — per dim, d_i = q_i*n - S_i is an exact long on the
+    * 2^20 grid (the [[labelDrift]] contract) and sum(d_i^2) an exact
+    * DECIMAL(38,0), so both engines rank identically; floats appear
+    * only in the displayed distance. Magnitude budget: |d_i| <=
+    * 2*2^20*n_label keeps the decimal sum under 38 digits through
+    * n_label ~ 10^12 — past that a deployment degrades d_i to double
+    * AFTER the exact integer centroid, keeping determinism where it
+    * matters.
+    *
+    * Scale shape: one narrow (label, dim) aggregate (map-side partials)
+    * broadcasts back (labels x 64 rows), one vec-keyed aggregate forms
+    * the distances, and the per-label top-5 runs as the bounded
+    * [[graft.functions.TopKAggregator]] — never a row_number window
+    * that would sort the corpus into |labels| skewed partitions.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0) as bigint))"))
+          .as(Seq("i", "qv")))
+    val sums = q.groupBy("label", "i")
+      .agg(sum("qv").as("sv"), count(lit(1)).as("n"))
+    val diff = (col("qv") * col("n") - col("sv")).cast(DecimalType(38, 0))
+    val dists = q.join(broadcast(sums), Seq("label", "i"))
+      .groupBy("vec_id", "label")
+      .agg(sum(diff * diff).as("dd"), max("n").as("n"))
+    val topk = udaf(graft.functions.TopKAggregator(5))
+    dists
+      // rank on the IEEE double image of the exact decimal — the same
+      // deterministic cast the oracle orders by
+      .groupBy("label")
+      .agg(topk(col("dd").cast(DoubleType), col("vec_id")).as("top"),
+        max("n").as("n"))
+      .select(col("label"), col("n"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("label"), (col("pos") + 1).cast(LongType).as("rnk"),
+        col("p._2").as("vec_id"),
+        round(sqrt(col("p._1")) / (col("n") * lit(1048576.0)), 6).as("dist"))
+      .orderBy("label", "rnk")
+  }
 }

@@ -130,6 +130,27 @@ class ScrubSamplingSpec extends SparkSuite {
     }
   }
 
+  test("embed outliers: a planted far vector ranks first in its label") {
+    import graft.queries.SimilarityQueries
+    val d = tmpDir("outlier-emb")
+    val base = Array.tabulate(64)(i => 0.1f * ((i % 5) + 1))
+    val rows = (0 until 200).map { i =>
+      val v =
+        if (i == 77) Array.fill(64)(0.95f)            // the planted outlier
+        else base.map(x => x + 0.001f * (i % 7))      // a tight cluster
+      (i.toLong, v, i % 2)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SimilarityQueries.embedOutliers(spark, d).collect()
+    assert(out.length == 10, "5 per label x 2 labels")
+    val top1 = out.filter(r => r.getLong(0) == 1L && r.getLong(1) == 1L).head
+    assert(top1.getLong(2) == 77L, s"planted outlier should rank first: $top1")
+    out.foreach(r => assert(r.getDouble(3) >= 0.0))
+    // determinism: identical on re-run (exact integer ranking)
+    assert(SimilarityQueries.embedOutliers(spark, d).collect().toSeq == out.toSeq)
+  }
+
   test("diversity ratios are in (0, 1] and cover every source") {
     val rows = TextQueries.diversity(spark, sf).collect()
     val nSources = spark.read.parquet(s"$sf/documents.parquet")
