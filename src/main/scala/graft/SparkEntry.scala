@@ -175,7 +175,8 @@ object SparkEntry {
     "t_diversity" -> (TextQueries.diversity _),
     "t_lang_confusion" -> (TextQueries.langConfusion _),
     "t_bpe_encode" -> (TextQueries.bpeEncodeCorpus _),
-    "s_embed_outliers" -> (SimilarityQueries.embedOutliers _)
+    "s_embed_outliers" -> (SimilarityQueries.embedOutliers _),
+    "d_scrub_incremental" -> (TextQueries.scrubIncremental _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2583,7 +2584,36 @@ object SparkEntry {
           |      FROM d)
           |SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id,
           |       round(sqrt(CAST(dd AS DOUBLE)) / (n * 1048576.0), 6) AS dist
-          |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin
+          |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin,
+      // Incremental scrub: src12 is the batch, the rest the indexed
+      // corpus; a batch gram is cut when batch + corpus multiplicity >= 2.
+      "d_scrub_incremental" ->
+        """WITH b AS (SELECT doc_id, string_split(trim(text), ' ') AS ts
+          |           FROM documents WHERE source = 'src12'),
+          |co AS (SELECT string_split(trim(text), ' ') AS ts
+          |       FROM documents WHERE source <> 'src12'),
+          |cg AS (SELECT array_to_string(list_slice(ts, CAST(i AS INT), CAST(i+4 AS INT)), ' ') AS g
+          |       FROM co, UNNEST(range(1, len(ts) - 3)) AS u(i)),
+          |ci AS (SELECT g, count(*) AS ct FROM cg GROUP BY g),
+          |bg AS (SELECT doc_id, i - 1 AS p,
+          |             array_to_string(list_slice(ts, CAST(i AS INT), CAST(i+4 AS INT)), ' ') AS g
+          |       FROM b, UNNEST(range(1, len(ts) - 3)) AS u(i)),
+          |bc AS (SELECT g, count(*) AS bct FROM bg GROUP BY g),
+          |dup AS (SELECT bc.g FROM bc LEFT JOIN ci USING (g)
+          |        WHERE bc.bct + COALESCE(ci.ct, 0) >= 2),
+          |cov AS (SELECT DISTINCT doc_id, p + j AS pos
+          |        FROM bg JOIN dup USING (g), UNNEST(range(0, 5)) AS u2(j)),
+          |tok AS (SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS tok
+          |        FROM b, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+          |s AS (SELECT tok.doc_id, string_agg(tok.tok, ' ' ORDER BY tok.pos) AS scrubbed
+          |      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+          |      WHERE cov.doc_id IS NULL GROUP BY tok.doc_id),
+          |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id)
+          |SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens,
+          |       COALESCE(c.n_removed, 0) AS n_removed,
+          |       COALESCE(s.scrubbed, '') AS scrubbed
+          |FROM b LEFT JOIN c USING (doc_id) LEFT JOIN s USING (doc_id)
+          |ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -25,7 +25,7 @@ import java.time.temporal.ChronoUnit
   *                  [--slice ...] [--gzip] [--topic <name>]
   *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
-  *   build-index --kind neardup|chunk|drift|winnow --in <documents parquet>
+  *   build-index --kind neardup|chunk|drift|winnow|scrub --in <documents parquet>
   *               --out <dir>
   *
   * Every command also accepts `--config <file>`: a HOCON config file
@@ -357,7 +357,7 @@ object Main {
   private[cli] def buildIndexCmd(
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.TextQueries
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub is required"))
     val in = o.getOrElse("in", die("--in <documents parquet> is required"))
     val out = o.getOrElse("out", die("--out <dir> is required"))
     val corpus = spark.read.parquet(in)
@@ -366,8 +366,9 @@ object Main {
       case "chunk" => TextQueries.buildChunkIndex(corpus).save(out)
       case "drift" => TextQueries.buildTermDistribution(corpus).save(out)
       case "winnow" => TextQueries.buildWinnowIndex(corpus).save(out)
+      case "scrub" => TextQueries.buildScrubIndex(corpus).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow)")
+        "(expected neardup|chunk|drift|winnow|scrub)")
     }
     (kind, out, corpus.count())
   }

@@ -2544,19 +2544,36 @@ object TextQueries {
     * indexed `filter` HOF drops them — no per-token shuffle.
     */
   def substringScrub(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir).select(col("doc_id"), wsTokens(col("text")).as("ts"))
-    val grams = toks
+    val toks = tokArrays(docs(spark, dir))
+    val grams = positionalGrams5(toks)
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("ct"))
+      .filter(col("ct") >= 2).select("g")
+    rebuildScrubbed(toks, coveredPositions(grams, dup)).orderBy("doc_id")
+  }
+
+  private def tokArrays(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), wsTokens(col("text")).as("ts"))
+
+  /** Positional word-5-grams: (doc_id, 0-based start position, gram). */
+  private def positionalGrams5(toks: DataFrame): DataFrame =
+    toks
       .filter(size(col("ts")) >= 5)
       .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
           .as(Seq("p", "g")))
-    val dup = grams.groupBy("g").agg(count(lit(1)).as("ct"))
-      .filter(col("ct") >= 2).select("g")
-    val covered = grams.join(dup, "g")
+
+  /** Token positions covered by any gram in `dup`: per-doc position
+    * sets (arrays bounded by doc length, never shuffled per-token). */
+  private def coveredPositions(grams: DataFrame, dup: DataFrame): DataFrame =
+    grams.join(dup, "g")
       .select(col("doc_id"), explode(expr("sequence(p, p + 4)")).as("pos"))
       .groupBy("doc_id")
       .agg(collect_set("pos").as("cov"))
+
+  /** Rebuild each doc from the positions NOT in its cover set — per-row
+    * array algebra via the indexed `filter` HOF. */
+  private def rebuildScrubbed(toks: DataFrame, covered: DataFrame): DataFrame =
     toks.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("ts")).cast(LongType).as("n_tokens"),
@@ -2564,6 +2581,54 @@ object TextQueries {
         concat_ws(" ", expr(
           "filter(ts, (t, i) -> cov IS NULL OR NOT array_contains(cov, i))"))
           .as("scrubbed"))
+
+  /** Corpus duplicate-gram reference for INCREMENTAL scrubbing — the
+    * gram-count table of [[substringScrub]]'s mark phase as a durable
+    * artifact (same lifecycle as [[NearDupIndex]]: nightly rebuild,
+    * probe at ingest, [[IndexArtifact]] layout, CLI `build-index
+    * --kind scrub`). */
+  final case class ScrubIndex(counts: DataFrame) {
+    def persist(): ScrubIndex = { counts.persist(); this }
+    def unpersist(): Unit = counts.unpersist()
+    def save(path: String): Unit =
+      IndexArtifact.save(path, Map("counts" -> counts))
+  }
+
+  object ScrubIndex {
+    def load(spark: SparkSession, path: String): ScrubIndex =
+      ScrubIndex(IndexArtifact.frame(spark, path, "counts"))
+  }
+
+  def buildScrubIndex(corpus: DataFrame): ScrubIndex =
+    ScrubIndex(positionalGrams5(tokArrays(corpus))
+      .groupBy("g").agg(count(lit(1)).as("ct")))
+
+  /** Scrub an incoming batch against a corpus [[ScrubIndex]]: a batch
+    * gram is cut when its batch multiplicity plus its corpus count
+    * reaches 2 — duplicated against the corpus OR within the batch
+    * itself, the same rule [[substringScrub]] applies globally. The
+    * 100 TB shape: nothing corpus-scale recomputes at ingest — the
+    * batch's distinct grams (small) probe the index by key, and all
+    * position machinery stays batch-scale.
+    */
+  def probeScrub(batch: DataFrame, index: ScrubIndex): DataFrame = {
+    val toks = tokArrays(batch)
+    val grams = positionalGrams5(toks)
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("bct"))
+      .join(index.counts, Seq("g"), "left")
+      .filter(col("bct") + coalesce(col("ct"), lit(0L)) >= 2)
+      .select("g")
+    rebuildScrubbed(toks, coveredPositions(grams, dup))
+  }
+
+  /** Incremental scrub as a gate query — `src12` plays the incoming
+    * batch, every other source the indexed corpus (the
+    * [[dedupIncremental]] fixture convention). */
+  def scrubIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    probeScrub(
+      d.filter(col("source") === "src12"),
+      buildScrubIndex(d.filter(col("source") =!= "src12")))
       .orderBy("doc_id")
   }
 

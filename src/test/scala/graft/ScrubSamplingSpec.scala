@@ -130,6 +130,40 @@ class ScrubSamplingSpec extends SparkSuite {
     }
   }
 
+  test("incremental scrub vs empty corpus reduces to the global scrub of the batch") {
+    import org.apache.spark.sql.{types => T}
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = d.filter(col("source") === "src12")
+    // batch-only dir so the global operator sees exactly the batch
+    val bDir = tmpDir("scrub-batch")
+    batch.write.mode("overwrite").parquet(s"$bDir/documents.parquet")
+    // empty corpus -> dup rule degenerates to batch-internal multiplicity
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      T.StructType(batch.schema.fields))
+    val viaProbe = TextQueries.probeScrub(batch, TextQueries.buildScrubIndex(empty))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val global = TextQueries.substringScrub(spark, bDir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaProbe == global)
+  }
+
+  test("incremental scrub marks corpus-shared grams a batch-only view misses") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = d.filter(col("source") === "src12")
+    val corpus = d.filter(col("source") =!= "src12")
+    val incr = TextQueries.probeScrub(batch, TextQueries.buildScrubIndex(corpus))
+      .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().toMap
+    val solo = TextQueries.probeScrub(batch,
+      TextQueries.ScrubIndex(TextQueries.buildScrubIndex(corpus).counts.limit(0)))
+      .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().toMap
+    // against the corpus the cover can only grow, and on the planted
+    // near-dup fixtures it must strictly grow somewhere
+    assert(incr.keySet == solo.keySet)
+    assert(incr.forall { case (id, n) => n >= solo(id) })
+    assert(incr.values.sum > solo.values.sum)
+  }
+
   test("embed outliers: a planted far vector ranks first in its label") {
     import graft.queries.SimilarityQueries
     val d = tmpDir("outlier-emb")

@@ -81,6 +81,19 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(fp.nonEmpty && fpCli == fp)
   }
 
+  test("build-index scrub: probe against the CLI artifact matches a fresh build") {
+    val out = tmpDir("cli-scrub-index")
+    corpus.write.mode("overwrite").parquet(s"$out-corpus")
+    Main.buildIndexCmd(spark,
+      Map("kind" -> "scrub", "in" -> s"$out-corpus", "out" -> out))
+    val loaded = TextQueries.ScrubIndex.load(spark, out)
+    val fresh = TextQueries.probeScrub(batch, TextQueries.buildScrubIndex(corpus))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val viaCli = TextQueries.probeScrub(batch, loaded)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(fresh.nonEmpty && viaCli == fresh)
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
