@@ -462,7 +462,27 @@ class PlanSpec extends SparkSuite {
       "t_ppl_bucket" -> 8,
       // weight algebra over a collected source-scale LocalRelation —
       // the one corpus pass runs at construction
-      "p_doremi_weights" -> 0)
+      "p_doremi_weights" -> 0,
+      // gram multiplicity agg (partials absorb boilerplate-gram skew)
+      // + per-doc cover collect_set; the mark join broadcasts
+      "d_substring_scrub" -> 2,
+      // + the corpus index aggregate on the probe path
+      "d_scrub_incremental" -> 3,
+      // one hash aggregate, same shape as d_dedup_keep
+      "d_dedup_norm" -> 1,
+      // bounded global top-k: single-partition exchange only, never a
+      // hashpartitioning of the corpus
+      "p_sample_weighted" -> 0,
+      // (label, dim) centroid sums + vec-keyed distance agg + label
+      // top-k aggregate; the sums rejoin via broadcast
+      "s_embed_outliers" -> 3,
+      // vocab distinct (the word-cache build) + (doc, word) counts +
+      // doc aggregate — the encode UDF only ever sees the vocab frame
+      "t_bpe_encode" -> 3,
+      // two-phase countDistinct keyed (source, gram) then source
+      "t_diversity" -> 2,
+      // doc-scale marker aggregate + the |langs|^2-cell share window
+      "t_lang_confusion" -> 2)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))
