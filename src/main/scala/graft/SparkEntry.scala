@@ -176,7 +176,8 @@ object SparkEntry {
     "t_lang_confusion" -> (TextQueries.langConfusion _),
     "t_bpe_encode" -> (TextQueries.bpeEncodeCorpus _),
     "s_embed_outliers" -> (SimilarityQueries.embedOutliers _),
-    "d_scrub_incremental" -> (TextQueries.scrubIncremental _)
+    "d_scrub_incremental" -> (TextQueries.scrubIncremental _),
+    "t_heavy_hitters" -> (TextQueries.heavyHitters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2613,7 +2614,17 @@ object SparkEntry {
           |       COALESCE(c.n_removed, 0) AS n_removed,
           |       COALESCE(s.scrubbed, '') AS scrubbed
           |FROM b LEFT JOIN c USING (doc_id) LEFT JOIN s USING (doc_id)
-          |ORDER BY doc_id""".stripMargin
+          |ORDER BY doc_id""".stripMargin,
+      // Heavy hitters: the Misra-Gries guarantee makes the two-pass
+      // output EXACTLY the terms with frequency > n/(k+1), k = 32 —
+      // integer threshold compare, so no engine-specific division.
+      "t_heavy_hitters" ->
+        """WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
+          |tt AS (SELECT w FROM t WHERE len(w) > 0),
+          |n AS (SELECT count(*) AS n FROM tt),
+          |c AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS ct FROM tt GROUP BY w)
+          |SELECT term, ct FROM c, n WHERE ct * 33 > n
+          |ORDER BY ct DESC, term""".stripMargin
     )
   }
 }

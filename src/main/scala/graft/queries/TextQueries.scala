@@ -2714,6 +2714,38 @@ object TextQueries {
         round(col("n_distinct").cast(DoubleType) / col("n_grams"), 6))
       .orderBy("source")
 
+  /** Deterministic heavy-hitter terms via the two-pass Misra–Gries
+    * shape: pass 1 folds the corpus token stream into ONE k-bounded
+    * [[graft.functions.FrequentItemsAggregator]] sketch (partials are
+    * <= k counters per map partition — the exchange never carries the
+    * vocabulary), whose guarantee is that every term with true
+    * frequency > n/(k+1) survives as a candidate; pass 2 exactly
+    * re-counts ONLY the <= k candidates (scan-side literal membership
+    * filter, so the second exchange is candidate-scale too) and keeps
+    * those truly above the threshold. The output is therefore the
+    * EXACT heavy-hitter set — sketch estimates never surface, which is
+    * what makes the query oracle-comparable while the sketch still
+    * does the scale work: a full vocabulary aggregate at 100 TB
+    * shuffles billions of (term, count) partials, this shape shuffles
+    * 2k. The threshold compares `ct * (k+1) > n` in integers — no
+    * division to round differently across engines.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 32
+    val toks = docs(spark, dir)
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val st = toks.as[String]
+      .select(graft.functions.FrequentItemsAggregator(k).toColumn).head()
+    val cand = st.counters.keys.toSeq
+    toks.filter(col("w").isin(cand: _*))
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+      .filter(col("ct") * (k + 1) > st.n)
+      .select(col("w").as("term"), col("ct"))
+      .orderBy(col("ct").desc, col("term"))
+  }
+
   /** Corpus-scale tokenizer APPLICATION — the per-doc BPE token count
     * and fertility (subtokens per word) that budget planning
     * ([[tokenBudgetSelectImpl]]) and cost models actually need, where

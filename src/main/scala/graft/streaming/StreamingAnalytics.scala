@@ -206,6 +206,35 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** Streaming duplicate-substring scrub — the span-removal twin of
+    * [[streamingChunkProbe]], same zero-state shape: each micro-batch
+    * runs [[graft.queries.TextQueries.probeScrub]] against the corpus
+    * [[graft.queries.TextQueries.ScrubIndex]] (batch gram multiplicity
+    * + indexed corpus counts decide the cut; rebuild is per-row array
+    * algebra), emitting the scrubbed documents as they arrive — the
+    * ingest-time rewrite that keeps verbatim boilerplate out of the
+    * training mix without waiting for the nightly global pass. Nothing
+    * buffers across batches; within-batch self-duplication is per
+    * micro-batch by construction (cross-batch duplicates are the
+    * nightly index rebuild's job — the standard lambda split
+    * [[streamingDedup]] documents). The caller releases the persisted
+    * index with `index.unpersist()` after stopping the query.
+    */
+  def streamingScrubProbe(
+      docs: DataFrame,
+      index: graft.queries.TextQueries.ScrubIndex,
+      checkpoint: String,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    index.persist()
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.queries.TextQueries.probeScrub(batch.toDF(), index))
+      }
+      .start()
+  }
+
   /** Running per-source token accounting — the live input feed of the
     * batch epoch/mixing plan (`p_epoch_plan`): every micro-batch folds
     * its docs' token counts into a per-source running (n_docs,

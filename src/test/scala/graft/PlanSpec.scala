@@ -482,7 +482,10 @@ class PlanSpec extends SparkSuite {
       // two-phase countDistinct keyed (source, gram) then source
       "t_diversity" -> 2,
       // doc-scale marker aggregate + the |langs|^2-cell share window
-      "t_lang_confusion" -> 2)
+      "t_lang_confusion" -> 2,
+      // candidate re-count only: the MG sketch pass is a k-bounded
+      // single-partition fold, the exact pass aggregates <= k terms
+      "t_heavy_hitters" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

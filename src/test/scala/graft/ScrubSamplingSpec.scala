@@ -185,6 +185,48 @@ class ScrubSamplingSpec extends SparkSuite {
     assert(SimilarityQueries.embedOutliers(spark, d).collect().toSeq == out.toSeq)
   }
 
+  test("misra-gries: heavies survive and bounds hold under any partitioning") {
+    import graft.functions.FrequentItemsAggregator
+    val k = 8
+    // 100-term vocabulary (>> k) with three planted heavies
+    val items = (0 until 3000).map { i =>
+      if (i % 3 == 0) "heavy0" else if (i % 5 == 0) "heavy1"
+      else if (i % 7 == 1) "heavy2" else s"tail${i % 97}"
+    }
+    val exact = items.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val n = items.size.toLong
+    for (parts <- Seq(1, 7, 32)) {
+      val st = items.toDF("w").repartition(parts).as[String]
+        .select(FrequentItemsAggregator(k).toColumn).head()
+      assert(st.n == n)
+      assert(st.counters.size <= k)
+      // guarantee: every item with freq > n/(k+1) has a counter
+      exact.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { w =>
+        assert(st.counters.contains(w), s"$w lost at parts=$parts: ${st.counters}")
+      }
+      // bounds: estimate <= true, and underestimates by at most n/(k+1)
+      st.counters.foreach { case (w, est) =>
+        val t = exact.getOrElse(w, 0L)
+        assert(est <= t, s"$w overestimated: $est > $t")
+        assert(est >= t - n / (k + 1), s"$w undershot the bound: $est vs $t")
+      }
+    }
+  }
+
+  test("heavy hitters equals the full-vocabulary aggregate it avoids") {
+    val got = TextQueries.heavyHitters(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val n = toks.count()
+    val want = toks.groupBy("w").count()
+      .filter(col("count") * 33 > n)
+      .orderBy(col("count").desc, col("w"))
+      .as[(String, Long)].collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("diversity ratios are in (0, 1] and cover every source") {
     val rows = TextQueries.diversity(spark, sf).collect()
     val nSources = spark.read.parquet(s"$sf/documents.parquet")

@@ -102,6 +102,37 @@ class StreamingAnalyticsSpec extends SparkSuite {
       s"streaming chunk probe diverged: got ${got.toSet} expected $expected")
   }
 
+  test("streaming scrub probe equals the batch probe through a disk round-trip") {
+    implicit val ctx = spark.sqlContext
+    val sf = SparkSuite.sf0001
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val batchIds = d.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val corpus = d.filter(!col("doc_id").isin(batchIds.toSeq.map(Long.box): _*))
+    val path = tmpDir("scrub-index")
+    graft.queries.TextQueries.buildScrubIndex(corpus).save(path)
+    val index = graft.queries.TextQueries.ScrubIndex.load(spark, path)
+    val streamDocs = d.filter(col("doc_id").isin(batchIds.toSeq.map(Long.box): _*))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val q = StreamingAnalytics.streamingScrubProbe(
+      mem.toDF().toDF("doc_id", "text"), index, tmpDir("scrub-ckpt"),
+      batch => got ++= batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))))
+    // one micro-batch with ALL docs so the within-batch multiplicity
+    // rule sees what the equivalent batch probe sees
+    mem.addData(streamDocs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.queries.TextQueries.probeScrub(
+      d.filter(col("doc_id").isin(batchIds.toSeq.map(Long.box): _*)), index)
+      .as[(Long, Long, Long, String)].collect().toSet
+    index.unpersist()
+    assert(expected.exists(_._3 > 0), "fixtures should scrub something")
+    assert(got.toSet == expected)
+  }
+
   test("streaming drift probe: in-distribution batch scores below a skewed one, through disk") {
     implicit val ctx = spark.sqlContext
     val sf = SparkSuite.sf0001
