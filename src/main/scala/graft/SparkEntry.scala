@@ -177,7 +177,8 @@ object SparkEntry {
     "t_bpe_encode" -> (TextQueries.bpeEncodeCorpus _),
     "s_embed_outliers" -> (SimilarityQueries.embedOutliers _),
     "d_scrub_incremental" -> (TextQueries.scrubIncremental _),
-    "t_heavy_hitters" -> (TextQueries.heavyHitters _)
+    "t_heavy_hitters" -> (TextQueries.heavyHitters _),
+    "t_zipf_fit" -> (TextQueries.zipfFit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2624,7 +2625,26 @@ object SparkEntry {
           |n AS (SELECT count(*) AS n FROM tt),
           |c AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS ct FROM tt GROUP BY w)
           |SELECT term, ct FROM c, n WHERE ct * 33 > n
-          |ORDER BY ct DESC, term""".stripMargin
+          |ORDER BY ct DESC, term""".stripMargin,
+      // Zipf fit: OLS over the top-50 terms per source on the
+      // round-12-then-DECIMAL grid (order-independent sums).
+      "t_zipf_fit" ->
+        """WITH t AS (SELECT source, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+          |tt AS (SELECT source, term FROM t WHERE len(term) > 0),
+          |c AS (SELECT source, term, count(*) AS ct FROM tt GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (
+          |        PARTITION BY source ORDER BY ct DESC, term) AS rnk FROM c),
+          |f AS (SELECT source, ln(rnk) AS x, ln(ct) AS y FROM r WHERE rnk <= 50),
+          |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+          |        CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          |        CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          |        CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+          |        CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+          |      FROM f GROUP BY 1)
+          |SELECT source, n_terms,
+          |       round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
+          |       round((sy * sxx - sx * sxy) / (n_terms * sxx - sx * sx), 6) AS intercept
+          |FROM s ORDER BY source""".stripMargin
     )
   }
 }

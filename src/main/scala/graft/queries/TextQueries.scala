@@ -2714,6 +2714,43 @@ object TextQueries {
         round(col("n_distinct").cast(DoubleType) / col("n_grams"), 6))
       .orderBy("source")
 
+  /** Zipf-law fit per source: OLS slope/intercept of ln(count) against
+    * ln(rank) over each source's top-50 terms — natural text sits near
+    * slope -1; template farms and generated spam bend the curve, so the
+    * slope is a corpus-health signal next to [[diversity]]. Term counts
+    * are one (source, term) aggregate; ranking is a per-source window
+    * over the VOCAB-scale counts (Heaps-sublinear in the corpus — the
+    * one sort this query pays); the regression itself runs over 50 rows
+    * per source with every sum on the round(…,12)-then-DECIMAL grid
+    * (the [[klDrift]] pattern), so the fit is partition-order
+    * independent and replays exactly in any engine with an `ln`.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val m = 50
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("ct").desc, col("term"))
+    val ranked = docs(spark, dir)
+      .select(col("source"), explode(split(trim(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("ct"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= m)
+    val x = log(col("rnk").cast(DoubleType))
+    val y = log(col("ct").cast(DoubleType))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast(DoubleType)
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * x).as("sxx"), dsum(x * y).as("sxy"))
+      .select(col("source"), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6).as("intercept"))
+      .orderBy("source")
+  }
+
   /** Deterministic heavy-hitter terms via the two-pass Misra–Gries
     * shape: pass 1 folds the corpus token stream into ONE k-bounded
     * [[graft.functions.FrequentItemsAggregator]] sketch (partials are

@@ -485,7 +485,10 @@ class PlanSpec extends SparkSuite {
       "t_lang_confusion" -> 2,
       // candidate re-count only: the MG sketch pass is a k-bounded
       // single-partition fold, the exact pass aggregates <= k terms
-      "t_heavy_hitters" -> 1)
+      "t_heavy_hitters" -> 1,
+      // (source, term) counts + the vocab-scale rank window; the
+      // 50-row-per-source regression adds no corpus exchange
+      "t_zipf_fit" -> 2)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -227,6 +227,17 @@ class ScrubSamplingSpec extends SparkSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  test("zipf fit: negative slope per source, deterministic across runs") {
+    val a = TextQueries.zipfFit(spark, sf).collect()
+    val b = TextQueries.zipfFit(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getLong(1) >= 2 && r.getLong(1) <= 50)
+      assert(r.getDouble(2) < 0.0, s"rank-frequency slope must fall: $r")
+    }
+  }
+
   test("diversity ratios are in (0, 1] and cover every source") {
     val rows = TextQueries.diversity(spark, sf).collect()
     val nSources = spark.read.parquet(s"$sf/documents.parquet")
