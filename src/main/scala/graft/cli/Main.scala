@@ -27,6 +27,7 @@ import java.time.temporal.ChronoUnit
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
   *   build-index --kind neardup|chunk|drift|winnow|scrub --in <documents parquet>
   *               --out <dir>
+  *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -348,8 +349,44 @@ object Main {
       println(s"build-index: $kind index over $n docs written to $out")
       spark.stop()
 
+    case "scrub" :: rest =>
+      // The ingest-side consumer of the scrub artifact: rewrite a batch
+      // of documents with corpus-duplicated spans removed. With --index
+      // it probes the nightly gram-count artifact (batch-scale work
+      // only); without, it runs the global mark over the input alone.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, n, removed) = scrubCmd(spark, o)
+      println(s"scrub: $n docs written to $out, $removed tokens removed")
+      spark.stop()
+
     case cmd :: _ => die(s"unknown command '$cmd'")
     case Nil => die("a command is required")
+  }
+
+  /** `scrub` body, session-injected for specs (see [[buildIndexCmd]]). */
+  private[cli] def scrubCmd(
+      spark: SparkSession, o: Map[String, String]): (String, Long, Long) = {
+    import graft.queries.TextQueries
+    import org.apache.spark.sql.functions.{col, sum}
+    val in = o.getOrElse("in", die("--in <documents parquet> is required"))
+    val out = o.getOrElse("out", die("--out <parquet> is required"))
+    val batch = spark.read.parquet(in)
+    val scrubbed = o.get("index") match {
+      case Some(idx) =>
+        TextQueries.probeScrub(batch, TextQueries.ScrubIndex.load(spark, idx))
+      case None =>
+        // empty reference: the probe's batch-multiplicity >= 2 rule
+        // degenerates to exactly the global in-corpus mark
+        // (ScrubSamplingSpec pins the equivalence)
+        TextQueries.probeScrub(batch,
+          TextQueries.ScrubIndex(TextQueries.buildScrubIndex(batch).counts.limit(0)))
+    }
+    scrubbed.write.mode("overwrite").parquet(out)
+    val res = spark.read.parquet(out)
+    val removed = res.agg(sum(col("n_removed"))).head().getLong(0)
+    (out, res.count(), removed)
   }
 
   /** `build-index` body, session-injected so specs drive it against the

@@ -235,6 +235,31 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** Live heavy-hitter monitor: a running Misra–Gries sketch over the
+    * token stream, one [[graft.functions.MGState]] row per trigger
+    * (Complete mode on a single global group). State is the k-bounded
+    * counter map — O(k) forever, never O(vocabulary) — and the partials
+    * crossing each trigger's exchange are k-bounded too, the property
+    * that lets this watch an unbounded 100 TB/day feed. Consumers apply
+    * the same two-pass discipline as the batch
+    * [[graft.queries.TextQueries.heavyHitters]]: the live sketch bounds
+    * the candidates (guarantee: freq > n/(k+1) ⇒ present), a bounded
+    * batch re-count decides exactly.
+    */
+  def streamingHeavyHitters(
+      docs: DataFrame, k: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .as[String]
+      .groupByKey(_ => 0)
+      .agg(graft.functions.FrequentItemsAggregator(k).toColumn.name("sketch"))
+      .toDF("g", "sketch")
+      .select("sketch")
+  }
+
   /** Running per-source token accounting — the live input feed of the
     * batch epoch/mixing plan (`p_epoch_plan`): every micro-batch folds
     * its docs' token counts into a per-source running (n_docs,

@@ -83,4 +83,33 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("misra-gries invariants hold on random streams under random merge trees") {
+    import graft.functions.{FrequentItemsAggregator, MGState}
+    (1 to 50).foreach { trial =>
+      val k = 1 + rnd.nextInt(12)
+      val vocab = 1 + rnd.nextInt(40)
+      val n = 50 + rnd.nextInt(2000)
+      // zipf-ish skew so some trials have true heavies, some don't
+      val items = Seq.fill(n)(s"t${(math.pow(rnd.nextDouble(), 3) * vocab).toInt}")
+      val agg = FrequentItemsAggregator(k)
+      // random partition split + pairwise merges in random order
+      def fold(xs: Seq[String]): MGState = xs.foldLeft(agg.zero)(agg.reduce)
+      val parts = items.grouped(1 + rnd.nextInt(items.size)).map(fold).toIndexedSeq
+      val merged = parts.reduceLeft(agg.merge)
+      val exact = items.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      assert(merged.n == n, s"trial $trial: n mismatch")
+      assert(merged.counters.size <= k, s"trial $trial: > k counters")
+      exact.foreach { case (w, t) =>
+        val est = merged.counters.getOrElse(w, 0L)
+        assert(est <= t, s"trial $trial: $w overestimated")
+        assert(est >= t - n / (k + 1),
+          s"trial $trial (k=$k n=$n): $w est=$est true=$t bound=${t - n / (k + 1)}")
+      }
+      // the guarantee the two-pass consumers rely on
+      exact.filter { case (_, t) => t * (k + 1) > n }.keys.foreach { w =>
+        assert(merged.counters.contains(w), s"trial $trial: heavy $w lost")
+      }
+    }
+  }
 }

@@ -133,6 +133,37 @@ class StreamingAnalyticsSpec extends SparkSuite {
     assert(got.toSet == expected)
   }
 
+  test("streaming heavy hitters: k-bounded running sketch keeps the guarantee") {
+    implicit val ctx = spark.sqlContext
+    val k = 8
+    val mem = MemoryStream[(Long, String)]
+    val sketchDf = StreamingAnalytics.streamingHeavyHitters(
+      mem.toDF().toDF("doc_id", "text"), k)
+    val q = sketchDf.writeStream.outputMode("complete")
+      .format("memory").queryName("hh_sketch").start()
+    // 3 micro-batches, 30-term vocab >> k, one planted heavy term
+    val batches = (0 until 3).map { b =>
+      (0 until 40).map { i =>
+        val words =
+          if (i % 2 == 0) Seq("heavy", s"tail${(b * 40 + i) % 30}", "heavy")
+          else Seq(s"tail${i % 30}", s"tail${(i + 7) % 30}")
+        ((b * 40 + i).toLong, words.mkString(" "))
+      }
+    }
+    batches.foreach { docs => mem.addData(docs: _*); q.processAllAvailable() }
+    val row = spark.table("hh_sketch").select("sketch.counters", "sketch.n").head()
+    q.stop()
+    val counters = row.getMap[String, Long](0).toMap
+    val fed = batches.flatten.flatMap(_._2.split(" "))
+    assert(row.getLong(1) == fed.size)
+    assert(counters.size <= k)
+    val exact = fed.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    // "heavy" is ~1/3 of the stream: must survive with a sane estimate
+    assert(counters.contains("heavy"))
+    assert(counters("heavy") <= exact("heavy"))
+    assert(counters("heavy") >= exact("heavy") - fed.size / (k + 1))
+  }
+
   test("streaming drift probe: in-distribution batch scores below a skewed one, through disk") {
     implicit val ctx = spark.sqlContext
     val sf = SparkSuite.sf0001

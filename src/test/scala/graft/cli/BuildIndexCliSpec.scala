@@ -94,6 +94,37 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(fresh.nonEmpty && viaCli == fresh)
   }
 
+  test("scrub verb: --index matches the library probe; no index matches the global mark") {
+    val idx = tmpDir("cli-scrubverb-index")
+    corpus.write.mode("overwrite").parquet(s"$idx-corpus")
+    Main.buildIndexCmd(spark,
+      Map("kind" -> "scrub", "in" -> s"$idx-corpus", "out" -> idx))
+    val bPath = tmpDir("cli-scrubverb-batch")
+    batch.write.mode("overwrite").parquet(bPath)
+
+    val out1 = tmpDir("cli-scrubverb-out1")
+    val (o1, n1, rem1) = Main.scrubCmd(spark,
+      Map("in" -> bPath, "out" -> out1, "index" -> idx))
+    assert(o1 == out1 && n1 == batch.count() && rem1 > 0)
+    val viaCli = spark.read.parquet(out1).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val lib = TextQueries.probeScrub(batch,
+        TextQueries.ScrubIndex.load(spark, idx))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaCli == lib)
+
+    // no --index: global mark over the input alone
+    val out2 = tmpDir("cli-scrubverb-out2")
+    Main.scrubCmd(spark, Map("in" -> bPath, "out" -> out2))
+    val solo = spark.read.parquet(out2).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val bDir = tmpDir("cli-scrubverb-bdir")
+    batch.write.mode("overwrite").parquet(s"$bDir/documents.parquet")
+    val global = TextQueries.substringScrub(spark, bDir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(solo == global)
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
