@@ -2614,10 +2614,16 @@ object TextQueries {
   def probeScrub(batch: DataFrame, index: ScrubIndex): DataFrame = {
     val toks = tokArrays(batch)
     val grams = positionalGrams5(toks)
-    val dup = grams.groupBy("g").agg(count(lit(1)).as("bct"))
-      .join(index.counts, Seq("g"), "left")
-      .filter(col("bct") + coalesce(col("ct"), lit(0L)) >= 2)
-      .select("g")
+    val bct = grams.groupBy("g").agg(count(lit(1)).as("bct"))
+    // split the >= 2 rule so the INDEX NEVER SHUFFLES: a batch gram is
+    // dup if repeated within the batch, or present AT ALL in the corpus
+    // (bct >= 1 + ct >= 1 already reaches 2). The corpus check is an
+    // inner join that builds on the broadcast batch-gram set — a left
+    // outer against the index could only build the corpus side, which
+    // at 100 TB would shuffle the whole artifact every probe.
+    val dupBatch = bct.filter(col("bct") >= 2).select("g")
+    val dupCorpus = index.counts.join(broadcast(bct.select("g")), "g").select("g")
+    val dup = dupBatch.union(dupCorpus).distinct()
     rebuildScrubbed(toks, coveredPositions(grams, dup))
   }
 

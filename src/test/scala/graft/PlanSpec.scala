@@ -466,8 +466,11 @@ class PlanSpec extends SparkSuite {
       // gram multiplicity agg (partials absorb boilerplate-gram skew)
       // + per-doc cover collect_set; the mark join broadcasts
       "d_substring_scrub" -> 2,
-      // + the corpus index aggregate on the probe path
-      "d_scrub_incremental" -> 3,
+      // + the corpus index aggregate on the probe path, + the dup-set
+      // union distinct (output-scale rows) — bought so the probe's
+      // corpus check builds on the BROADCAST batch-gram set and the
+      // index itself never crosses an exchange
+      "d_scrub_incremental" -> 4,
       // one hash aggregate, same shape as d_dedup_keep
       "d_dedup_norm" -> 1,
       // bounded global top-k: single-partition exchange only, never a
