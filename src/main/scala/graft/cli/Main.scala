@@ -354,6 +354,10 @@ object Main {
       // of documents with corpus-duplicated spans removed. With --index
       // it probes the nightly gram-count artifact (batch-scale work
       // only); without, it runs the global mark over the input alone.
+      // NOTE: the index must cover the corpus EXCLUDING this batch
+      // (the incremental-probe contract shared with dedupIncremental) —
+      // probing an index built over the batch itself marks every gram
+      // as corpus-present and scrubs everything.
       val o = parseArgs(rest)
       val cfg = loadConfig(o)
       val spark = session(cfg)
