@@ -389,7 +389,9 @@ object Main {
     }
     scrubbed.write.mode("overwrite").parquet(out)
     val res = spark.read.parquet(out)
-    val removed = res.agg(sum(col("n_removed"))).head().getLong(0)
+    // coalesce: sum over an empty batch is null, not 0
+    val removed = res.agg(org.apache.spark.sql.functions.coalesce(
+      sum(col("n_removed")), org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
     (out, res.count(), removed)
   }
 

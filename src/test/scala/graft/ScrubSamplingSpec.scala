@@ -238,6 +238,20 @@ class ScrubSamplingSpec extends SparkSuite {
     }
   }
 
+  test("round-8 operators survive an empty corpus with zero rows, not nulls") {
+    val d = tmpDir("empty-docs")
+    spark.read.parquet(s"$sf/documents.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(TextQueries.substringScrub(spark, d).count() == 0)
+    assert(TextQueries.dedupNorm(spark, d).count() == 0)
+    assert(TextQueries.sampleWeighted(spark, d).count() == 0)
+    assert(TextQueries.diversity(spark, d).count() == 0)
+    assert(TextQueries.zipfFit(spark, d).count() == 0)
+    assert(TextQueries.heavyHitters(spark, d).count() == 0)
+    assert(TextQueries.bpeEncodeCorpus(spark, d).count() == 0)
+    assert(TextQueries.langConfusion(spark, d).count() == 0)
+  }
+
   test("diversity ratios are in (0, 1] and cover every source") {
     val rows = TextQueries.diversity(spark, sf).collect()
     val nSources = spark.read.parquet(s"$sf/documents.parquet")

@@ -125,6 +125,15 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(solo == global)
   }
 
+  test("scrub verb summary survives an empty input without an NPE") {
+    val empty = tmpDir("cli-scrub-empty-in")
+    d.limit(0).write.mode("overwrite").parquet(s"$empty/documents.parquet")
+    val out = tmpDir("cli-scrub-empty-out")
+    val (_, n, removed) = Main.scrubCmd(
+      spark, Map("in" -> s"$empty/documents.parquet", "out" -> out))
+    assert(n == 0L && removed == 0L)
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
