@@ -178,7 +178,8 @@ object SparkEntry {
     "s_embed_outliers" -> (SimilarityQueries.embedOutliers _),
     "d_scrub_incremental" -> (TextQueries.scrubIncremental _),
     "t_heavy_hitters" -> (TextQueries.heavyHitters _),
-    "t_zipf_fit" -> (TextQueries.zipfFit _)
+    "t_zipf_fit" -> (TextQueries.zipfFit _),
+    "p_anneal_plan" -> (TextQueries.annealPlan _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2644,7 +2645,28 @@ object SparkEntry {
           |SELECT source, n_terms,
           |       round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
           |       round((sy * sxx - sx * sxy) / (n_terms * sxx - sx * sx), 6) AS intercept
-          |FROM s ORDER BY source""".stripMargin
+          |FROM s ORDER BY source""".stripMargin,
+      // Annealing plan: phase-1 natural token share, phase-2 share
+      // scaled by mean stopword-density quality; the same
+      // round-then-DECIMAL grids as the Spark side.
+      "p_anneal_plan" ->
+        """WITH t AS (SELECT source, string_split(trim(text), ' ') AS ts FROM documents),
+          |d AS (SELECT source, CAST(len(ts) AS BIGINT) AS t,
+          |        CAST(round(len(list_filter(ts,
+          |               x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
+          |             / len(ts), 12) AS DECIMAL(38,12)) AS q
+          |      FROM t),
+          |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |             sum(t) AS n_tokens, sum(q) AS qsum
+          |      FROM d GROUP BY 1),
+          |m AS (SELECT source, n_docs, n_tokens,
+          |             round(CAST(qsum AS DOUBLE) / n_docs, 6) AS q_mean FROM s),
+          |x AS (SELECT *, CAST(round(n_tokens * q_mean, 6) AS DECIMAL(38,6)) AS scaled FROM m)
+          |SELECT source, n_docs, n_tokens, q_mean,
+          |       round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS w_phase1,
+          |       round(CAST(scaled AS DOUBLE) /
+          |             CAST(sum(scaled) OVER () AS DOUBLE), 6) AS w_phase2
+          |FROM x ORDER BY source""".stripMargin
     )
   }
 }

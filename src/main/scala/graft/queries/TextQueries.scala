@@ -2757,6 +2757,45 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Two-phase annealing mix plan — the "midtraining" data schedule
+    * (Llama-3 / OLMo practice): phase 1 samples sources by their
+    * natural token share; phase 2 re-weights each source's share by its
+    * mean quality signal (stopword density, the [[qualityScore]]
+    * proxy), so the final training steps concentrate on the cleanest
+    * data. Complements [[epochPlan]] (how many epochs fit a budget) and
+    * [[doremiWeights]] (LM-loss-driven reweighting) with the
+    * quality-driven schedule between them. One doc-scale aggregate with
+    * map-side partials; the quality means ride the round-12-DECIMAL
+    * grid so each phase's weights are partition-order independent; the
+    * normalizations are source-cardinality windows (metadata-scale).
+    */
+  def annealPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val toks = wsTokens(col("text"))
+    val quality = tokensInSet(toks, stopwords).cast(DoubleType) / size(toks)
+    docs(spark, dir)
+      .select(col("source"),
+        size(toks).cast(LongType).as("t"),
+        round(quality, 12).cast(DecimalType(38, 12)).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
+        sum("q").as("qsum"))
+      .withColumn("q_mean",
+        round(col("qsum").cast(DoubleType) / col("n_docs"), 6))
+      .withColumn("scaled",
+        round(col("n_tokens").cast(DoubleType) * col("q_mean"), 6)
+          .cast(DecimalType(38, 6)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("q_mean"),
+        round(col("n_tokens").cast(DoubleType) / sum("n_tokens").over(w), 6)
+          .as("w_phase1"),
+        round(col("scaled").cast(DoubleType) /
+          sum("scaled").over(w).cast(DoubleType), 6).as("w_phase2"))
+      .orderBy("source")
+  }
+
   /** Deterministic heavy-hitter terms via the two-pass Misra–Gries
     * shape: pass 1 folds the corpus token stream into ONE k-bounded
     * [[graft.functions.FrequentItemsAggregator]] sketch (partials are

@@ -491,7 +491,10 @@ class PlanSpec extends SparkSuite {
       "t_heavy_hitters" -> 1,
       // (source, term) counts + the vocab-scale rank window; the
       // 50-row-per-source regression adds no corpus exchange
-      "t_zipf_fit" -> 2)
+      "t_zipf_fit" -> 2,
+      // one source-grain aggregate; phase normalizations are windows
+      // over source-cardinality rows
+      "p_anneal_plan" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

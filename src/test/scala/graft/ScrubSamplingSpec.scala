@@ -238,6 +238,21 @@ class ScrubSamplingSpec extends SparkSuite {
     }
   }
 
+  test("anneal plan: both phases normalize to 1 and phase 2 tracks quality") {
+    val rows = TextQueries.annealPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-3)
+    // the highest-quality source must gain share from phase 1 to 2,
+    // the lowest must lose (q_mean spread exists on the fixtures)
+    val byQ = rows.sortBy(_._4)
+    assert(byQ.last._4 > byQ.head._4, "fixtures should spread quality")
+    assert(byQ.last._6 > byQ.last._5 - 1e-9, s"best source should gain: ${byQ.last}")
+    assert(byQ.head._6 < byQ.head._5 + 1e-9, s"worst source should lose: ${byQ.head}")
+  }
+
   test("round-8 operators survive an empty corpus with zero rows, not nulls") {
     val d = tmpDir("empty-docs")
     spark.read.parquet(s"$sf/documents.parquet").limit(0)
