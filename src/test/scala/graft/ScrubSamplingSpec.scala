@@ -265,6 +265,7 @@ class ScrubSamplingSpec extends SparkSuite {
     assert(TextQueries.heavyHitters(spark, d).count() == 0)
     assert(TextQueries.bpeEncodeCorpus(spark, d).count() == 0)
     assert(TextQueries.langConfusion(spark, d).count() == 0)
+    assert(TextQueries.annealPlan(spark, d).count() == 0)
   }
 
   test("diversity ratios are in (0, 1] and cover every source") {
