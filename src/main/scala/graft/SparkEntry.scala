@@ -2441,9 +2441,9 @@ object SparkEntry {
         """WITH anch AS (SELECT max(epoch_ms(ts)) AS tmax FROM events)
           |SELECT event_type,
           |       count(*) AS n_events,
-          |       CAST(sum(CAST(value AS DECIMAL(18,4)) *
-          |                CAST(power(0.5, least((tmax - epoch_ms(ts)) // 604800000, 10)) AS DECIMAL(14,10))) AS DOUBLE) AS decayed_sum,
-          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS raw_sum
+          |       CAST(round(sum(CAST(value AS DECIMAL(18,4)) *
+          |                CAST(power(0.5, least((tmax - epoch_ms(ts)) // 604800000, 10)) AS DECIMAL(14,10))), 6) AS DOUBLE) AS decayed_sum,
+          |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS raw_sum
           |FROM events, anch GROUP BY 1 ORDER BY 1""".stripMargin,
       // ntile(10) over the bigram-LM score (the Spark side assembles the
       // same global rank from the bounded score histogram)

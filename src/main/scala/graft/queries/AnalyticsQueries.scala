@@ -1282,8 +1282,12 @@ object AnalyticsQueries {
     ev.groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec4(col("value")) * weight).cast(DoubleType).as("decayed_sum"),
-        sum(dec4(col("value"))).cast(DoubleType).as("raw_sum"))
+        // final round(…, 6): the decimal sums are exact and identical in
+        // both engines, but DuckDB's decimal->double CAST can land one
+        // ulp off the correctly-rounded value at sf0.1 magnitudes —
+        // round on the decimal, then cast, on BOTH sides
+        round(sum(dec4(col("value")) * weight), 6).cast(DoubleType).as("decayed_sum"),
+        round(sum(dec4(col("value"))), 6).cast(DoubleType).as("raw_sum"))
       .orderBy("event_type")
   }
 }
