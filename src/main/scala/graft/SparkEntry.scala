@@ -179,7 +179,8 @@ object SparkEntry {
     "d_scrub_incremental" -> (TextQueries.scrubIncremental _),
     "t_heavy_hitters" -> (TextQueries.heavyHitters _),
     "t_zipf_fit" -> (TextQueries.zipfFit _),
-    "p_anneal_plan" -> (TextQueries.annealPlan _)
+    "p_anneal_plan" -> (TextQueries.annealPlan _),
+    "m_media_sniff" -> (TextQueries.mediaSniff _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2666,7 +2667,26 @@ object SparkEntry {
           |       round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS w_phase1,
           |       round(CAST(scaled AS DOUBLE) /
           |             CAST(sum(scaled) OVER () AS DOUBLE), 6) AS w_phase2
-          |FROM x ORDER BY source""".stripMargin
+          |FROM x ORDER BY source""".stripMargin,
+      // Magic-byte sniff census: the same prefix compares in the same
+      // priority order, expressed over hex(payload) (DuckDB has no
+      // BLOB substring).
+      "m_media_sniff" ->
+        """WITH m AS (SELECT hex(encode(text)) AS hx,
+          |                  CAST(octet_length(encode(text)) AS BIGINT) AS nb
+          |           FROM documents),
+          |s AS (SELECT 'text/plain' AS mime,
+          |        CASE WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+          |             WHEN substring(hx, 1, 8) = '89504E47' THEN 'png'
+          |             WHEN substring(hx, 1, 8) = '47494638' THEN 'gif'
+          |             WHEN substring(hx, 1, 8) = '504B0304' THEN 'zip'
+          |             WHEN substring(hx, 1, 8) = '25504446' THEN 'pdf'
+          |             WHEN substring(hx, 1, 8) = '52494646' THEN 'riff'
+          |             ELSE 'unknown' END AS sniffed,
+          |        nb FROM m)
+          |SELECT mime, sniffed, CAST(count(*) AS BIGINT) AS n_items,
+          |       sum(nb) AS total_bytes
+          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }

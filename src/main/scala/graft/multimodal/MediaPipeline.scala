@@ -43,6 +43,28 @@ object MediaPipeline {
         encode(col("text"), "UTF-8").as("payload"),
         lit("text/plain").as("mime"))
 
+  /** Well-known container signatures (public magic-byte constants), in
+    * match-priority order. The ONE media inspection that needs no codec
+    * — and the first corruption/extension-spoofing gate a 100 TB media
+    * ingest runs, because it reads 4 bytes per blob scan-side.
+    */
+  val magicSignatures: Seq[(String, Array[Byte])] = Seq(
+    "jpeg" -> Array(0xFF, 0xD8, 0xFF).map(_.toByte),
+    "png" -> Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+    "gif" -> "GIF8".getBytes("US-ASCII"),
+    "zip" -> Array[Byte]('P', 'K', 0x03, 0x04),
+    "pdf" -> "%PDF".getBytes("US-ASCII"),
+    "riff" -> "RIFF".getBytes("US-ASCII"))
+
+  /** Sniffed container format of a binary payload — per-row prefix
+    * compares against [[magicSignatures]], pure scan-side column
+    * algebra (no UDF, no payload movement). */
+  def sniffedFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    magicSignatures.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
+      case ((name, magic), acc) =>
+        when(substring(payload, 1, magic.length) === lit(magic), name).otherwise(acc)
+    }
+
   /** One sampled "frame" per media item: stride-sampled payload stats. */
   final case class FrameSample(
       docId: Long, frameIdx: Int, offset: Long, nSampled: Long, meanByte: Double)

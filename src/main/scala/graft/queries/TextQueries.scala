@@ -2090,6 +2090,24 @@ object TextQueries {
       expr("CAST(16 * (1 + n_chars % 36) AS INT)").as("fake_height"))
       .orderBy("doc_id")
 
+  /** Declared-vs-sniffed format census — the corruption /
+    * extension-spoofing gate a media ingest runs before any decode:
+    * per (declared mime, [[graft.multimodal.MediaPipeline.sniffedFormat]])
+    * cell, item count and byte mass. Prefix compares read 4 bytes per
+    * blob scan-side; one cells-scale aggregate; payload bytes never
+    * shuffle. On the text-payload fixture every row sniffs `unknown` —
+    * the real-magic-byte classification is spec-gated with crafted
+    * binary payloads (ScrubSamplingSpec).
+    */
+  def mediaSniff(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaPipeline.mediaFromDocuments(spark, dir)
+      .select(col("mime"),
+        graft.multimodal.MediaPipeline.sniffedFormat(col("payload")).as("sniffed"),
+        length(col("payload")).cast(LongType).as("nb"))
+      .groupBy("mime", "sniffed")
+      .agg(count(lit(1)).as("n_items"), sum("nb").as("total_bytes"))
+      .orderBy("mime", "sniffed")
+
   /** Exact dedup census over BINARY payloads — the multimodal sibling
     * of [[dedupExact]]: media dedup can't normalize text, so identity
     * is the payload's sha-256, computed scan-side. One aggregate gives

@@ -494,7 +494,9 @@ class PlanSpec extends SparkSuite {
       "t_zipf_fit" -> 2,
       // one source-grain aggregate; phase normalizations are windows
       // over source-cardinality rows
-      "p_anneal_plan" -> 1)
+      "p_anneal_plan" -> 1,
+      // scan-side 4-byte prefix compares + one cells-scale aggregate
+      "m_media_sniff" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -253,6 +253,31 @@ class ScrubSamplingSpec extends SparkSuite {
     assert(byQ.head._6 < byQ.head._5 + 1e-9, s"worst source should lose: ${byQ.head}")
   }
 
+  test("magic-byte sniffing classifies real container signatures") {
+    import graft.multimodal.MediaPipeline
+    val payloads: Seq[(Long, Array[Byte], String)] = Seq(
+      (1L, Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00).map(_.toByte), "image/jpeg"),
+      (2L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A), "image/png"),
+      (3L, "GIF89a....".getBytes("US-ASCII"), "image/gif"),
+      (4L, "RIFF1234WAVE".getBytes("US-ASCII"), "audio/wav"),
+      (5L, "%PDF-1.7".getBytes("US-ASCII"), "application/pdf"),
+      (6L, Array[Byte]('P', 'K', 0x03, 0x04, 0x14), "application/zip"),
+      (7L, "just plain text".getBytes("UTF-8"), "image/jpeg"), // spoofed!
+      (8L, Array[Byte](0x00, 0x01), "application/octet-stream"))
+    val got = payloads.toDF("doc_id", "payload", "mime")
+      .select(col("doc_id"), MediaPipeline.sniffedFormat(col("payload")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "jpeg", 2L -> "png", 3L -> "gif", 4L -> "riff",
+      5L -> "pdf", 6L -> "zip", 7L -> "unknown", 8L -> "unknown"))
+    // the census shape: the spoofed jpeg shows up as (image/jpeg, unknown)
+    val cells = payloads.toDF("doc_id", "payload", "mime")
+      .select(col("mime"), MediaPipeline.sniffedFormat(col("payload")).as("s"))
+      .groupBy("mime", "s").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(cells.contains(("image/jpeg", "unknown", 1L)))
+    assert(cells.contains(("image/jpeg", "jpeg", 1L)))
+  }
+
   test("round-8 operators survive an empty corpus with zero rows, not nulls") {
     val d = tmpDir("empty-docs")
     spark.read.parquet(s"$sf/documents.parquet").limit(0)
