@@ -28,6 +28,7 @@ import java.time.temporal.ChronoUnit
   *   build-index --kind neardup|chunk|drift|winnow|scrub --in <documents parquet>
   *               --out <dir>
   *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
+  *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -349,6 +350,16 @@ object Main {
       println(s"build-index: $kind index over $n docs written to $out")
       spark.stop()
 
+    case "ingest" :: rest =>
+      // Raw corpus files -> the documents-parquet contract every
+      // analytics/dedup operator reads: the front door of the pipeline.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, n) = ingestCmd(spark, o)
+      println(s"ingest: $n docs written to $out")
+      spark.stop()
+
     case "scrub" :: rest =>
       // The ingest-side consumer of the scrub artifact: rewrite a batch
       // of documents with corpus-duplicated spans removed. With --index
@@ -367,6 +378,46 @@ object Main {
 
     case cmd :: _ => die(s"unknown command '$cmd'")
     case Nil => die("a command is required")
+  }
+
+  /** `ingest` body, session-injected for specs (see [[buildIndexCmd]]).
+    * Normalizes raw corpus files (jsonl / csv / one-doc-per-line text)
+    * onto the documents contract: `doc_id, text, lang, source,
+    * n_chars`. Upstream ids are kept when present; otherwise ids are
+    * assigned with `monotonically_increasing_id` (unique within the
+    * run — production ingest should carry stable upstream ids, which
+    * is why an existing `doc_id` column always wins). `lang` defaults
+    * to `und`, `source` to the input file's basename — the per-source
+    * operators (quota sampling, funnel, mixing) work out of the box on
+    * multi-file ingests.
+    */
+  private[cli] def ingestCmd(
+      spark: SparkSession, o: Map[String, String]): (String, Long) = {
+    import org.apache.spark.sql.functions._
+    val in = o.getOrElse("in", die("--in <file or dir> is required"))
+    val out = o.getOrElse("out", die("--out <parquet> is required"))
+    val fmt = o.getOrElse("format", "jsonl")
+    val raw = fmt match {
+      case "jsonl" => spark.read.json(in)
+      case "csv" => spark.read.option("header", "true").csv(in)
+      case "text" => spark.read.text(in).withColumnRenamed("value", "text")
+      case other => die(s"unsupported ingest format '$other' (expected jsonl|csv|text)")
+    }
+    require(raw.columns.contains("text"), s"ingest input needs a 'text' column, got ${raw.columns.mkString(",")}")
+    val cols = raw.columns.toSet
+    val withId =
+      if (cols.contains("doc_id")) raw.withColumn("doc_id", col("doc_id").cast("long"))
+      else raw.withColumn("doc_id", monotonically_increasing_id())
+    val docs = withId
+      .withColumn("lang",
+        if (cols.contains("lang")) coalesce(col("lang"), lit("und")) else lit("und"))
+      .withColumn("source",
+        if (cols.contains("source")) coalesce(col("source"), lit("ingest"))
+        else regexp_extract(input_file_name(), "([^/]+?)(\\.[a-zA-Z0-9]+)?$", 1))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(out)
+    (out, spark.read.parquet(out).count())
   }
 
   /** `scrub` body, session-injected for specs (see [[buildIndexCmd]]). */

@@ -134,6 +134,41 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(n == 0L && removed == 0L)
   }
 
+  test("ingest verb: jsonl and text land on the documents contract") {
+    import java.nio.file.{Files, Paths}
+    val in = tmpDir("cli-ingest-in")
+    Files.writeString(Paths.get(s"$in/crawl-a.jsonl"),
+      """{"text":"the quick brown fox","lang":"en"}
+        |{"text":"der schnelle braune fuchs","lang":"de"}
+        |{"text":"no lang on this one"}
+        |""".stripMargin)
+    val out = tmpDir("cli-ingest-out")
+    val (_, n) = Main.ingestCmd(spark,
+      Map("in" -> s"$in/crawl-a.jsonl", "out" -> out))
+    assert(n == 3)
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = got.orderBy("text").collect()
+    assert(rows.map(_.getString(2)).sorted.toSeq == Seq("de", "en", "und"))
+    assert(rows.forall(_.getString(3) == "crawl-a"))
+    assert(rows.forall(r => r.getLong(4) == r.getString(1).length.toLong))
+    assert(got.select("doc_id").distinct().count() == 3)
+    // the ingested table feeds the operator surface directly
+    assert(graft.queries.TextQueries.dedupNorm(spark,
+      { val d = tmpDir("cli-ingest-docs")
+        got.write.mode("overwrite").parquet(s"$d/documents.parquet"); d })
+      .count() == 3)
+
+    // one-doc-per-line text ingest
+    Files.writeString(Paths.get(s"$in/plain.txt"), "alpha beta\ngamma delta\n")
+    val out2 = tmpDir("cli-ingest-out2")
+    val (_, n2) = Main.ingestCmd(spark,
+      Map("in" -> s"$in/plain.txt", "out" -> out2, "format" -> "text"))
+    assert(n2 == 2)
+    assert(spark.read.parquet(out2).columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
