@@ -2658,7 +2658,7 @@ object SparkEntry {
           |             / len(ts), 12) AS DECIMAL(38,12)) AS q
           |      FROM t),
           |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-          |             sum(t) AS n_tokens, sum(q) AS qsum
+          |             CAST(sum(t) AS BIGINT) AS n_tokens, sum(q) AS qsum
           |      FROM d GROUP BY 1),
           |m AS (SELECT source, n_docs, n_tokens,
           |             round(CAST(qsum AS DOUBLE) / n_docs, 6) AS q_mean FROM s),
@@ -2685,7 +2685,7 @@ object SparkEntry {
           |             ELSE 'unknown' END AS sniffed,
           |        nb FROM m)
           |SELECT mime, sniffed, CAST(count(*) AS BIGINT) AS n_items,
-          |       sum(nb) AS total_bytes
+          |       CAST(sum(nb) AS BIGINT) AS total_bytes
           |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }

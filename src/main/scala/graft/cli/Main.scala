@@ -356,7 +356,9 @@ object Main {
       val o = parseArgs(rest)
       val cfg = loadConfig(o)
       val spark = session(cfg)
-      val (out, n) = ingestCmd(spark, o)
+      val (out, n) =
+        try ingestCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
       println(s"ingest: $n docs written to $out")
       spark.stop()
 
@@ -406,8 +408,24 @@ object Main {
     require(raw.columns.contains("text"), s"ingest input needs a 'text' column, got ${raw.columns.mkString(",")}")
     val cols = raw.columns.toSet
     val withId =
-      if (cols.contains("doc_id")) raw.withColumn("doc_id", col("doc_id").cast("long"))
-      else raw.withColumn("doc_id", monotonically_increasing_id())
+      if (cols.contains("doc_id")) {
+        // upstream ids must survive the long cast intact and be unique —
+        // a nulled or duplicated doc_id corrupts the documents contract
+        // every downstream operator keys on. try_cast (ANSI cast would
+        // throw an opaque error mid-write), then one aggregate pass.
+        val idCast = raw.withColumn("doc_id", expr("try_cast(doc_id AS LONG)"))
+        val chk = idCast.agg(
+          count(lit(1)).as("n"),
+          count(col("doc_id")).as("n_nonnull"),
+          countDistinct(col("doc_id")).as("n_distinct")).head()
+        val (n, nn, nd) = (chk.getLong(0), chk.getLong(1), chk.getLong(2))
+        require(nn == n, s"ingest: ${n - nn} of $n upstream doc_id values " +
+          "are non-numeric (null after cast to long) — fix the ids or drop " +
+          "the column to get generated ids")
+        require(nd == n, s"ingest: upstream doc_id has ${n - nd} duplicate " +
+          "values — ids must be unique; fix the ids or drop the column")
+        idCast
+      } else raw.withColumn("doc_id", monotonically_increasing_id())
     val docs = withId
       .withColumn("lang",
         if (cols.contains("lang")) coalesce(col("lang"), lit("und")) else lit("und"))
@@ -432,11 +450,11 @@ object Main {
       case Some(idx) =>
         TextQueries.probeScrub(batch, TextQueries.ScrubIndex.load(spark, idx))
       case None =>
-        // empty reference: the probe's batch-multiplicity >= 2 rule
-        // degenerates to exactly the global in-corpus mark
-        // (ScrubSamplingSpec pins the equivalence)
-        TextQueries.probeScrub(batch,
-          TextQueries.ScrubIndex(TextQueries.buildScrubIndex(batch).counts.limit(0)))
+        // global mark via the count-aggregate + shuffled join plan:
+        // probeScrub would broadcast the input's entire distinct gram
+        // set, which for a corpus-sized no-index scrub risks driver
+        // OOM (ScrubSamplingSpec pins result equivalence of the paths)
+        TextQueries.scrubCorpus(batch)
     }
     scrubbed.write.mode("overwrite").parquet(out)
     val res = spark.read.parquet(out)

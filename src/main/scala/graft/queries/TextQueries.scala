@@ -2561,12 +2561,21 @@ object TextQueries {
     * positions collect per doc (arrays bounded by doc length), and an
     * indexed `filter` HOF drops them — no per-token shuffle.
     */
-  def substringScrub(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokArrays(docs(spark, dir))
+  def substringScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubCorpus(docs(spark, dir)).orderBy("doc_id")
+
+  /** [[substringScrub]] over an already-loaded corpus frame — the
+    * global-mark plan (gram-count hash aggregate + shuffled mark join)
+    * the CLI `scrub` verb uses when no index is given. Unlike
+    * [[probeScrub]] with an empty index, nothing here broadcasts the
+    * input's distinct gram set, so a corpus-sized input cannot OOM the
+    * driver on the no-index path. */
+  def scrubCorpus(corpus: DataFrame): DataFrame = {
+    val toks = tokArrays(corpus)
     val grams = positionalGrams5(toks)
     val dup = grams.groupBy("g").agg(count(lit(1)).as("ct"))
       .filter(col("ct") >= 2).select("g")
-    rebuildScrubbed(toks, coveredPositions(grams, dup)).orderBy("doc_id")
+    rebuildScrubbed(toks, coveredPositions(grams, dup))
   }
 
   private def tokArrays(docsDf: DataFrame): DataFrame =

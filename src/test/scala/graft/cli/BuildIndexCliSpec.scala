@@ -169,6 +169,45 @@ class BuildIndexCliSpec extends SparkSuite {
       Seq("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  test("ingest verb: upstream doc_id is validated, not silently corrupted") {
+    import java.nio.file.{Files, Paths}
+    val in = tmpDir("cli-ingest-id-in")
+
+    // valid numeric ids are kept verbatim
+    Files.writeString(Paths.get(s"$in/good.jsonl"),
+      """{"doc_id":"7","text":"alpha"}
+        |{"doc_id":"9","text":"beta"}
+        |""".stripMargin)
+    val outGood = tmpDir("cli-ingest-id-good")
+    val (_, nGood) = Main.ingestCmd(spark,
+      Map("in" -> s"$in/good.jsonl", "out" -> outGood))
+    assert(nGood == 2)
+    assert(spark.read.parquet(outGood).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(7L, 9L))
+
+    // a non-numeric id would become NULL after the long cast: fail fast
+    Files.writeString(Paths.get(s"$in/badid.jsonl"),
+      """{"doc_id":"7","text":"alpha"}
+        |{"doc_id":"not-a-number","text":"beta"}
+        |""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      Main.ingestCmd(spark, Map(
+        "in" -> s"$in/badid.jsonl", "out" -> tmpDir("cli-ingest-id-bad")))
+    }
+    assert(e1.getMessage.contains("non-numeric"))
+
+    // duplicate upstream ids corrupt every keyed operator: fail fast
+    Files.writeString(Paths.get(s"$in/dupid.jsonl"),
+      """{"doc_id":"7","text":"alpha"}
+        |{"doc_id":"7","text":"beta"}
+        |""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      Main.ingestCmd(spark, Map(
+        "in" -> s"$in/dupid.jsonl", "out" -> tmpDir("cli-ingest-id-dup")))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
