@@ -25,7 +25,7 @@ import java.time.temporal.ChronoUnit
   *                  [--slice ...] [--gzip] [--topic <name>]
   *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
-  *   build-index --kind neardup|chunk|drift|winnow|scrub --in <documents parquet>
+  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf --in <documents|embeddings parquet>
   *               --out <dir>
   *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
   *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]
@@ -469,7 +469,7 @@ object Main {
   private[cli] def buildIndexCmd(
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.TextQueries
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf is required"))
     val in = o.getOrElse("in", die("--in <documents parquet> is required"))
     val out = o.getOrElse("out", die("--out <dir> is required"))
     val corpus = spark.read.parquet(in)
@@ -479,8 +479,11 @@ object Main {
       case "drift" => TextQueries.buildTermDistribution(corpus).save(out)
       case "winnow" => TextQueries.buildWinnowIndex(corpus).save(out)
       case "scrub" => TextQueries.buildScrubIndex(corpus).save(out)
+      // --in points at an embeddings parquet (vec_id, embedding); the
+      // vectors frame lands hive-partitioned by cell so probes prune files
+      case "ivf" => graft.queries.SimilarityQueries.buildIvfIndex(corpus).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf)")
     }
     (kind, out, corpus.count())
   }

@@ -27,10 +27,14 @@ object IndexArtifact {
   def save(
       path: String,
       frames: Map[String, DataFrame],
-      meta: Map[String, Long] = Map.empty): Unit = {
+      meta: Map[String, Long] = Map.empty,
+      partitionedBy: Map[String, Seq[String]] = Map.empty): Unit = {
     require(frames.nonEmpty, "an index artifact needs at least one frame")
     frames.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$path/$name")
+      val w = df.write.mode("overwrite")
+      partitionedBy.get(name).filter(_.nonEmpty)
+        .fold(w)(cols => w.partitionBy(cols: _*))
+        .parquet(s"$path/$name")
     }
     if (meta.nonEmpty) {
       val spark = frames.head._2.sparkSession

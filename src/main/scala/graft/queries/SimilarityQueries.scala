@@ -401,13 +401,20 @@ object SimilarityQueries {
   private def quantizedVectors(
       spark: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
     import spark.implicits._
-    vectors(spark, dir).as[(Long, Array[Float])]
-      .map { case (id, e) =>
-        val q = new Array[Long](e.length)
-        var i = 0
-        while (i < e.length) { q(i) = math.floor(e(i).toDouble * Q).toLong; i += 1 }
-        (id, q)
-      }
+    quantize(vectors(spark, dir).as[(Long, Array[Float])])
+  }
+
+  /** [[quantizedVectors]] over an already-typed vector set (the durable
+    * IVF index builds from an arbitrary embeddings frame). */
+  private def quantize(
+      vecs: Dataset[(Long, Array[Float])]): Dataset[(Long, Array[Long])] = {
+    import vecs.sparkSession.implicits._
+    vecs.map { case (id, e) =>
+      val q = new Array[Long](e.length)
+      var i = 0
+      while (i < e.length) { q(i) = math.floor(e(i).toDouble * Q).toLong; i += 1 }
+      (id, q)
+    }
   }
 
   /** Cell count for SemDeDup-style clustering: k ∝ corpus size so the
@@ -1070,5 +1077,116 @@ object SimilarityQueries {
         col("p._2").as("vec_id"),
         round(sqrt(col("p._1")) / (col("n") * lit(1048576.0)), 6).as("dist"))
       .orderBy("label", "rnk")
+  }
+
+  /** Durable IVF index ([[IndexArtifact]] layout, CLI `build-index
+    * --kind ivf`): the [[trainQuantizedCells]]-trained centroids plus
+    * every vector assigned to its argmax-cosine cell — with the vectors
+    * frame HIVE-PARTITIONED BY CELL. That physical layout is the whole
+    * point at 100 TB: a probe filters on cell literals, so the parquet
+    * scan PRUNES the non-probed cells' files (`PartitionFilters` in the
+    * plan, pinned by PlanSpec) instead of reading the corpus and
+    * filtering rows — probe I/O is ~nprobe/ncells of the index
+    * regardless of corpus size. Centroids are metadata-scale (ncells
+    * rows) and load with one driver collect, like the nightly-artifact
+    * contract's other index heads.
+    */
+  final case class IvfIndex(centroids: DataFrame, vectors: DataFrame) {
+    def save(path: String): Unit =
+      IndexArtifact.save(path,
+        Map("centroids" -> centroids, "vectors" -> vectors),
+        partitionedBy = Map("vectors" -> Seq("cell")))
+  }
+
+  object IvfIndex {
+    def load(spark: SparkSession, path: String): IvfIndex =
+      IvfIndex(IndexArtifact.frame(spark, path, "centroids"),
+        IndexArtifact.frame(spark, path, "vectors"))
+  }
+
+  /** Train + assign over an embeddings frame (`vec_id, embedding`).
+    * Training is the exact-integer Lloyd path ([[trainQuantizedCells]];
+    * bit-identical at any partition order); assignment is one broadcast
+    * pass. Zero-norm vectors have no cosine direction and belong to no
+    * cell — dropped, the [[annIvf]] convention. */
+  def buildIvfIndex(embeddings: DataFrame): IvfIndex = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+    val cents = trainQuantizedCells(quantize(vecs))
+    val bc = spark.sparkContext.broadcast(cents)
+    // one pass, no join: recompute the quantization in-row next to the
+    // raw embedding so the assigned frame carries (cell, vec_id, embedding)
+    val out = vecs.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (id, emb) =>
+        val q = new Array[Long](emb.length)
+        var i = 0
+        while (i < emb.length) { q(i) = math.floor(emb(i).toDouble * Q).toLong; i += 1 }
+        val cell = qArgmax(q, cs)
+        if (cell < 0) Iterator.empty else Iterator((cell, id, emb))
+      }
+    }.toDF("cell", "vec_id", "embedding")
+    val centDF = cents.toSeq
+      .map { case (cell, c, cn) => (cell, c, cn) }
+      .toDF("cell", "centroid", "cnorm")
+    IvfIndex(centDF, out)
+  }
+
+  /** Probe a durable [[IvfIndex]]: per query, its `nprobe` max-cosine
+    * cells (driver-side over the collected centroid head), then ONE
+    * scan of exactly those cells' partitions — `isin` on the partition
+    * column, so pruning happens at file-listing time — scoring each
+    * member against the (broadcast) queries probing its cell, and a
+    * per-query top-k window over the candidate-scale survivors. */
+  def probeIvfIndex(
+      index: IvfIndex, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    val cents = index.centroids
+      .select("cell", "centroid", "cnorm").as[(Long, Array[Double], Double)]
+      .collect().sortBy(_._1)
+    val qs = queries.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, e) => val v = widen(e); (id, v, norm(v)) }
+      .filter(_._3 > 0.0)
+    val cellQueries: Map[Long, Array[(Long, Array[Double], Double)]] = qs
+      .flatMap { case (qid, qv, qn) =>
+        cents
+          .map { case (cell, c, cn) => (cell, dot(qv, c) / (qn * cn)) }
+          .sortBy { case (cell, cos) => (-cos, cell) }
+          .take(nprobe)
+          .map { case (cell, _) => (cell, (qid, qv, qn)) }
+      }
+      .groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2) }
+    val probeCells = cellQueries.keys.toSeq.sorted
+    val bc = spark.sparkContext.broadcast(cellQueries)
+    // filter FIRST, on the raw partition column with literals of its
+    // inferred (int) type — a cast above the column would defeat the
+    // PartitionFilters pushdown this index exists for
+    val scan = index.vectors
+      .filter(col("cell").isin(probeCells.map(_.toInt): _*))
+      .select(col("cell").cast("long"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+    val scored = scan.mapPartitions { it =>
+      val cq = bc.value
+      it.flatMap { case (cell, id, emb) =>
+        val v = widen(emb)
+        val nv = norm(v)
+        if (nv == 0.0) Iterator.empty
+        else cq.getOrElse(cell, Array.empty[(Long, Array[Double], Double)])
+          .iterator.filter(_._1 != id).map { case (qid, qv, qn) =>
+            (qid, id, dot(qv, v) / (qn * nv))
+          }
+      }
+    }.toDF("query_id", "neighbor_id", "c")
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("c"), 6).as("cos_sim"))
+      .orderBy("query_id", "rnk")
   }
 }

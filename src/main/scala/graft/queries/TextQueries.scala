@@ -1399,12 +1399,31 @@ object TextQueries {
     * exact DECIMAL sums (avg_logp is already 6-dp) so the stats are
     * partition-order-free.
     */
+  /** The driver-collected distinct-score histogram [[pplBuckets]] ranks
+    * from is bounded by the score RANGE on the 6-dp grid, not by the
+    * corpus — but unlike [[tokenBudgetSelect]]'s q ∈ [0,1] grid (≤ 10^6
+    * values by construction), avg_logp's range is not intrinsically
+    * capped. Make the bound explicit: past the cap, rank from a coarser
+    * grid (round avg_logp to fewer decimals before the histogram) or an
+    * approx-quantile sketch instead of exact decile edges. */
+  private[graft] def requireHistBounded(distinctScores: Long, cap: Long = 2000000L): Unit =
+    require(distinctScores <= cap,
+      s"pplBuckets: $distinctScores distinct 6-dp scores exceed the " +
+        s"driver-histogram cap $cap — coarsen the score grid (fewer " +
+        "decimals) or switch the ranking to an approx-quantile sketch")
+
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scores = ngramLm(spark, dir).select(col("doc_id"), col("avg_logp"))
-    val hist = scores.groupBy("avg_logp").agg(count(lit(1)).as("c")).collect()
+    // persist the (distributed) histogram so the bound check is a cheap
+    // count over the aggregate, not a second scoring pass — and the
+    // collect below only runs once the size is proven driver-safe
+    val histDf = scores.groupBy("avg_logp").agg(count(lit(1)).as("c")).persist()
+    requireHistBounded(histDf.count())
+    val hist = histDf.collect()
       .map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy(_._1)
+    histDf.unpersist()
     var acc = 0L
     val offs = hist.map { case (v, c) => val o = acc; acc += c; (v, o) }
     val n = acc

@@ -113,4 +113,15 @@ class DegenerateSpec extends SparkSuite {
     assert(rows.map(_._2).sum === n.toLong)
     rows.foreach { case (l, _, c) => assert(c === 1.0, s"label $l drifted: $c") }
   }
+
+  test("pplBuckets' driver histogram bound is explicit, with a fallback message") {
+    import graft.queries.TextQueries
+    // under the cap: fine; over: a loud error naming the coarser-grid /
+    // sketch fallback instead of a silent driver OOM on the collect
+    TextQueries.requireHistBounded(2000000L)
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.requireHistBounded(2000001L)
+    }
+    assert(e.getMessage.contains("coarsen") && e.getMessage.contains("sketch"))
+  }
 }

@@ -218,5 +218,10 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(frames(cmd("chunk")) == Set("fps"))
     assert(frames(cmd("winnow")) == Set("fps"))
     assert(frames(cmd("drift")) == Set("counts", "_meta"))
+    // ivf builds from embeddings, not documents
+    val ivfOut = tmpDir("cli-ivf-index")
+    Main.buildIndexCmd(spark, Map("kind" -> "ivf",
+      "in" -> s"${graft.SparkSuite.sf0001}/embeddings.parquet", "out" -> ivfOut))
+    assert(frames(ivfOut) == Set("centroids", "vectors"))
   }
 }
