@@ -51,6 +51,21 @@ object Bench {
     } catch { // warmup must never fail the bench — but fatal JVM errors must still surface
       case scala.util.control.NonFatal(_) => ()
     }
+    // Throttle canary (r8 verdict task 3): this box has a multi-minute
+    // throttle duty cycle that inflates whole runs ~1.25-1.3x uniformly.
+    // A fixed CPU-bound probe (constant work, no I/O, codegen'd) timed
+    // before and after the board gives the reader an absolute box-speed
+    // reference: compare canary times ACROSS rounds to normalize window
+    // inflation out of round-over-round totals, and before-vs-after to
+    // see whether the window shifted mid-run. min-of-2 per side absorbs
+    // GC blips without hiding the (minutes-long) throttle signal.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // untimed: pays the probe's own janino compile
+    val canaryBefore = math.min(canaryOnce(), canaryOnce())
     val errors = scala.collection.mutable.Map.empty[String, String]
     // min of 2 runs per query: run 1 pays one-time janino/JIT compilation
     // of that query's operator shapes (measured 2-10x of steady state and
@@ -106,7 +121,10 @@ object Bench {
     def q(s: String): String =
       "\"" + s.flatMap { c => if (c == '"' || c == '\\') "\\" + c else if (c < ' ') " " else c.toString } + "\""
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val canaryAfter = math.min(canaryOnce(), canaryOnce())
+    val canary = s"""{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)},"ratio":${fmt(
+      if (canaryBefore > 0) canaryAfter / canaryBefore else 1.0)}}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canary,"sf":"$sfDir"}"""
     // durable copy the driver (or a human) can read even if stdout is
     // truncated; r5's report was lost to exactly that
     try java.nio.file.Files.write(
@@ -125,6 +143,6 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"errors":$errJson,"canary":$canary,"sf":"$sfDir"}""")
   }
 }

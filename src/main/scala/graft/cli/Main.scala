@@ -28,6 +28,7 @@ import java.time.temporal.ChronoUnit
   *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf --in <documents|embeddings parquet>
   *               --out <dir>
   *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
+  *         [--stream --checkpoint <dir>]   (probe new files only; resumes)
   *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]
   *
   * Every command also accepts `--config <file>`: a HOCON config file
@@ -438,25 +439,49 @@ object Main {
     (out, spark.read.parquet(out).count())
   }
 
-  /** `scrub` body, session-injected for specs (see [[buildIndexCmd]]). */
+  /** `scrub` body, session-injected for specs (see [[buildIndexCmd]]).
+    * With `--stream --checkpoint <dir>` the input directory is consumed
+    * as a Structured Streaming source (AvailableNow: process what's
+    * there, checkpoint, exit — re-running with the same checkpoint
+    * appends only new files' docs), each micro-batch probed against the
+    * required `--index` corpus artifact — the nightly-index +
+    * streaming-ingest story end to end. */
   private[cli] def scrubCmd(
       spark: SparkSession, o: Map[String, String]): (String, Long, Long) = {
     import graft.queries.TextQueries
     import org.apache.spark.sql.functions.{col, sum}
     val in = o.getOrElse("in", die("--in <documents parquet> is required"))
     val out = o.getOrElse("out", die("--out <parquet> is required"))
-    val batch = spark.read.parquet(in)
-    val scrubbed = o.get("index") match {
-      case Some(idx) =>
-        TextQueries.probeScrub(batch, TextQueries.ScrubIndex.load(spark, idx))
-      case None =>
-        // global mark via the count-aggregate + shuffled join plan:
-        // probeScrub would broadcast the input's entire distinct gram
-        // set, which for a corpus-sized no-index scrub risks driver
-        // OOM (ScrubSamplingSpec pins result equivalence of the paths)
-        TextQueries.scrubCorpus(batch)
+    if (o.contains("stream")) {
+      // the global no-index mark needs the whole corpus at once — only
+      // the index probe has a streaming shape
+      val idxPath = o.getOrElse("index",
+        die("--stream scrub needs --index (the nightly corpus scrub artifact)"))
+      val ckpt = o.getOrElse("checkpoint",
+        die("--checkpoint <dir> is required with --stream"))
+      val schema = spark.read.parquet(in).schema
+      val docsStream = spark.readStream.schema(schema).parquet(in)
+      val index = TextQueries.ScrubIndex.load(spark, idxPath)
+      val q = graft.streaming.StreamingAnalytics.streamingScrubProbe(
+        docsStream, index, ckpt,
+        b => b.write.mode("append").parquet(out),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      index.unpersist()
+    } else {
+      val batch = spark.read.parquet(in)
+      val scrubbed = o.get("index") match {
+        case Some(idx) =>
+          TextQueries.probeScrub(batch, TextQueries.ScrubIndex.load(spark, idx))
+        case None =>
+          // global mark via the count-aggregate + shuffled join plan:
+          // probeScrub would broadcast the input's entire distinct gram
+          // set, which for a corpus-sized no-index scrub risks driver
+          // OOM (ScrubSamplingSpec pins result equivalence of the paths)
+          TextQueries.scrubCorpus(batch)
+      }
+      scrubbed.write.mode("overwrite").parquet(out)
     }
-    scrubbed.write.mode("overwrite").parquet(out)
     val res = spark.read.parquet(out)
     // coalesce: sum over an empty batch is null, not 0
     val removed = res.agg(org.apache.spark.sql.functions.coalesce(

@@ -224,11 +224,15 @@ object StreamingAnalytics {
       docs: DataFrame,
       index: graft.queries.TextQueries.ScrubIndex,
       checkpoint: String,
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      sink: DataFrame => Unit,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     index.persist()
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         sink(graft.queries.TextQueries.probeScrub(batch.toDF(), index))
       }

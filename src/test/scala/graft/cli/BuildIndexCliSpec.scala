@@ -169,6 +169,48 @@ class BuildIndexCliSpec extends SparkSuite {
       Seq("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  test("scrub verb --stream: checkpointed probe processes only new files on restart") {
+    // nightly artifact over the corpus
+    val idx = tmpDir("cli-scrubstream-index")
+    corpus.write.mode("overwrite").parquet(s"$idx-corpus")
+    Main.buildIndexCmd(spark,
+      Map("kind" -> "scrub", "in" -> s"$idx-corpus", "out" -> idx))
+
+    // streaming ingest dir: first half of the batch arrives
+    val inDir = tmpDir("cli-scrubstream-in")
+    val ids = batch.select("doc_id").as[Long].collect().sorted
+    val half = ids(ids.length / 2)
+    batch.filter(col("doc_id") < half)
+      .write.mode("append").parquet(inDir)
+    val out = tmpDir("cli-scrubstream-out")
+    val ckpt = tmpDir("cli-scrubstream-ckpt")
+    val o = Map("in" -> inDir, "out" -> out, "index" -> idx,
+      "stream" -> "true", "checkpoint" -> ckpt)
+    val (_, n1, _) = Main.scrubCmd(spark, o)
+    assert(n1 == ids.count(_ < half))
+
+    // rest of the batch lands; same checkpoint -> only the new file runs
+    batch.filter(col("doc_id") >= half)
+      .write.mode("append").parquet(inDir)
+    val (_, n2, rem2) = Main.scrubCmd(spark, o)
+    assert(n2 == ids.length.toLong, s"expected all ${ids.length} docs, got $n2")
+    assert(rem2 > 0, "corpus-indexed grams must scrub something")
+
+    // the streamed output matches per-micro-batch probes doc-for-doc
+    // (within-batch multiplicity is per micro-batch by construction;
+    // cross-batch duplicates are the nightly index rebuild's job)
+    val streamed = spark.read.parquet(out).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val loadedIdx = graft.queries.TextQueries.ScrubIndex.load(spark, idx)
+    val perBatch = Seq(col("doc_id") < half, col("doc_id") >= half)
+      .flatMap { pred =>
+        graft.queries.TextQueries.probeScrub(
+            spark.read.parquet(inDir).filter(pred), loadedIdx)
+          .as[(Long, Long, Long, String)].collect().toSeq
+      }.sortBy(_._1)
+    assert(streamed == perBatch)
+  }
+
   test("ingest verb: upstream doc_id is validated, not silently corrupted") {
     import java.nio.file.{Files, Paths}
     val in = tmpDir("cli-ingest-id-in")
