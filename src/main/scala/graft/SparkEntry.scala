@@ -180,7 +180,12 @@ object SparkEntry {
     "t_heavy_hitters" -> (TextQueries.heavyHitters _),
     "t_zipf_fit" -> (TextQueries.zipfFit _),
     "p_anneal_plan" -> (TextQueries.annealPlan _),
-    "m_media_sniff" -> (TextQueries.mediaSniff _)
+    "m_media_sniff" -> (TextQueries.mediaSniff _),
+    "p_temperature_mix" -> (TextQueries.temperatureMix _),
+    "t_word_entropy" -> (TextQueries.wordEntropy _),
+    "d_decontam_semantic" -> (SimilarityQueries.semanticDecontam _),
+    "s_cluster_purity" -> (SimilarityQueries.clusterPurity _),
+    "s_ivf_probe" -> (SimilarityQueries.annIvfProbe _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2686,7 +2691,140 @@ object SparkEntry {
           |        nb FROM m)
           |SELECT mime, sniffed, CAST(count(*) AS BIGINT) AS n_items,
           |       CAST(sum(nb) AS BIGINT) AS total_bytes
-          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // Temperature-scaled mixing: α ∈ {1/2, 1/4} as one/two
+      // correctly-rounded sqrt ops; α-terms cross the normalizing sums
+      // on the round-12 DECIMAL grid.
+      "p_temperature_mix" ->
+        """WITH t AS (SELECT source, len(string_split(trim(text), ' ')) AS t FROM documents),
+          |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |             CAST(sum(t) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+          |x AS (SELECT *,
+          |        CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 12) AS DECIMAL(38,12)) AS s2,
+          |        CAST(round(sqrt(sqrt(CAST(n_tokens AS DOUBLE))), 12) AS DECIMAL(38,12)) AS s4
+          |      FROM s)
+          |SELECT source, n_docs, n_tokens,
+          |       round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS w_natural,
+          |       round(CAST(s2 AS DOUBLE) / CAST(sum(s2) OVER () AS DOUBLE), 6) AS w_alpha_half,
+          |       round(CAST(s4 AS DOUBLE) / CAST(sum(s4) OVER () AS DOUBLE), 6) AS w_alpha_quarter
+          |FROM x ORDER BY source""".stripMargin,
+      // Per-source unigram entropy: identical p, identical ln, terms on
+      // the 12-dp DECIMAL grid so summation order cannot matter.
+      "t_word_entropy" ->
+        """WITH w AS (SELECT source, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+          |f AS (SELECT source, w FROM w WHERE len(w) > 0),
+          |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+          |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |             CAST(count(*) AS BIGINT) AS vocab,
+          |             sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 12)
+          |                      AS DECIMAL(38,12))) AS s
+          |      FROM c GROUP BY 1)
+          |SELECT source, n_tokens, vocab,
+          |       round(ln(CAST(n_tokens AS DOUBLE)) -
+          |             CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS entropy_nats
+          |FROM t ORDER BY source""".stripMargin,
+      // Semantic decontamination: same widened doubles, same fold order
+      // (list_dot_product = the Scala loop), same 0.4 threshold on the
+      // identical cosine double.
+      "d_decontam_semantic" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |b AS (SELECT vec_id AS bench_id, v FROM e WHERE vec_id < 10),
+          |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+          |s AS (SELECT c.vec_id, b.bench_id,
+          |        list_dot_product(c.v, b.v) /
+          |        (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
+          |      FROM c, b)
+          |SELECT vec_id, bench_id, round(cs, 6) AS cos_sim
+          |FROM s WHERE cs >= 0.4 ORDER BY vec_id, bench_id""".stripMargin,
+      // Cluster purity: the ivf_trained integer-Lloyd replay through
+      // assignment, then label-scale counting.
+      "s_cluster_purity" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 16),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c0 p) WHERE rn = 1),
+          |u1 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u1 GROUP BY 1),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c1 p) WHERE rn = 1),
+          |u2 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a2, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c2 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u2 GROUP BY 1),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT e.vec_id, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c2 p) WHERE rn = 1),
+          |j AS (SELECT a3.cell, CAST(emb.label AS BIGINT) AS label
+          |      FROM a3 JOIN embeddings emb USING (vec_id)),
+          |cnt AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+          |tot AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n_members FROM cnt GROUP BY 1),
+          |maj AS (SELECT cell, label AS majority_label, c FROM (
+          |  SELECT cell, label, c, row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+          |  FROM cnt) WHERE rn = 1)
+          |SELECT t.cell, t.n_members, m.majority_label,
+          |       round(CAST(m.c AS DOUBLE) / CAST(t.n_members AS DOUBLE), 6) AS purity
+          |FROM tot t JOIN maj m USING (cell) ORDER BY t.cell""".stripMargin,
+      // Durable-probe semantics: trained cells (same Lloyd replay),
+      // per-query top-4 cells on raw-query x trained-centroid cosine,
+      // then raw-cosine scoring of the probed cells' members.
+      "s_ivf_probe" ->
+        """WITH er AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 16),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c0 p) WHERE rn = 1),
+          |u1 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u1 GROUP BY 1),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c1 p) WHERE rn = 1),
+          |u2 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a2, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c2 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u2 GROUP BY 1),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT e.vec_id, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c2 p) WHERE rn = 1),
+          |qv AS (SELECT vec_id, v FROM er
+          |       WHERE vec_id < 10 AND sqrt(list_dot_product(v, v)) > 0),
+          |pc AS (SELECT vec_id AS query_id, cell FROM (
+          |  SELECT qv.vec_id, c2.cell,
+          |         row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+          |           list_dot_product(qv.v, c2.c) / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(c2.c, c2.c))) DESC, c2.cell) AS rn
+          |  FROM qv, c2) WHERE rn <= 4),
+          |cand AS (SELECT pc.query_id, a3.vec_id AS neighbor_id
+          |         FROM pc JOIN a3 ON a3.cell = pc.cell
+          |         WHERE a3.vec_id <> pc.query_id),
+          |sims AS (SELECT cd.query_id, cd.neighbor_id,
+          |           list_dot_product(qq.v, ee.v) /
+          |           (sqrt(list_dot_product(qq.v, qq.v)) * sqrt(list_dot_product(ee.v, ee.v))) AS c
+          |         FROM cand cd
+          |         JOIN er qq ON qq.vec_id = cd.query_id
+          |         JOIN er ee ON ee.vec_id = cd.neighbor_id),
+          |ranked AS (SELECT query_id, neighbor_id, c,
+          |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rnk
+          |           FROM sims)
+          |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cos_sim
+          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
     )
   }
 }

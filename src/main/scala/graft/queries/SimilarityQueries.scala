@@ -1079,6 +1079,93 @@ object SimilarityQueries {
       .orderBy("label", "rnk")
   }
 
+  /** Semantic decontamination — the embedding twin of the gram-based
+    * [[TextQueries.decontaminate]]: corpus vectors whose cosine to ANY
+    * benchmark vector reaches 0.4 (the [[semDedup]] threshold) are
+    * flagged with every benchmark hit, catching paraphrased eval
+    * contamination that exact n-gram matching cannot see (the
+    * embedding-similarity decontam used alongside lexical decontam in
+    * Gemini/Llama eval hygiene). Benchmark = `vec_id < 10` (the query
+    * convention). Scale shape: the benchmark set is broadcast as
+    * primitive matrices and ONE pass over the corpus scores each row
+    * against all benchmark vectors in a tight loop ([[annTopK]]'s
+    * shape) — output is hit-scale (pairs over threshold), never a
+    * join's candidate set. Zero-norm rows have no cosine and never
+    * flag, on either side.
+    */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val bench = vecs.filter(col("vec_id") < 10).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, e) => val v = widen(e); (id, v, norm(v)) }
+      .filter(_._3 > 0.0)
+    val bc = spark.sparkContext.broadcast(bench)
+    vecs.filter(col("vec_id") >= 10).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.flatMap { case (id, emb) =>
+          val v = widen(emb)
+          val nv = norm(v)
+          if (nv == 0.0) Iterator.empty
+          else b.iterator.flatMap { case (bid, bv, bn) =>
+            val cos = dot(v, bv) / (nv * bn)
+            if (cos >= 0.4) Iterator((id, bid, cos)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("vec_id", "bench_id", "c")
+      .select(col("vec_id"), col("bench_id"), round(col("c"), 6).as("cos_sim"))
+      .orderBy("vec_id", "bench_id")
+  }
+
+  /** Cluster-label purity over the bit-exact trained cells — the
+    * unsupervised-clustering quality report (majority-label purity per
+    * cell) a curation pipeline reads before trusting cluster-level
+    * operations (cluster sampling, SemDeDup cells, topic pruning):
+    * cells whose members disagree with their majority label mark
+    * regions where the embedding space mixes topics. Training is
+    * [[trainQuantizedCells]] (exact integer Lloyd, oracle-replayable);
+    * the rest is two label-scale aggregates and a per-cell argmax —
+    * counts shuffle at (cell x label) cardinality, never vectors.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val qvecs = quantizedVectors(spark, dir)
+    val cents = trainQuantizedCells(qvecs)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = qvecs
+      .map { case (id, q) => (qArgmax(q, bc.value), id) }
+      .toDF("cell", "vec_id")
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+    val cnt = assigned.join(labels, "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("cell").orderBy(col("c").desc, col("label"))
+    cnt
+      .withColumn("rn", row_number().over(wc))
+      .withColumn("n_members", sum("c").over(Window.partitionBy("cell")))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("n_members"),
+        col("label").as("majority_label"),
+        round(col("c").cast(DoubleType) / col("n_members").cast(DoubleType), 6)
+          .as("purity"))
+      .orderBy("cell")
+  }
+
+  /** The durable-index probe path as a gate query: train + assign
+    * ([[buildIvfIndex]]) then probe ([[probeIvfIndex]]) in one plan,
+    * so the EXACT semantics of the partition-pruned artifact probe —
+    * trained-centroid cell selection, nprobe=4, raw-cosine scoring,
+    * top-5 — replay under the DuckDB oracle (the same integer-Lloyd
+    * replay as [[ivfTrained]], extended through candidate scoring).
+    */
+  def annIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    probeIvfIndex(buildIvfIndex(emb), emb.filter(col("vec_id") < 10))
+  }
+
   /** Durable IVF index ([[IndexArtifact]] layout, CLI `build-index
     * --kind ivf`): the [[trainQuantizedCells]]-trained centroids plus
     * every vector assigned to its argmax-cosine cell — with the vectors

@@ -2842,6 +2842,74 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Temperature-scaled source mixing (the T5/mT5 α-sampling scheme,
+    * Raffel et al. 2020 §3.4.3 / Xue et al. 2021 §3.2: sample source s
+    * with p_s ∝ n_s^α, α < 1 flattening the natural distribution so
+    * low-resource sources up-sample): per source, the natural token
+    * share plus the α = 1/2 and α = 1/4 shares. α is restricted to
+    * powers of 1/2 ON PURPOSE — n^(1/2) and n^(1/4) are one and two
+    * IEEE-correctly-rounded sqrt ops on the exact double image of a
+    * BIGINT count, so the weights replay bit-identically in any engine,
+    * where the paper's pow(n, 0.3) rides libm's uncorrected last ulp
+    * (the cross-engine hazard [[sampleWeighted]]'s scaladoc documents).
+    * Scale shape: one token-count aggregate (map-side partials), then
+    * source-cardinality rows through an unpartitioned window — the
+    * [[annealPlan]] shape; the α-terms cross the window as
+    * round-12 DECIMAL(38,12) so the normalizing sums are
+    * partition-order-free.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    docs(spark, dir)
+      .select(col("source"), size(wsTokens(col("text"))).cast(LongType).as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
+      .withColumn("s2",
+        round(sqrt(col("n_tokens").cast(DoubleType)), 12).cast(DecimalType(38, 12)))
+      .withColumn("s4",
+        round(sqrt(sqrt(col("n_tokens").cast(DoubleType))), 12).cast(DecimalType(38, 12)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) /
+          sum("n_tokens").over(w).cast(DoubleType), 6).as("w_natural"),
+        round(col("s2").cast(DoubleType) /
+          sum("s2").over(w).cast(DoubleType), 6).as("w_alpha_half"),
+        round(col("s4").cast(DoubleType) /
+          sum("s4").over(w).cast(DoubleType), 6).as("w_alpha_quarter"))
+      .orderBy("source")
+  }
+
+  /** Per-source unigram (token) Shannon entropy in nats — the
+    * vocabulary-richness signal that separates boilerplate-heavy
+    * sources (low H, mass concentrated on few types) from diverse prose
+    * (H near log vocab), complementing [[charEntropy]] (char level) and
+    * [[diversity]] (distinct-n): H_s = -Σ_w p_w ln p_w over s's token
+    * distribution. Scale shape: one (source, token) count aggregate
+    * (vocab-scale, map-side partials absorb token skew), then ONE
+    * source-cardinality aggregate via the identity
+    * `H = ln N − (Σ c·ln c)/N` — no join back, no window over vocab
+    * rows, two exchanges total. The `c·ln c` terms round to the 12-dp
+    * grid and sum as DECIMAL(38,12) — partition-order-free, with ln
+    * bit-identical across engines (the [[ngramLm]] contract).
+    */
+  def wordEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val c = col("c").cast(DoubleType)
+    docs(spark, dir)
+      .select(col("source"), explode(wsTokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(round(c * log(c), 12).cast(DecimalType(38, 12))).as("s"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(log(col("n_tokens").cast(DoubleType)) -
+          col("s").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("entropy_nats"))
+      .orderBy("source")
+  }
+
   /** Deterministic heavy-hitter terms via the two-pass Misra–Gries
     * shape: pass 1 folds the corpus token stream into ONE k-bounded
     * [[graft.functions.FrequentItemsAggregator]] sketch (partials are

@@ -496,7 +496,21 @@ class PlanSpec extends SparkSuite {
       // over source-cardinality rows
       "p_anneal_plan" -> 1,
       // scan-side 4-byte prefix compares + one cells-scale aggregate
-      "m_media_sniff" -> 1)
+      "m_media_sniff" -> 1,
+      // one token-count aggregate; α-normalizations are windows over
+      // source-cardinality rows
+      "p_temperature_mix" -> 1,
+      // (source, token) counts then the source-grain entropy identity
+      // H = ln N - (Σ c ln c)/N — no join back, no vocab window
+      "t_word_entropy" -> 2,
+      // broadcast benchmark matrix, one corpus pass, hit-scale output
+      "d_decontam_semantic" -> 0,
+      // (cell, label) counts + per-cell majority window; training
+      // exchanges live in eager collects outside this plan
+      "s_cluster_purity" -> 2,
+      // scoring pass over probed cells + the per-query top-k window;
+      // train/assign are eager collects outside this plan
+      "s_ivf_probe" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))
