@@ -185,7 +185,11 @@ object SparkEntry {
     "t_word_entropy" -> (TextQueries.wordEntropy _),
     "d_decontam_semantic" -> (SimilarityQueries.semanticDecontam _),
     "s_cluster_purity" -> (SimilarityQueries.clusterPurity _),
-    "s_ivf_probe" -> (SimilarityQueries.annIvfProbe _)
+    "s_ivf_probe" -> (SimilarityQueries.annIvfProbe _),
+    "m_shard_pack" -> (TextQueries.shardPack _),
+    "m_shard_manifest" -> (TextQueries.shardManifest _),
+    "s_dim_stats" -> (SimilarityQueries.dimStats _),
+    "s_cell_reps" -> (SimilarityQueries.cellReps _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2824,7 +2828,85 @@ object SparkEntry {
           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rnk
           |           FROM sims)
           |SELECT query_id, rnk, neighbor_id, round(c, 6) AS cos_sim
-          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      // Byte-budget shard packing: exclusive byte prefix in doc_id
+      // order (the oracle's window IS the semantics the distributed
+      // two-phase prefix sum must reproduce), integer cut at 64 KiB.
+      "m_shard_pack" ->
+        """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+          |           FROM documents),
+          |p AS (SELECT doc_id, nb,
+          |        CAST(coalesce(sum(nb) OVER (ORDER BY doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+          |      FROM m)
+          |SELECT doc_id, nb, pre // 65536 AS shard_id, pre % 65536 AS shard_off
+          |FROM p ORDER BY doc_id""".stripMargin,
+      "m_shard_manifest" ->
+        """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+          |           FROM documents),
+          |p AS (SELECT doc_id, nb,
+          |        CAST(coalesce(sum(nb) OVER (ORDER BY doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+          |      FROM m),
+          |s AS (SELECT doc_id, nb, pre // 65536 AS shard_id FROM p)
+          |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_items,
+          |       CAST(sum(nb) AS BIGINT) AS n_bytes,
+          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Per-dimension moments on the 2^20 grid: DECIMAL-exact first and
+      // second moments, identical IEEE op sequence for the final stats.
+      "s_dim_stats" ->
+        """WITH q AS (SELECT i AS dim, floor(embedding[i]::DOUBLE * 1048576.0) AS qd
+          |           FROM embeddings, UNNEST(range(1, 65)) t(i)),
+          |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+          |        sum(CAST(qd AS DECIMAL(38,0))) AS s,
+          |        sum(CAST(qd * qd AS DECIMAL(38,0))) AS ss,
+          |        min(qd) AS mn, max(qd) AS mx
+          |      FROM q GROUP BY 1)
+          |SELECT CAST(dim AS BIGINT) AS dim,
+          |       round(CAST(s AS DOUBLE) / n / 1048576.0, 6) AS mean_val,
+          |       round((CAST(ss AS DOUBLE) / n -
+          |              (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) /
+          |             1099511627776.0, 6) AS var_val,
+          |       round(mn / 1048576.0, 6) AS min_val,
+          |       round(mx / 1048576.0, 6) AS max_val
+          |FROM a ORDER BY dim""".stripMargin,
+      // Cell representatives: the ivf_trained integer-Lloyd replay,
+      // with the winning cosine carried through assignment so the
+      // per-cell argmax member replays exactly.
+      "s_cell_reps" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 16),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c0 p) WHERE rn = 1),
+          |u1 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u1 GROUP BY 1),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c1 p) WHERE rn = 1),
+          |u2 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a2, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c2 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u2 GROUP BY 1),
+          |a3 AS (SELECT vec_id, cell, cs FROM (
+          |  SELECT e.vec_id, p.cell,
+          |         list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) AS cs,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c2 p) WHERE rn = 1),
+          |tot AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM a3 GROUP BY 1),
+          |rep AS (SELECT cell, vec_id AS rep_id, cs FROM (
+          |  SELECT cell, vec_id, cs, row_number() OVER (PARTITION BY cell ORDER BY cs DESC, vec_id) AS rn
+          |  FROM a3) WHERE rn = 1)
+          |SELECT t.cell, r.rep_id, t.n_members, round(r.cs, 6) AS rep_cos
+          |FROM tot t JOIN rep r USING (cell) ORDER BY t.cell""".stripMargin
     )
   }
 }

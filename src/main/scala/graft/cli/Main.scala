@@ -30,6 +30,8 @@ import java.time.temporal.ChronoUnit
   *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
   *         [--stream --checkpoint <dir>]   (probe new files only; resumes)
   *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]
+  *   export --in <documents parquet> --out <dir> [--shards N] [--gzip]
+  *          (hive-sharded JSONL, shard = doc_id % N; ingest reads it back)
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -363,6 +365,19 @@ object Main {
       println(s"ingest: $n docs written to $out")
       spark.stop()
 
+    case "export" :: rest =>
+      // The back door: documents parquet -> sharded JSONL a trainer (or
+      // another pipeline) consumes; `ingest` reads the output straight
+      // back, so the two verbs round-trip the documents contract.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, n, shards) =
+        try exportCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"export: $n docs written to $out across $shards shards")
+      spark.stop()
+
     case "scrub" :: rest =>
       // The ingest-side consumer of the scrub artifact: rewrite a batch
       // of documents with corpus-duplicated spans removed. With --index
@@ -437,6 +452,37 @@ object Main {
       .select("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(out)
     (out, spark.read.parquet(out).count())
+  }
+
+  /** `export` body, session-injected for specs: documents parquet →
+    * hive-sharded JSONL (`out/shard=K/part-*.json[.gz]`), the delivery
+    * format trainers and downstream pipelines consume. Shard is
+    * `doc_id % N` (deterministic — re-export reproduces the layout),
+    * files are doc_id-ordered within a shard, and [[ingestCmd]] reads
+    * the output straight back (`--format jsonl`), so export∘ingest is
+    * an identity on the contract columns. One repartition by shard is
+    * the only movement; N bounds both file count and write parallelism
+    * per shard.
+    */
+  private[cli] def exportCmd(
+      spark: SparkSession, o: Map[String, String]): (String, Long, Int) = {
+    import org.apache.spark.sql.functions._
+    val in = o.getOrElse("in", die("--in <documents parquet> is required"))
+    val out = o.getOrElse("out", die("--out <dir> is required"))
+    val shards = o.get("shards").map(_.toInt).getOrElse(8)
+    require(shards > 0, s"--shards must be positive, got $shards")
+    val docs = spark.read.parquet(in)
+    require(Seq("doc_id", "text").forall(docs.columns.contains),
+      "export input needs the documents contract (doc_id, text, ...), got " +
+        docs.columns.mkString(","))
+    val writer = docs
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.mode("overwrite").partitionBy("shard")
+    val codec = if (o.contains("gzip")) writer.option("compression", "gzip") else writer
+    codec.json(out)
+    (out, spark.read.json(out).count(), shards)
   }
 
   /** `scrub` body, session-injected for specs (see [[buildIndexCmd]]).

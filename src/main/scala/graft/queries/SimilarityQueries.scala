@@ -66,7 +66,14 @@ object SimilarityQueries {
     * closure).
     */
   private def qArgmax(
-      q: Array[Long], cents: Array[(Long, Array[Double], Double)]): Long = {
+      q: Array[Long], cents: Array[(Long, Array[Double], Double)]): Long =
+    qBest(q, cents)._1
+
+  /** [[qArgmax]] plus the winning cosine itself — for consumers that
+    * rank or report the member-to-centroid similarity ([[cellReps]]).
+    */
+  private def qBest(
+      q: Array[Long], cents: Array[(Long, Array[Double], Double)]): (Long, Double) = {
     val v = new Array[Double](q.length)
     var i = 0
     while (i < q.length) { v(i) = q(i).toDouble; i += 1 }
@@ -77,7 +84,7 @@ object SimilarityQueries {
       val cos = dot(v, c) / (nv * cn)
       if (cos > bestC) { bestC = cos; bestCell = cell }
     }
-    bestCell
+    (bestCell, bestC)
   }
 
   private def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -1164,6 +1171,75 @@ object SimilarityQueries {
   def annIvfProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     probeIvfIndex(buildIvfIndex(emb), emb.filter(col("vec_id") < 10))
+  }
+
+  /** Per-dimension embedding health report — the first QA pass an
+    * embedding pipeline runs before trusting a model's output space:
+    * mean / variance / min / max per coordinate expose dead dimensions
+    * (variance ~0 — wasted capacity, and a broken projection if many),
+    * mean offsets (anisotropy — cosine similarity saturates when all
+    * vectors share a large common component), and range blowouts
+    * (un-normalized batches mixed in).
+    *
+    * Determinism: coordinates quantize to the 2^20 grid (exact integer
+    * images in double), first and second moments sum as DECIMAL(38,0)
+    * — exact in any partial order (the [[ivfTrained]] contract, moments
+    * instead of centroids) — and the handful of final double ops
+    * (divide, multiply-subtract, rescale) is the identical IEEE
+    * sequence in both engines. Scale shape: ONE posexplode +
+    * dim-keyed aggregate — 64 groups regardless of corpus size,
+    * map-side partials absorb everything; nothing else moves.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val qd = floor(col("col").cast("double") * lit(1048576.0))
+    val sD = col("s").cast("double")
+    val ssD = col("ss").cast("double")
+    vectors(spark, dir)
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("long").as("dim"), qd.as("qd"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qd").cast("decimal(38,0)")).as("s"),
+        sum((col("qd") * col("qd")).cast("decimal(38,0)")).as("ss"),
+        min("qd").as("mn"), max("qd").as("mx"))
+      .select(col("dim"),
+        round(sD / col("n") / lit(1048576.0), 6).as("mean_val"),
+        round((ssD / col("n") - (sD / col("n")) * (sD / col("n"))) /
+          lit(1099511627776.0), 6).as("var_val"),
+        round(col("mn") / lit(1048576.0), 6).as("min_val"),
+        round(col("mx") / lit(1048576.0), 6).as("max_val"))
+      .orderBy("dim")
+  }
+
+  /** Representative (medoid-style) member per trained cell: the member
+    * with the highest cosine to its cell's centroid, plus the cell
+    * population — the "show me one example per cluster" primitive a
+    * curation pipeline uses to eyeball clusters before pruning them,
+    * and the seed set for cluster-level labeling. Training is the
+    * bit-exact integer Lloyd of [[ivfTrained]]; assignment and the
+    * winning cosine come from one broadcast-centroid pass ([[qBest]]),
+    * and the per-cell argmax is a window over cell-partitioned rows —
+    * one exchange carrying (cell, id, cosine) triples, never vectors.
+    */
+  def cellReps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qvecs = quantizedVectors(spark, dir)
+    val cents = trainQuantizedCells(qvecs)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = qvecs
+      .map { case (id, q) =>
+        val (cell, cos) = qBest(q, bc.value)
+        (cell, id, cos)
+      }
+      .toDF("cell", "vec_id", "c")
+    val w = Window.partitionBy("cell").orderBy(col("c").desc, col("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("rep_id"), col("n_members"),
+        round(col("c"), 6).as("rep_cos"))
+      .orderBy("cell")
   }
 
   /** Durable IVF index ([[IndexArtifact]] layout, CLI `build-index

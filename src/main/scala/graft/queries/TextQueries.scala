@@ -2910,6 +2910,59 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Bytes per webdataset-style shard: the byte budget every media
+    * shard packer cuts at (64 KiB here — sized so the harness scale
+    * factors produce tens of shards; production tar shards run
+    * 100 MB–1 GB, a constant swap).
+    */
+  private val shardBudgetBytes = 65536L
+
+  /** Byte-budget shard packing over the media payload stream — the
+    * webdataset/tar-shard layout step of a multimodal training
+    * pipeline: payloads concatenate in doc_id order and cut every
+    * [[shardBudgetBytes]] bytes; each item reports the shard its FIRST
+    * byte lands in and its offset within that shard (integer math only
+    * — exactly reproducible, items spanning a cut stay with their
+    * start, the tar-writer convention).
+    *
+    * Scale shape: the global byte prefix comes from
+    * [[graft.operators.PrefixSum.exclusivePrefix]] — deterministic
+    * key-range bins, ONE metadata-scale subtotal aggregate, broadcast
+    * offsets, one co-location shuffle — never an unpartitioned window
+    * (which would drag every payload length through a single task).
+    * Payload bytes themselves never move: only (doc_id, length) pairs
+    * enter the scan.
+    */
+  def shardPack(spark: SparkSession, dir: String): DataFrame =
+    shardPacked(spark, dir).orderBy("doc_id")
+
+  private def shardPacked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sized = graft.multimodal.MediaPipeline.mediaFromDocuments(spark, dir)
+      .select(col("doc_id").cast(LongType),
+        length(col("payload")).cast(LongType).as("nb"))
+      .as[(Long, Long)]
+    graft.operators.PrefixSum.exclusivePrefix(sized, parts)
+      .toDF("doc_id", "nb", "prefix")
+      .select(col("doc_id"), col("nb"),
+        expr(s"prefix DIV $shardBudgetBytes").as("shard_id"),
+        pmod(col("prefix"), lit(shardBudgetBytes)).as("shard_off"))
+  }
+
+  /** Per-shard manifest over [[shardPack]] — what the shard writer
+    * publishes next to the tars (item count, byte mass, id range per
+    * shard) so a training job can range-read without listing members.
+    * One shard-cardinality aggregate on top of the prefix-sum plan;
+    * output is shards-scale (corpus bytes / budget), not corpus-scale.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardPacked(spark, dir)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_items"), sum("nb").as("n_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+
   /** Deterministic heavy-hitter terms via the two-pass Misra–Gries
     * shape: pass 1 folds the corpus token stream into ONE k-bounded
     * [[graft.functions.FrequentItemsAggregator]] sketch (partials are

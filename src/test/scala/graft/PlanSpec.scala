@@ -510,7 +510,17 @@ class PlanSpec extends SparkSuite {
       "s_cluster_purity" -> 2,
       // scoring pass over probed cells + the per-query top-k window;
       // train/assign are eager collects outside this plan
-      "s_ivf_probe" -> 1)
+      "s_ivf_probe" -> 1,
+      // two-phase prefix sum: the one co-location repartition by bin;
+      // bounds + bin subtotals are eager metadata-scale collects
+      "m_shard_pack" -> 1,
+      // prefix-sum repartition + the shards-scale manifest aggregate
+      "m_shard_manifest" -> 2,
+      // one posexplode + dim-keyed moment aggregate (64 groups)
+      "s_dim_stats" -> 1,
+      // broadcast-centroid assignment + one cell-partitioned window;
+      // training exchanges live in eager collects outside this plan
+      "s_cell_reps" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -95,4 +95,76 @@ class Round9OpsSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(rows == again)
   }
+
+  test("PrefixSum.exclusivePrefix equals the sequential scan on sparse keys across many bins") {
+    import graft.operators.PrefixSum
+    // sparse non-contiguous keys, values with repeats, more rows than
+    // partitions so bins really split
+    val rows = (0 until 1000).map(i => (i.toLong * 7 + (i % 3), (i % 17).toLong + 1))
+    val got = PrefixSum.exclusivePrefix(rows.toDS().repartition(13), 8)
+      .collect().sortBy(_._1)
+    var acc = 0L
+    val expected = rows.sortBy(_._1).map { case (k, v) =>
+      val e = (k, v, acc); acc += v; e
+    }
+    assert(got.toSeq == expected)
+    // empty input stays empty, no job failure
+    assert(PrefixSum.exclusivePrefix(Seq.empty[(Long, Long)].toDS(), 8).count() == 0L)
+  }
+
+  test("shardPack: offsets stay under the budget, shards cut exactly at the byte prefix") {
+    val rows = TextQueries.shardPack(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.nonEmpty)
+    var prefix = 0L
+    rows.foreach { case (id, nb, shard, off) =>
+      assert(shard == prefix / 65536L, s"doc $id shard")
+      assert(off == prefix % 65536L, s"doc $id offset")
+      assert(off >= 0 && off < 65536L)
+      prefix += nb
+    }
+    // manifest is the exact per-shard rollup of the pack
+    val manifest = TextQueries.shardManifest(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val byShard = rows.groupBy(_._3).toSeq.sortBy(_._1).map { case (s, rs) =>
+      (s, rs.size.toLong, rs.map(_._2).sum, rs.map(_._1).min, rs.map(_._1).max)
+    }
+    assert(manifest == byShard)
+  }
+
+  test("dimStats: a constant dimension reads zero variance, moments match direct computation") {
+    val dir = tmpDir("r9-dimstats")
+    // dim 1 constant 0.5; dim 2 alternates ±0.25
+    val vecs = (0L until 8L).map { i =>
+      (i, Array(0.5f, if (i % 2 == 0) 0.25f else -0.25f), 0)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityQueries.dimStats(spark, dir)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, m1, v1, mn1, mx1) = got(1L)
+    assert(m1 == 0.5 && v1 == 0.0 && mn1 == 0.5 && mx1 == 0.5)
+    val (_, m2, v2, mn2, mx2) = got(2L)
+    assert(m2 == 0.0 && mn2 == -0.25 && mx2 == 0.25)
+    assert(math.abs(v2 - 0.0625) < 1e-9)
+  }
+
+  test("cellReps: one rep per cell, rep belongs to its cell, members partition the corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val reps = SimilarityQueries.cellReps(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(reps.nonEmpty)
+    assert(reps.map(_._1).distinct.size == reps.size)
+    assert(reps.map(_._3).sum == emb.count())
+    // the rep's cosine is within [-1, 1] + rounding slack
+    reps.foreach { case (cell, rep, n, cos) =>
+      assert(n >= 1, s"cell $cell")
+      assert(cos <= 1.0 + 1e-6 && cos >= -1.0 - 1e-6, s"cell $cell rep $rep cos $cos")
+    }
+    // purity and reps agree on the membership census
+    val purity = SimilarityQueries.clusterPurity(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(reps.map(r => (r._1, r._3)).sorted == purity.map(p => (p._1, p._2)).sorted)
+  }
 }

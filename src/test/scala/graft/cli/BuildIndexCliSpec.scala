@@ -169,6 +169,43 @@ class BuildIndexCliSpec extends SparkSuite {
       Seq("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  test("export verb: sharded JSONL, deterministic layout, ingest reads it back unchanged") {
+    val docsDir = tmpDir("cli-export-docs")
+    val docs = spark.read.parquet(s"${SparkSuite.sf0001}/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val out = tmpDir("cli-export-out")
+    val (_, n, shards) = Main.exportCmd(spark,
+      Map("in" -> s"$docsDir/documents.parquet", "out" -> out, "shards" -> "4"))
+    assert(n == docs.count() && shards == 4)
+    // hive layout: one dir per shard, shard = doc_id % 4
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(shardDirs.toSeq == (0 until 4).map(i => s"shard=$i"))
+    val back = spark.read.json(out)
+    assert(back.count() == n)
+    import org.apache.spark.sql.functions.{col, expr}
+    assert(back.filter(expr("doc_id % 4 != shard")).count() == 0)
+    // ingest∘export is an identity on the contract columns
+    val ingested = tmpDir("cli-export-reingest")
+    val (_, n2) = Main.ingestCmd(spark,
+      Map("in" -> out, "out" -> ingested, "format" -> "jsonl"))
+    assert(n2 == n)
+    val a = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(ingested)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // gzip variant still round-trips through Spark's json reader
+    val outGz = tmpDir("cli-export-gz")
+    val (_, nGz, _) = Main.exportCmd(spark,
+      Map("in" -> s"$docsDir/documents.parquet", "out" -> outGz,
+        "shards" -> "2", "gzip" -> "true"))
+    assert(nGz == n)
+    assert(new java.io.File(outGz).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).exists(_.getName.endsWith(".json.gz")))
+  }
+
   test("scrub verb --stream: checkpointed probe processes only new files on restart") {
     // nightly artifact over the corpus
     val idx = tmpDir("cli-scrubstream-index")
