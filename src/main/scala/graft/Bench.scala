@@ -64,8 +64,24 @@ object Bench {
       spark.range(200000000L).selectExpr("sum(id % 7)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Second canary mode (r9): a fixed-work SHUFFLE probe. The r9
+    // clean-vs-slow window comparison showed the CPU canary steady
+    // (0.18-0.22s) while the board inflated 1.53x uniformly — the
+    // throttle hits shuffle/spill I/O, not arithmetic, so a
+    // exchange-crossing probe is the one that tracks board inflation.
+    def canaryShuffleOnce(): Double = {
+      val t0 = System.nanoTime()
+      // ~1M distinct keys so map-side partials can't collapse the
+      // exchange: tens of MB genuinely cross the shuffle machinery
+      spark.range(20000000L).selectExpr("id % 1048573 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .selectExpr("sum(s)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     canaryOnce() // untimed: pays the probe's own janino compile
+    canaryShuffleOnce()
     val canaryBefore = math.min(canaryOnce(), canaryOnce())
+    val canaryShufBefore = math.min(canaryShuffleOnce(), canaryShuffleOnce())
     val errors = scala.collection.mutable.Map.empty[String, String]
     // min of 2 runs per query: run 1 pays one-time janino/JIT compilation
     // of that query's operator shapes (measured 2-10x of steady state and
@@ -122,8 +138,10 @@ object Bench {
       "\"" + s.flatMap { c => if (c == '"' || c == '\\') "\\" + c else if (c < ' ') " " else c.toString } + "\""
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     val canaryAfter = math.min(canaryOnce(), canaryOnce())
+    val canaryShufAfter = math.min(canaryShuffleOnce(), canaryShuffleOnce())
     val canary = s"""{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)},"ratio":${fmt(
-      if (canaryBefore > 0) canaryAfter / canaryBefore else 1.0)}}"""
+      if (canaryBefore > 0) canaryAfter / canaryBefore else 1.0)},"shuffle_before":${fmt(
+      canaryShufBefore)},"shuffle_after":${fmt(canaryShufAfter)}}"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canary,"sf":"$sfDir"}"""
     // durable copy the driver (or a human) can read even if stdout is
     // truncated; r5's report was lost to exactly that
