@@ -189,7 +189,9 @@ object SparkEntry {
     "m_shard_pack" -> (TextQueries.shardPack _),
     "m_shard_manifest" -> (TextQueries.shardManifest _),
     "s_dim_stats" -> (SimilarityQueries.dimStats _),
-    "s_cell_reps" -> (SimilarityQueries.cellReps _)
+    "s_cell_reps" -> (SimilarityQueries.cellReps _),
+    "t_source_overlap" -> (TextQueries.sourceOverlap _),
+    "s_matryoshka" -> (SimilarityQueries.matryoshkaEval _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2906,7 +2908,52 @@ object SparkEntry {
           |  SELECT cell, vec_id, cs, row_number() OVER (PARTITION BY cell ORDER BY cs DESC, vec_id) AS rn
           |  FROM a3) WHERE rn = 1)
           |SELECT t.cell, r.rep_id, t.n_members, round(r.cs, 6) AS rep_cos
-          |FROM tot t JOIN rep r USING (cell) ORDER BY t.cell""".stripMargin
+          |FROM tot t JOIN rep r USING (cell) ORDER BY t.cell""".stripMargin,
+      // Inter-source Jaccard over distinct 3-gram sets: integer
+      // intersection/union counts, one final division.
+      "t_source_overlap" ->
+        """WITH toks AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
+          |g AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |      FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+          |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+          |              CAST(count(*) AS BIGINT) AS n_shared
+          |       FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+          |       GROUP BY 1, 2)
+          |SELECT src_a, src_b, n_shared, pa.n AS n_grams_a, pb.n AS n_grams_b,
+          |       round(CAST(n_shared AS DOUBLE) /
+          |             CAST(pa.n + pb.n - n_shared AS DOUBLE), 6) AS jaccard
+          |FROM iv JOIN ps pa ON pa.source = iv.src_a
+          |        JOIN ps pb ON pb.source = iv.src_b
+          |ORDER BY src_a, src_b""".stripMargin,
+      // Matryoshka truncation eval: prefix cosines via list_slice (the
+      // same sequential fold as the Scala prefix kernel), integer
+      // top-10 overlap counts vs the 64-dim baseline.
+      "s_matryoshka" ->
+        """WITH er AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |d AS (SELECT * FROM (VALUES (16), (32), (64)) t(dims)),
+          |qv AS (SELECT d.dims, vec_id AS query_id, list_slice(v, 1, d.dims) AS q
+          |       FROM er, d WHERE vec_id < 10),
+          |cv AS (SELECT d.dims, vec_id AS neighbor_id, list_slice(v, 1, d.dims) AS c
+          |       FROM er, d WHERE vec_id >= 10),
+          |s AS (SELECT q.dims, q.query_id, c.neighbor_id,
+          |        list_dot_product(q.q, c.c) /
+          |        (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(c.c, c.c))) AS cs
+          |      FROM qv q JOIN cv c ON q.dims = c.dims
+          |      WHERE sqrt(list_dot_product(q.q, q.q)) > 0
+          |        AND sqrt(list_dot_product(c.c, c.c)) > 0),
+          |top AS (SELECT dims, query_id, neighbor_id FROM (
+          |  SELECT dims, query_id, neighbor_id,
+          |         row_number() OVER (PARTITION BY dims, query_id
+          |                            ORDER BY cs DESC, neighbor_id) AS rn
+          |  FROM s) WHERE rn <= 10),
+          |base AS (SELECT query_id, neighbor_id FROM top WHERE dims = 64)
+          |SELECT t.query_id, CAST(t.dims AS BIGINT) AS dims,
+          |       CAST(count(b.neighbor_id) AS BIGINT) AS n_overlap
+          |FROM top t LEFT JOIN base b
+          |  ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+          |WHERE t.dims <> 64
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }

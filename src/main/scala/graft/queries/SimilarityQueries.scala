@@ -1211,6 +1211,71 @@ object SimilarityQueries {
       .orderBy("dim")
   }
 
+  /** Sequential dot product over the first `n` coordinates only — the
+    * prefix-truncation kernel for [[matryoshkaEval]]; fold order is the
+    * same ascending scan as [[dot]] (= DuckDB's `list_dot_product` over
+    * `list_slice`), so prefix cosines replay bit-identically. */
+  private def dotPrefix(a: Array[Double], b: Array[Double], n: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Matryoshka-style truncation evaluation (Kusupati et al. 2022,
+    * arXiv:2205.13147): how much of the full-dimension top-10 cosine
+    * neighborhood survives when vectors are cut to their first 16 / 32
+    * coordinates — the measurement that decides whether an index (and
+    * its storage bill) can run at d/4 or d/2. Per (query, dims): the
+    * overlap count between the truncated top-10 and the 64-dim top-10
+    * (integers, engine-stable). Queries are `vec_id < 10`, corpus the
+    * rest; zero-norm prefixes score nothing on either engine.
+    *
+    * Scale shape: the query set broadcasts and ONE corpus pass scores
+    * all (query × dims) pairs ([[annTopK]]'s shape, 3 prefix kernels
+    * per row); the top-10 window shuffles (dims, query, id, cosine)
+    * quads — eval-scale, never vectors. An eval like this runs on a
+    * sample at 100 TB; the plan is the same, only the scan shrinks.
+    */
+  def matryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dimsList = Array(16, 32, 64)
+    val vecs = vectors(spark, dir)
+    val queries = vecs.filter(col("vec_id") < 10).as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map { case (id, e) => (id, widen(e)) }
+    val bc = spark.sparkContext.broadcast((queries, dimsList))
+    val scored = vecs.filter(col("vec_id") >= 10).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (qs, ds) = bc.value
+        it.flatMap { case (id, emb) =>
+          val v = widen(emb)
+          ds.iterator.flatMap { d =>
+            val nv = math.sqrt(dotPrefix(v, v, d))
+            if (nv == 0.0) Iterator.empty
+            else qs.iterator.flatMap { case (qid, qv) =>
+              val qn = math.sqrt(dotPrefix(qv, qv, d))
+              if (qn == 0.0) Iterator.empty
+              else Iterator((d, qid, id, dotPrefix(qv, v, d) / (qn * nv)))
+            }
+          }
+        }
+      }.toDF("dims", "query_id", "neighbor_id", "c")
+    val w = Window.partitionBy("dims", "query_id")
+      .orderBy(col("c").desc, col("neighbor_id"))
+    val sets = scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .groupBy("dims", "query_id")
+      .agg(collect_set(col("neighbor_id")).as("ids"))
+    val base = sets.filter(col("dims") === 64)
+      .select(col("query_id"), col("ids").as("base_ids"))
+    sets.filter(col("dims") =!= 64)
+      .join(broadcast(base), "query_id")
+      .select(col("query_id"), col("dims").cast("long").as("dims"),
+        size(array_intersect(col("ids"), col("base_ids"))).cast("long")
+          .as("n_overlap"))
+      .orderBy("query_id", "dims")
+  }
+
   /** Representative (medoid-style) member per trained cell: the member
     * with the highest cosine to its cell's centroid, plus the cell
     * population — the "show me one example per cluster" primitive a

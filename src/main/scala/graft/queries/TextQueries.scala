@@ -2963,6 +2963,53 @@ object TextQueries {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("shard_id")
 
+  /** Inter-source content overlap matrix: Jaccard similarity between
+    * every pair of sources over their DISTINCT word-3-gram sets — the
+    * mixing-time diagnostic that catches two "different" sources that
+    * are really the same crawl twice (a mirror, a re-scrape, a vendor
+    * reselling another vendor's dump). [[overlapMatrix]] counts
+    * near-dup DOC pairs by source; this measures raw content overlap
+    * even when no single doc pair crosses the near-dup threshold.
+    * Pairs sharing zero grams are omitted (at web scale most pairs —
+    * the output is the sparse upper triangle).
+    *
+    * Scale shape: one distinct (source, gram) aggregate (map-side
+    * partials absorb repeated grams), then per-gram source sets —
+    * bounded by the SOURCE count, not the corpus — explode into ≤
+    * |sources|² pair increments per gram, and the pair aggregate is
+    * sources²-scale. Per-source totals broadcast back. The vocabulary
+    * crosses the exchange once; nothing doc-scale ever pairs.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // the diagonal trick keeps this ONE corpus pass: emitting ordered
+    // pairs with a <= b makes (a, a) count each of a's distinct grams
+    // exactly once, so per-source totals fall out of the same pair
+    // aggregate that computes intersections — no second branch over
+    // the gram table (two plan branches would SCAN IT TWICE)
+    val pairs = docs(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+      .distinct()
+      .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(col("ss")).as("src_a"), col("ss"))
+      .select(col("src_a"), explode(col("ss")).as("src_b"))
+      .filter(col("src_a") <= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("cnt"))
+      .persist() // sources²-scale — the branch point below re-reads this, not the corpus
+    val diag = pairs.filter(col("src_a") === col("src_b"))
+      .select(col("src_a").as("s"), col("cnt").as("n"))
+    unpersistAfterNextQuery(pairs)
+    pairs.filter(col("src_a") < col("src_b"))
+      .join(broadcast(diag.select(col("s").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(diag.select(col("s").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("cnt").as("n_shared"),
+        col("na").as("n_grams_a"), col("nb").as("n_grams_b"),
+        round(col("cnt").cast(DoubleType) /
+          (col("na") + col("nb") - col("cnt")).cast(DoubleType), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Deterministic heavy-hitter terms via the two-pass Misra–Gries
     * shape: pass 1 folds the corpus token stream into ONE k-bounded
     * [[graft.functions.FrequentItemsAggregator]] sketch (partials are

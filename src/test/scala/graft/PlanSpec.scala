@@ -520,7 +520,14 @@ class PlanSpec extends SparkSuite {
       "s_dim_stats" -> 1,
       // broadcast-centroid assignment + one cell-partitioned window;
       // training exchanges live in eager collects outside this plan
-      "s_cell_reps" -> 1)
+      "s_cell_reps" -> 1,
+      // 3 real exchanges (distinct grams, per-gram source sets, pair
+      // aggregate) behind a persist; the plan STRING shows the cached
+      // subtree under both branch reads, so the ledger sees 2x3
+      "t_source_overlap" -> 6,
+      // top-10 window + per-(dims, query) set aggregate; both branches
+      // of the overlap join re-list the same window subtree
+      "s_matryoshka" -> 2)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -167,4 +167,50 @@ class Round9OpsSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(reps.map(r => (r._1, r._3)).sorted == purity.map(p => (p._1, p._2)).sorted)
   }
+
+  test("sourceOverlap: identical sources read jaccard 1, disjoint sources are omitted") {
+    val dir = tmpDir("r9-srcoverlap")
+    Seq(
+      (0L, "a b c d e f", "en", "mirror1", 11L),
+      (1L, "a b c d e f", "en", "mirror2", 11L),
+      (2L, "q r s t u v", "en", "alone", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.sourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // only the mirror pair overlaps; 'alone' shares nothing and is absent
+    assert(got == Seq(("mirror1", "mirror2", 4L, 4L, 4L, 1.0)))
+  }
+
+  test("sourceOverlap: jaccard bounded by (0, 1], symmetric grain, totals consistent") {
+    val rows = TextQueries.sourceOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, na, nb, j) =>
+      assert(a < b, s"$a/$b must be the upper triangle")
+      assert(shared >= 1 && shared <= math.min(na, nb), s"$a/$b counts")
+      assert(j > 0.0 && j <= 1.0, s"$a/$b jaccard $j")
+    }
+    // each source's total must be reported identically in every pair
+    val totals = rows.flatMap { case (a, b, _, na, nb, _) => Seq(a -> na, b -> nb) }
+    totals.groupBy(_._1).foreach { case (s, ts) =>
+      assert(ts.map(_._2).distinct.size == 1, s"source $s total inconsistent")
+    }
+  }
+
+  test("matryoshkaEval: overlap in [0, 10], both truncations per query, more dims never hurts on average") {
+    val rows = SimilarityQueries.matryoshkaEval(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_._1)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted == Seq(16L, 32L), s"query $q dims")
+      rs.foreach { case (_, d, o) => assert(o >= 0 && o <= 10, s"query $q d$d overlap $o") }
+    }
+    // 32 dims should recover at least as much of the 64-dim top-10 as
+    // 16 dims in aggregate (prefix information is nested)
+    val o16 = rows.filter(_._2 == 16L).map(_._3).sum
+    val o32 = rows.filter(_._2 == 32L).map(_._3).sum
+    assert(o32 >= o16, s"aggregate overlap should not drop with more dims: 16->$o16 32->$o32")
+  }
 }
