@@ -191,7 +191,9 @@ object SparkEntry {
     "s_dim_stats" -> (SimilarityQueries.dimStats _),
     "s_cell_reps" -> (SimilarityQueries.cellReps _),
     "t_source_overlap" -> (TextQueries.sourceOverlap _),
-    "s_matryoshka" -> (SimilarityQueries.matryoshkaEval _)
+    "s_matryoshka" -> (SimilarityQueries.matryoshkaEval _),
+    "d_bucket_stats" -> (TextQueries.bucketStats _),
+    "s_binary_quant" -> (SimilarityQueries.binaryQuantEval _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2953,7 +2955,54 @@ object SparkEntry {
           |FROM top t LEFT JOIN base b
           |  ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
           |WHERE t.dims <> 64
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // LSH bucket-size skew: md5-fold band hashes (the proven
+      // cross-engine 32-bit hash), min-per-(doc, band) signatures,
+      // bucket counts, band-grain stats — all integers.
+      "d_bucket_stats" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |          FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |bd AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(band)),
+          |h AS (SELECT doc_id, band,
+          |        list_reduce(list_transform(range(1, 9),
+          |          i -> (strpos('0123456789abcdef',
+          |                       substr(md5(CAST(band AS VARCHAR) || ':' || g), i, 1)) - 1)::BIGINT),
+          |          (a, b) -> a * 16 + b) AS h
+          |      FROM grams, bd),
+          |sigs AS (SELECT doc_id, band, min(h) AS sig FROM h GROUP BY 1, 2),
+          |bk AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS sz FROM sigs GROUP BY 1, 2)
+          |SELECT CAST(band AS BIGINT) AS band,
+          |       CAST(sum(sz) AS BIGINT) AS n_docs,
+          |       CAST(count(*) AS BIGINT) AS n_buckets,
+          |       CAST(max(sz) AS BIGINT) AS max_bucket,
+          |       CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_collide_buckets,
+          |       CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT) AS n_collide_docs
+          |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Binary-quantization recall: sign-bit Hamming via the 0/1
+      // dot-product identity |a-b|^2 = a·a + b·b - 2a·b (exact integer
+      // doubles), both top-10 rankings from one doubly-ranked relation.
+      "s_binary_quant" ->
+        """WITH er AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |nz AS (SELECT vec_id, v,
+          |         list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END) AS s
+          |       FROM er WHERE sqrt(list_dot_product(v, v)) > 0),
+          |q AS (SELECT vec_id AS query_id, v, s FROM nz WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS neighbor_id, v, s FROM nz WHERE vec_id >= 10),
+          |sc AS (SELECT q.query_id, c.neighbor_id,
+          |         list_dot_product(q.v, c.v) /
+          |         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cs,
+          |         CAST(list_dot_product(q.s, q.s) + list_dot_product(c.s, c.s)
+          |              - 2 * list_dot_product(q.s, c.s) AS BIGINT) AS ham
+          |       FROM q, c),
+          |r AS (SELECT query_id, neighbor_id, ham,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn_c,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rn_h
+          |      FROM sc)
+          |SELECT query_id,
+          |       CAST(sum(CASE WHEN rn_c <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+          |       CAST(min(CASE WHEN rn_h = 1 THEN ham END) AS BIGINT) AS ham_at_1
+          |FROM r WHERE rn_h <= 10 GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -1276,6 +1276,61 @@ object SimilarityQueries {
       .orderBy("query_id", "dims")
   }
 
+  /** Binary-quantization recall eval — the 1-bit sibling of
+    * [[matryoshkaEval]] (the other compression axis vector stores
+    * actually deploy: sign-bit codes at 64x compression, Hamming
+    * distance as the similarity): per query, how many of the exact
+    * cosine top-10 survive in the Hamming top-10 over sign bits, plus
+    * the best Hamming distance itself. Integers end to end — the
+    * ranking keys (Hamming counts) and the overlap are engine-stable
+    * by construction; only the baseline cosine needs the established
+    * exact-fold contract. Zero-norm vectors are excluded from both
+    * rankings (no cosine exists for them on either engine).
+    *
+    * Scale shape: queries broadcast, ONE corpus pass emits (query,
+    * neighbor, cosine, hamming) quads, and BOTH top-10 rankings ride
+    * one query-partitioned window exchange (two sorts, zero joins, no
+    * second corpus scan — the overlap is a filter-and-count over the
+    * doubly-ranked rows).
+    */
+  def binaryQuantEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val queries = vecs.filter(col("vec_id") < 10).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, e) => val v = widen(e); (id, v, norm(v)) }
+      .filter(_._3 > 0.0)
+    val bc = spark.sparkContext.broadcast(queries)
+    val scored = vecs.filter(col("vec_id") >= 10).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, emb) =>
+          val v = widen(emb)
+          val nv = norm(v)
+          if (nv == 0.0) Iterator.empty
+          else qs.iterator.map { case (qid, qv, qn) =>
+            var ham = 0L
+            var i = 0
+            while (i < v.length) {
+              if ((qv(i) > 0.0) != (v(i) > 0.0)) ham += 1L
+              i += 1
+            }
+            (qid, id, dot(qv, v) / (qn * nv), ham)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cs", "ham")
+    val wc = Window.partitionBy("query_id").orderBy(col("cs").desc, col("neighbor_id"))
+    val wh = Window.partitionBy("query_id").orderBy(col("ham"), col("neighbor_id"))
+    scored
+      .withColumn("rn_c", row_number().over(wc))
+      .withColumn("rn_h", row_number().over(wh))
+      .filter(col("rn_h") <= 10)
+      .groupBy("query_id")
+      .agg(sum(when(col("rn_c") <= 10, 1L).otherwise(0L)).as("n_overlap"),
+        min(when(col("rn_h") === 1, col("ham"))).as("ham_at_1"))
+      .orderBy("query_id")
+  }
+
   /** Representative (medoid-style) member per trained cell: the member
     * with the highest cosine to its cell's centroid, plus the cell
     * population — the "show me one example per cluster" primitive a

@@ -2963,6 +2963,46 @@ object TextQueries {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("shard_id")
 
+  /** LSH bucket-size skew report — the pre-flight check an operator
+    * runs BEFORE launching a banded near-dup join at scale: per band,
+    * how many buckets exist, how large the worst one is, and how much
+    * of the corpus sits in colliding (size ≥ 2) buckets. A flooded
+    * bucket (missed exact-dedup pass, degenerate boilerplate) turns
+    * the band join quadratic; this report is what the [[minhashLsh]]
+    * scaladoc's "cap buckets" advice would key on. Uses a 4-band
+    * md5-derived minhash (fold of the digest's first 8 hex digits —
+    * the proven cross-engine hash) rather than the production FNV
+    * signatures, so the whole structure replays under the oracle.
+    *
+    * Scale shape: gram rows carry (doc, band, hash) — min-aggregate to
+    * per-(doc, band) signatures (map-side partials; min needs no
+    * distinct pass), then bucket counts, then 4 band rows. No pairs
+    * are ever formed — this is the operator you run so that the pair
+    * stage doesn't surprise you.
+    */
+  def bucketStats(spark: SparkSession, dir: String): DataFrame = {
+    val bands = array((0 until 4).map(lit): _*)
+    val h = conv(substring(md5(
+      concat_ws(":", col("band"), col("g")).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType)
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+      .select(col("doc_id"), col("g"), explode(bands).as("band"))
+      .select(col("doc_id"), col("band"), h.as("h"))
+      .groupBy("doc_id", "band").agg(min("h").as("sig"))
+      .groupBy("band", "sig").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(sum("sz").as("n_docs"), count(lit(1)).as("n_buckets"),
+        max("sz").as("max_bucket"),
+        sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_collide_buckets"),
+        sum(when(col("sz") >= 2, col("sz")).otherwise(0L)).as("n_collide_docs"))
+      .select(col("band").cast(LongType).as("band"), col("n_docs"),
+        col("n_buckets"), col("max_bucket"), col("n_collide_buckets"),
+        col("n_collide_docs"))
+      .orderBy("band")
+  }
+
   /** Inter-source content overlap matrix: Jaccard similarity between
     * every pair of sources over their DISTINCT word-3-gram sets — the
     * mixing-time diagnostic that catches two "different" sources that

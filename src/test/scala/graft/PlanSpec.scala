@@ -527,7 +527,13 @@ class PlanSpec extends SparkSuite {
       "t_source_overlap" -> 6,
       // top-10 window + per-(dims, query) set aggregate; both branches
       // of the overlap join re-list the same window subtree
-      "s_matryoshka" -> 2)
+      "s_matryoshka" -> 2,
+      // (doc, band) min signatures, bucket counts, band stats — no
+      // pair stage, that's the point
+      "d_bucket_stats" -> 3,
+      // both top-10 rankings ride ONE query-partitioned window
+      // exchange; overlap is a filter-count, no join
+      "s_binary_quant" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -213,4 +213,52 @@ class Round9OpsSpec extends SparkSuite {
     val o32 = rows.filter(_._2 == 32L).map(_._3).sum
     assert(o32 >= o16, s"aggregate overlap should not drop with more dims: 16->$o16 32->$o32")
   }
+
+  test("bucketStats: four bands, internally consistent counts, and a planted flood collides") {
+    val rows = TextQueries.bucketStats(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    val nDocs = rows.map(_._2).distinct
+    assert(nDocs.size == 1, "every band sees the same gram-bearing docs")
+    rows.foreach { case (band, n, buckets, mx, cb, cd) =>
+      assert(buckets <= n && mx >= 1 && mx <= n, s"band $band")
+      assert(cd >= 2 * cb || cb == 0, s"band $band colliding docs vs buckets")
+      assert(n - cd == buckets - cb, s"band $band singleton identity")
+    }
+    // a corpus of one text repeated floods every band into one bucket
+    val dir = tmpDir("r9-bucketflood")
+    (0L until 20L).map(i => (i, "spark joins the fast table scan", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TextQueries.bucketStats(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().foreach {
+        case (band, n, buckets, mx, cb, cd) =>
+          assert(n == 20L && buckets == 1L && mx == 20L && cb == 1L && cd == 20L,
+            s"band $band should be one flooded bucket")
+      }
+  }
+
+  test("binaryQuantEval: overlap in [0, 10], hamming at rank 1 in [0, 64], exact binary copy wins") {
+    val rows = SimilarityQueries.binaryQuantEval(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, o, h1) =>
+      assert(o >= 0 && o <= 10, s"query $q overlap $o")
+      assert(h1 >= 0 && h1 <= 64, s"query $q ham_at_1 $h1")
+    }
+    // planted: corpus vector with the same sign pattern as a query has
+    // hamming 0 and must be the hamming rank-1
+    val dir = tmpDir("r9-binquant")
+    val dim = 64
+    def pat(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => if ((i + seed) % 3 == 0) 0.5f else -0.5f)
+    val bench = (0L until 10L).map(i => (i, pat(i.toInt), 0))
+    val corpus = Seq((100L, pat(0).map(_ * 2.0f), 0), (101L, pat(1), 1))
+    (bench ++ corpus).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityQueries.binaryQuantEval(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(0L) == 0L, "query 0 has an exact sign copy in the corpus")
+    assert(got(1L) == 0L, "query 1 has an exact sign copy in the corpus")
+  }
 }
