@@ -282,6 +282,47 @@ object StreamingAnalytics {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
 
+  final case class ShardAssign(
+      source: String, docId: Long, nb: Long, shardId: Long, shardOff: Long)
+
+  /** Streaming twin of the batch shard packer
+    * ([[graft.queries.TextQueries.shardPack]]): as documents arrive,
+    * each source's payload stream is cut into byte-budget shards with
+    * a per-source running offset held in `mapGroupsWithState`-style
+    * state. Keying by SOURCE is the scale decision: a single global
+    * offset would funnel every row through one state key (the
+    * streaming analog of the unpartitioned window the batch side's
+    * two-phase prefix sum exists to avoid); per-source counters spread
+    * across the state store and match how a production shard writer
+    * runs one tar stream per source/writer anyway. Docs inside one
+    * micro-batch pack in doc_id order (deterministic replay); state is
+    * one long per source — O(sources) for any stream lifetime. The
+    * nightly batch layout recomputes exactly from the archive when
+    * offsets need re-anchoring.
+    */
+  def streamingShardOffsets(
+      docs: DataFrame, budget: Long = 65536L): Dataset[ShardAssign] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, ShardAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var run = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(_._2).map { case (_, id, nb) =>
+            val a = ShardAssign(source, id, nb, run / budget, run % budget)
+            run += nb
+            a
+          }
+          state.update(run)
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join — both sides unbounded: orders and events
     * join on the customer key within a bounded event-time window
     * (event within 1 hour AFTER its order). The time-range predicate +

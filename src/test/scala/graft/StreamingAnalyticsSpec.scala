@@ -413,4 +413,38 @@ class StreamingAnalyticsSpec extends SparkSuite {
     // running totals: srcA = 2 docs / 5 tokens, srcB = 1 doc / 1 token
     assert(got == Seq(("srcA", 2L, 5L), ("srcB", 1L, 1L)), got.toString)
   }
+
+  test("streaming shard offsets continue per source across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    // tiny budget so shard cuts happen inside the test
+    val q = StreamingAnalytics.streamingShardOffsets(
+      mem.toDF().toDF("doc_id", "source", "text"), budget = 10L)
+      .writeStream.format("memory").queryName("shard_offs")
+      .outputMode("append").start()
+    // batch 1: srcA has 6 then 7 bytes (doc order must win, not arrival
+    // order), srcB has 4
+    mem.addData((2L, "srcA", "44 6 77"), (1L, "srcA", "666666"), (10L, "srcB", "4444"))
+    q.processAllAvailable()
+    // batch 2: srcA continues at offset 13, srcB at 4
+    mem.addData((3L, "srcA", "88888888"), (11L, "srcB", "999999999"))
+    q.processAllAvailable()
+    val got = spark.table("shard_offs")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    q.stop()
+    assert(got == Seq(
+      ("srcA", 1L, 6L, 0L, 0L),   // bytes [0, 6)   -> shard 0 off 0
+      ("srcA", 2L, 7L, 0L, 6L),   // bytes [6, 13)  -> shard 0 off 6
+      ("srcA", 3L, 8L, 1L, 3L),   // bytes [13, 21) -> shard 1 off 3 (state carried)
+      ("srcB", 10L, 4L, 0L, 0L),
+      ("srcB", 11L, 9L, 0L, 4L)), got.toString)
+    // per-source semantics match the batch packer's prefix rule
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      var pre = 0L
+      rows.sortBy(_._2).foreach { case (_, _, nb, sh, off) =>
+        assert(sh == pre / 10L && off == pre % 10L, s"$src prefix rule")
+        pre += nb
+      }
+    }
+  }
 }
