@@ -27,6 +27,8 @@ import java.time.temporal.ChronoUnit
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
   *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf --in <documents|embeddings parquet>
   *               --out <dir>
+  *   update-index --kind <same kinds> --in <NEW batch parquet> --index <existing dir>
+  *                --out <new dir>   (incremental refresh; batch ids must be new)
   *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
   *         [--stream --checkpoint <dir>]   (probe new files only; resumes)
   *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]
@@ -365,6 +367,18 @@ object Main {
       println(s"ingest: $n docs written to $out")
       spark.stop()
 
+    case "update-index" :: rest =>
+      // Incremental artifact refresh: fold an ingest batch into the
+      // nightly index without re-scanning the indexed corpus.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (kind, out, n) =
+        try updateIndexCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"update-index: $kind index grew by $n docs into $out")
+      spark.stop()
+
     case "export" :: rest =>
       // The back door: documents parquet -> sharded JSONL a trainer (or
       // another pipeline) consumes; `ingest` reads the output straight
@@ -557,5 +571,66 @@ object Main {
         "(expected neardup|chunk|drift|winnow|scrub|ivf)")
     }
     (kind, out, corpus.count())
+  }
+
+  /** `update-index` body: fold a NEW batch into an existing artifact
+    * without re-scanning the indexed corpus — the ingest-side
+    * incremental refresh between nightly full rebuilds. Doc-grain
+    * indexes (neardup, chunk, winnow, ivf) append freshly-derived
+    * batch rows; count-grain indexes (drift, scrub) sum-merge. `--out`
+    * must differ from `--index`: the merged frames LAZILY read the old
+    * artifact's parquet, so an in-place overwrite would delete its own
+    * input mid-write (the classic Spark self-overwrite trap). For
+    * id-carrying kinds the batch's ids must not already be indexed —
+    * checked with one column-pruned scan of the id frame probed by the
+    * (broadcast) batch id set.
+    */
+  private[cli] def updateIndexCmd(
+      spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
+    import graft.queries.{IndexArtifact, SimilarityQueries, TextQueries}
+    import org.apache.spark.sql.functions.col
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf is required"))
+    val in = o.getOrElse("in", die("--in <batch parquet> is required"))
+    val idx = o.getOrElse("index", die("--index <existing artifact dir> is required"))
+    val out = o.getOrElse("out", die("--out <new artifact dir> is required"))
+    if (new java.io.File(out).getCanonicalPath ==
+        new java.io.File(idx).getCanonicalPath)
+      die("--out must differ from --index: merged frames lazily read the " +
+        "old artifact, so writing over it would corrupt both")
+    val batch = spark.read.parquet(in)
+    def requireDisjoint(frame: String, idCol: String): Unit = {
+      // broadcast semi-join, not isin literals: a large ingest batch
+      // would otherwise inflate the plan (and the driver) with its ids
+      val dup = IndexArtifact.frame(spark, idx, frame).select(col(idCol))
+        .join(org.apache.spark.sql.functions.broadcast(
+          batch.select(col(idCol)).distinct()), idCol, "left_semi")
+        .count()
+      // require, not die: the dispatch catches IllegalArgumentException
+      // and exits; specs drive this path in-JVM and must survive it
+      require(dup == 0,
+        s"update-index: $dup batch ${idCol}s are already indexed — " +
+          "an incremental update must only add new docs (rebuild instead)")
+    }
+    kind match {
+      case "neardup" =>
+        requireDisjoint("bands", "doc_id")
+        TextQueries.NearDupIndex.load(spark, idx).updated(batch).save(out)
+      case "chunk" =>
+        requireDisjoint("fps", "doc_id")
+        TextQueries.ChunkIndex.load(spark, idx).updated(batch).save(out)
+      case "drift" =>
+        TextQueries.TermDistribution.load(spark, idx).updated(batch).save(out)
+      case "winnow" =>
+        requireDisjoint("fps", "doc_id")
+        TextQueries.WinnowIndex.load(spark, idx).updated(batch).save(out)
+      case "scrub" =>
+        TextQueries.ScrubIndex.load(spark, idx).updated(batch).save(out)
+      case "ivf" =>
+        requireDisjoint("vectors", "vec_id")
+        SimilarityQueries.IvfIndex.load(spark, idx).updated(batch).save(out)
+      case other => die(s"unsupported index kind '$other' " +
+        "(expected neardup|chunk|drift|winnow|scrub|ivf)")
+    }
+    (kind, out, batch.count())
   }
 }

@@ -1379,6 +1379,38 @@ object SimilarityQueries {
       IndexArtifact.save(path,
         Map("centroids" -> centroids, "vectors" -> vectors),
         partitionedBy = Map("vectors" -> Seq("cell")))
+
+    /** Incremental refresh: assign a NEW batch of embeddings to the
+      * index's FROZEN centroids (the standard IVF add path — FAISS'
+      * `add` after `train`) and append them to the vectors frame. One
+      * broadcast pass over the batch, no retraining, no old-corpus
+      * scan; centroid drift accumulates until the nightly full rebuild
+      * retrains, the same freeze-then-retrain lifecycle every serving
+      * IVF runs. Zero-norm batch vectors drop, as at build. */
+    def updated(batch: DataFrame): IvfIndex = {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val cents = centroids
+        .select("cell", "centroid", "cnorm").as[(Long, Array[Double], Double)]
+        .collect().sortBy(_._1)
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = batch.select("vec_id", "embedding")
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (id, emb) =>
+            val q = new Array[Long](emb.length)
+            var i = 0
+            while (i < emb.length) {
+              q(i) = math.floor(emb(i).toDouble * Q).toLong; i += 1
+            }
+            val cell = qArgmax(q, cs)
+            if (cell < 0) Iterator.empty else Iterator((cell, id, emb))
+          }
+        }.toDF("cell", "vec_id", "embedding")
+      IvfIndex(centroids, vectors.select("cell", "vec_id", "embedding")
+        .union(assigned))
+    }
   }
 
   object IvfIndex {

@@ -493,6 +493,17 @@ object TextQueries {
       */
     def save(path: String): Unit =
       IndexArtifact.save(path, Map("bands" -> bands, "grams" -> grams))
+
+    /** Fold a NEW batch of docs into this index without re-scanning the
+      * old corpus: per-doc rows (bands, gram arrays) are independent,
+      * so the merged index is frame unions of this index and the
+      * batch's freshly-derived rows — bit-identical to a full rebuild
+      * over old ∪ batch. Precondition (CLI-enforced for artifacts):
+      * batch doc_ids are disjoint from the indexed ones. */
+    def updated(batch: DataFrame): NearDupIndex = {
+      val b = buildNearDupIndex(batch)
+      NearDupIndex(bands.union(b.bands), grams.union(b.grams))
+    }
   }
 
   object NearDupIndex {
@@ -525,6 +536,18 @@ object TextQueries {
     def save(path: String): Unit =
       IndexArtifact.save(path, Map("counts" -> counts),
         meta = Map("gt" -> gt, "vocab" -> vocab))
+
+    /** Fold a new batch into the reference distribution: term counts
+      * sum-merge (union + one vocab-scale aggregate), `gt` adds
+      * exactly, `vocab` recounts the merged term set (one aggregate —
+      * the same eager scalar pass [[buildTermDistribution]] already
+      * pays). Counts are additive, so this equals a full rebuild. */
+    def updated(batch: DataFrame): TermDistribution = {
+      val b = buildTermDistribution(batch)
+      val merged = counts.union(b.counts)
+        .groupBy("term").agg(sum("ct").as("ct"))
+      TermDistribution(merged, gt + b.gt, merged.count())
+    }
   }
 
   object TermDistribution {
@@ -1975,6 +1998,12 @@ object TextQueries {
     def persist(): ChunkIndex = { fps.persist(); this }
     def unpersist(): Unit = fps.unpersist()
     def save(path: String): Unit = IndexArtifact.save(path, Map("fps" -> fps))
+
+    /** Per-doc fingerprint rows are independent — the incremental
+      * refresh is a frame union with the batch's fresh rows, equal to
+      * a full rebuild over old ∪ batch (disjoint doc_ids assumed). */
+    def updated(batch: DataFrame): ChunkIndex =
+      ChunkIndex(fps.union(chunkFingerprints(batch)))
   }
 
   object ChunkIndex {
@@ -2480,6 +2509,11 @@ object TextQueries {
     def persist(): WinnowIndex = { fps.persist(); this }
     def unpersist(): Unit = fps.unpersist()
     def save(path: String): Unit = IndexArtifact.save(path, Map("fps" -> fps))
+
+    /** Winnow selections are per-doc — incremental refresh = frame
+      * union with the batch's selections (disjoint doc_ids assumed). */
+    def updated(batch: DataFrame): WinnowIndex =
+      WinnowIndex(fps.union(buildWinnowIndex(batch).fps))
   }
 
   object WinnowIndex {
@@ -2638,6 +2672,12 @@ object TextQueries {
     def unpersist(): Unit = counts.unpersist()
     def save(path: String): Unit =
       IndexArtifact.save(path, Map("counts" -> counts))
+
+    /** Gram multiplicities are additive — incremental refresh is a
+      * union + one gram-keyed sum, equal to a full rebuild. */
+    def updated(batch: DataFrame): ScrubIndex =
+      ScrubIndex(counts.union(buildScrubIndex(batch).counts)
+        .groupBy("g").agg(sum("ct").as("ct")))
   }
 
   object ScrubIndex {

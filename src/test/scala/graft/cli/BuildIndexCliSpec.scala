@@ -206,6 +206,77 @@ class BuildIndexCliSpec extends SparkSuite {
       .flatMap(_.listFiles()).exists(_.getName.endsWith(".json.gz")))
   }
 
+  test("update-index: incremental refresh probes identically to a full rebuild") {
+    // split the corpus itself: index the first part, fold in the second
+    val ids = corpus.select("doc_id").as[Long].collect().sorted
+    val (oldIds, addIds) = ids.splitAt(ids.length - 5)
+    val oldDocs = corpus.filter(col("doc_id").isin(oldIds.map(Long.box).toSeq: _*))
+    val addDocs = corpus.filter(col("doc_id").isin(addIds.map(Long.box).toSeq: _*))
+    val oldDir = tmpDir("upd-old-docs"); oldDocs.write.mode("overwrite").parquet(oldDir)
+    val addDir = tmpDir("upd-add-docs"); addDocs.write.mode("overwrite").parquet(addDir)
+    for (kind <- Seq("neardup", "chunk", "drift", "winnow", "scrub")) {
+      val v1 = tmpDir(s"upd-$kind-v1"); val v2 = tmpDir(s"upd-$kind-v2")
+      Main.buildIndexCmd(spark, Map("kind" -> kind, "in" -> oldDir, "out" -> v1))
+      Main.updateIndexCmd(spark,
+        Map("kind" -> kind, "in" -> addDir, "index" -> v1, "out" -> v2))
+      val probe: String => Seq[Seq[Any]] = kind match {
+        case "neardup" => p => TextQueries.probeNearDups(
+          batch, TextQueries.NearDupIndex.load(spark, p))
+          .orderBy("new_id", "old_id").collect().toSeq.map(_.toSeq)
+        case "chunk" => p => TextQueries.probeChunks(
+          batch, TextQueries.ChunkIndex.load(spark, p))
+          .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+        case "drift" => p => TextQueries.klAgainst(
+          batch, TextQueries.TermDistribution.load(spark, p))
+          .collect().toSeq.map(_.toSeq)
+        case "winnow" => p => TextQueries.winnowOverlapFrom(
+          TextQueries.WinnowIndex.load(spark, p))
+          .orderBy("id1", "id2").collect().toSeq.map(_.toSeq)
+        case "scrub" => p => TextQueries.probeScrub(
+          batch, TextQueries.ScrubIndex.load(spark, p))
+          .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+      }
+      val full = tmpDir(s"upd-$kind-full")
+      corpus.write.mode("overwrite").parquet(s"$full-docs")
+      Main.buildIndexCmd(spark, Map("kind" -> kind, "in" -> s"$full-docs", "out" -> full))
+      assert(probe(v2) == probe(full), s"$kind: incremental != full rebuild")
+    }
+    // duplicate ids are rejected, not silently merged
+    val v1 = tmpDir("upd-dup-v1")
+    Main.buildIndexCmd(spark, Map("kind" -> "neardup", "in" -> oldDir, "out" -> v1))
+    val err = intercept[Exception] {
+      Main.updateIndexCmd(spark, Map("kind" -> "neardup", "in" -> oldDir,
+        "index" -> v1, "out" -> tmpDir("upd-dup-v2")))
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("update-index ivf: frozen-centroid add, probe matches assignment invariants") {
+    import graft.queries.SimilarityQueries
+    val emb = spark.read.parquet(s"${SparkSuite.sf0001}/embeddings.parquet")
+    val oldE = emb.filter(col("vec_id") < 400)
+    val addE = emb.filter(col("vec_id") >= 400)
+    val oldDir = tmpDir("upd-ivf-old"); oldE.write.mode("overwrite").parquet(oldDir)
+    val addDir = tmpDir("upd-ivf-add"); addE.write.mode("overwrite").parquet(addDir)
+    val v1 = tmpDir("upd-ivf-v1"); val v2 = tmpDir("upd-ivf-v2")
+    Main.buildIndexCmd(spark, Map("kind" -> "ivf", "in" -> oldDir, "out" -> v1))
+    Main.updateIndexCmd(spark,
+      Map("kind" -> "ivf", "in" -> addDir, "index" -> v1, "out" -> v2))
+    val i1 = SimilarityQueries.IvfIndex.load(spark, v1)
+    val i2 = SimilarityQueries.IvfIndex.load(spark, v2)
+    // centroids frozen, vectors grew by the batch
+    assert(i2.centroids.collect().map(_.getLong(0)).sorted.toSeq ==
+      i1.centroids.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(i2.vectors.count() == i1.vectors.count() + addE.count())
+    // every batch vector landed in a trained cell and probes resolve
+    val cells = i1.centroids.select("cell").as[Long].collect().toSet
+    val newCells = i2.vectors.filter(col("vec_id") >= 400)
+      .select("cell").as[Long].collect().toSet
+    assert(newCells.subsetOf(cells))
+    val probed = SimilarityQueries.probeIvfIndex(i2, emb.filter(col("vec_id") < 10))
+    assert(probed.count() > 0)
+  }
+
   test("scrub verb --stream: checkpointed probe processes only new files on restart") {
     // nightly artifact over the corpus
     val idx = tmpDir("cli-scrubstream-index")
