@@ -193,7 +193,8 @@ object SparkEntry {
     "t_source_overlap" -> (TextQueries.sourceOverlap _),
     "s_matryoshka" -> (SimilarityQueries.matryoshkaEval _),
     "d_bucket_stats" -> (TextQueries.bucketStats _),
-    "s_binary_quant" -> (SimilarityQueries.binaryQuantEval _)
+    "s_binary_quant" -> (SimilarityQueries.binaryQuantEval _),
+    "m_frame_dedup" -> (TextQueries.mediaFrameDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3002,7 +3003,20 @@ object SparkEntry {
           |SELECT query_id,
           |       CAST(sum(CASE WHEN rn_c <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
           |       CAST(min(CASE WHEN rn_h = 1 THEN ham END) AS BIGINT) AS ham_at_1
-          |FROM r WHERE rn_h <= 10 GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM r WHERE rn_h <= 10 GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Frame-granularity dedup census: the 128-hex-char (64-byte)
+      // aligned windows ARE the fingerprints — exact content dedup.
+      "m_frame_dedup" ->
+        """WITH m AS (SELECT hex(encode(text)) AS hx FROM documents),
+          |fr AS (SELECT substr(hx, CAST(f*128+1 AS INT), 128) AS fp
+          |       FROM m, UNNEST(range(0, (len(hx) + 127) // 128)) AS t(f)
+          |       WHERE len(hx) > 0),
+          |c AS (SELECT fp, CAST(count(*) AS BIGINT) AS ct FROM fr GROUP BY 1)
+          |SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS n_frames,
+          |       CAST(count(*) AS BIGINT) AS n_distinct,
+          |       CAST(coalesce(sum(ct) - count(*), 0) AS BIGINT) AS n_dup_frames,
+          |       CAST(coalesce(max(ct), 0) AS BIGINT) AS max_multiplicity
+          |FROM c""".stripMargin
     )
   }
 }

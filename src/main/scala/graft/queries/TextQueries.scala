@@ -2403,6 +2403,39 @@ object TextQueries {
         round(col("meanByte"), 6).as("mean_byte"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Cross-payload frame dedup census — the video/audio sibling of
+    * [[mediaDedup]] (whole-payload dedup): content dedup at FRAME
+    * granularity, where near-identical media share most frames even
+    * when no two payloads are byte-equal (re-encoded clips, trimmed
+    * copies, watermarked stills). Frames are the 64-byte aligned
+    * windows of [[graft.multimodal.MediaPipeline.sampleFrames]] at
+    * stride 1; the fingerprint is the frame CONTENT itself (hex
+    * window) — exact dedup, no hash parity to defend. Output is the
+    * one-row census: total frames, distinct frames, duplicated frames,
+    * worst multiplicity.
+    *
+    * Scale shape: frames derive in-row from the scan (payload bytes
+    * never shuffle — only fingerprints), one frame-keyed count with
+    * map-side partials, then a single-row rollup. The real codec's
+    * frame extractor slots where the hex window is cut, per the
+    * multimodal stub contract.
+    */
+  def mediaFrameDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaPipeline.mediaFromDocuments(spark, dir)
+      .select(hex(col("payload")).as("hx"))
+      // empty payloads have no frames — and Spark's sequence(0, -1)
+      // would otherwise DESCEND and fabricate two
+      .filter(length(col("hx")) > 0)
+      .select(col("hx"), explode(sequence(lit(0L),
+        expr("(length(hx) + 127) DIV 128") - 1)).as("f"))
+      .select(expr("substring(hx, CAST(f*128+1 AS INT), 128)").as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("ct"))
+      .agg(
+        coalesce(sum("ct"), lit(0L)).as("n_frames"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(sum("ct") - count(lit(1)), lit(0L)).as("n_dup_frames"),
+        coalesce(max("ct"), lit(0L)).as("max_multiplicity"))
+
   /** BPE merge-candidate census — the first iteration of byte-pair-
     * encoding tokenizer training (Sennrich et al. 2016) as a corpus
     * pass: the most frequent adjacent character pairs, weighted by word

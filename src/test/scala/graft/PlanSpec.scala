@@ -533,7 +533,10 @@ class PlanSpec extends SparkSuite {
       "d_bucket_stats" -> 3,
       // both top-10 rankings ride ONE query-partitioned window
       // exchange; overlap is a filter-count, no join
-      "s_binary_quant" -> 1)
+      "s_binary_quant" -> 1,
+      // frame-keyed count (fingerprints shuffle, payloads don't) +
+      // single-row rollup
+      "m_frame_dedup" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

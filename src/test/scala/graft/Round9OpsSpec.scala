@@ -261,4 +261,26 @@ class Round9OpsSpec extends SparkSuite {
     assert(got(0L) == 0L, "query 0 has an exact sign copy in the corpus")
     assert(got(1L) == 0L, "query 1 has an exact sign copy in the corpus")
   }
+
+  test("mediaFrameDedup: census identities hold, planted shared frames collide, empty payloads add nothing") {
+    val rows = TextQueries.mediaFrameDedup(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size == 1)
+    val (n, distinct, dups, mx) = rows.head
+    assert(n >= distinct && dups == n - distinct && mx >= 1)
+    // two payloads sharing their first 64 bytes collide on frame 0;
+    // an empty payload contributes no frames (and no phantom ones)
+    val dir = tmpDir("r9-framededup")
+    val shared = "x" * 64
+    Seq((0L, shared + "tailA", "en", "s", 69L),
+      (1L, shared + "tailB-different", "en", "s", 79L),
+      (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (n2, d2, dup2, mx2) = TextQueries.mediaFrameDedup(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().head
+    // doc0: frames [64B shared][5B tail]; doc1: [64B shared][15B tail]
+    assert(n2 == 4L && d2 == 3L && dup2 == 1L && mx2 == 2L,
+      s"got n=$n2 distinct=$d2 dups=$dup2 max=$mx2")
+  }
 }
