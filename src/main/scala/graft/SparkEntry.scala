@@ -194,7 +194,8 @@ object SparkEntry {
     "s_matryoshka" -> (SimilarityQueries.matryoshkaEval _),
     "d_bucket_stats" -> (TextQueries.bucketStats _),
     "s_binary_quant" -> (SimilarityQueries.binaryQuantEval _),
-    "m_frame_dedup" -> (TextQueries.mediaFrameDedup _)
+    "m_frame_dedup" -> (TextQueries.mediaFrameDedup _),
+    "p_data_card" -> (TextQueries.dataCard _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3016,7 +3017,32 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_distinct,
           |       CAST(coalesce(sum(ct) - count(*), 0) AS BIGINT) AS n_dup_frames,
           |       CAST(coalesce(max(ct), 0) AS BIGINT) AS max_multiplicity
-          |FROM c""".stripMargin
+          |FROM c""".stripMargin,
+      // Data card: exact-long counts, single IEEE divisions, identical
+      // fingerprint normalization and token rule as the dedup/mixing
+      // oracles.
+      "p_data_card" ->
+        """WITH t AS (SELECT source, lang,
+          |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+          |        len(string_split(trim(text), ' ')) AS nt
+          |      FROM documents),
+          |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |         CAST(sum(nt) AS BIGINT) AS n_tokens,
+          |         CAST(count(DISTINCT fp) AS BIGINT) AS nd,
+          |         CAST(sum(CASE WHEN nt < 15 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+          |       FROM t GROUP BY 1),
+          |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS lc
+          |       FROM t GROUP BY 1, 2),
+          |top AS (SELECT source, lang AS top_lang, lc FROM (
+          |  SELECT source, lang, lc,
+          |         row_number() OVER (PARTITION BY source ORDER BY lc DESC, lang) AS rn
+          |  FROM lc) WHERE rn = 1)
+          |SELECT b.source, b.n_docs, b.n_tokens,
+          |       round(1.0 - CAST(b.nd AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS dup_rate,
+          |       round(CAST(b.ns AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS short_rate,
+          |       t2.top_lang,
+          |       round(CAST(t2.lc AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS top_lang_share
+          |FROM base b JOIN top t2 USING (source) ORDER BY b.source""".stripMargin
     )
   }
 }

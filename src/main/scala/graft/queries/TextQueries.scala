@@ -2403,6 +2403,46 @@ object TextQueries {
         round(col("meanByte"), 6).as("mean_byte"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Per-source data card — the one-row-per-source release summary a
+    * dataset publisher ships with the corpus (the "data card" of Gebru
+    * et al.'s datasheets, reduced to the mechanically-computable
+    * rows): volume (docs, tokens), exact-dup rate under the
+    * [[fingerprint]] normalization, short-doc rate (the Gopher < 15
+    * token rule), and the dominant language with its share.
+    * Complements [[corpusStats]] (char-length shape) with the
+    * curation-facing rates.
+    *
+    * Scale shape: two column-pruned corpus passes (one per-source
+    * aggregate, one (source, lang) count + per-source argmax window)
+    * joined at source cardinality — corpus rows never join anything.
+    */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(col("source"), col("lang"),
+      fingerprint(col("text")).as("fp"),
+      size(wsTokens(col("text"))).cast(LongType).as("nt"))
+    val base = t.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("nt").as("n_tokens"),
+      countDistinct("fp").as("nd"),
+      sum(when(col("nt") < 15, 1L).otherwise(0L)).as("ns"))
+    val langCounts = t.groupBy("source", "lang").agg(count(lit(1)).as("lc"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("lc").desc, col("lang"))
+    val top = langCounts
+      .withColumn("rn", row_number().over(wl)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("lc"))
+    base.join(broadcast(top), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(lit(1.0) - col("nd").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("dup_rate"),
+        round(col("ns").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("short_rate"),
+        col("top_lang"),
+        round(col("lc").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("top_lang_share"))
+      .orderBy("source")
+  }
+
   /** Cross-payload frame dedup census — the video/audio sibling of
     * [[mediaDedup]] (whole-payload dedup): content dedup at FRAME
     * granularity, where near-identical media share most frames even

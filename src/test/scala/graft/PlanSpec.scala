@@ -536,7 +536,11 @@ class PlanSpec extends SparkSuite {
       "s_binary_quant" -> 1,
       // frame-keyed count (fingerprints shuffle, payloads don't) +
       // single-row rollup
-      "m_frame_dedup" -> 1)
+      "m_frame_dedup" -> 1,
+      // per-source aggregate + (source, lang) counts + the per-source
+      // argmax window's re-key; the final join broadcasts at source
+      // cardinality
+      "p_data_card" -> 4)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -283,4 +283,30 @@ class Round9OpsSpec extends SparkSuite {
     assert(n2 == 4L && d2 == 3L && dup2 == 1L && mx2 == 2L,
       s"got n=$n2 distinct=$d2 dups=$dup2 max=$mx2")
   }
+
+  test("dataCard: rates bounded, dominant lang dominates, planted dup corpus reads its rates") {
+    val rows = TextQueries.dataCard(spark, sf)
+      .as[(String, Long, Long, Double, Double, String, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, n, t, dup, short, _, share) =>
+      assert(n > 0 && t >= 0, s)
+      assert(dup >= 0.0 && dup < 1.0, s"$s dup_rate $dup")
+      assert(short >= 0.0 && short <= 1.0, s"$s short_rate $short")
+      assert(share > 0.0 && share <= 1.0, s"$s top_lang_share $share")
+    }
+    val dir = tmpDir("r9-datacard")
+    Seq(
+      (0L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen", "en", "s", 50L),
+      (1L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen", "en", "s", 50L),
+      (2L, "short doc", "de", "s", 9L),
+      (3L, "another short", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (s, n, t, dup, short, topLang, share) = TextQueries.dataCard(spark, dir)
+      .as[(String, Long, Long, Double, Double, String, Double)].collect().head
+    assert(s == "s" && n == 4L && t == 15L + 15L + 2L + 2L)
+    assert(dup == 0.25)            // one exact dup among four
+    assert(short == 0.5)           // two docs under 15 tokens
+    assert(topLang == "en" && share == 0.75)
+  }
 }
