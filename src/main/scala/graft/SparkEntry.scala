@@ -195,7 +195,8 @@ object SparkEntry {
     "d_bucket_stats" -> (TextQueries.bucketStats _),
     "s_binary_quant" -> (SimilarityQueries.binaryQuantEval _),
     "m_frame_dedup" -> (TextQueries.mediaFrameDedup _),
-    "p_data_card" -> (TextQueries.dataCard _)
+    "p_data_card" -> (TextQueries.dataCard _),
+    "s_ivf_curve" -> (SimilarityQueries.ivfRecallCurve _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3042,7 +3043,65 @@ object SparkEntry {
           |       round(CAST(b.ns AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS short_rate,
           |       t2.top_lang,
           |       round(CAST(t2.lc AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS top_lang_share
-          |FROM base b JOIN top t2 USING (source) ORDER BY b.source""".stripMargin
+          |FROM base b JOIN top t2 USING (source) ORDER BY b.source""".stripMargin,
+      // IVF probe-width curve: the s_ivf_probe integer-Lloyd replay
+      // with ALL cells ranked per query, candidates exploded by probe
+      // width, integer top-5 overlap vs the all-cells baseline.
+      "s_ivf_curve" ->
+        """WITH er AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 16),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c0 p) WHERE rn = 1),
+          |u1 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u1 GROUP BY 1),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT e.vec_id, e.q, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c1 p) WHERE rn = 1),
+          |u2 AS (SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+          |       FROM a2, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2),
+          |c2 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM u2 GROUP BY 1),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT e.vec_id, p.cell,
+          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.q, p.c) / (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(p.c, p.c))) DESC, p.cell) AS rn
+          |  FROM e, c2 p) WHERE rn = 1),
+          |qv AS (SELECT vec_id, v FROM er
+          |       WHERE vec_id < 10 AND sqrt(list_dot_product(v, v)) > 0),
+          |cr AS (SELECT qv.vec_id AS query_id, c2.cell,
+          |         CAST(row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+          |           list_dot_product(qv.v, c2.c) / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(c2.c, c2.c))) DESC, c2.cell) AS INT) AS cellrank
+          |       FROM qv, c2),
+          |cand AS (SELECT cr.query_id, a3.vec_id AS neighbor_id, cr.cellrank
+          |         FROM cr JOIN a3 ON a3.cell = cr.cell
+          |         WHERE a3.vec_id <> cr.query_id),
+          |sims AS (SELECT cd.query_id, cd.neighbor_id, cd.cellrank,
+          |           list_dot_product(qq.v, ee.v) /
+          |           (sqrt(list_dot_product(qq.v, qq.v)) * sqrt(list_dot_product(ee.v, ee.v))) AS cs
+          |         FROM cand cd
+          |         JOIN er qq ON qq.vec_id = cd.query_id
+          |         JOIN er ee ON ee.vec_id = cd.neighbor_id),
+          |np AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) t(np)),
+          |top AS (SELECT np, query_id, neighbor_id FROM (
+          |  SELECT np.np, s.query_id, s.neighbor_id,
+          |         row_number() OVER (PARTITION BY np.np, s.query_id
+          |                            ORDER BY s.cs DESC, s.neighbor_id) AS rn
+          |  FROM sims s JOIN np ON s.cellrank <= np.np) WHERE rn <= 5),
+          |base AS (SELECT query_id, neighbor_id FROM top WHERE np = 16)
+          |SELECT t.query_id, CAST(t.np AS BIGINT) AS nprobe,
+          |       CAST(count(b.neighbor_id) AS BIGINT) AS n_overlap
+          |FROM top t LEFT JOIN base b
+          |  ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+          |WHERE t.np <> 16
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }

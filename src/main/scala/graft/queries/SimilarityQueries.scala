@@ -1362,6 +1362,73 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** IVF probe-width tuning curve: recall@5 of the cell-probed search
+    * at nprobe ∈ {1, 2, 4, 8} against the exhaustive all-cells
+    * baseline (nprobe = ncells) — THE operational knob of an IVF
+    * deployment, measured rather than guessed: every halving of
+    * nprobe halves probe I/O (the partition-pruned scan reads half
+    * the files) and this curve says what recall that buys away.
+    * Training/assignment are the bit-exact integer Lloyd of
+    * [[buildIvfIndex]]; overlap counts are integers per (query,
+    * nprobe), engine-stable.
+    *
+    * Scale shape: one scoring pass over the assigned vectors with the
+    * (query × cell-rank) table broadcast (queries × ncells — eval
+    * scale); candidates explode by the 5 probe widths BEFORE the
+    * single (nprobe, query)-partitioned top-5 window. Like every
+    * recall eval, production runs it on a sample; the plan only ever
+    * shuffles (nprobe, query, id, cosine) quads.
+    */
+  def ivfRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = buildIvfIndex(emb)
+    val cents = idx.centroids
+      .select("cell", "centroid", "cnorm").as[(Long, Array[Double], Double)]
+      .collect().sortBy(_._1)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, e) => val v = widen(e); (id, v, norm(v)) }
+      .filter(_._3 > 0.0)
+    val cellRank: Map[(Long, Long), Int] = qs.flatMap { case (qid, qv, qn) =>
+      cents.map { case (cell, c, cn) => (cell, dot(qv, c) / (qn * cn)) }
+        .sortBy { case (cell, cos) => (-cos, cell) }
+        .zipWithIndex.map { case ((cell, _), i) => ((qid, cell), i + 1) }
+    }.toMap
+    val bc = spark.sparkContext.broadcast((qs, cellRank))
+    val scored = idx.vectors.select("cell", "vec_id", "embedding")
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val (queries, cr) = bc.value
+        it.flatMap { case (cell, id, emb0) =>
+          val v = widen(emb0)
+          val nv = norm(v)
+          if (nv == 0.0) Iterator.empty
+          else queries.iterator.filter(_._1 != id).map { case (qid, qv, qn) =>
+            (qid, id, dot(qv, v) / (qn * nv), cr((qid, cell)))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "c", "cellrank")
+    val widths = array(Seq(1, 2, 4, 8, 16).map(lit): _*)
+    val w = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("c").desc, col("neighbor_id"))
+    val sets = scored
+      .select(col("*"), explode(widths).as("nprobe"))
+      .filter(col("cellrank") <= col("nprobe"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("nprobe", "query_id")
+      .agg(collect_set(col("neighbor_id")).as("ids"))
+    val base = sets.filter(col("nprobe") === 16)
+      .select(col("query_id"), col("ids").as("base_ids"))
+    sets.filter(col("nprobe") =!= 16)
+      .join(broadcast(base), "query_id")
+      .select(col("query_id"), col("nprobe").cast("long").as("nprobe"),
+        size(array_intersect(col("ids"), col("base_ids"))).cast("long")
+          .as("n_overlap"))
+      .orderBy("query_id", "nprobe")
+  }
+
   /** Durable IVF index ([[IndexArtifact]] layout, CLI `build-index
     * --kind ivf`): the [[trainQuantizedCells]]-trained centroids plus
     * every vector assigned to its argmax-cosine cell — with the vectors

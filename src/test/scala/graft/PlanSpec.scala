@@ -540,7 +540,10 @@ class PlanSpec extends SparkSuite {
       // per-source aggregate + (source, lang) counts + the per-source
       // argmax window's re-key; the final join broadcasts at source
       // cardinality
-      "p_data_card" -> 4)
+      "p_data_card" -> 4,
+      // (nprobe, query) top-5 window + set aggregate; train/assign
+      // are eager collects outside this plan
+      "s_ivf_curve" -> 2)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

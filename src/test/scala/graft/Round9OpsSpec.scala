@@ -309,4 +309,19 @@ class Round9OpsSpec extends SparkSuite {
     assert(short == 0.5)           // two docs under 15 tokens
     assert(topLang == "en" && share == 0.75)
   }
+
+  test("ivfRecallCurve: recall is monotone in nprobe and saturates at full width") {
+    val rows = SimilarityQueries.ivfRecallCurve(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byNp = rs.map(r => r._2 -> r._3).toMap
+      assert(byNp.keySet == Set(1L, 2L, 4L, 8L), s"query $q widths")
+      byNp.values.foreach(o => assert(o >= 0 && o <= 5, s"query $q overlap"))
+      // widening the probe can only add candidates: overlap with the
+      // fixed baseline top-5 is monotone non-decreasing in nprobe
+      assert(byNp(1L) <= byNp(2L) && byNp(2L) <= byNp(4L) && byNp(4L) <= byNp(8L),
+        s"query $q: ${byNp.toSeq.sorted}")
+    }
+  }
 }
