@@ -196,7 +196,8 @@ object SparkEntry {
     "s_binary_quant" -> (SimilarityQueries.binaryQuantEval _),
     "m_frame_dedup" -> (TextQueries.mediaFrameDedup _),
     "p_data_card" -> (TextQueries.dataCard _),
-    "s_ivf_curve" -> (SimilarityQueries.ivfRecallCurve _)
+    "s_ivf_curve" -> (SimilarityQueries.ivfRecallCurve _),
+    "e_resample_interp" -> (AnalyticsQueries.resampleInterpolate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3101,7 +3102,40 @@ object SparkEntry {
           |FROM top t LEFT JOIN base b
           |  ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
           |WHERE t.np <> 16
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // Linear interpolation: same exact-DECIMAL anchors as ffill, one
+      // integer-difference division per gap, fixed lerp op sequence.
+      "e_resample_interp" ->
+        """WITH ev AS (
+          |  SELECT user_id, epoch_ms(ts) // 3600000 AS h, value FROM events),
+          |hourly AS (
+          |  SELECT user_id, h, count(*) AS n_events,
+          |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s
+          |  FROM ev GROUP BY 1, 2),
+          |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+          |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds),
+          |j AS (
+          |  SELECT g.user_id, g.h, coalesce(a.n_events, 0) AS n_events, a.s
+          |  FROM grid g LEFT JOIN hourly a USING (user_id, h)),
+          |x AS (SELECT *,
+          |  last_value(s IGNORE NULLS) OVER
+          |    (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS sp,
+          |  last_value(CASE WHEN s IS NOT NULL THEN h END IGNORE NULLS) OVER
+          |    (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS hp,
+          |  first_value(s IGNORE NULLS) OVER
+          |    (PARTITION BY user_id ORDER BY h
+          |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sn,
+          |  first_value(CASE WHEN s IS NOT NULL THEN h END IGNORE NULLS) OVER
+          |    (PARTITION BY user_id ORDER BY h
+          |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hn
+          |  FROM j)
+          |SELECT user_id, h * 3600000 AS hour_ms, n_events,
+          |       CAST(s IS NOT NULL AS BIGINT) AS observed,
+          |       CAST(round(CAST(round(CASE WHEN s IS NOT NULL THEN s
+          |             ELSE sp + (sn - sp) *
+          |                  (CAST(h - hp AS DOUBLE) / CAST(hn - hp AS DOUBLE)) END,
+          |             12) AS DECIMAL(38,12)), 6) AS DOUBLE) AS interp_sum
+          |FROM x ORDER BY user_id, hour_ms""".stripMargin
     )
   }
 }

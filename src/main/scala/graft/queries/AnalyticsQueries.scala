@@ -881,6 +881,53 @@ object AnalyticsQueries {
       .orderBy("user_id", "hour_ms")
   }
 
+  /** Linear-interpolation resampling — [[resampleForwardFill]]'s
+    * smoother sibling (pandas `interpolate(method="linear")`): interior
+    * grid gaps take the straight line between the surrounding observed
+    * hours instead of holding the last value. The grid spans each
+    * user's observed range, so every gap is interior — no edge
+    * extrapolation case exists. Determinism: the anchors are the same
+    * exact-DECIMAL hourly sums as ffill, the gap fraction is one
+    * integer-difference division, and the lerp is a fixed
+    * multiply-add sequence — identical IEEE ops in both engines.
+    *
+    * Scale shape: same as ffill — per-user windows after one hourly
+    * aggregate; both direction scans (last-known-before,
+    * first-known-after) ride ONE user-partitioned exchange.
+    */
+  def resampleInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000000) div 3600000").as("h"), col("value"))
+    val hourly = ev.groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec4(col("value"))).cast(DoubleType).as("s"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val base = Window.partitionBy("user_id").orderBy("h")
+    val before = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("s").isNotNull, col("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("sp", last("s", ignoreNulls = true).over(before))
+      .withColumn("hp", last(obsH, ignoreNulls = true).over(before))
+      .withColumn("sn", first("s", ignoreNulls = true).over(after))
+      .withColumn("hn", first(obsH, ignoreNulls = true).over(after))
+      .select(col("user_id"), (col("h") * 3600000L).as("hour_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("s").isNotNull.cast(LongType).as("observed"),
+        // lerp results land on decimal half-boundaries (the anchors are
+        // 4-dp sums, gap fractions are small rationals); round through
+        // the 12-dp DECIMAL grid so both engines take the same half-up
+        // branch instead of their diverging double-round rules
+        round(round(when(col("s").isNotNull, col("s"))
+          .otherwise(col("sp") + (col("sn") - col("sp")) *
+            ((col("h") - col("hp")).cast(DoubleType) /
+              (col("hn") - col("hp")).cast(DoubleType))), 12)
+          .cast(DecimalType(38, 12)), 6).cast(DoubleType).as("interp_sum"))
+      .orderBy("user_id", "hour_ms")
+  }
+
   /** Per-type 3-sigma anomaly flagging — the monitoring pass: one
     * metadata-scale moment aggregate (count / sum / sum-of-squares, the
     * classic two-pass z-score) BROADCAST back into the scan, flags as a

@@ -543,7 +543,10 @@ class PlanSpec extends SparkSuite {
       "p_data_card" -> 4,
       // (nprobe, query) top-5 window + set aggregate; train/assign
       // are eager collects outside this plan
-      "s_ivf_curve" -> 2)
+      "s_ivf_curve" -> 2,
+      // hourly aggregate + grid bounds; both direction scans ride one
+      // user-partitioned window exchange, same as ffill
+      "e_resample_interp" -> 2)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

