@@ -197,7 +197,8 @@ object SparkEntry {
     "m_frame_dedup" -> (TextQueries.mediaFrameDedup _),
     "p_data_card" -> (TextQueries.dataCard _),
     "s_ivf_curve" -> (SimilarityQueries.ivfRecallCurve _),
-    "e_resample_interp" -> (AnalyticsQueries.resampleInterpolate _)
+    "e_resample_interp" -> (AnalyticsQueries.resampleInterpolate _),
+    "s_pq_distortion" -> (SimilarityQueries.pqDistortion _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3135,7 +3136,41 @@ object SparkEntry {
           |             ELSE sp + (sn - sp) *
           |                  (CAST(h - hp AS DOUBLE) / CAST(hn - hp AS DOUBLE)) END,
           |             12) AS DECIMAL(38,12)), 6) AS DOUBLE) AS interp_sum
-          |FROM x ORDER BY user_id, hour_ms""".stripMargin
+          |FROM x ORDER BY user_id, hour_ms""".stripMargin,
+      // PQ distortion: the s_ann_pq codebook/codes replay, then the
+      // same v·v − 2·v·c + c·c error per row on the 12-dp grid.
+      "s_pq_distortion" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |sub AS (SELECT vec_id, s, list_slice(q, 16*s + 1, 16*s + 16) AS v
+          |        FROM e, UNNEST(range(0, 4)) AS t(s)),
+          |c0 AS (SELECT s, vec_id AS cell, v AS c FROM sub WHERE vec_id < 4),
+          |a1 AS (SELECT vec_id, s, v, cell FROM (
+          |  SELECT sub.vec_id, sub.s, sub.v, p.cell,
+          |         row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+          |           list_dot_product(sub.v, sub.v) - 2 * list_dot_product(sub.v, p.c) + list_dot_product(p.c, p.c), p.cell) AS rn
+          |  FROM sub JOIN c0 p USING (s)) WHERE rn = 1),
+          |u1 AS (SELECT s, cell, i, sum(v[i]) AS sm, count(*) AS n
+          |       FROM a1, UNNEST(range(1, 17)) AS t(i) GROUP BY 1, 2, 3),
+          |c1 AS (SELECT s, cell, list(sm / n ORDER BY i) AS c FROM u1 GROUP BY 1, 2),
+          |codes AS (SELECT vec_id, s, cell FROM (
+          |  SELECT sub.vec_id, sub.s, p.cell,
+          |         row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+          |           list_dot_product(sub.v, sub.v) - 2 * list_dot_product(sub.v, p.c) + list_dot_product(p.c, p.c), p.cell) AS rn
+          |  FROM sub JOIN c1 p USING (s)) WHERE rn = 1),
+          |err AS (SELECT codes.s, codes.cell,
+          |          CAST(round((list_dot_product(sub.v, sub.v)
+          |                      - 2 * list_dot_product(sub.v, c1.c)
+          |                      + list_dot_product(c1.c, c1.c))
+          |                     / (1048576.0 * 1048576.0), 12) AS DECIMAL(38,12)) AS e
+          |        FROM codes
+          |        JOIN sub ON sub.vec_id = codes.vec_id AND sub.s = codes.s
+          |        JOIN c1 ON c1.s = codes.s AND c1.cell = codes.cell)
+          |SELECT CAST(s AS BIGINT) AS subspace, cell AS code,
+          |       CAST(count(*) AS BIGINT) AS n_vectors,
+          |       round(CAST(sum(e) AS DOUBLE) / count(*), 6) AS mse
+          |FROM err GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }

@@ -792,6 +792,45 @@ object SimilarityQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** PQ codebook quality report — the quantization-error census read
+    * before trusting ADC scores ([[annPq]]/[[annIvfPq]]): per
+    * (subspace, code), the assigned population and the mean squared
+    * reconstruction error on the unit scale (err / 2^40). A code with
+    * outsized MSE marks a region the 4-centroid book represents badly
+    * (grow the book); an empty/skewed population marks dead codes. The
+    * per-row error uses the IDENTICAL `d = v·v − 2·v·c + c·c`
+    * expression as assignment (and the oracle), rounds to the 12-dp
+    * DECIMAL grid, and sums as DECIMAL — partition-order-free.
+    *
+    * Scale shape: training is [[trainPqCodebooks]] (eager,
+    * metadata-sized books); the report is ONE pass emitting 4
+    * (subspace, code, err) rows per vector into a 16-group aggregate.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qvecs = quantizedVectors(spark, dir)
+    val books = trainPqCodebooks(qvecs)
+    val bc = spark.sparkContext.broadcast(books)
+    qvecs
+      .flatMap { case (_, q) =>
+        val bks = bc.value
+        (0 until pqSubspaces).iterator.map { s =>
+          val sub = pqSubvec(q, s)
+          val code = pqArgmin(sub, bks(s))
+          val c = bks(s).find(_._1 == code).get._2
+          val err = dot(sub, sub) - 2.0 * dot(sub, c) + dot(c, c)
+          (s.toLong, code, err)
+        }
+      }
+      .toDF("subspace", "code", "err")
+      .select(col("subspace"), col("code"),
+        round(col("err") / lit(Q * Q), 12).cast("decimal(38,12)").as("e"))
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum("e").cast("double") / count(lit(1)), 6).as("mse"))
+      .orderBy("subspace", "code")
+  }
+
   private val pqSubspaces = 4
   private val pqSubDim = 16
 

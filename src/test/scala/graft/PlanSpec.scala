@@ -546,7 +546,10 @@ class PlanSpec extends SparkSuite {
       "s_ivf_curve" -> 2,
       // hourly aggregate + grid bounds; both direction scans ride one
       // user-partitioned window exchange, same as ffill
-      "e_resample_interp" -> 2)
+      "e_resample_interp" -> 2,
+      // one (subspace, code) error aggregate; codebook training is an
+      // eager collect outside this plan
+      "s_pq_distortion" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

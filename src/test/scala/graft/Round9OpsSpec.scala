@@ -350,4 +350,20 @@ class Round9OpsSpec extends SparkSuite {
       .as[(Long, Long, Long, Long, Double)].collect()
     assert(interp.nonEmpty && interp.forall(r => !r._5.isNaN))
   }
+
+  test("pqDistortion: codes partition the corpus per subspace, mse non-negative") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val rows = SimilarityQueries.pqDistortion(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sum == n, s"subspace $s members")
+      assert(rs.map(_._2).distinct.size == rs.size, s"subspace $s code dup")
+    }
+    rows.foreach { case (s, c, nv, mse) =>
+      assert(nv > 0 && mse >= 0.0, s"subspace $s code $c mse $mse")
+    }
+    assert(rows.map(_._1).distinct.sorted == Seq(0L, 1L, 2L, 3L))
+  }
 }
