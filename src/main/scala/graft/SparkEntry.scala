@@ -198,7 +198,9 @@ object SparkEntry {
     "p_data_card" -> (TextQueries.dataCard _),
     "s_ivf_curve" -> (SimilarityQueries.ivfRecallCurve _),
     "e_resample_interp" -> (AnalyticsQueries.resampleInterpolate _),
-    "s_pq_distortion" -> (SimilarityQueries.pqDistortion _)
+    "s_pq_distortion" -> (SimilarityQueries.pqDistortion _),
+    "d_dup_spectrum" -> (TextQueries.dupSpectrum _),
+    "e_trend_types" -> (AnalyticsQueries.trendTypes _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3170,7 +3172,27 @@ object SparkEntry {
           |SELECT CAST(s AS BIGINT) AS subspace, cell AS code,
           |       CAST(count(*) AS BIGINT) AS n_vectors,
           |       round(CAST(sum(e) AS DOUBLE) / count(*), 6) AS mse
-          |FROM err GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+          |FROM err GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // Duplication spectrum: gram multiplicity histogram, all integers.
+      "d_dup_spectrum" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |          FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |c AS (SELECT g, CAST(count(*) AS BIGINT) AS ct FROM grams GROUP BY 1)
+          |SELECT CASE WHEN ct >= 11 THEN 11 ELSE ct END AS multiplicity,
+          |       CAST(count(*) AS BIGINT) AS n_grams,
+          |       CAST(sum(ct) AS BIGINT) AS n_occurrences
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Trend census: integer midpoint compare against broadcast bounds.
+      "e_trend_types" ->
+        """WITH ev AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
+          |b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM ev)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CASE WHEN ms * 2 > lo + hi THEN 0 ELSE 1 END) AS BIGINT) AS n_early,
+          |       CAST(sum(CASE WHEN ms * 2 > lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+          |       round(CAST(sum(CASE WHEN ms * 2 > lo + hi THEN 1 ELSE 0 END) AS DOUBLE) /
+          |             CAST(count(*) AS DOUBLE), 6) AS late_share
+          |FROM ev, b GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -881,6 +881,31 @@ object AnalyticsQueries {
       .orderBy("user_id", "hour_ms")
   }
 
+  /** Early-vs-late trend census per event type — the drift monitor's
+    * coarse first pass (is this type growing or dying?): the observed
+    * time range splits at its midpoint and each type reports early /
+    * late counts plus the late share. The half-assignment is an
+    * integer compare (`2·ms > lo + hi` — no division, no epoch
+    * rounding hazard) against the broadcast global bounds; one
+    * metadata-scale bounds aggregate plus one type-keyed count.
+    */
+  def trendTypes(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 1000000").as("ms"))
+    val bounds = ev.agg(min("ms").as("lo"), max("ms").as("hi"))
+    val late = (col("ms") * 2 > col("lo") + col("hi")).cast(LongType)
+    ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"), late.as("late"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(lit(1L) - col("late")).as("n_early"),
+        sum("late").as("n_late"))
+      .select(col("event_type"), col("n_events"), col("n_early"), col("n_late"),
+        round(col("n_late").cast(DoubleType) /
+          col("n_events").cast(DoubleType), 6).as("late_share"))
+      .orderBy("event_type")
+  }
+
   /** Linear-interpolation resampling — [[resampleForwardFill]]'s
     * smoother sibling (pandas `interpolate(method="linear")`): interior
     * grid gaps take the straight line between the surrounding observed

@@ -2403,6 +2403,32 @@ object TextQueries {
         round(col("meanByte"), 6).as("mean_byte"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Duplication spectrum — the document-frequency histogram of the
+    * corpus's word-3-grams (how many distinct grams appear in exactly
+    * 1, 2, …, 10, 11+ documents): the planning census a dedup campaign
+    * reads FIRST, because it says where the duplicated mass lives — a
+    * long singleton tail means near-dup machinery will find little, a
+    * fat high-df head means substring scrubbing will reclaim real
+    * tokens (Lee et al. 2022's motivating measurement). Reports gram
+    * counts AND the doc-occurrence mass per bucket so the reclaimable
+    * volume is read off directly. Grams are per-doc distinct (the
+    * [[graft.functions.WordNGrams]] contract every gram oracle
+    * shares), so multiplicity = document frequency.
+    *
+    * Scale shape: one gram-count aggregate (vocab-scale, map-side
+    * partials), then a ≤ 11-group histogram of the counts — the
+    * spectrum never touches documents again.
+    */
+  def dupSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("ct") >= 11, lit(11L)).otherwise(col("ct"))
+    docs(spark, dir)
+      .select(explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("ct"))
+      .groupBy(bucket.as("multiplicity"))
+      .agg(count(lit(1)).as("n_grams"), sum("ct").as("n_occurrences"))
+      .orderBy("multiplicity")
+  }
+
   /** Per-source data card — the one-row-per-source release summary a
     * dataset publisher ships with the corpus (the "data card" of Gebru
     * et al.'s datasheets, reduced to the mechanically-computable

@@ -260,9 +260,11 @@ class PlanSpec extends SparkSuite {
     // t_ppl_bucket: inherits t_ngram_lm's vocab-size scalar join
     // p_doremi_weights: crosses two 1-row aggregates (corpus mean,
     // weight normalizer) over the collected source-scale LocalRelation
+    // e_trend_types: the global (min, max) time-bounds 1-row aggregate
+    // broadcast into the event scan — same class as the W1 anchor
     val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr",
       "t_ngram_lm", "t_lm_probe", "p_dsir_sample", "q11_value_stock", "q22_dormant",
-      "t_kl_drift", "t_bm25", "t_ppl_bucket", "p_doremi_weights")
+      "t_kl_drift", "t_bm25", "t_ppl_bucket", "p_doremi_weights", "e_trend_types")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -549,7 +551,12 @@ class PlanSpec extends SparkSuite {
       "e_resample_interp" -> 2,
       // one (subspace, code) error aggregate; codebook training is an
       // eager collect outside this plan
-      "s_pq_distortion" -> 1)
+      "s_pq_distortion" -> 1,
+      // gram df-count (vocab-scale, map-side partials) + the <= 11
+      // group histogram
+      "d_dup_spectrum" -> 2,
+      // metadata-scale bounds broadcast + one type-keyed count
+      "e_trend_types" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

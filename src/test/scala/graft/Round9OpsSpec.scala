@@ -366,4 +366,35 @@ class Round9OpsSpec extends SparkSuite {
     }
     assert(rows.map(_._1).distinct.sorted == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("dupSpectrum: df histogram identities, 11+ bucket absorbs a planted flood") {
+    val rows = TextQueries.dupSpectrum(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 1 && r._1 <= 11))
+    rows.filter(_._1 < 11).foreach { case (m, g, occ) =>
+      assert(occ == m * g, s"bucket $m occurrence identity")
+    }
+    rows.filter(_._1 == 11).foreach { case (_, g, occ) =>
+      assert(occ >= 11 * g, "11+ bucket mass")
+    }
+    // 20 copies of one text: every gram has df 20 -> all mass in 11+
+    val dir = tmpDir("r9-spectrum")
+    (0L until 20L).map(i => (i, "the quick brown fox jumps high", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val flood = TextQueries.dupSpectrum(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(flood == Seq((11L, 4L, 80L)), flood.toString)
+  }
+
+  test("trendTypes: early+late partition every type, shares bounded") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.trendTypes(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, e, l, share) =>
+      assert(e + l == n && e >= 0 && l >= 0, s"type $t partition")
+      assert(share >= 0.0 && share <= 1.0, s"type $t share $share")
+    }
+  }
 }
