@@ -323,6 +323,45 @@ object StreamingAnalytics {
       }
   }
 
+  final case class BudgetAdmit(
+      source: String, docId: Long, nTokens: Long, cumTokens: Long, admitted: Boolean)
+
+  /** Streaming token-budget gate — the ingest-side admission control
+    * twin of the batch [[graft.queries.TextQueries.tokenBudgetSelect]]:
+    * each source admits documents until its running token total
+    * reaches the per-source budget, then marks the rest rejected (a
+    * downstream filter drops or re-routes them). State is ONE long per
+    * source — O(sources) forever — and admission is deterministic:
+    * docs inside a micro-batch are considered in doc_id order, and a
+    * doc is admitted only if it fits entirely (the batch twin's
+    * whole-doc rule), so replays admit the identical set. The batch
+    * plan re-derives the selection exactly from the archive whenever
+    * the budget or order policy changes.
+    */
+  def streamingTokenBudget(
+      docs: DataFrame, budget: Long = 10000L): Dataset[BudgetAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        size(graft.functions.TextFunctions.wsTokens(col("text")))
+          .cast("long").as("nt"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, BudgetAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(_._2).map { case (_, id, nt) =>
+            val fits = used + nt <= budget
+            if (fits) used += nt
+            BudgetAdmit(source, id, nt, used, fits)
+          }
+          state.update(used)
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join — both sides unbounded: orders and events
     * join on the customer key within a bounded event-time window
     * (event within 1 hour AFTER its order). The time-range predicate +

@@ -447,4 +447,29 @@ class StreamingAnalyticsSpec extends SparkSuite {
       }
     }
   }
+
+  test("streaming token budget admits whole docs in id order until the source budget fills") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingAnalytics.streamingTokenBudget(
+      mem.toDF().toDF("doc_id", "source", "text"), budget = 5L)
+      .writeStream.format("memory").queryName("tok_budget")
+      .outputMode("append").start()
+    // batch 1: srcA docs 1 (3 tokens) and 2 (2 tokens) fill the budget
+    mem.addData((2L, "srcA", "four five"), (1L, "srcA", "one two three"))
+    q.processAllAvailable()
+    // batch 2: srcA doc 3 is over budget (state carried); srcB starts fresh
+    mem.addData((3L, "srcA", "six"), (10L, "srcB", "a b c d e f g"))
+    q.processAllAvailable()
+    val got = spark.table("tok_budget")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    q.stop()
+    assert(got == Seq(
+      ("srcA", 1L, 3L, 3L, true),
+      ("srcA", 2L, 2L, 5L, true),
+      ("srcA", 3L, 1L, 5L, false),   // budget already full across batches
+      ("srcB", 10L, 7L, 0L, false)), // a doc larger than the budget never fits
+      got.toString)
+  }
 }
