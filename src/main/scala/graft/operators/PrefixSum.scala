@@ -41,12 +41,20 @@ object PrefixSum {
       case (Some(lo), Some(hi)) =>
         require(lo >= 0, s"prefix-sum keys must be non-negative, saw $lo")
         val width = math.max(1L, hi / parts + 1)
+        // persist the NARROW (k, v, pid) projection: phase 1 and phase 2
+        // would otherwise each re-derive it from the source — for a
+        // byte-length input that means scanning the payload column
+        // twice. The cache holds three longs per row; the subtotal pass
+        // below materializes it, the co-location pass reads it back, and
+        // the listener releases it after the consumer's first action.
         val binned = pairs.toDF("k", "v")
           .withColumn("pid", expr(s"k DIV $width"))
+          .persist()
         // phase 1: per-bin subtotals — partial-aggregated, ≤ parts rows
         // cross the exchange; exclusive offsets stay driver-side
         val totals = binned.groupBy("pid").agg(sum("v").as("t"))
           .as[(Long, Long)].collect().sortBy(_._1)
+        unpersistAfterNextQuery(binned)
         val offsets = {
           var acc = 0L
           totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }.toMap
@@ -75,5 +83,22 @@ object PrefixSum {
           }
       case _ => spark.emptyDataset[(Long, Long, Long)]
     }
+  }
+
+  /** Release the cached phase-1 frame once the CONSUMER's first action
+    * completes — an eager unpersist would force phase 2 to recompute
+    * the very scan the cache exists to avoid (the shared release
+    * pattern of the overflow branches in graft.queries). */
+  private def unpersistAfterNextQuery(df: org.apache.spark.sql.DataFrame): Unit = {
+    val lm = df.sparkSession.listenerManager
+    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def done(): Unit = { df.unpersist(); lm.unregister(this) }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = done()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = done()
+    })
   }
 }
