@@ -114,6 +114,52 @@ class DegenerateSpec extends SparkSuite {
     rows.foreach { case (l, _, c) => assert(c === 1.0, s"label $l drifted: $c") }
   }
 
+  test("clusterPurity on identical vectors: one flooded cell, purity = majority share") {
+    val rows = SimilarityQueries.clusterPurity(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.size == 1, s"identical vectors must collapse to one cell: $rows")
+    val (_, members, maj, purity) = rows.head
+    assert(members == n.toLong)
+    // labels cycle 0,1,2 evenly; the count tie breaks to the lowest label
+    assert(maj == 0L && purity == 0.333333)
+  }
+
+  test("cellReps on identical vectors: one rep, the lowest id, at cosine 1") {
+    val rows = SimilarityQueries.cellReps(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.size == 1)
+    val (_, repId, members, cos) = rows.head
+    assert(repId == 0L && members == n.toLong && cos == 1.0)
+  }
+
+  test("binaryQuantEval on identical vectors: full overlap at hamming zero") {
+    val rows = SimilarityQueries.binaryQuantEval(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).sorted == (0L to 9L))
+    rows.foreach { case (q, overlap, ham1) =>
+      assert(overlap == 10L && ham1 == 0L, s"query $q: $overlap/$ham1")
+    }
+  }
+
+  test("ivfRecallCurve on identical vectors: every probe width already has full recall") {
+    val rows = SimilarityQueries.ivfRecallCurve(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, np, overlap) =>
+      assert(overlap == 5L, s"query $q nprobe $np overlap $overlap")
+    }
+  }
+
+  test("sourceOverlap on a single-source corpus is empty, not an error") {
+    import graft.queries.TextQueries
+    val d = tmpDir("degenerate-one-source")
+    Seq((0L, "alpha beta gamma delta", "en", "only", 22L),
+      (1L, "beta gamma delta epsilon", "en", "only", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(TextQueries.sourceOverlap(spark, d).count() == 0L)
+  }
+
   test("pplBuckets' driver histogram bound is explicit, with a fallback message") {
     import graft.queries.TextQueries
     // under the cap: fine; over: a loud error naming the coarser-grid /
