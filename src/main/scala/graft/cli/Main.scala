@@ -34,6 +34,8 @@ import java.time.temporal.ChronoUnit
   *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]
   *   export --in <documents parquet> --out <dir> [--shards N] [--gzip]
   *          (hive-sharded JSONL, shard = doc_id % N; ingest reads it back)
+  *   curate --in <dir with documents.parquet> --out <parquet>
+  *          (quality gates + dedup + decontamination; prints the funnel)
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -367,6 +369,20 @@ object Main {
       println(s"ingest: $n docs written to $out")
       spark.stop()
 
+    case "curate" :: rest =>
+      // The flagship cleaning composition as a runnable job: benchmark
+      // exclusion + quality gates + exact dedup + decontamination in
+      // one plan, with the per-source funnel printed as the run report.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, n, funnel) =
+        try curateCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      funnel.foreach(println)
+      println(s"curate: $n docs written to $out")
+      spark.stop()
+
     case "update-index" :: rest =>
       // Incremental artifact refresh: fold an ingest batch into the
       // nightly index without re-scanning the indexed corpus.
@@ -466,6 +482,28 @@ object Main {
       .select("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(out)
     (out, spark.read.parquet(out).count())
+  }
+
+  /** `curate` body, session-injected for specs: run
+    * [[graft.queries.TextQueries.cleanCorpus]] over a documents
+    * directory (the composition every standalone gate query also
+    * verifies piecewise), write the surviving docs, and return the
+    * per-source funnel ([[graft.queries.TextQueries.curationFunnel]])
+    * as printable report lines — the nightly yield summary next to the
+    * cleaned output.
+    */
+  private[cli] def curateCmd(
+      spark: SparkSession, o: Map[String, String]): (String, Long, Seq[String]) = {
+    val in = o.getOrElse("in",
+      die("--in <dir containing documents.parquet> is required"))
+    val out = o.getOrElse("out", die("--out <parquet> is required"))
+    require(new java.io.File(s"$in/documents.parquet").exists(),
+      s"curate: no documents.parquet under --in '$in'")
+    graft.queries.TextQueries.cleanCorpus(spark, in)
+      .write.mode("overwrite").parquet(out)
+    val funnel = graft.queries.TextQueries.curationFunnel(spark, in)
+      .collect().map(_.toSeq.mkString("funnel: ", " | ", "")).toSeq
+    (out, spark.read.parquet(out).count(), funnel)
   }
 
   /** `export` body, session-injected for specs: documents parquet →

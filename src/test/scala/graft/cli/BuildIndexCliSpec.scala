@@ -251,6 +251,22 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(err.getMessage != null)
   }
 
+  test("curate verb: output equals the cleanCorpus query, funnel report present") {
+    val out = tmpDir("cli-curate-out")
+    val (_, n, funnel) = Main.curateCmd(spark,
+      Map("in" -> SparkSuite.sf0001, "out" -> out))
+    val direct = TextQueries.cleanCorpus(spark, SparkSuite.sf0001)
+    assert(n == direct.count() && n > 0)
+    val a = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    assert(a == direct.collect().map(_.toSeq).toSet)
+    assert(funnel.nonEmpty && funnel.forall(_.startsWith("funnel: ")))
+    // bad --in dies loudly, not with an opaque parquet error
+    val e = intercept[IllegalArgumentException] {
+      Main.curateCmd(spark, Map("in" -> tmpDir("cli-curate-empty"), "out" -> out))
+    }
+    assert(e.getMessage.contains("documents.parquet"))
+  }
+
   test("update-index ivf: frozen-centroid add, probe matches assignment invariants") {
     import graft.queries.SimilarityQueries
     val emb = spark.read.parquet(s"${SparkSuite.sf0001}/embeddings.parquet")
