@@ -200,7 +200,8 @@ object SparkEntry {
     "e_resample_interp" -> (AnalyticsQueries.resampleInterpolate _),
     "s_pq_distortion" -> (SimilarityQueries.pqDistortion _),
     "d_dup_spectrum" -> (TextQueries.dupSpectrum _),
-    "e_trend_types" -> (AnalyticsQueries.trendTypes _)
+    "e_trend_types" -> (AnalyticsQueries.trendTypes _),
+    "e_type_transitions" -> (AnalyticsQueries.typeTransitions _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3192,7 +3193,22 @@ object SparkEntry {
           |       CAST(sum(CASE WHEN ms * 2 > lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
           |       round(CAST(sum(CASE WHEN ms * 2 > lo + hi THEN 1 ELSE 0 END) AS DOUBLE) /
           |             CAST(count(*) AS DOUBLE), 6) AS late_share
-          |FROM ev, b GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM ev, b GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Markov transition matrix: lead() over the identical
+      // (user, ms, event_id) order, integer counts, one division.
+      "e_type_transitions" ->
+        """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
+          |            FROM events),
+          |p AS (SELECT event_type AS from_type,
+          |        lead(event_type, 1) OVER (PARTITION BY user_id
+          |                                  ORDER BY ms, event_id) AS to_type
+          |      FROM ev),
+          |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |       round(CAST(n AS DOUBLE) /
+          |             CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+          |FROM c ORDER BY from_type, to_type""".stripMargin
     )
   }
 }

@@ -881,6 +881,37 @@ object AnalyticsQueries {
       .orderBy("user_id", "hour_ms")
   }
 
+  /** Event-type transition matrix — the first-order Markov model of
+    * user journeys (what follows what): consecutive event pairs per
+    * user in (time, event_id) order, counted into a types² matrix with
+    * per-from-type transition probabilities. The behavioral-analytics
+    * primitive behind funnel design and anomaly baselines (a
+    * transition that never occurred before is the interesting event).
+    * Ordering ties on the timestamp break by event_id, so the pair
+    * stream — and every count — is replay-deterministic.
+    *
+    * Scale shape: one user-partitioned window (the sessionize
+    * exchange) builds pairs via `lead`; the matrix aggregate is
+    * types²-scale with map-side partials; probabilities are one
+    * division over the from-type window of matrix-scale rows.
+    */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val wf = Window.partitionBy("from_type")
+    pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ms"),
+        col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum("n").over(wf))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast(DoubleType) / col("n_from").cast(DoubleType), 6)
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Early-vs-late trend census per event type — the drift monitor's
     * coarse first pass (is this type growing or dying?): the observed
     * time range splits at its midpoint and each type reports early /

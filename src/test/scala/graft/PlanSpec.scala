@@ -556,7 +556,10 @@ class PlanSpec extends SparkSuite {
       // group histogram
       "d_dup_spectrum" -> 2,
       // metadata-scale bounds broadcast + one type-keyed count
-      "e_trend_types" -> 1)
+      "e_trend_types" -> 1,
+      // user window for lead pairs, types^2 matrix aggregate, and the
+      // from-type probability window over matrix-scale rows
+      "e_type_transitions" -> 3)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -397,4 +397,19 @@ class Round9OpsSpec extends SparkSuite {
       assert(share >= 0.0 && share <= 1.0, s"type $t share $share")
     }
   }
+
+  test("typeTransitions: probabilities normalize per from-type, pair count = events - users") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.typeTransitions(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val total = rs.map(_._4).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"from $from sums to $total")
+    }
+    // every consecutive pair within a user contributes exactly once
+    val ev = graft.model.Tables.pq(spark, sf, "events")
+    val expectedPairs = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == expectedPairs)
+  }
 }
