@@ -201,7 +201,8 @@ object SparkEntry {
     "s_pq_distortion" -> (SimilarityQueries.pqDistortion _),
     "d_dup_spectrum" -> (TextQueries.dupSpectrum _),
     "e_trend_types" -> (AnalyticsQueries.trendTypes _),
-    "e_type_transitions" -> (AnalyticsQueries.typeTransitions _)
+    "e_type_transitions" -> (AnalyticsQueries.typeTransitions _),
+    "s_hybrid_rrf" -> (SimilarityQueries.hybridRrf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3208,7 +3209,56 @@ object SparkEntry {
           |SELECT from_type, to_type, n,
           |       round(CAST(n AS DOUBLE) /
           |             CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
-          |FROM c ORDER BY from_type, to_type""".stripMargin
+          |FROM c ORDER BY from_type, to_type""".stripMargin,
+      // RRF hybrid retrieval: integer ranks off the established
+      // Jaccard/cosine orders, one IEEE division per present term,
+      // fixed two-term sum.
+      "s_hybrid_rrf" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |          FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+          |qg AS (SELECT doc_id AS query_id, g FROM grams WHERE doc_id < 10),
+          |cg AS (SELECT doc_id, g FROM grams WHERE doc_id >= 10),
+          |li AS (SELECT qg.query_id, cg.doc_id, CAST(count(*) AS BIGINT) AS inter
+          |       FROM qg JOIN cg USING (g) GROUP BY 1, 2),
+          |ls AS (SELECT li.query_id, li.doc_id,
+          |         CAST(li.inter AS DOUBLE) /
+          |         CAST(sq.n + sd.n - li.inter AS DOUBLE) AS s
+          |       FROM li JOIN sizes sq ON sq.doc_id = li.query_id
+          |               JOIN sizes sd ON sd.doc_id = li.doc_id),
+          |lr AS (SELECT query_id, doc_id, rl FROM (
+          |  SELECT query_id, doc_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |                                 ORDER BY s DESC, doc_id) AS INT) AS rl
+          |  FROM ls) WHERE rl <= 50),
+          |er AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |qv AS (SELECT vec_id AS query_id, v FROM er
+          |       WHERE vec_id < 10 AND sqrt(list_dot_product(v, v)) > 0),
+          |cv AS (SELECT vec_id AS doc_id, v FROM er
+          |       WHERE vec_id >= 10 AND sqrt(list_dot_product(v, v)) > 0),
+          |vs AS (SELECT q.query_id, c.doc_id,
+          |         list_dot_product(q.v, c.v) /
+          |         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS s
+          |       FROM qv q, cv c),
+          |vr AS (SELECT query_id, doc_id, rv FROM (
+          |  SELECT query_id, doc_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |                                 ORDER BY s DESC, doc_id) AS INT) AS rv
+          |  FROM vs) WHERE rv <= 50),
+          |fused AS (
+          |  SELECT coalesce(lr.query_id, vr.query_id) AS query_id,
+          |         coalesce(lr.doc_id, vr.doc_id) AS doc_id,
+          |         coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rl), 0)
+          |       + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rv), 0) AS rrf
+          |  FROM lr FULL OUTER JOIN vr
+          |    ON vr.query_id = lr.query_id AND vr.doc_id = lr.doc_id)
+          |SELECT query_id, rnk, doc_id, round(rrf, 6) AS rrf_score
+          |FROM (SELECT query_id, doc_id, rrf,
+          |             CAST(row_number() OVER (PARTITION BY query_id
+          |                                     ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+          |      FROM fused)
+          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
     )
   }
 }

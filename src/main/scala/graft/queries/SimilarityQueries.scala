@@ -792,6 +792,87 @@ object SimilarityQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
+    * the fusion rule every production hybrid-search stack ships):
+    * per query, a LEXICAL top-50 (word-3-gram Jaccard against the
+    * query doc's grams) and a VECTOR top-50 (cosine) fuse as
+    * `Σ 1/(60 + rank)` over the lists containing the candidate, and
+    * the fused top-5 is returned. The two lists may cover different
+    * corpora (only embedded docs are in the vector index — exactly the
+    * sf0.1 shape, 5000 docs vs 2000 vectors): RRF's union semantics
+    * need no alignment, which is why it beats score normalization
+    * operationally. Determinism: ranks are integers off the
+    * established Jaccard/cosine orders (ties → lower id), each RRF
+    * term is one IEEE division, and the two-term sum has a fixed
+    * order.
+    *
+    * Scale shape: both retrieval passes broadcast the 10-query side
+    * and scan their corpus once; rank windows shuffle (query, id,
+    * score) triples capped at 50/query/list; the fusion join is
+    * list-scale (≤ 100 rows per query).
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 60.0
+    // vector list: brute cosine, queries broadcast
+    val vecs = vectors(spark, dir)
+    val vq = vecs.filter(col("vec_id") < 10).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, e) => val v = widen(e); (id, v, norm(v)) }
+      .filter(_._3 > 0.0)
+    val bcv = spark.sparkContext.broadcast(vq)
+    val vecScored = vecs.filter(col("vec_id") >= 10).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bcv.value
+        it.flatMap { case (id, emb) =>
+          val v = widen(emb)
+          val nv = norm(v)
+          if (nv == 0.0) Iterator.empty
+          else qs.iterator.map { case (qid, qv, qn) => (qid, id, dot(qv, v) / (qn * nv)) }
+        }
+      }.toDF("query_id", "doc_id", "s")
+    val wv = Window.partitionBy("query_id").orderBy(col("s").desc, col("doc_id"))
+    val vecRanks = vecScored
+      .withColumn("rv", row_number().over(wv)).filter(col("rv") <= 50)
+      .select(col("query_id"), col("doc_id"), col("rv"))
+    // lexical list: per-doc distinct gram sets, query grams broadcast
+    val grams = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs"))
+    val lq: Array[(Long, Set[String])] = grams.filter(col("doc_id") < 10)
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+      .map { case (id, gs) => (id, gs.toSet) }
+    val bcl = spark.sparkContext.broadcast(lq)
+    val lexScored = grams.filter(col("doc_id") >= 10).as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val qs = bcl.value
+        it.flatMap { case (id, gs) =>
+          val dset = gs.toSet
+          qs.iterator.flatMap { case (qid, qset) =>
+            val inter = dset.count(qset.contains)
+            if (inter == 0) Iterator.empty
+            else Iterator((qid, id,
+              inter.toDouble / (qset.size + dset.size - inter).toDouble))
+          }
+        }
+      }.toDF("query_id", "doc_id", "s")
+    val wl = Window.partitionBy("query_id").orderBy(col("s").desc, col("doc_id"))
+    val lexRanks = lexScored
+      .withColumn("rl", row_number().over(wl)).filter(col("rl") <= 50)
+      .select(col("query_id"), col("doc_id"), col("rl"))
+    // fusion: union of the two lists, one IEEE division per present term
+    val fused = lexRanks.join(vecRanks, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k) + col("rl").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("rv").cast("double")), lit(0.0)))
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused
+      .withColumn("rnk", row_number().over(wf)).filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf_score"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** PQ codebook quality report — the quantization-error census read
     * before trusting ADC scores ([[annPq]]/[[annIvfPq]]): per
     * (subspace, code), the assigned population and the mean squared

@@ -559,7 +559,10 @@ class PlanSpec extends SparkSuite {
       "e_trend_types" -> 1,
       // user window for lead pairs, types^2 matrix aggregate, and the
       // from-type probability window over matrix-scale rows
-      "e_type_transitions" -> 3)
+      "e_type_transitions" -> 3,
+      // two retrieval rank windows (50/query/list), the list-scale
+      // fusion join, and the fused top-5 window
+      "s_hybrid_rrf" -> 5)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -412,4 +412,25 @@ class Round9OpsSpec extends SparkSuite {
     val expectedPairs = ev.count() - ev.select("user_id").distinct().count()
     assert(rows.map(_._3).sum == expectedPairs)
   }
+
+  test("hybridRrf: ranked top-5 per query, scores in RRF range, a doc on both lists outranks a single-list tie") {
+    val rows = SimilarityQueries.hybridRrf(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted == (1 to rs.size), s"query $q ranks")
+      // max possible: rank 1 on both lists = 2/61; min: rank 50 on one
+      rs.foreach { case (_, _, d, s) =>
+        assert(s > 0.0 && s <= 2.0 / 61.0 + 1e-9, s"query $q doc $d score $s")
+        assert(d >= 10L, s"query $q must not retrieve a query id")
+      }
+      val sorted = rs.sortBy(_._2).map(_._4)
+      assert(sorted.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+        s"query $q fused score must be non-increasing with rank")
+    }
+    // determinism across runs
+    val again = SimilarityQueries.hybridRrf(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(rows == again)
+  }
 }
