@@ -202,7 +202,8 @@ object SparkEntry {
     "d_dup_spectrum" -> (TextQueries.dupSpectrum _),
     "e_trend_types" -> (AnalyticsQueries.trendTypes _),
     "e_type_transitions" -> (AnalyticsQueries.typeTransitions _),
-    "s_hybrid_rrf" -> (SimilarityQueries.hybridRrf _)
+    "s_hybrid_rrf" -> (SimilarityQueries.hybridRrf _),
+    "s_ann_filtered" -> (SimilarityQueries.annFiltered _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3258,6 +3259,26 @@ object SparkEntry {
           |             CAST(row_number() OVER (PARTITION BY query_id
           |                                     ORDER BY rrf DESC, doc_id) AS INT) AS rnk
           |      FROM fused)
+          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      // Filtered vector search: the label predicate restricts
+      // candidates BEFORE the established cosine ranking.
+      "s_ann_filtered" ->
+        """WITH er AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          |                   CAST(label AS BIGINT) AS label
+          |            FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, v, label FROM er
+          |      WHERE vec_id < 10 AND sqrt(list_dot_product(v, v)) > 0),
+          |c AS (SELECT vec_id AS neighbor_id, v, label FROM er
+          |      WHERE vec_id >= 10 AND sqrt(list_dot_product(v, v)) > 0),
+          |s AS (SELECT q.query_id, c.neighbor_id, c.label,
+          |        list_dot_product(q.v, c.v) /
+          |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cs
+          |      FROM q JOIN c ON c.label = q.label)
+          |SELECT query_id, rnk, neighbor_id, label, round(cs, 6) AS cos_sim
+          |FROM (SELECT query_id, neighbor_id, label, cs,
+          |             CAST(row_number() OVER (PARTITION BY query_id
+          |                                     ORDER BY cs DESC, neighbor_id) AS INT) AS rnk
+          |      FROM s)
           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
     )
   }

@@ -792,6 +792,50 @@ object SimilarityQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Filtered vector search — the vector-DB primitive where a metadata
+    * predicate restricts the candidate set BEFORE ranking (here: same
+    * label as the query, the "search within this tenant/category"
+    * shape): per query, the top-5 cosine neighbors among corpus
+    * vectors sharing the query's label. Pre-filtering is the scale
+    * decision worth pinning — the predicate prunes candidates at the
+    * scan (at 100 TB, combined with the cell/partition layout, it
+    * prunes FILES), where post-filtering an unfiltered top-k can
+    * return fewer than k survivors or none.
+    *
+    * Scale shape: queries + their labels broadcast; ONE corpus pass
+    * scores each row only against the queries whose label matches —
+    * the per-row work SHRINKS with selectivity instead of growing.
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+    val qs = emb.filter(col("vec_id") < 10)
+      .as[(Long, Array[Float], Long)].collect().sortBy(_._1)
+      .map { case (id, e, l) => val v = widen(e); (id, v, norm(v), l) }
+      .filter(_._3 > 0.0)
+    val bc = spark.sparkContext.broadcast(qs)
+    val scored = emb.filter(col("vec_id") >= 10)
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val queries = bc.value
+        it.flatMap { case (id, e, l) =>
+          val v = widen(e)
+          val nv = norm(v)
+          if (nv == 0.0) Iterator.empty
+          else queries.iterator.filter(_._4 == l).map { case (qid, qv, qn, _) =>
+            (qid, id, l, dot(qv, v) / (qn * nv))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "label", "c")
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("label"),
+        round(col("c"), 6).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
     * the fusion rule every production hybrid-search stack ships):
     * per query, a LEXICAL top-50 (word-3-gram Jaccard against the

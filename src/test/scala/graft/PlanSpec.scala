@@ -562,7 +562,9 @@ class PlanSpec extends SparkSuite {
       "e_type_transitions" -> 3,
       // two retrieval rank windows (50/query/list), the list-scale
       // fusion join, and the fused top-5 window
-      "s_hybrid_rrf" -> 5)
+      "s_hybrid_rrf" -> 5,
+      // broadcast-query label-filtered scoring pass + one top-5 window
+      "s_ann_filtered" -> 1)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

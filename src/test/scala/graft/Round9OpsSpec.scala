@@ -433,4 +433,25 @@ class Round9OpsSpec extends SparkSuite {
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(rows == again)
   }
+
+  test("annFiltered: every neighbor shares its query's label, never beats the unfiltered top") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qLabels = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "label").as[(Long, Int)].collect()
+      .map { case (id, l) => id -> l.toLong }.toMap
+    val rows = SimilarityQueries.annFiltered(spark, sf)
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, n, l, _) =>
+      assert(l == qLabels(q), s"query $q neighbor $n label $l")
+      assert(n >= 10L)
+    }
+    // the filtered rank-1 cosine can never exceed the unfiltered rank-1
+    val unfiltered = SimilarityQueries.annTopK(spark, sf)
+      .filter(col("rnk") === 1)
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    rows.filter(_._2 == 1).foreach { case (q, _, _, _, cos) =>
+      unfiltered.get(q).foreach(u => assert(cos <= u + 1e-9, s"query $q: $cos > $u"))
+    }
+  }
 }
