@@ -413,7 +413,7 @@ class Round9OpsSpec extends SparkSuite {
     assert(rows.map(_._3).sum == expectedPairs)
   }
 
-  test("hybridRrf: ranked top-5 per query, scores in RRF range, a doc on both lists outranks a single-list tie") {
+  test("hybridRrf: ranked top-5 per query, scores in RRF range, deterministic") {
     val rows = SimilarityQueries.hybridRrf(spark, sf)
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(rows.nonEmpty)
