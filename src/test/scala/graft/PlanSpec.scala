@@ -277,6 +277,69 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty, s"scale-unsafe join shapes in: $offenders")
   }
 
+  test("no registered query plans a quadratic unbounded-following window frame") {
+    // Spark executes a window frame whose UPPER bound is
+    // unboundedFollowing but whose lower bound is NOT unboundedPreceding
+    // (e.g. currentRow -> unboundedFollowing) with
+    // UnboundedFollowingWindowFunctionFrame, which RESCANS from the
+    // current row to the partition end for EVERY row — O(n^2) per
+    // partition. This made e_resample_interp 35s (~25% of the whole
+    // board) before round 10 replaced it with a descending-order running
+    // frame. Whole-partition frames (unboundedPreceding ->
+    // unboundedFollowing) are computed ONCE per partition
+    // (UnboundedWindowFunctionFrame) and are safe — the three
+    // source-cardinality uses in TextQueries pass untouched, so no
+    // allowlist is needed: the ban keys on the frame shape itself.
+    def quadraticFrames(plan: String): Seq[String] = {
+      val marker = "specifiedwindowframe("
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = plan.indexOf(marker)
+      while (i >= 0) {
+        // extract the balanced-paren argument list
+        var depth = 1
+        var j = i + marker.length
+        while (depth > 0 && j < plan.length) {
+          plan(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        val body = plan.substring(i + marker.length, j - 1)
+        // split top-level args: (frameType, lower, upper)
+        val args = scala.collection.mutable.ArrayBuffer.empty[String]
+        var d = 0; val sb = new StringBuilder
+        body.foreach {
+          case '(' => d += 1; sb += '('
+          case ')' => d -= 1; sb += ')'
+          case ',' if d == 0 => args += sb.result().trim; sb.clear()
+          case c => sb += c
+        }
+        args += sb.result().trim
+        if (args.length == 3 &&
+            args(2).startsWith("unboundedfollowing") &&
+            !args(1).startsWith("unboundedpreceding"))
+          out += args.mkString(", ")
+        i = plan.indexOf(marker, j)
+      }
+      out.toSeq
+    }
+    // self-check: the detector must flag the exact shape it exists to ban
+    assert(quadraticFrames(
+      "Window [last(s, true) windowspecdefinition(u, h ASC, specifiedwindowframe(RowFrame, currentrow$(), unboundedfollowing$())) AS sn]").nonEmpty,
+      "detector must catch currentRow -> unboundedFollowing")
+    assert(quadraticFrames(
+      "Window [sum(t) windowspecdefinition(specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS tot]").isEmpty,
+      "detector must pass whole-partition frames")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val frames = quadraticFrames(fn(spark, sf).queryExecution.executedPlan.toString)
+      if (frames.nonEmpty) Some(s"$name: ${frames.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"quadratic unbounded-following window frames in:\n${offenders.mkString("\n")}")
+  }
+
   test("per-query shuffle budget: no query exceeds its recorded exchange count") {
     // the shuffle ledger: every query's hashpartitioning-exchange count,
     // recorded at the plan shapes we deliberately built. A refactor that
