@@ -2746,8 +2746,10 @@ object SparkEntry {
       // identical cosine double.
       "d_decontam_semantic" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          |b AS (SELECT vec_id AS bench_id, v FROM e WHERE vec_id < 10),
-          |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+          |b AS (SELECT vec_id AS bench_id, v FROM e
+          |      WHERE vec_id < 10 AND sqrt(list_dot_product(v, v)) > 0),
+          |c AS (SELECT vec_id, v FROM e
+          |      WHERE vec_id >= 10 AND sqrt(list_dot_product(v, v)) > 0),
           |s AS (SELECT c.vec_id, b.bench_id,
           |        list_dot_product(c.v, b.v) /
           |        (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
@@ -2756,10 +2758,16 @@ object SparkEntry {
           |FROM s WHERE cs >= 0.4 ORDER BY vec_id, bench_id""".stripMargin,
       // Cluster purity: the ivf_trained integer-Lloyd replay through
       // assignment, then label-scale counting.
+      // zero-norm prefilter pins the drop convention: Spark-side
+      // assignment sends zero-norm vectors to the -1 sentinel and drops
+      // them (and in training they contribute to no real cell), so the
+      // oracle excludes them from seeds/means/assignment alike
       "s_cluster_purity" ->
         """WITH e AS (
-          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
-          |  FROM embeddings),
+          |  SELECT vec_id, q FROM (
+          |    SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |    FROM embeddings)
+          |  WHERE sqrt(list_dot_product(q, q)) > 0),
           |c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 16),
           |a1 AS (SELECT vec_id, q, cell FROM (
           |  SELECT e.vec_id, e.q, p.cell,

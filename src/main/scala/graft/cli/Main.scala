@@ -669,6 +669,14 @@ object Main {
       case other => die(s"unsupported index kind '$other' " +
         "(expected neardup|chunk|drift|winnow|scrub|ivf)")
     }
-    (kind, out, batch.count())
+    // the ivf path drops zero-norm batch vectors during frozen-centroid
+    // assignment, so "grew by n" must report the index's actual vectors
+    // delta (two parquet footer counts), not the raw batch size
+    val grown =
+      if (kind == "ivf")
+        IndexArtifact.frame(spark, out, "vectors").count() -
+          IndexArtifact.frame(spark, idx, "vectors").count()
+      else batch.count()
+    (kind, out, grown)
   }
 }

@@ -54,7 +54,7 @@ object PrefixSum {
         // cross the exchange; exclusive offsets stay driver-side
         val totals = binned.groupBy("pid").agg(sum("v").as("t"))
           .as[(Long, Long)].collect().sortBy(_._1)
-        unpersistAfterNextQuery(binned)
+        CacheRelease.afterConsumer(binned)
         val offsets = {
           var acc = 0L
           totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }.toMap
@@ -85,20 +85,4 @@ object PrefixSum {
     }
   }
 
-  /** Release the cached phase-1 frame once the CONSUMER's first action
-    * completes — an eager unpersist would force phase 2 to recompute
-    * the very scan the cache exists to avoid (the shared release
-    * pattern of the overflow branches in graft.queries). */
-  private def unpersistAfterNextQuery(df: org.apache.spark.sql.DataFrame): Unit = {
-    val lm = df.sparkSession.listenerManager
-    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      private def done(): Unit = { df.unpersist(); lm.unregister(this) }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = done()
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = done()
-    })
-  }
 }

@@ -1309,6 +1309,10 @@ object SimilarityQueries {
     val assigned = qvecs
       .map { case (id, q) => (qArgmax(q, bc.value), id) }
       .toDF("cell", "vec_id")
+      // zero-norm vectors land on qArgmax's -1 sentinel (every cosine
+      // NaN) — drop them, matching buildIvfIndex's convention and the
+      // oracle's zero-norm prefilter
+      .filter(col("cell") >= 0)
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label").cast(LongType).as("label"))
     val cnt = assigned.join(labels, "vec_id")

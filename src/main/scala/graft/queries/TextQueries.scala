@@ -416,25 +416,12 @@ object TextQueries {
     } else distributed(pairs)
   }
 
-  /** Releases `df`'s persisted blocks after the NEXT query execution on
-    * its session completes — the release path for overflow branches
-    * whose returned plan still references the persisted frame: an eager
-    * unpersist would re-trigger the recompute the persist exists to
-    * stop, and never releasing leaks executor cache across a long-lived
-    * session running many queries (round-6 ADVICE). Firing on an
-    * unrelated query first is harmless — unpersist only drops cached
-    * blocks (the consumer then recomputes), never correctness.
-    */
-  private def unpersistAfterNextQuery(df: DataFrame): Unit = {
-    val lm = df.sparkSession.listenerManager
-    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      private def done(): Unit = { df.unpersist(); lm.unregister(this) }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = done()
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = done()
-    })
-  }
+  /** Releases `df`'s persisted blocks once its CONSUMER completes — the
+    * release path for overflow branches whose returned plan still
+    * references the persisted frame (round-6 ADVICE; consumer-tagged
+    * with a miss-bounded leak guard since round 10). */
+  private def unpersistAfterNextQuery(df: DataFrame): Unit =
+    graft.operators.CacheRelease.afterConsumer(df)
 
   /** Per-doc MinHash band hashes as narrow (doc_id, band, bh) rows —
     * the LSH index representation, built in one tight per-row loop
