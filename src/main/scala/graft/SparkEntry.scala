@@ -64,10 +64,10 @@ object SparkEntry {
     "e_type_pivot" -> (AnalyticsQueries.eventTypePivot _),
     "q_price_deciles" -> (AnalyticsQueries.priceDeciles _),
     "e_event_gaps" -> (AnalyticsQueries.eventGaps _),
-    "e_approx_distinct" -> (AnalyticsQueries.approxDistinctUsers _),
+    "e_approx_distinct" -> (AnalyticsQueries.approxDistinctGate _),
     "e_anomaly_zscore" -> (AnalyticsQueries.anomalyZscore _),
     "e_resample_ffill" -> (AnalyticsQueries.resampleForwardFill _),
-    "e_approx_quantiles" -> (AnalyticsQueries.approxQuantiles _),
+    "e_approx_quantiles" -> (AnalyticsQueries.approxQuantilesGate _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     "q19_disjunct" -> (AnalyticsQueries.q19Disjunct _),
@@ -174,7 +174,7 @@ object SparkEntry {
     "p_sample_weighted" -> (TextQueries.sampleWeighted _),
     "t_diversity" -> (TextQueries.diversity _),
     "t_lang_confusion" -> (TextQueries.langConfusion _),
-    "t_bpe_encode" -> (TextQueries.bpeEncodeCorpus _),
+    "t_bpe_encode" -> (TextQueries.bpeEncodeGate _),
     "s_embed_outliers" -> (SimilarityQueries.embedOutliers _),
     "d_scrub_incremental" -> (TextQueries.scrubIncremental _),
     "t_heavy_hitters" -> (TextQueries.heavyHitters _),
@@ -789,9 +789,24 @@ object SparkEntry {
           |SELECT cohort_day, (day_ms - cohort_day) // 86400000 AS day_offset,
           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-      // e_approx_distinct: HLL sketch values are engine-specific — no SQL
-      // oracle on purpose (driver rows-only gate); the 5%-of-exact
-      // accuracy contract is asserted in LlmOpsSpec.
+      // e_approx_distinct / e_approx_quantiles: sketch values are
+      // engine-specific, so the gated columns are the group keys, the
+      // EXACT counts, and integer accuracy verdicts the Spark side
+      // computes from its own sketch — the oracle pins the verdicts as
+      // literal 1s (the sketch must sit inside its accuracy envelope
+      // for the hash to match). Raw estimates stay spec-gated in
+      // LlmOpsSpec.
+      "e_approx_distinct" ->
+        """SELECT event_type,
+          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+          |       CAST(1 AS BIGINT) AS within_5pct
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "e_approx_quantiles" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(1 AS BIGINT) AS p50_ok,
+          |       CAST(1 AS BIGINT) AS p90_ok,
+          |       CAST(1 AS BIGINT) AS p99_ok
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_price_deciles" ->
         """WITH qs AS (
           |  SELECT quantile_cont(o_totalprice,
@@ -2571,10 +2586,20 @@ object SparkEntry {
           |       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
           |       round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio
           |FROM g GROUP BY source ORDER BY source""".stripMargin,
+      // t_bpe_encode: the BPE merge list is an iterative data-dependent
+      // argmax no single SQL query expresses, so the gated columns are
+      // the deterministic per-doc word count plus the tokens-per-word /
+      // tokens-per-char bounds verdict pinned as a literal 1; the token
+      // counts themselves stay spec-gated (ScrubSamplingSpec).
+      "t_bpe_encode" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split(trim(text), ' '), x -> len(x) > 0) AS ws
+          |  FROM documents)
+          |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+          |       CAST(1 AS BIGINT) AS bounds_ok
+          |FROM w WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin,
       // Lang-ID confusion matrix: replays langId's marker argmax
-      // (t_bpe_encode has NO oracle by design — the BPE merge list is an
-      // iterative data-dependent argmax no single SQL query expresses;
-      // rows-only gate + ScrubSamplingSpec semantics)
       "t_lang_confusion" ->
         """WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ts FROM documents),
           |s AS (SELECT lang,

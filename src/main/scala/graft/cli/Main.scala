@@ -32,8 +32,12 @@ import java.time.temporal.ChronoUnit
   *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
   *         [--stream --checkpoint <dir>]   (probe new files only; resumes)
   *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]
-  *   export --in <documents parquet> --out <dir> [--shards N] [--gzip]
-  *          (hive-sharded JSONL, shard = doc_id % N; ingest reads it back)
+  *   export --in <documents parquet> --out <dir>
+  *          [--shards N | --by-bytes <budget>] [--gzip]
+  *          (hive-sharded JSONL; default shard = doc_id % N, --by-bytes
+  *          packs ≤ budget text bytes per shard in doc_id order and
+  *          writes the shard manifest to out/_manifest; ingest reads
+  *          either layout back)
   *   curate --in <dir with documents.parquet> --out <parquet>
   *          (quality gates + dedup + decontamination; prints the funnel)
   *
@@ -508,33 +512,79 @@ object Main {
 
   /** `export` body, session-injected for specs: documents parquet →
     * hive-sharded JSONL (`out/shard=K/part-*.json[.gz]`), the delivery
-    * format trainers and downstream pipelines consume. Shard is
-    * `doc_id % N` (deterministic — re-export reproduces the layout),
-    * files are doc_id-ordered within a shard, and [[ingestCmd]] reads
+    * format trainers and downstream pipelines consume. Two layouts:
+    *
+    *  - default: shard = `doc_id % N` (deterministic — re-export
+    *    reproduces the layout), N bounds file count and write
+    *    parallelism;
+    *  - `--by-bytes <budget>`: the webdataset contract end-to-end —
+    *    documents pack into shards of ≤ budget TEXT bytes in doc_id
+    *    order under the tar-writer convention ([[TextQueries.packByBytes]]:
+    *    an item's shard is where its first byte lands, layout via the
+    *    two-phase distributed prefix sum — text bytes never ride the
+    *    layout computation), and the shards-scale manifest
+    *    (shard_id, n_items, n_bytes, first_doc, last_doc) lands at
+    *    `out/_manifest` (underscore-prefixed: Spark sources skip it
+    *    when reading the shards back).
+    *
+    * Files are doc_id-ordered within a shard, and [[ingestCmd]] reads
     * the output straight back (`--format jsonl`), so export∘ingest is
-    * an identity on the contract columns. One repartition by shard is
-    * the only movement; N bounds both file count and write parallelism
-    * per shard.
+    * an identity on the contract columns either way.
     */
   private[cli] def exportCmd(
       spark: SparkSession, o: Map[String, String]): (String, Long, Int) = {
     import org.apache.spark.sql.functions._
     val in = o.getOrElse("in", die("--in <documents parquet> is required"))
     val out = o.getOrElse("out", die("--out <dir> is required"))
-    val shards = o.get("shards").map(_.toInt).getOrElse(8)
-    require(shards > 0, s"--shards must be positive, got $shards")
     val docs = spark.read.parquet(in)
     require(Seq("doc_id", "text").forall(docs.columns.contains),
       "export input needs the documents contract (doc_id, text, ...), got " +
         docs.columns.mkString(","))
-    val writer = docs
-      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
-      .repartition(shards, col("shard"))
+    val (sharded, packed) = o.get("by-bytes") match {
+      case Some(b) =>
+        require(!o.contains("shards"),
+          "--shards and --by-bytes are mutually exclusive")
+        val budget = try b.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"--by-bytes needs a byte count, got '$b'")
+        }
+        require(budget > 0, s"--by-bytes must be positive, got $budget")
+        import spark.implicits._
+        val sized = docs.select(
+          col("doc_id").cast("long"),
+          octet_length(col("text")).cast("long")).as[(Long, Long)]
+        // the layout is read twice (shard join + manifest) — persist
+        // the narrow (doc_id, nb, shard_id, shard_off) frame
+        val layout = graft.queries.TextQueries.packByBytes(sized, budget)
+          .persist()
+        val laid = docs
+          .join(layout.select(col("doc_id"), col("shard_id").as("shard")), "doc_id")
+          .repartition(col("shard"))
+        (laid, Some(layout))
+      case None =>
+        val shards = o.get("shards").map(_.toInt).getOrElse(8)
+        require(shards > 0, s"--shards must be positive, got $shards")
+        (docs
+          .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+          .repartition(shards, col("shard")), None)
+    }
+    val writer = sharded
       .sortWithinPartitions("shard", "doc_id")
       .write.mode("overwrite").partitionBy("shard")
     val codec = if (o.contains("gzip")) writer.option("compression", "gzip") else writer
     codec.json(out)
-    (out, spark.read.json(out).count(), shards)
+    // manifest AFTER the shard write — the overwrite above clears `out`
+    packed.foreach { layout =>
+      graft.queries.TextQueries.manifestOf(layout)
+        .write.mode("overwrite").parquet(s"$out/_manifest")
+      layout.unpersist()
+    }
+    val written = spark.read.json(out)
+    val nShards =
+      if (packed.isDefined) written.select("shard").distinct().count().toInt
+      else o.get("shards").map(_.toInt).getOrElse(8)
+    (out, written.count(), nShards)
   }
 
   /** `scrub` body, session-injected for specs (see [[buildIndexCmd]]).

@@ -777,9 +777,10 @@ object AnalyticsQueries {
   /** HLL approximate distinct next to the exact count — the sketch every
     * 100 TB profiling pass leads with (mergeable partials, fixed-size
     * state, no distinct shuffle for the approx path). The HLL result is
-    * implementation-specific, so this operator carries NO SQL oracle
-    * (rows-only gate); the accuracy contract (rsd 0.01 here, within 5%
-    * of exact in tests) is asserted in LlmOpsSpec instead.
+    * implementation-specific, so the driver gates [[approxDistinctGate]]
+    * (exact count + integer accuracy verdict) instead of the raw
+    * estimate; the accuracy contract (rsd 0.01 here, within 5% of exact
+    * in tests) is also asserted in LlmOpsSpec.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "events")
@@ -836,9 +837,10 @@ object AnalyticsQueries {
     * `approx_percentile` keeps a fixed-size mergeable summary per group
     * (the only shape that scales to 100 TB — exact percentile must
     * materialize and sort every group's values). Sketch output is
-    * merge-order sensitive, so like the HLL operator it carries NO SQL
-    * oracle (rows-only gate); the accuracy contract against the exact
-    * quantiles is asserted in LlmOpsSpec.
+    * merge-order sensitive, so like the HLL operator the driver gates
+    * [[approxQuantilesGate]] (exact counts + per-percentile rank
+    * verdicts) instead of the sample values; the accuracy contract
+    * against the exact quantiles is asserted in LlmOpsSpec.
     */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
     pq(spark, dir, "events")
@@ -852,6 +854,55 @@ object AnalyticsQueries {
         round(col("qs").getItem(1), 6).as("p90"),
         round(col("qs").getItem(2), 6).as("p99"))
       .orderBy("event_type")
+
+  /** Driver-gate shape for [[approxDistinctUsers]]: the HLL estimate is
+    * deterministic in Spark (register-max merging is order-free) but
+    * not replayable in DuckDB, so the gated output carries the group
+    * key, the EXACT distinct count, and an integer accuracy verdict the
+    * oracle pins as a literal 1 — `within_5pct` holds when
+    * |approx − exact| · 20 ≤ max(exact, 20) (integer
+    * cross-multiplication, ±1 slack on tiny groups — the same envelope
+    * LlmOpsSpec asserts on the raw estimate). A red row here means the
+    * sketch left its accuracy envelope, a real failure rather than hash
+    * noise; the estimate's value itself stays spec-gated.
+    */
+  def approxDistinctGate(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctUsers(spark, dir)
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) * 20 <=
+          greatest(col("n_exact"), lit(20L))).cast(LongType).as("within_5pct"))
+      .orderBy("event_type")
+
+  /** Driver-gate shape for [[approxQuantiles]]: sketch samples are
+    * merge-order sensitive, so the gated columns are per-percentile
+    * RANK verdicts instead of the sample values — est is a valid
+    * p-quantile within rank tolerance eps iff
+    * count(value < est) ≤ (p+eps)·n and count(value ≤ est) ≥ (p−eps)·n
+    * (the standard quantile-correctness interval; both sides integer
+    * cross-multiplied in thousandths, eps = 0.005 — 50× the sketch's
+    * 1e-4 guarantee at accuracy 10000, so the verdict is stable under
+    * any partial-merge order). The rank counts ride one broadcast of
+    * the 5-row estimate table back into the events scan.
+    */
+  def approxQuantilesGate(spark: SparkSession, dir: String): DataFrame = {
+    val est = approxQuantiles(spark, dir)
+    val lt = (p: String) => sum((col("value") < col(p)).cast(LongType))
+    val le = (p: String) => sum((col("value") <= col(p)).cast(LongType))
+    val ok = (ltc: Column, lec: Column, milli: Int) =>
+      (ltc * 1000 <= col("n") * (milli + 5) && lec * 1000 >= col("n") * (milli - 5))
+        .cast(LongType)
+    pq(spark, dir, "events").select(col("event_type"), col("value"))
+      .join(broadcast(est), "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(lt("p50").as("lt50"), le("p50").as("le50"),
+        lt("p90").as("lt90"), le("p90").as("le90"),
+        lt("p99").as("lt99"), le("p99").as("le99"))
+      .select(col("event_type"), col("n"),
+        ok(col("lt50"), col("le50"), 500).as("p50_ok"),
+        ok(col("lt90"), col("le90"), 900).as("p90_ok"),
+        ok(col("lt99"), col("le99"), 990).as("p99_ok"))
+      .orderBy("event_type")
+  }
 
   /** Time-series resampling with forward fill: each user's event stream
     * becomes a dense hourly grid over [first, last] activity (sequence

@@ -3064,17 +3064,42 @@ object TextQueries {
 
   private def shardPacked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sized = graft.multimodal.MediaPipeline.mediaFromDocuments(spark, dir)
       .select(col("doc_id").cast(LongType),
         length(col("payload")).cast(LongType).as("nb"))
       .as[(Long, Long)]
+    packByBytes(sized, shardBudgetBytes)
+  }
+
+  /** The byte-budget packing kernel shared by [[shardPack]] /
+    * [[shardManifest]] and the CLI's `export --by-bytes`: (doc_id,
+    * byte-length) pairs → (doc_id, nb, shard_id, shard_off) under the
+    * tar-writer convention (an item's shard is where its FIRST byte
+    * lands; integer math only). The global byte prefix is
+    * [[graft.operators.PrefixSum.exclusivePrefix]]'s two-phase scan —
+    * never an unpartitioned window.
+    */
+  def packByBytes(
+      sized: org.apache.spark.sql.Dataset[(Long, Long)],
+      budget: Long): DataFrame = {
+    require(budget > 0, s"byte budget must be positive, got $budget")
+    val parts = sized.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     graft.operators.PrefixSum.exclusivePrefix(sized, parts)
       .toDF("doc_id", "nb", "prefix")
       .select(col("doc_id"), col("nb"),
-        expr(s"prefix DIV $shardBudgetBytes").as("shard_id"),
-        pmod(col("prefix"), lit(shardBudgetBytes)).as("shard_off"))
+        expr(s"prefix DIV $budget").as("shard_id"),
+        pmod(col("prefix"), lit(budget)).as("shard_off"))
   }
+
+  /** Shards-scale manifest over a [[packByBytes]] layout — the contract
+    * [[shardManifest]] publishes, reusable over any byte measure. */
+  def manifestOf(packed: DataFrame): DataFrame =
+    packed
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_items"), sum("nb").as("n_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
 
   /** Per-shard manifest over [[shardPack]] — what the shard writer
     * publishes next to the tars (item count, byte mass, id range per
@@ -3083,11 +3108,7 @@ object TextQueries {
     * output is shards-scale (corpus bytes / budget), not corpus-scale.
     */
   def shardManifest(spark: SparkSession, dir: String): DataFrame =
-    shardPacked(spark, dir)
-      .groupBy("shard_id")
-      .agg(count(lit(1)).as("n_items"), sum("nb").as("n_bytes"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("shard_id")
+    manifestOf(shardPacked(spark, dir))
 
   /** LSH bucket-size skew report — the pre-flight check an operator
     * runs BEFORE launching a banded near-dup join at scale: per band,
@@ -3220,12 +3241,13 @@ object TextQueries {
     * deliberately confined to that vocab-scale frame — at billions of
     * occurrences a per-token UDF would dominate the job.
     *
-    * No DuckDB oracle: the learned merge list is the fixed point of an
-    * iterative data-dependent argmax (not expressible in one SQL
-    * query), so this query carries the weaker rows-only gate and its
-    * semantics are spec-gated instead: encode/training-segmentation
-    * agreement, subtoken concatenation identity, and the word-cache
-    * path equaling the direct per-doc encode (ScrubSamplingSpec).
+    * The learned merge list is the fixed point of an iterative
+    * data-dependent argmax (not expressible in one SQL query), so the
+    * driver gates [[bpeEncodeGate]] (word counts + bounds verdict)
+    * instead of the raw token counts; the semantics are spec-gated:
+    * encode/training-segmentation agreement, subtoken concatenation
+    * identity, and the word-cache path equaling the direct per-doc
+    * encode (ScrubSamplingSpec).
     */
   def bpeEncodeCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -3241,9 +3263,29 @@ object TextQueries {
       .join(vocab, "w")
       .groupBy("doc_id")
       .agg(sum("c").as("n_words"),
-        sum(col("c") * col("n_sub")).as("n_bpe_tokens"))
+        sum(col("c") * col("n_sub")).as("n_bpe_tokens"),
+        sum(col("c") * length(col("w"))).as("n_chars"))
       .withColumn("fertility",
         round(col("n_bpe_tokens").cast(DoubleType) / col("n_words"), 6))
       .orderBy("doc_id")
   }
+
+  /** Driver-gate shape for [[bpeEncodeCorpus]]: the learned merge list
+    * is an iterative data-dependent argmax no single SQL query can
+    * replay, so the gated columns are the deterministic per-doc word
+    * count plus an integer bounds verdict the oracle pins as a literal
+    * 1 — a BPE encode must emit at least one token per word (merges
+    * only shrink) and at most one per character (segmentation never
+    * splits below characters): n_words ≤ n_bpe_tokens ≤ n_chars. The
+    * token counts themselves stay spec-gated (ScrubSamplingSpec:
+    * encode/training agreement, concatenation identity, word-cache =
+    * direct encode).
+    */
+  def bpeEncodeGate(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeCorpus(spark, dir)
+      .select(col("doc_id"), col("n_words"),
+        (col("n_bpe_tokens") >= col("n_words") &&
+          col("n_bpe_tokens") <= col("n_chars"))
+          .cast(org.apache.spark.sql.types.LongType).as("bounds_ok"))
+      .orderBy("doc_id")
 }

@@ -239,6 +239,44 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** Streaming ANN probe against the durable partition-pruned
+    * [[graft.queries.SimilarityQueries.IvfIndex]] — the retrieval twin
+    * of [[streamingNearDupProbe]], same zero-state shape: each
+    * micro-batch of query vectors (vec_id, embedding) runs
+    * [[graft.queries.SimilarityQueries.probeIvfIndex]] against the
+    * nightly artifact, emitting per-query top-k neighbors as queries
+    * arrive — the online-retrieval story over the same index
+    * `build-index --kind ivf` / `update-index` maintain. The centroid
+    * head (metadata-scale) is persisted across triggers; the VECTORS
+    * frame deliberately is NOT — each probe's cell filter prunes the
+    * hive-partitioned artifact at file-listing time, which caching the
+    * full frame in memory would defeat. Nothing buffers across
+    * batches; index refresh is `update-index`'s job (the same lambda
+    * split as the other probes). The caller releases the centroid head
+    * with `index.centroids.unpersist()` after stopping the query.
+    */
+  def streamingIvfProbe(
+      queries: DataFrame,
+      index: graft.queries.SimilarityQueries.IvfIndex,
+      checkpoint: String,
+      sink: DataFrame => Unit,
+      k: Int = 5,
+      nprobe: Int = 4,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    index.centroids.persist()
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.queries.SimilarityQueries.probeIvfIndex(
+          index, batch.toDF(), k, nprobe))
+      }
+      .start()
+  }
+
   /** Live heavy-hitter monitor: a running Misra–Gries sketch over the
     * token stream, one [[graft.functions.MGState]] row per trigger
     * (Complete mode on a single global group). State is the k-bounded

@@ -418,7 +418,9 @@ class PlanSpec extends SparkSuite {
       // training passes run at construction; the returned plan is
       // scan -> project -> sort, zero hash exchanges
       "s_pca_project" -> 0,
-      "e_approx_distinct" -> 2, "e_approx_quantiles" -> 1, "e_event_cube" -> 1,
+      // e_approx_quantiles: +1 for the gate's rank-verdict aggregate
+      // (the 5-row estimate broadcasts back into the events scan)
+      "e_approx_distinct" -> 2, "e_approx_quantiles" -> 2, "e_event_cube" -> 1,
       "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
       "e_event_stats_salted" -> 2, "e_funnel" -> 1, "e_grouping_sets" -> 1,
       "e_json_props" -> 1, "e_moving_stats" -> 1, "e_moving_median" -> 1,

@@ -211,6 +211,46 @@ class StreamingAnalyticsSpec extends SparkSuite {
     assert(empty.gt == 0L && empty.vocab == 0L)
   }
 
+  test("streaming IVF probe equals the batch probe and resumes from its checkpoint") {
+    import graft.queries.SimilarityQueries
+    val emb = spark.read.parquet(s"${SparkSuite.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 6)
+    val path = tmpDir("sivf-index")
+    SimilarityQueries.buildIvfIndex(corpus).save(path)
+    val index = SimilarityQueries.IvfIndex.load(spark, path)
+    val q1 = emb.filter(col("vec_id") < 3)
+    val q2 = emb.filter(col("vec_id") >= 3 && col("vec_id") < 6)
+    // file-source query stream + checkpoint: run AvailableNow over the
+    // first head, stop, append a second head, rerun with the SAME
+    // checkpoint — the probe must resume past the consumed files
+    val qdir = tmpDir("sivf-queries")
+    val ckpt = tmpDir("sivf-ckpt")
+    def runOnce(): Set[(Long, Long, Long, Double)] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      val stream = spark.readStream.schema(emb.schema).parquet(qdir)
+      val q = StreamingAnalytics.streamingIvfProbe(
+        stream, index, ckpt,
+        b => got ++= b.as[(Long, Long, Long, Double)].collect(),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      got.toSet
+    }
+    q1.write.mode("append").parquet(qdir)
+    val first = runOnce()
+    val batch1 = SimilarityQueries.probeIvfIndex(index, q1)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch1.nonEmpty, "batch probe must find neighbors")
+    assert(first == batch1, s"streaming probe diverged: $first vs $batch1")
+    q2.write.mode("append").parquet(qdir)
+    val second = runOnce()
+    val batch2 = SimilarityQueries.probeIvfIndex(index, q2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(second == batch2,
+      s"restart must probe ONLY the new queries: $second vs $batch2")
+    index.centroids.unpersist()
+  }
+
   test("streaming compaction maintains latest value per key across batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[graft.model.ReducedConsumerRecord]

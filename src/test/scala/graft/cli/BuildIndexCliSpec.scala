@@ -206,6 +206,66 @@ class BuildIndexCliSpec extends SparkSuite {
       .flatMap(_.listFiles()).exists(_.getName.endsWith(".json.gz")))
   }
 
+  test("export --by-bytes: packed layout, manifest next to the shards, ingest round-trip") {
+    import org.apache.spark.sql.functions.{col, octet_length, sum => fsum, count => fcount, min => fmin, max => fmax, lit}
+    val docsDir = tmpDir("cli-bybytes-docs")
+    val docs = spark.read.parquet(s"${SparkSuite.sf0001}/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val budget = 8192L
+    val out = tmpDir("cli-bybytes-out")
+    val (_, n, shards) = Main.exportCmd(spark,
+      Map("in" -> s"$docsDir/documents.parquet", "out" -> out,
+        "by-bytes" -> budget.toString))
+    assert(n == docs.count() && shards > 1, s"expected multiple shards, got $shards")
+    // the manifest sits next to the shards, underscore-hidden from the
+    // JSONL reader, and matches the packByBytes layout recomputed here
+    import spark.implicits._
+    val expected = graft.queries.TextQueries.packByBytes(
+      docs.select(col("doc_id").cast("long"),
+        octet_length(col("text")).cast("long")).as[(Long, Long)], budget)
+    val wantManifest = graft.queries.TextQueries.manifestOf(expected)
+      .collect().map(_.toSeq).toSeq
+    val gotManifest = spark.read.parquet(s"$out/_manifest")
+      .orderBy("shard_id").collect().map(_.toSeq).toSeq
+    assert(gotManifest == wantManifest)
+    assert(gotManifest.size == shards)
+    // written shards agree with the manifest: per-shard doc count and
+    // text byte mass recomputed from the JSONL itself
+    val back = spark.read.json(out)
+    assert(back.count() == n)
+    val fromShards = back
+      .groupBy(col("shard").cast("long").as("shard_id"))
+      .agg(fcount(lit(1)).as("n_items"),
+        fsum(octet_length(col("text")).cast("long")).as("n_bytes"),
+        fmin("doc_id").as("first_doc"), fmax("doc_id").as("last_doc"))
+      .orderBy("shard_id").collect().map(_.toSeq).toSeq
+    assert(fromShards == wantManifest)
+    // tar-writer convention: a shard exceeds the budget only via its
+    // LAST item straddling the cut (first byte inside, mass beyond)
+    gotManifest.foreach { r =>
+      val (nItems, nBytes) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      assert(nItems >= 1)
+      assert(nBytes <= budget + docs.agg(fmax(octet_length(col("text"))))
+        .head().getInt(0), s"shard mass $nBytes far beyond budget")
+    }
+    // ingest∘export identity on the contract columns
+    val ingested = tmpDir("cli-bybytes-reingest")
+    val (_, n2) = Main.ingestCmd(spark,
+      Map("in" -> out, "out" -> ingested, "format" -> "jsonl"))
+    assert(n2 == n)
+    val a = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(ingested)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // --shards and --by-bytes are mutually exclusive
+    intercept[IllegalArgumentException] {
+      Main.exportCmd(spark, Map("in" -> s"$docsDir/documents.parquet",
+        "out" -> tmpDir("cli-bybytes-x"), "by-bytes" -> "1024", "shards" -> "4"))
+    }
+  }
+
   test("update-index: incremental refresh probes identically to a full rebuild") {
     // split the corpus itself: index the first part, fold in the second
     val ids = corpus.select("doc_id").as[Long].collect().sorted
