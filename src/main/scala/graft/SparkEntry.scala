@@ -66,6 +66,8 @@ object SparkEntry {
     "e_event_gaps" -> (AnalyticsQueries.eventGaps _),
     "e_approx_distinct" -> (AnalyticsQueries.approxDistinctGate _),
     "e_anomaly_zscore" -> (AnalyticsQueries.anomalyZscore _),
+    "e_cusum_changepoint" -> (AnalyticsQueries.cusumChangepoint _),
+    "e_burst_detect" -> (AnalyticsQueries.burstDetect _),
     "e_resample_ffill" -> (AnalyticsQueries.resampleForwardFill _),
     "e_approx_quantiles" -> (AnalyticsQueries.approxQuantilesGate _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
@@ -179,6 +181,9 @@ object SparkEntry {
     "d_scrub_incremental" -> (TextQueries.scrubIncremental _),
     "t_heavy_hitters" -> (TextQueries.heavyHitters _),
     "t_zipf_fit" -> (TextQueries.zipfFit _),
+    "t_readability" -> (TextQueries.readabilityProfile _),
+    "d_bbit_minhash" -> (TextQueries.bbitMinhash _),
+    "s_mips_topk" -> (SimilarityQueries.mipsTopK _),
     "p_anneal_plan" -> (TextQueries.annealPlan _),
     "m_media_sniff" -> (TextQueries.mediaSniff _),
     "p_temperature_mix" -> (TextQueries.temperatureMix _),
@@ -845,6 +850,57 @@ object SparkEntry {
           |       round(coalesce(last_value(s IGNORE NULLS) OVER
           |         (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING), 0), 6) AS filled_sum
           |FROM j ORDER BY user_id, hour_ms""".stripMargin,
+      // CUSUM closed form S_t = P_t - min(0, running-min P): integer
+      // algebra on the m-scaled centered series (y = m*x - S, no
+      // per-row division), one long->double division at the end —
+      // bit-replayable; intermediate HUGEINT sums never reach the
+      // select list
+      "e_cusum_changepoint" ->
+        """WITH hourly AS (
+          |  SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |t AS (
+          |  SELECT event_type, h, x,
+          |         count(*) OVER (PARTITION BY event_type) AS m,
+          |         sum(x) OVER (PARTITION BY event_type) AS s
+          |  FROM hourly),
+          |p AS (
+          |  SELECT event_type, h, m,
+          |         sum(m * x - s) OVER (PARTITION BY event_type ORDER BY h
+          |           ROWS UNBOUNDED PRECEDING) AS p
+          |  FROM t),
+          |c AS (
+          |  SELECT event_type, h, m,
+          |         p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY h
+          |           ROWS UNBOUNDED PRECEDING)) AS cusum
+          |  FROM p),
+          |r AS (
+          |  SELECT event_type, h, m, cusum,
+          |         row_number() OVER (PARTITION BY event_type
+          |           ORDER BY cusum DESC, h) AS rn
+          |  FROM c)
+          |SELECT event_type, CAST(m AS BIGINT) AS n_hours,
+          |       h * 3600000 AS peak_hour_ms,
+          |       CAST(cusum AS DOUBLE) / CAST(m AS DOUBLE) AS peak_excess
+          |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+      // RANGE frame keyed on the millisecond VALUE: simultaneous events
+      // share a frame, so the count is tie-order-free; integers only
+      "e_burst_detect" ->
+        """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+          |b AS (
+          |  SELECT user_id, ms,
+          |         count(*) OVER (PARTITION BY user_id ORDER BY ms
+          |           RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW) AS burst,
+          |         count(*) OVER (PARTITION BY user_id) AS n_events
+          |  FROM ev),
+          |r AS (
+          |  SELECT user_id, ms, burst, n_events,
+          |         row_number() OVER (PARTITION BY user_id
+          |           ORDER BY burst DESC, ms) AS rn
+          |  FROM b)
+          |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+          |       CAST(burst AS BIGINT) AS peak_24h, ms AS peak_ms
+          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
       "e_anomaly_zscore" ->
         """WITH s AS (
           |  SELECT event_type, count(*) AS n,
@@ -989,6 +1045,63 @@ object SparkEntry {
           |FROM pair JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
           |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
           |ORDER BY id1, id2""".stripMargin,
+      // b-bit MinHash calibration: md5-32-bit hash fold (the proven
+      // cross-engine form), exact integer minima, dyadic estimator
+      // division; j_exact is the sibling query's raw single division
+      "d_bbit_minhash" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |pair AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+          |pj AS (
+          |  SELECT id1, id2,
+          |         CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS j_exact
+          |  FROM pair JOIN sizes s1 ON s1.doc_id = id1
+          |            JOIN sizes s2 ON s2.doc_id = id2
+          |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+          |hb AS (
+          |  SELECT doc_id, i,
+          |         min(list_reduce(list_transform(range(1, 9),
+          |           k -> CAST(strpos('0123456789abcdef',
+          |             substr(md5(CAST(i AS VARCHAR) || '|' || g), k, 1)) - 1
+          |             AS BIGINT)),
+          |           (a, b) -> a * 16 + b)) AS mh
+          |  FROM grams, UNNEST(range(0, 64)) AS t(i)
+          |  GROUP BY 1, 2),
+          |bits AS (SELECT doc_id, i, mh % 2 AS bit FROM hb)
+          |SELECT p.id1, p.id2,
+          |       CAST(sum(CASE WHEN b1.bit = b2.bit THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_agree,
+          |       CAST(2 * sum(CASE WHEN b1.bit = b2.bit THEN 1 ELSE 0 END) - 64
+          |         AS DOUBLE) / 64 AS j_est,
+          |       p.j_exact
+          |FROM pj p JOIN bits b1 ON b1.doc_id = p.id1
+          |          JOIN bits b2 ON b2.doc_id = p.id2 AND b2.i = b1.i
+          |GROUP BY p.id1, p.id2, p.j_exact
+          |ORDER BY p.id1, p.id2""".stripMargin,
+      // Readability: integer terminator/word/char sums, two single
+      // long->double divisions — no rounding grid needed
+      "t_readability" ->
+        """WITH d AS (
+          |  SELECT source,
+          |         len(list_filter(string_split(trim(text), ' '),
+          |           x -> len(x) > 0)) AS w,
+          |         length(text) - length(translate(text, '.!?', '')) AS st,
+          |         length(translate(text, ' ', '')) AS ch
+          |  FROM documents)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(w) AS BIGINT) AS n_words,
+          |       CAST(sum(st) AS BIGINT) AS n_sentences,
+          |       CAST(sum(w) AS DOUBLE) / CAST(greatest(sum(st), 1) AS DOUBLE)
+          |         AS words_per_sentence,
+          |       CAST(sum(ch) AS DOUBLE) / CAST(greatest(sum(w), 1) AS DOUBLE)
+          |         AS chars_per_word
+          |FROM d GROUP BY source ORDER BY source""".stripMargin,
       "d_minhash_lsh" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
           |grams AS (
@@ -1899,6 +2012,26 @@ object SparkEntry {
           |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
           |FROM e a JOIN e b ON a.vec_id < b.vec_id
           |ORDER BY id1, id2""".stripMargin,
+      // MIPS: ranking key is the exact integer dot of the 2^20
+      // quantization (integer-valued doubles <= 2^46 — exact); the
+      // reported ip is one dyadic division by 2^40
+      "s_mips_topk" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS q
+          |  FROM embeddings),
+          |qh AS (SELECT vec_id AS query_id, q FROM e WHERE vec_id < 10),
+          |sims AS (
+          |  SELECT qh.query_id, e.vec_id AS neighbor_id,
+          |         list_dot_product(qh.q, e.q) AS qdot
+          |  FROM qh JOIN e ON qh.query_id <> e.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, qdot,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY qdot DESC, neighbor_id) AS INT) AS rnk
+          |  FROM sims)
+          |SELECT query_id, rnk, neighbor_id, qdot / 1099511627776.0 AS ip
+          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
       "s_ann_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |q AS (SELECT * FROM e WHERE vec_id < 10),

@@ -1459,4 +1459,78 @@ object AnalyticsQueries {
         round(sum(dec4(col("value"))), 6).cast(DoubleType).as("raw_sum"))
       .orderBy("event_type")
   }
+
+  /** CUSUM changepoint census per event type — where did each type's
+    * event rate shift UP, and by how much: the classic Page (1954)
+    * cumulative-sum statistic over the hourly count series, reported as
+    * each type's peak excursion and the hour it peaked. Monitoring
+    * teams read this next to [[trendTypes]] (is it drifting?) and
+    * [[anomalyZscore]] (which points are wild?) to answer the third
+    * question: WHEN did the level change.
+    *
+    * All integer algebra until one final division: with m observed
+    * hours and total count S, the centered series is y_t = m·x_t − S
+    * (avoids dividing by m per row), the CUSUM closed form is
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of y —
+    * two running frames (sum, then min) on ONE type-keyed exchange plus
+    * a peak-argmax window on the same keys. Longs throughout (m·x ≤
+    * 2^53 at any realistic scale), so the peak and its hour replay
+    * bit-identically; the single long→double division at the end is
+    * correctly rounded in every engine.
+    *
+    * Scale shape: the hourly aggregate has map-side partials; the
+    * window chain shares one hash exchange on event_type; output is
+    * type-cardinality. Running frames only — the [[resampleInterpolate]]
+    * quadratic-frame lesson is baked in (PlanSpec bans the shape).
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = pq(spark, dir, "events")
+      .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+    val perType = Window.partitionBy("event_type")
+    val run = perType.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("m", count(lit(1)).over(perType))
+      .withColumn("s", sum("x").over(perType))
+      .withColumn("p", sum(col("m") * col("x") - col("s")).over(run))
+      .withColumn("cusum", col("p") - least(lit(0L), min("p").over(run)))
+      .withColumn("rn", row_number().over(
+        perType.orderBy(col("cusum").desc, col("h"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("m").as("n_hours"),
+        (col("h") * 3600000L).as("peak_hour_ms"),
+        (col("cusum").cast(DoubleType) / col("m").cast(DoubleType))
+          .as("peak_excess"))
+      .orderBy("event_type")
+  }
+
+  /** Peak 24-hour burst per user — the rate-limit / abuse-scan shape:
+    * for every event, how many of the SAME user's events landed in the
+    * trailing 24 h, reported as each user's maximum and when it peaked.
+    * This is the RANGE-frame operator the rest of the board doesn't
+    * exercise: the frame is bounded by the ORDER-BY VALUE (milliseconds),
+    * not row position, so simultaneous events (equal ms) all see the
+    * same frame and the count is tie-order-free by construction —
+    * integer end to end.
+    *
+    * Scale shape: one hash exchange on user_id shared by the range
+    * frame and the peak-argmax window (plus the per-user total); a
+    * user's frame never holds more than their 24 h of events, so state
+    * is bounded by per-user rate, not corpus size.
+    */
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy("user_id")
+    val day = perUser.orderBy("ms").rangeBetween(-86399999L, 0L)
+    pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ms"))
+      .withColumn("burst", count(lit(1)).over(day))
+      .withColumn("n_events", count(lit(1)).over(perUser))
+      .withColumn("rn", row_number().over(
+        perUser.orderBy(col("burst").desc, col("ms"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        col("burst").as("peak_24h"), col("ms").as("peak_ms"))
+      .orderBy("user_id")
+  }
 }

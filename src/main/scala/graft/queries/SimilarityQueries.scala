@@ -197,6 +197,47 @@ object SimilarityQueries {
     }.toDF("query_id", "neighbor_id", "c")
   }
 
+  /** Max-inner-product top-k — the recommendation/reranking twin of
+    * [[annTopK]]: the score is the RAW inner product, not cosine.
+    * Un-normalized magnitude is the point of MIPS (a high-norm item
+    * should outrank a perfectly-aligned low-norm one — the
+    * popularity/confidence signal cosine deliberately erases), and it
+    * is the objective two-tower recommenders and rerankers actually
+    * serve. Ranking happens on the EXACT integer dot product of the
+    * 2^20 fixed-point quantization (|q|≤2^20, 64 dims → |dot|≤2^46,
+    * exact in long AND in double), so the order replays bit-identically
+    * in any engine; the reported `ip` is one exact-input division by
+    * 2^40 (dyadic — correctly rounded everywhere). Same broadcast-probe
+    * scale shape as the cosine head: 10 queries broadcast, one corpus
+    * pass, bounded per-query top-k window.
+    */
+  def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qvecs = quantizedVectors(spark, dir)
+    val queries = qvecs.filter(_._1 < 10).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(queries)
+    val scored = qvecs.mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (id, q) =>
+        qs.iterator.filter(_._1 != id).map { case (qid, qv) =>
+          var s = 0L
+          var i = 0
+          while (i < q.length) { s += qv(i) * q(i); i += 1 }
+          (qid, id, s)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "qdot")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("qdot").cast(org.apache.spark.sql.types.DoubleType) /
+          lit(1099511627776.0)).as("ip"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Deterministic top-5-per-query ranking + output shaping shared by
     * the ANN variants (ties break on neighbor_id, same as the oracles). */
   private def rankTopK(scored: DataFrame): DataFrame = {

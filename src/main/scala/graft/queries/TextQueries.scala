@@ -3270,6 +3270,91 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source readability profile — the Flesch-style surface
+    * statistics (words per sentence, characters per word) a curation
+    * pipeline reads next to [[quality]]'s stopword/length gates:
+    * translation-ese, OCR runs, and list-shaped boilerplate all show up
+    * as outlier sentence geometry before any model-based score runs.
+    * Sentences are terminator counts (`length − length(translate(text,
+    * ".!?", ""))` — identical Postgres-semantics translate in both
+    * engines), words are the nonempty whitespace tokens, characters
+    * are non-space characters; everything sums as integers per source
+    * and the two ratios are single long→double divisions — correctly
+    * rounded everywhere, no rounding grid needed.
+    *
+    * Scale shape: one source-keyed aggregate with map-side partials;
+    * per-row work is in-row string algebra, no explode.
+    */
+  def readabilityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(wsTokens(col("text")),
+      (x: org.apache.spark.sql.Column) => length(x) > 0)
+    docs(spark, dir)
+      .select(col("source"),
+        size(ws).cast(LongType).as("w"),
+        (length(col("text")) -
+          length(translate(col("text"), ".!?", ""))).cast(LongType).as("st"),
+        length(translate(col("text"), " ", "")).cast(LongType).as("ch"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("st").as("n_sentences"), sum("ch").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_sentences"),
+        (col("n_words").cast(DoubleType) /
+          greatest(col("n_sentences"), lit(1L)).cast(DoubleType))
+          .as("words_per_sentence"),
+        (col("n_chars").cast(DoubleType) /
+          greatest(col("n_words"), lit(1L)).cast(DoubleType))
+          .as("chars_per_word"))
+      .orderBy("source")
+  }
+
+  /** b-bit MinHash calibration (Li & König 2010, CACM 54(8)): keep only
+    * the LOWEST BIT of each of 64 MinHash values — 64 bits per doc
+    * instead of 64 longs, the storage trick that makes
+    * billion-document signature tables fit in memory — and check the
+    * estimator Ĵ = 2·(agree/64) − 1 against the exact Jaccard on the
+    * verified near-dup pairs ([[ngramJaccard]]'s J ≥ 0.8 output). The
+    * report a curator reads before swapping full signatures for b-bit
+    * ones: how much estimator noise does the 64× compression cost at
+    * the working threshold.
+    *
+    * Replay: hashes are the proven md5-32-bit form (h_i(g) =
+    * md5(i ‖ "|" ‖ g) first 8 hex digits — the [[bucketStats]]
+    * precedent; production signatures use the in-row FNV aggregator,
+    * this gate uses the form DuckDB replays), minima are exact integer
+    * aggregates, the two output ratios are exact-input divisions
+    * (dyadic for Ĵ, the proven single division for J).
+    *
+    * Scale shape: the signature table aggregates (doc, i)-keyed minima
+    * with map-side partials — gram×64 rows stream through the combiner
+    * but only docs×64 narrow rows cross the exchange; the calibration
+    * join touches pair-scale rows only. No new pair term: the pair set
+    * is the prefix-bounded Jaccard join's output.
+    */
+  def bbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+    val bits = grams
+      .select(col("doc_id"), col("g"),
+        explode(sequence(lit(0), lit(63))).as("i"))
+      .groupBy("doc_id", "i")
+      .agg(min(conv(substring(
+        md5(concat(col("i").cast(StringType), lit("|"), col("g"))),
+        1, 8), 16, 10).cast(LongType)).as("mh"))
+      .select(col("doc_id"), col("i"), (col("mh") % 2).as("bit"))
+    val pairs = ngramJaccard(spark, dir)
+    pairs
+      .join(bits.select(col("doc_id").as("id1"), col("i"), col("bit").as("b1")), "id1")
+      .join(bits.select(col("doc_id").as("id2"), col("i"), col("bit").as("b2")),
+        Seq("id2", "i"))
+      .groupBy("id1", "id2", "jaccard")
+      .agg(sum((col("b1") === col("b2")).cast(LongType)).as("n_agree"))
+      .select(col("id1"), col("id2"), col("n_agree"),
+        ((col("n_agree") * 2 - 64).cast(DoubleType) / lit(64.0)).as("j_est"),
+        col("jaccard").as("j_exact"))
+      .orderBy("id1", "id2")
+  }
+
   /** Driver-gate shape for [[bpeEncodeCorpus]]: the learned merge list
     * is an iterative data-dependent argmax no single SQL query can
     * replay, so the gated columns are the deterministic per-doc word

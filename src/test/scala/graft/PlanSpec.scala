@@ -421,6 +421,16 @@ class PlanSpec extends SparkSuite {
       // e_approx_quantiles: +1 for the gate's rank-verdict aggregate
       // (the 5-row estimate broadcasts back into the events scan)
       "e_approx_distinct" -> 2, "e_approx_quantiles" -> 2, "e_event_cube" -> 1,
+      // cusum: hourly aggregate + the shared type-keyed window exchange;
+      // burst: range frame + argmax share the ONE user-keyed exchange
+      "e_cusum_changepoint" -> 2, "e_burst_detect" -> 1,
+      // readability: one source-keyed aggregate, in-row string algebra
+      "t_readability" -> 1,
+      // mips: broadcast-probe scan + one ranking-window exchange
+      "s_mips_topk" -> 1,
+      // b-bit calibration: the prefix-bounded jaccard pair plan (3) +
+      // the (doc,i)-keyed signature minima + the two pair-side joins
+      "d_bbit_minhash" -> 6,
       "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
       "e_event_stats_salted" -> 2, "e_funnel" -> 1, "e_grouping_sets" -> 1,
       "e_json_props" -> 1, "e_moving_stats" -> 1, "e_moving_median" -> 1,
