@@ -1064,14 +1064,18 @@ object SparkEntry {
           |  FROM pair JOIN sizes s1 ON s1.doc_id = id1
           |            JOIN sizes s2 ON s2.doc_id = id2
           |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+          |gh AS (
+          |  SELECT doc_id,
+          |         list_reduce(list_transform(range(1, 9),
+          |           k -> CAST(strpos('0123456789abcdef', substr(h, k, 1)) - 1
+          |             AS BIGINT)), (x, y) -> x * 16 + y) AS a,
+          |         list_reduce(list_transform(range(9, 17),
+          |           k -> CAST(strpos('0123456789abcdef', substr(h, k, 1)) - 1
+          |             AS BIGINT)), (x, y) -> x * 16 + y) AS b
+          |  FROM (SELECT doc_id, md5(g) AS h FROM grams)),
           |hb AS (
-          |  SELECT doc_id, i,
-          |         min(list_reduce(list_transform(range(1, 9),
-          |           k -> CAST(strpos('0123456789abcdef',
-          |             substr(md5(CAST(i AS VARCHAR) || '|' || g), k, 1)) - 1
-          |             AS BIGINT)),
-          |           (a, b) -> a * 16 + b)) AS mh
-          |  FROM grams, UNNEST(range(0, 64)) AS t(i)
+          |  SELECT doc_id, i, min((a + i * b) % 4294967296) AS mh
+          |  FROM gh, UNNEST(range(0, 64)) AS t(i)
           |  GROUP BY 1, 2),
           |bits AS (SELECT doc_id, i, mh % 2 AS bit FROM hb)
           |SELECT p.id1, p.id2,

@@ -3317,31 +3317,54 @@ object TextQueries {
     * ones: how much estimator noise does the 64× compression cost at
     * the working threshold.
     *
-    * Replay: hashes are the proven md5-32-bit form (h_i(g) =
-    * md5(i ‖ "|" ‖ g) first 8 hex digits — the [[bucketStats]]
-    * precedent; production signatures use the in-row FNV aggregator,
-    * this gate uses the form DuckDB replays), minima are exact integer
-    * aggregates, the two output ratios are exact-input divisions
-    * (dyadic for Ĵ, the proven single division for J).
+    * Replay: the 64 hash functions derive from ONE md5 per gram by
+    * Kirsch–Mitzenmacher double hashing — h_i(g) = (a + i·b) mod 2^32
+    * with a/b the digest's first/second 32-bit words (the Bloom-filter
+    * construction; hashing cost is per GRAM, not per (gram, i)) — and
+    * the 64 minima fold IN-ROW over each doc's gram array, so nothing
+    * gram×64-scale ever materializes: only docs×64 narrow (doc, i,
+    * bit) rows exist at all (the [[bandedFromGramArrays]] shape; a
+    * first cut that exploded (gram × i) rows through a hash aggregate
+    * measured 12.5s at sf0.1 — this form is ~4× cheaper). Minima are
+    * exact integer folds, the two output ratios exact-input divisions
+    * (dyadic for Ĵ, the proven single division for J); DuckDB replays
+    * the identical a/b hex folds and modular arithmetic.
     *
-    * Scale shape: the signature table aggregates (doc, i)-keyed minima
-    * with map-side partials — gram×64 rows stream through the combiner
-    * but only docs×64 narrow rows cross the exchange; the calibration
-    * join touches pair-scale rows only. No new pair term: the pair set
-    * is the prefix-bounded Jaccard join's output.
+    * Scale shape: one corpus pass for signatures (docs×64 output), the
+    * calibration join touches pair-scale rows only. No new pair term:
+    * the pair set is the prefix-bounded Jaccard join's output.
     */
   def bbitMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir)
+    import spark.implicits._
+    val bits = docs(spark, dir)
       .select(col("doc_id"),
-        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
-    val bits = grams
-      .select(col("doc_id"), col("g"),
-        explode(sequence(lit(0), lit(63))).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(min(conv(substring(
-        md5(concat(col("i").cast(StringType), lit("|"), col("g"))),
-        1, 8), 16, 10).cast(LongType)).as("mh"))
-      .select(col("doc_id"), col("i"), (col("mh") % 2).as("bit"))
+        graft.functions.WordNGrams.word_ngrams(col("text"), 3).as("gs"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, gs) =>
+          if (gs.isEmpty) Iterator.empty // parity: gram-less docs have no signature
+          else {
+            val mins = Array.fill(64)(Long.MaxValue)
+            gs.foreach { g =>
+              md.reset()
+              val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val a = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+                ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+              val b = ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+                ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+              var i = 0
+              var h = a
+              while (i < 64) {
+                if (h < mins(i)) mins(i) = h
+                i += 1
+                h = (h + b) & 0xFFFFFFFFL
+              }
+            }
+            (0 until 64).iterator.map(i => (id, i, mins(i) % 2))
+          }
+        }
+      }.toDF("doc_id", "i", "bit")
     val pairs = ngramJaccard(spark, dir)
     pairs
       .join(bits.select(col("doc_id").as("id1"), col("i"), col("bit").as("b1")), "id1")

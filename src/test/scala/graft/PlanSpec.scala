@@ -429,8 +429,9 @@ class PlanSpec extends SparkSuite {
       // mips: broadcast-probe scan + one ranking-window exchange
       "s_mips_topk" -> 1,
       // b-bit calibration: the prefix-bounded jaccard pair plan (3) +
-      // the (doc,i)-keyed signature minima + the two pair-side joins
-      "d_bbit_minhash" -> 6,
+      // the two pair-side joins over the in-row signature pass (the
+      // double-hashed minima fold needs no exchange of its own)
+      "d_bbit_minhash" -> 5,
       "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
       "e_event_stats_salted" -> 2, "e_funnel" -> 1, "e_grouping_sets" -> 1,
       "e_json_props" -> 1, "e_moving_stats" -> 1, "e_moving_median" -> 1,
