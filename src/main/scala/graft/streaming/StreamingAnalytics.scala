@@ -361,6 +361,48 @@ object StreamingAnalytics {
       }
   }
 
+  final case class HourCount(event_type: String, h: Long, x: Long)
+  final case class CusumPoint(
+      event_type: String, h: Long, cusum: Long, peak: Long, peak_h: Long)
+
+  /** Streaming CUSUM level-shift monitor — the live twin of
+    * [[graft.queries.AnalyticsQueries.cusumChangepoint]], the same
+    * lambda split as the other probes: the BATCH census supplies each
+    * type's frozen baseline (m observed hours, S total events — the
+    * integer pair that centers the series as y = m·x − S without a
+    * per-row division), and the stream folds Page's recursion
+    * S_t = max(0, S_{t−1} + y_t) over arriving hourly counts, emitting
+    * the running statistic plus the peak-so-far and its hour. Input is
+    * the (type, hour, count) stream an upstream watermarked window
+    * aggregate produces (hours inside one micro-batch fold in h order;
+    * cross-batch ordering is the upstream watermark's job). State is
+    * THREE longs per type — O(types) for any stream lifetime — and the
+    * fold is exact integer algebra, so a replay (or the nightly batch
+    * recomputation) reproduces it bit-for-bit.
+    */
+  def streamingCusum(
+      hourly: Dataset[HourCount],
+      baseline: Map[String, (Long, Long)]): Dataset[CusumPoint] = {
+    val spark = hourly.sparkSession
+    import spark.implicits._
+    hourly
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Long), CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[HourCount], state: GroupState[(Long, Long, Long)]) =>
+          val (m, s) = baseline.getOrElse(tpe, (1L, 0L))
+          var (st, peak, peakH) =
+            state.getOption.getOrElse((0L, Long.MinValue, 0L))
+          val out = it.toArray.sortBy(_.h).map { hc =>
+            st = math.max(0L, st + (m * hc.x - s))
+            if (st > peak) { peak = st; peakH = hc.h }
+            CusumPoint(tpe, hc.h, st, peak, peakH)
+          }
+          state.update((st, peak, peakH))
+          out.iterator
+      }
+  }
+
   final case class BudgetAdmit(
       source: String, docId: Long, nTokens: Long, cumTokens: Long, admitted: Boolean)
 

@@ -251,6 +251,45 @@ class StreamingAnalyticsSpec extends SparkSuite {
     index.centroids.unpersist()
   }
 
+  test("streaming cusum equals the batch changepoint census on a replayed feed") {
+    implicit val ctx = spark.sqlContext
+    val sf = SparkSuite.sf0001
+    // the batch baseline: per type, (m observed hours, S total events)
+    val hourlyRows = graft.model.Tables.pq(spark, sf, "events")
+      .select(col("event_type"), org.apache.spark.sql.functions.expr(
+        "(ts div 1000000) div 3600000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("x"))
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val baseline = hourlyRows.groupBy(_._1).map { case (t, rs) =>
+      t -> ((rs.length.toLong, rs.map(_._3).sum))
+    }
+    val mem = MemoryStream[StreamingAnalytics.HourCount]
+    val got = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    val q = StreamingAnalytics.streamingCusum(mem.toDS(), baseline)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode("append").start()
+    // two micro-batches split mid-stream: state must carry across
+    val feed = hourlyRows.map(r => StreamingAnalytics.HourCount(r._1, r._2, r._3))
+    val (a, b) = feed.splitAt(feed.length / 2)
+    mem.addData(a.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    spark.table("cusum").as[StreamingAnalytics.CusumPoint].collect()
+      .groupBy(_.event_type).foreach { case (t, ps) =>
+        val last = ps.maxBy(_.h)
+        got(t) = ((baseline(t)._1, last.peak, last.peak_h))
+      }
+    val want = graft.queries.AnalyticsQueries.cusumChangepoint(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (t, m, peakMs, excess) =>
+        t -> ((m, math.round(excess * m), peakMs / 3600000L))
+      }.toMap
+    assert(got.toMap == want,
+      s"streaming cusum diverged from the batch census:\n$got\n$want")
+  }
+
   test("streaming compaction maintains latest value per key across batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[graft.model.ReducedConsumerRecord]
