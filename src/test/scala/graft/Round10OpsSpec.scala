@@ -128,6 +128,35 @@ class Round10OpsSpec extends SparkSuite {
     assert(got == want.sortBy(r => (r._1, r._2)))
   }
 
+  test("round-10 operators survive empty and single-row inputs") {
+    val dir = tmpDir("r10-degenerate")
+    Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(AnalyticsQueries.cusumChangepoint(spark, dir).count() == 0)
+    assert(AnalyticsQueries.burstDetect(spark, dir).count() == 0)
+    assert(TextQueries.readabilityProfile(spark, dir).count() == 0)
+    assert(TextQueries.bbitMinhash(spark, dir).count() == 0)
+    assert(SimilarityQueries.mipsTopK(spark, dir).count() == 0)
+    val one = tmpDir("r10-single")
+    Seq((7L, 42L * 1000000L, 0L, "t", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$one/events.parquet")
+    // one event: one observed hour, cusum = m*x - s = 0, burst peak 1
+    assert(AnalyticsQueries.cusumChangepoint(spark, one)
+      .as[(String, Long, Long, Double)].collect().toSeq ==
+      Seq(("t", 1L, 0L, 0.0)))
+    assert(AnalyticsQueries.burstDetect(spark, one)
+      .as[(Long, Long, Long, Long)].collect().toSeq ==
+      Seq((7L, 1L, 1L, 42L)))
+  }
+
   test("mips ranks by magnitude where cosine would tie (crafted)") {
     // two corpus vectors share the query's DIRECTION (cosine ties at 1,
     // lower id would win) but differ in norm — MIPS must put the
