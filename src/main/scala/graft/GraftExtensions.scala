@@ -70,6 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "intersect_size(a, b) takes exactly 2 arguments")
       }))
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
+    // whole-operator extension (custom-operator ladder step c): the
+    // backward as-of join's logical node plans through this strategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),

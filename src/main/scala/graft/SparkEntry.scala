@@ -71,6 +71,8 @@ object SparkEntry {
     "e_resample_ffill" -> (AnalyticsQueries.resampleForwardFill _),
     "e_approx_quantiles" -> (AnalyticsQueries.approxQuantilesGate _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
+    "q_asof_forward" -> (AnalyticsQueries.asofJoinForward _),
+    "q_asof_nearest" -> (AnalyticsQueries.asofJoinNearest _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     "q19_disjunct" -> (AnalyticsQueries.q19Disjunct _),
     "q14_promo" -> (AnalyticsQueries.q14PromoShare _),
@@ -521,6 +523,50 @@ object SparkEntry {
           |    ON o.o_custkey = e.user_id AND o.odate_ms <= e.ts_ms)
           |SELECT event_id, user_id, ts_ms,
           |       o_orderkey AS asof_orderkey, total AS asof_total
+          |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      // Forward as-of spec: FIRST order (by date, then orderkey) at or
+      // after each event's time — the mirror range join + arg_min.
+      "q_asof_forward" ->
+        """WITH ev AS (
+          |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+          |ord AS (
+          |  SELECT o_custkey, o_orderkey,
+          |         epoch_ms(o_orderdate) AS odate_ms,
+          |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+          |  FROM orders),
+          |ranked AS (
+          |  SELECT e.event_id, e.user_id, e.ts_ms, o.o_orderkey, o.total,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY o.odate_ms ASC, o.o_orderkey ASC) AS rn
+          |  FROM ev e LEFT JOIN ord o
+          |    ON o.o_custkey = e.user_id AND o.odate_ms >= e.ts_ms)
+          |SELECT event_id, user_id, ts_ms,
+          |       o_orderkey AS next_orderkey, total AS next_total
+          |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      // Nearest as-of spec: the order closest in time on either side
+      // within a 7-day tolerance; equal distance prefers at-or-before,
+      // within-arm time ties follow each arm's convention (backward:
+      // highest orderkey, forward: lowest) — the ORDER BY states the
+      // native operator's full tie ladder declaratively.
+      "q_asof_nearest" ->
+        """WITH ev AS (
+          |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+          |ord AS (
+          |  SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS odate_ms
+          |  FROM orders),
+          |ranked AS (
+          |  SELECT e.event_id, e.user_id, e.ts_ms, o.o_orderkey, o.odate_ms,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY abs(o.odate_ms - e.ts_ms) ASC,
+          |             CASE WHEN o.odate_ms <= e.ts_ms THEN 0 ELSE 1 END ASC,
+          |             CASE WHEN o.odate_ms <= e.ts_ms
+          |                  THEN -o.o_orderkey ELSE o.o_orderkey END ASC) AS rn
+          |  FROM ev e LEFT JOIN ord o
+          |    ON o.o_custkey = e.user_id
+          |   AND abs(o.odate_ms - e.ts_ms) <= 604800000)
+          |SELECT event_id, user_id, ts_ms,
+          |       o_orderkey AS near_orderkey,
+          |       odate_ms - ts_ms AS near_delta_ms
           |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
       "q6_forecast" ->
         """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,

@@ -1,0 +1,306 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Backward as-of join as a first-class Catalyst operator — the one
+  * whole-operator semantics on the board that Spark's built-ins
+  * genuinely cannot express as a single relational node (SPARK-22947
+  * has been open since 2017; pandas/Polars/QuestDB ship it natively).
+  *
+  * Semantics: for every left row, attach the LAST right row of the
+  * same key whose time is `<= ` the left row's time (ties on right
+  * time broken by the explicit tiebreak order — last wins), or nulls
+  * when no right row qualifies; an optional tolerance drops matches
+  * older than `time - tolerance`.
+  *
+  * Why a custom node (the SURVEY custom-operator ladder, step c): the
+  * composable form — union both sides, null-pad each other's columns,
+  * run `last(..., ignoreNulls)` over a running frame, filter the left
+  * rows back out ([[graft.queries.AnalyticsQueries.asofJoinViaWindow]])
+  * — shuffles the UNION (n+m rows through one exchange), sorts the
+  * union, materializes the padded schema, and windows over it. The
+  * native operator plans like a sort-merge join instead: each side
+  * shuffles ONLY ITSELF on its own key (EnsureRequirements
+  * co-partitions the two ClusteredDistributions exactly as it does for
+  * SMJ), each side sorts separately, and one streaming merge pass per
+  * partition emits left rows with a ONE-ROW right-side memory — no
+  * union materialization, no padded columns, no window buffer. At
+  * 100 TB the union form's single exchange carries both tables widened
+  * to the combined schema; the native form moves each table once in
+  * its own shape and never allocates per-key state beyond the last
+  * candidate row.
+  */
+final case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreak: Seq[Expression],
+    tolerance: Option[Long],
+    direction: AsOfDirection) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Match direction, pandas `merge_asof` surface: `Backward` takes the
+  * last right row at-or-before the left time (right-time ties: LAST in
+  * tiebreak order), `Forward` the first at-or-after (ties: FIRST in
+  * tiebreak order), `Nearest` whichever of the two is closer in time
+  * (equal distance: the backward row). All three run the same single
+  * merge pass; tolerance bounds `|Δt|`.
+  */
+sealed trait AsOfDirection extends Serializable
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+}
+
+/** Plans [[AsOfJoinNode]] → [[AsOfJoinExec]]; injected by
+  * [[graft.GraftExtensions]] next to the function registrations.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+        n.rightTiebreak, n.tolerance, n.direction,
+        planLater(n.left), planLater(n.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical backward as-of join: requires both children clustered on
+  * their keys (co-partitioned by EnsureRequirements, same as SMJ) and
+  * sorted by (keys, time[, tiebreak]); executes one streaming merge
+  * per partition. Per-partition state is a SINGLE buffered right row
+  * (the newest qualifying candidate for the current key) — not a
+  * window buffer, not a hash table: memory is O(1) per task regardless
+  * of key cardinality or skew.
+  */
+final case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreak: Seq[Expression],
+    tolerance: Option[Long],
+    direction: AsOfDirection,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTime, Ascending) +:
+        rightTiebreak.map(SortOrder(_, Ascending))))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val keySchema = StructType(leftKeys.zipWithIndex.map { case (e, i) =>
+      StructField(s"k$i", e.dataType, e.nullable)
+    })
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val tol = tolerance
+    val dir = direction
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIt, rIt) =>
+        val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
+        val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
+        val keyOrd = GenerateOrdering.create(keySchema)
+        val lTime = BindReferences.bindReference(lTimeExpr, leftOut)
+        val rTime = BindReferences.bindReference(rTimeExpr, rightOut)
+        val joined = new JoinedRow
+        val nullRight = new GenericInternalRow(rightOut.length)
+        // bind against NULLABLE right attrs: the original right output
+        // is often non-nullable, and a BoundReference that skips its
+        // null check reads the null-row's defaults as 0s
+        val outProj = UnsafeProjection.create(
+          outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
+        val rBuf = rIt.buffered
+        // the one-row candidate memory: newest right row at or before
+        // the current left time, for the key it was taken from.
+        // Forward matches need no memory at all — the first qualifying
+        // row is exactly the buffered head, which stays unconsumed.
+        var candidate: InternalRow = null
+        var candidateKey: UnsafeRow = null
+        var candidateTime = 0L
+        lIt.map { lrow =>
+          val lKey = lKeyProj(lrow)
+          val lt = lTime.eval(lrow).asInstanceOf[Long]
+          if (candidateKey != null && keyOrd.compare(candidateKey, lKey) != 0) {
+            candidate = null
+            candidateKey = null
+          }
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) {
+              rBuf.next() // right row of a key the left side has passed
+            } else if (c == 0) {
+              val rt = rTime.eval(rBuf.head).asInstanceOf[Long]
+              // Forward keeps rt == lt rows AHEAD (eligible as the
+              // head); Backward/Nearest absorb them into the candidate
+              val take = if (dir == AsOfDirection.Forward) rt < lt else rt <= lt
+              if (take) {
+                if (dir == AsOfDirection.Forward) {
+                  rBuf.next() // strictly-past row: useless for this and all later left rows
+                } else {
+                  candidate = rBuf.next().copy()
+                  candidateKey = lKey.copy()
+                  candidateTime = rt
+                }
+              } else advancing = false
+            } else advancing = false
+          }
+          // backward arm: the buffered last-at-or-before row
+          val backOk = dir != AsOfDirection.Forward &&
+            candidate != null && candidateKey != null &&
+            keyOrd.compare(candidateKey, lKey) == 0 &&
+            tol.forall(t => lt - candidateTime <= t)
+          // forward arm: the unconsumed head, iff it is this key's
+          // first at-or-after row (ties on time: first in tiebreak
+          // order, since the head is the sort-least of them)
+          var fwdRow: InternalRow = null
+          var fwdTime = 0L
+          if (dir != AsOfDirection.Backward && rBuf.hasNext &&
+              keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0) {
+            val rt = rTime.eval(rBuf.head).asInstanceOf[Long]
+            if (rt >= lt && tol.forall(t => rt - lt <= t)) {
+              fwdRow = rBuf.head
+              fwdTime = rt
+            }
+          }
+          val chosen =
+            if (backOk && fwdRow != null) {
+              // Nearest with both arms live: closer wins, ties backward
+              if (lt - candidateTime <= fwdTime - lt) candidate else fwdRow
+            } else if (backOk) candidate
+            else if (fwdRow != null) fwdRow
+            else nullRight
+          outProj(joined(lrow, chosen))
+        }
+    }
+  }
+}
+
+/** Public API over the operator. Keys/time resolve against the input
+  * frames' own columns (`df("col")`), times cast to epoch-long.
+  */
+object AsOfJoin {
+
+  /** `left ASOF JOIN right` (backward): every left row picks the last
+    * right row with equal keys and `rightTime <= leftTime` (right-time
+    * ties broken by `rightTiebreak`, last wins), right columns null
+    * when no row qualifies, matches older than `leftTime −
+    * toleranceMs` dropped when a tolerance is given.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftTime: Column,
+      rightTime: Column,
+      rightTiebreak: Seq[Column] = Nil,
+      toleranceMs: Option[Long] = None): DataFrame =
+    join(AsOfDirection.Backward, left, right, leftKeys, rightKeys,
+      leftTime, rightTime, rightTiebreak, toleranceMs)
+
+  /** Forward as-of: every left row picks the FIRST right row with
+    * equal keys and `rightTime >= leftTime` (right-time ties broken by
+    * `rightTiebreak`, first wins); tolerance drops matches newer than
+    * `leftTime + toleranceMs`.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftTime: Column,
+      rightTime: Column,
+      rightTiebreak: Seq[Column] = Nil,
+      toleranceMs: Option[Long] = None): DataFrame =
+    join(AsOfDirection.Forward, left, right, leftKeys, rightKeys,
+      leftTime, rightTime, rightTiebreak, toleranceMs)
+
+  /** Nearest as-of: every left row picks whichever of its backward and
+    * forward matches is closer in time; equal distance prefers the
+    * backward (at-or-before) row. Within each arm ties on right time
+    * follow that arm's convention (backward: last in tiebreak order;
+    * forward: first). Tolerance bounds `|Δt|` on both arms.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftTime: Column,
+      rightTime: Column,
+      rightTiebreak: Seq[Column] = Nil,
+      toleranceMs: Option[Long] = None): DataFrame =
+    join(AsOfDirection.Nearest, left, right, leftKeys, rightKeys,
+      leftTime, rightTime, rightTiebreak, toleranceMs)
+
+  private def join(
+      direction: AsOfDirection,
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftTime: Column,
+      rightTime: Column,
+      rightTiebreak: Seq[Column],
+      toleranceMs: Option[Long]): DataFrame = {
+    require(leftKeys.nonEmpty, "as-of join needs at least one key")
+    require(leftKeys.length == rightKeys.length,
+      s"key arity mismatch: ${leftKeys.length} vs ${rightKeys.length}")
+    require(toleranceMs.forall(_ >= 0L), "tolerance must be non-negative")
+    val node = AsOfJoinNode(
+      left.queryExecution.analyzed,
+      right.queryExecution.analyzed,
+      leftKeys.map(GraftSqlShim.expr),
+      rightKeys.map(GraftSqlShim.expr),
+      GraftSqlShim.expr(leftTime.cast(LongType)),
+      GraftSqlShim.expr(rightTime.cast(LongType)),
+      rightTiebreak.map(GraftSqlShim.expr),
+      toleranceMs,
+      direction)
+    GraftSqlShim.ofRows(left.sparkSession, node)
+  }
+}

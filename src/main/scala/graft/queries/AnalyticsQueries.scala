@@ -173,14 +173,94 @@ object AnalyticsQueries {
   }
 
   /** As-of join — for each event, the latest order of the same customer
-    * at or before the event time (ties: highest orderkey). Spark has no
-    * native as-of join; the scale-correct formulation is union + one
-    * window over (key, time): tag both sides, sort orders before events
-    * at equal timestamps, and carry the last seen order forward with
-    * `last(_, ignoreNulls)`. ONE shuffle on the key, one sort — never
-    * the O(rows_l x rows_r) inequality join a naive backward join does.
+    * at or before the event time (ties: highest orderkey) — through the
+    * NATIVE [[graft.plans.AsOfJoinNode]] operator (the board's
+    * custom-operator ladder step c: logical node + strategy + merge
+    * exec, injected via GraftExtensions). Each side shuffles only
+    * itself on its own key (co-partitioned like a sort-merge join),
+    * sorts separately, and one streaming merge pass with a ONE-ROW
+    * candidate memory emits the matches — no union materialization, no
+    * null-padded schema, no window buffer. Output identical to
+    * [[asofJoinViaWindow]] (AsOfJoinSpec pins equality AND the plan
+    * shape); the same DuckDB oracle gates both.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+    val ord = pq(spark, dir, "orders")
+      .select(col("o_custkey"), tsMillis(col("o_orderdate")).as("odate_ms"),
+        col("o_orderkey"), dec(col("o_totalprice")).cast(DoubleType).as("o_total"))
+    graft.plans.AsOfJoin.backward(
+      ev, ord,
+      leftKeys = Seq(ev("user_id")), rightKeys = Seq(ord("o_custkey")),
+      leftTime = ev("ts_ms"), rightTime = ord("odate_ms"),
+      rightTiebreak = Seq(ord("o_orderkey")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("o_orderkey").as("asof_orderkey"), col("o_total").as("asof_total"))
+      .orderBy("event_id")
+  }
+
+  /** Forward as-of through the same native operator: for each event,
+    * the FIRST order of the same customer at or after the event time
+    * (ties: lowest orderkey — the forward arm's first-wins
+    * convention). Same plan shape as [[asofJoin]]: two side-local
+    * exchanges, per-side sorts, one merge pass — and the forward arm
+    * needs NO candidate memory at all (the match is the merge head,
+    * never consumed).
+    */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+    val ord = pq(spark, dir, "orders")
+      .select(col("o_custkey"), tsMillis(col("o_orderdate")).as("odate_ms"),
+        col("o_orderkey"), dec(col("o_totalprice")).cast(DoubleType).as("o_total"))
+    graft.plans.AsOfJoin.forward(
+      ev, ord,
+      leftKeys = Seq(ev("user_id")), rightKeys = Seq(ord("o_custkey")),
+      leftTime = ev("ts_ms"), rightTime = ord("odate_ms"),
+      rightTiebreak = Seq(ord("o_orderkey")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("o_orderkey").as("next_orderkey"), col("o_total").as("next_total"))
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of through the native operator: for each event, the
+    * order of the same customer closest in time on either side, with a
+    * 7-day tolerance; equal distance prefers the at-or-before order,
+    * within-arm time ties follow each arm's convention (backward:
+    * highest orderkey; forward: lowest). The tolerance is the knob
+    * that makes nearest useful as a label-attachment join — a match a
+    * week stale is no match.
+    */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+    val ord = pq(spark, dir, "orders")
+      .select(col("o_custkey"), tsMillis(col("o_orderdate")).as("odate_ms"),
+        col("o_orderkey"))
+    graft.plans.AsOfJoin.nearest(
+      ev, ord,
+      leftKeys = Seq(ev("user_id")), rightKeys = Seq(ord("o_custkey")),
+      leftTime = ev("ts_ms"), rightTime = ord("odate_ms"),
+      rightTiebreak = Seq(ord("o_orderkey")),
+      toleranceMs = Some(7L * 86400000L))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("o_orderkey").as("near_orderkey"),
+        (col("odate_ms") - col("ts_ms")).as("near_delta_ms"))
+      .orderBy("event_id")
+  }
+
+  /** The composable formulation of [[asofJoin]] — union + one window
+    * over (key, time): tag both sides, null-pad each other's columns,
+    * sort orders before events at equal timestamps, carry the last
+    * seen order forward with `last(_, ignoreNulls)`, filter the events
+    * back out. ONE shuffle on the key — but it carries BOTH tables
+    * widened to the combined schema, plus the union sort and the
+    * window pass the native operator avoids. Kept as the
+    * cross-implementation oracle for the custom node (never the
+    * O(rows_l x rows_r) inequality join a naive backward join does).
+    */
+  def asofJoinViaWindow(spark: SparkSession, dir: String): DataFrame = {
     val ev = pq(spark, dir, "events")
       .select(
         col("user_id").as("k"),

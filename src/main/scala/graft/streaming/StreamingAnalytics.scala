@@ -277,6 +277,51 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** Streaming point-in-time enrichment through the NATIVE as-of
+    * operator ([[graft.plans.AsOfJoin]]) — the streaming twin of the
+    * batch `q_asof_order`/`q_asof_forward`/`q_asof_nearest` family and
+    * the feature-store pattern: each arriving left row picks up the
+    * as-of-matching row of a STATIC right table (the nightly dimension
+    * artifact), so features are attached with the same
+    * no-future-leakage semantics the batch queries gate. Zero
+    * cross-batch state — each micro-batch runs one merge pass of the
+    * custom operator (batch-side shuffle is batch-scale, right side
+    * re-shuffles per trigger at dimension scale; for a large dimension,
+    * pre-bucket the artifact on the key). Right-table refresh is the
+    * caller's lambda split, same as the index probes.
+    */
+  def streamingAsOfProbe(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightTiebreak: Seq[String],
+      checkpoint: String,
+      sink: DataFrame => Unit,
+      direction: graft.plans.AsOfDirection = graft.plans.AsOfDirection.Backward,
+      toleranceMs: Option[Long] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    left.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val join = direction match {
+          case graft.plans.AsOfDirection.Backward => graft.plans.AsOfJoin.backward _
+          case graft.plans.AsOfDirection.Forward  => graft.plans.AsOfJoin.forward _
+          case graft.plans.AsOfDirection.Nearest  => graft.plans.AsOfJoin.nearest _
+        }
+        sink(join(b, right,
+          keys.map(k => b(k._1)), keys.map(k => right(k._2)),
+          b(leftTimeCol), right(rightTimeCol),
+          rightTiebreak.map(right(_)), toleranceMs))
+      }
+      .start()
+
   /** Live heavy-hitter monitor: a running Misra–Gries sketch over the
     * token stream, one [[graft.functions.MGState]] row per trigger
     * (Complete mode on a single global group). State is the k-bounded

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOfJoin, AsOfJoinExec}
+import graft.queries.AnalyticsQueries
+
+/** The native backward as-of join (custom LogicalPlan + Strategy +
+  * merge SparkPlan, GraftExtensions-injected): crafted semantics, the
+  * cross-implementation equality against the union+window form, and
+  * the plan shape the operator exists for.
+  */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    (1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"),
+    (2L, 10L, "d"), // key with no right rows at all
+    (3L, 5L, "e")   // right rows exist but all AFTER this time
+  ).toDF("k", "t", "tag")
+
+  private def rightDf = Seq(
+    (1L, 10L, 100L, 1.5), (1L, 10L, 101L, 2.5), // tie on time: 101 wins
+    (1L, 30L, 102L, 3.5),
+    (3L, 50L, 103L, 4.5)
+  ).toDF("k", "rt", "rid", "v")
+
+  test("backward semantics: last match at-or-before, tie by tiebreak, nulls when none") {
+    val l = leftDf
+    val r = rightDf
+    val out = AsOfJoin.backward(l, r,
+      leftKeys = Seq(l("k")), rightKeys = Seq(r("k")),
+      leftTime = l("t"), rightTime = r("rt"),
+      rightTiebreak = Seq(r("rid")))
+      .select(col("tag"), col("rid"), col("v"))
+      .as[(String, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      "a" -> ((Some(101L), Some(2.5))), // t=10: both time-10 rows match, higher rid wins
+      "b" -> ((Some(101L), Some(2.5))), // t=20: still the time-10 match
+      "c" -> ((Some(102L), Some(3.5))), // t=35: the time-30 row supersedes
+      "d" -> ((None, None)),            // key 2: no right rows
+      "e" -> ((None, None))))           // key 3: right row is in the future
+  }
+
+  test("tolerance drops matches older than time - tolerance") {
+    val l = leftDf
+    val r = rightDf
+    val out = AsOfJoin.backward(l, r,
+      leftKeys = Seq(l("k")), rightKeys = Seq(r("k")),
+      leftTime = l("t"), rightTime = r("rt"),
+      rightTiebreak = Seq(r("rid")), toleranceMs = Some(5L))
+      .select(col("tag"), col("rid"))
+      .as[(String, Option[Long])].collect().toMap
+    // only matches within 5 time units survive: a (10-10=0), c (35-30=5)
+    assert(out == Map(
+      "a" -> Some(101L), "b" -> None, "c" -> Some(102L),
+      "d" -> None, "e" -> None))
+  }
+
+  test("native operator equals the union+window formulation on sf0.001") {
+    val native = AnalyticsQueries.asofJoin(spark, SparkSuite.sf0001)
+      .collect().map(_.toSeq).toSeq
+    val window = AnalyticsQueries.asofJoinViaWindow(spark, SparkSuite.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty)
+    assert(native == window, "custom node diverged from the window oracle")
+  }
+
+  test("plan shape: AsOfJoinExec over two side-local exchanges, no window") {
+    val df = AnalyticsQueries.asofJoin(spark, SparkSuite.sf0001)
+    df.collect() // finalize AQE
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flat(q.plan)
+      case other => other +: other.children.flatMap(flat)
+    }
+    val nodes = flat(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[AsOfJoinExec]),
+      s"expected AsOfJoinExec among: ${nodes.map(_.nodeName).mkString(", ")}")
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      "the native operator must not fall back to a window")
+    // each side sorted by (key, time[, tiebreak]) directly under the join
+    val exec = nodes.collectFirst { case e: AsOfJoinExec => e }.get
+    assert(exec.requiredChildOrdering.forall(_.nonEmpty))
+  }
+
+  test("forward semantics: first match at-or-after, tie first-wins, tolerance") {
+    val l = leftDf
+    val r = rightDf
+    val out = AsOfJoin.forward(l, r,
+      leftKeys = Seq(l("k")), rightKeys = Seq(r("k")),
+      leftTime = l("t"), rightTime = r("rt"),
+      rightTiebreak = Seq(r("rid")))
+      .select(col("tag"), col("rid"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(out == Map(
+      "a" -> Some(100L), // t=10: both time-10 rows qualify, LOWER rid wins
+      "b" -> Some(102L), // t=20: next is the time-30 row
+      "c" -> None,       // t=35: nothing after
+      "d" -> None,       // key 2: no right rows
+      "e" -> Some(103L)))// t=5: the future row is exactly what forward wants
+    val tight = AsOfJoin.forward(l, r,
+      Seq(l("k")), Seq(r("k")), l("t"), r("rt"),
+      rightTiebreak = Seq(r("rid")), toleranceMs = Some(10L))
+      .select(col("tag"), col("rid"))
+      .as[(String, Option[Long])].collect().toMap
+    // within 10: a (0), b (30-20=10); e's match is 45 away -> dropped
+    assert(tight == Map(
+      "a" -> Some(100L), "b" -> Some(102L), "c" -> None,
+      "d" -> None, "e" -> None))
+  }
+
+  test("nearest semantics: closer side wins, equal distance prefers backward") {
+    val l = Seq(
+      (1L, 18L, "mid"),   // 8 from t=10, 12 from t=30 -> backward (rid 101)
+      (1L, 25L, "fwd"),   // 15 back, 5 forward -> forward (rid 102)
+      (1L, 20L, "tie"),   // 10 both ways -> backward preferred (rid 101)
+      (3L, 5L, "only_f")  // only a future row -> forward (rid 103)
+    ).toDF("k", "t", "tag")
+    val r = rightDf
+    val out = AsOfJoin.nearest(l, r,
+      leftKeys = Seq(l("k")), rightKeys = Seq(r("k")),
+      leftTime = l("t"), rightTime = r("rt"),
+      rightTiebreak = Seq(r("rid")))
+      .select(col("tag"), col("rid"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(out == Map(
+      "mid" -> Some(101L), "fwd" -> Some(102L),
+      "tie" -> Some(101L), "only_f" -> Some(103L)))
+    // tolerance 5 kills every match farther than 5 on either side
+    val tight = AsOfJoin.nearest(l, r,
+      Seq(l("k")), Seq(r("k")), l("t"), r("rt"),
+      rightTiebreak = Seq(r("rid")), toleranceMs = Some(5L))
+      .select(col("tag"), col("rid"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(tight == Map(
+      "mid" -> None, "fwd" -> Some(102L),
+      "tie" -> None, "only_f" -> None))
+  }
+
+  test("forward/nearest gate queries run and match a composed reference on sf0.001") {
+    import org.apache.spark.sql.expressions.Window
+    val fwd = AnalyticsQueries.asofJoinForward(spark, SparkSuite.sf0001)
+    val near = AnalyticsQueries.asofJoinNearest(spark, SparkSuite.sf0001)
+    // composed reference: backward range join + rank (the oracle's shape)
+    val ev = graft.model.Tables.pq(spark, SparkSuite.sf0001, "events")
+      .selectExpr("event_id", "user_id", "ts div 1000000 AS ts_ms")
+    val ord = graft.model.Tables.pq(spark, SparkSuite.sf0001, "orders")
+      .selectExpr("o_custkey", "o_orderkey",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS odate_ms")
+    val refFwd = ev.join(ord,
+        ev("user_id") === ord("o_custkey") && ord("odate_ms") >= ev("ts_ms"), "left")
+      .withColumn("rn", row_number().over(Window.partitionBy("event_id")
+        .orderBy(col("odate_ms").asc_nulls_last, col("o_orderkey").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey").as("next_orderkey"))
+    val gotFwd = fwd.select("event_id", "next_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    val wantFwd = refFwd.as[(Long, Option[Long])].collect().toMap
+    assert(gotFwd.nonEmpty && gotFwd == wantFwd)
+    assert(near.count() == fwd.count()) // both left-total over events
+  }
+
+  test("empty sides: no right rows -> all-null matches; no left rows -> empty") {
+    val l = leftDf
+    val emptyR = rightDf.limit(0)
+    val allNull = AsOfJoin.backward(l, emptyR,
+      Seq(l("k")), Seq(emptyR("k")), l("t"), emptyR("rt"))
+      .select(col("rid")).as[Option[Long]].collect()
+    assert(allNull.length == 5 && allNull.forall(_.isEmpty))
+    val emptyL = leftDf.limit(0)
+    val r = rightDf
+    assert(AsOfJoin.backward(emptyL, r,
+      Seq(emptyL("k")), Seq(r("k")), emptyL("t"), r("rt")).count() == 0)
+  }
+}

@@ -480,7 +480,12 @@ class PlanSpec extends SparkSuite {
       // one source-grain aggregate; totals via a global window over the
       // source-cardinality rows (single partition, metadata-scale)
       "p_epoch_plan" -> 1,
-      "q_asof_order" -> 1,
+      // native as-of join (round 10): each side shuffles ONLY ITSELF on
+      // its own key (SMJ-style co-partitioning) — 2 exchanges, but each
+      // carries one table in its own narrow shape, vs the union form's
+      // single exchange dragging both tables null-padded to the
+      // combined schema plus a window pass over the union
+      "q_asof_order" -> 2, "q_asof_forward" -> 2, "q_asof_nearest" -> 2,
       "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
       "q_first_order" -> 1,

@@ -251,6 +251,44 @@ class StreamingAnalyticsSpec extends SparkSuite {
     index.centroids.unpersist()
   }
 
+  test("streaming as-of probe equals the batch native as-of, one event per batch") {
+    implicit val ctx = spark.sqlContext
+    val sf = SparkSuite.sf0001
+    val ev = graft.model.Tables.pq(spark, sf, "events")
+      .selectExpr("user_id", "ts div 1000000 AS ts_ms", "event_id")
+    val ord = graft.model.Tables.pq(spark, sf, "orders")
+      .selectExpr("o_custkey", "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS odate_ms",
+        "o_orderkey")
+    // five events with a matching order, plus any without one (sf0.001
+    // may have none — the null case is pinned on crafted fixtures in
+    // AsOfJoinSpec)
+    val batchAll = graft.queries.AnalyticsQueries.asofJoin(spark, sf)
+      .select("event_id", "asof_orderkey")
+      .as[(Long, Option[Long])].collect()
+    val withM = batchAll.filter(_._2.isDefined).take(3).map(_._1)
+    val withoutM = batchAll.filter(_._2.isEmpty).take(2).map(_._1)
+    val ids = (withM ++ withoutM).toSeq
+    assert(withM.nonEmpty, "need matched events in the fixture")
+    val streamRows = ev.filter(col("event_id").isin(ids.map(Long.box): _*))
+      .as[(Long, Long, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val q = StreamingAnalytics.streamingAsOfProbe(
+      mem.toDF().toDF("user_id", "ts_ms", "event_id"), ord,
+      keys = Seq("user_id" -> "o_custkey"),
+      leftTimeCol = "ts_ms", rightTimeCol = "odate_ms",
+      rightTiebreak = Seq("o_orderkey"),
+      checkpoint = tmpDir("asof-ckpt"),
+      sink = b => got ++= b.select(col("event_id"), col("o_orderkey"))
+        .as[(Long, Option[Long])].collect())
+    // one row per micro-batch: the probe must not depend on batching
+    streamRows.foreach { r => mem.addData(r); q.processAllAvailable() }
+    q.stop()
+    val expected = batchAll.filter(r => ids.contains(r._1)).toSet
+    assert(got.toSet == expected,
+      s"streaming as-of diverged: ${got.toSet} vs $expected")
+  }
+
   test("streaming cusum equals the batch changepoint census on a replayed feed") {
     implicit val ctx = spark.sqlContext
     val sf = SparkSuite.sf0001
