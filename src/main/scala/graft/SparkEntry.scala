@@ -68,6 +68,9 @@ object SparkEntry {
     "e_anomaly_zscore" -> (AnalyticsQueries.anomalyZscore _),
     "e_cusum_changepoint" -> (AnalyticsQueries.cusumChangepoint _),
     "e_burst_detect" -> (AnalyticsQueries.burstDetect _),
+    "e_ohlc" -> (AnalyticsQueries.ohlcBars _),
+    "e_twap" -> (AnalyticsQueries.timeWeightedAvg _),
+    "e_interval_union" -> (AnalyticsQueries.intervalUnion _),
     "e_resample_ffill" -> (AnalyticsQueries.resampleForwardFill _),
     "e_approx_quantiles" -> (AnalyticsQueries.approxQuantilesGate _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
@@ -931,6 +934,70 @@ object SparkEntry {
           |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
       // RANGE frame keyed on the millisecond VALUE: simultaneous events
       // share a frame, so the count is tie-order-free; integers only
+      // OHLC spec: open/close are arg-extrema over the same packed
+      // collision-free order key the Spark side ranks min_by/max_by on.
+      "e_ohlc" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value FROM events)
+          |SELECT user_id, ts_ms // 3600000 AS hour,
+          |       arg_min(value, ts_ms * 1000000 + event_id) AS open,
+          |       max(value) AS high, min(value) AS low,
+          |       arg_max(value, ts_ms * 1000000 + event_id) AS close,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM e GROUP BY 1, 2 ORDER BY user_id, hour""".stripMargin,
+      // TWAP spec: each value weighted by its holding time (until the
+      // user's next event); last event weightless. Weighted sum exact
+      // in DECIMAL x BIGINT; the one division happens on settled
+      // doubles, 6-dp rounded (the library-wide policy).
+      "e_twap" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value FROM events),
+          |g AS (
+          |  SELECT user_id, value,
+          |         lead(ts_ms) OVER (PARTITION BY user_id
+          |           ORDER BY ts_ms, event_id) - ts_ms AS dt
+          |  FROM e)
+          |SELECT user_id, count(*) AS n_segments,
+          |       CAST(sum(dt) AS BIGINT) AS span_ms,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,4)) * dt) AS DOUBLE)
+          |             / nullif(CAST(sum(dt) AS DOUBLE), 0), 6) AS twap
+          |FROM g WHERE dt IS NOT NULL
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Interval-union spec: variable-length intervals (floor(value *
+      // 1e4) ms), islands split where a start clears the RUNNING MAX of
+      // prior ends, coverage summed per island then per user.
+      "e_interval_union" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_ms(ts) AS start_ms, event_id,
+          |         epoch_ms(ts) + CAST(floor(value * 10000) AS BIGINT) AS end_ms
+          |  FROM events),
+          |m AS (
+          |  SELECT user_id, start_ms, event_id, end_ms,
+          |         max(end_ms) OVER (PARTITION BY user_id
+          |           ORDER BY start_ms, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |           AS prev_max_end
+          |  FROM e),
+          |f AS (
+          |  SELECT user_id, start_ms, event_id, end_ms,
+          |         CASE WHEN prev_max_end IS NULL OR start_ms > prev_max_end
+          |              THEN 1 ELSE 0 END AS new_island
+          |  FROM m),
+          |i AS (
+          |  SELECT user_id, start_ms, end_ms,
+          |         sum(new_island) OVER (PARTITION BY user_id
+          |           ORDER BY start_ms, event_id ROWS UNBOUNDED PRECEDING)
+          |           AS island
+          |  FROM f),
+          |isl AS (
+          |  SELECT user_id, island, min(start_ms) AS i_start,
+          |         max(end_ms) AS i_end
+          |  FROM i GROUP BY 1, 2)
+          |SELECT user_id, count(*) AS n_islands,
+          |       CAST(sum(i_end - i_start) AS BIGINT) AS covered_ms,
+          |       max(i_end - i_start) AS longest_ms
+          |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin,
       "e_burst_detect" ->
         """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
           |b AS (

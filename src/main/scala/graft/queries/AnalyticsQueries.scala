@@ -1613,4 +1613,103 @@ object AnalyticsQueries {
         col("burst").as("peak_24h"), col("ms").as("peak_ms"))
       .orderBy("user_id")
   }
+
+  /** Hourly OHLC bars per user — candlestick downsampling as ONE hash
+    * aggregate, no window and no sort: open/close are `min_by`/`max_by`
+    * over a collision-free packed order key (ms * 1e6 + event_id, exact
+    * in BIGINT under the harness id range — same construction as
+    * [[firstOrderPerCustomer]]; at wider id ranges the key widens to a
+    * struct, which Spark's min_by orders natively), high/low/count/sum
+    * are plain aggregates. The row_number-per-bar formulation needs a
+    * full shuffle + sort of every event; this is map-side partials into
+    * a single (user, hour)-keyed exchange, and bar state is O(1) per
+    * group regardless of how many events land in a bar. Sum rides
+    * DECIMAL for shuffle-order independence.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val ordKey = col("ts_ms") * lit(1000000L) + col("event_id")
+    pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"),
+        col("event_id"), col("value"))
+      .withColumn("hour", expr("ts_ms div 3600000"))
+      .groupBy("user_id", "hour")
+      .agg(
+        min_by(col("value"), ordKey).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ordKey).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(dec4(col("value"))).cast(DoubleType).as("sum_value"))
+      .orderBy("user_id", "hour")
+  }
+
+  /** Time-weighted average value per user (TWAP): each observation
+    * holds until the user's next event, so its weight is that holding
+    * duration; the last observation carries no weight (no successor to
+    * bound it). One `lead` window and the per-user aggregate share a
+    * single user_id exchange — the aggregate's clustering keys are a
+    * subset of the window's partitioning, so EnsureRequirements adds
+    * nothing. The weighted sum is DECIMAL × BIGINT (exact, order-free);
+    * the one division happens after both sides are settled doubles,
+    * rounded to the library-wide 6 dp.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"),
+        col("event_id"), col("value"))
+      .withColumn("dt", lead("ts_ms", 1).over(w) - col("ts_ms"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum("dt").as("span_ms"),
+        sum(dec4(col("value")) * col("dt")).cast(DoubleType).as("wsum"))
+      .select(col("user_id"), col("n_segments"), col("span_ms"),
+        round(when(col("span_ms") > 0, col("wsum") / col("span_ms")), 6)
+          .as("twap"))
+      .orderBy("user_id")
+  }
+
+  /** Interval-union coverage per user (gaps-and-islands with VARIABLE
+    * interval lengths): each event opens an interval of
+    * `floor(value * 10000)` ms; overlapping intervals merge into
+    * islands and the report is each user's merged coverage. Because
+    * lengths vary, a later interval can end before an earlier one — the
+    * island boundary needs the RUNNING MAX of interval ends (not just
+    * the previous row's end, which is all the fixed-gap [[sessionize]]
+    * ever looks at). All three stages ride ONE user_id exchange: the
+    * running-max + island-id windows hash-partition on user_id, and
+    * both downstream aggregates — (user, island) then (user) — cluster
+    * on supersets of that partitioning, so EnsureRequirements inserts
+    * no further shuffle. Every frame is a running frame (the
+    * quadratic-frame ban applies board-wide).
+    */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("start_ms", "event_id")
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("start_ms"),
+        col("event_id"),
+        floor(col("value") * 10000).cast(LongType).as("len_ms"))
+      .withColumn("end_ms", col("start_ms") + col("len_ms"))
+      .withColumn("prev_max_end", max("end_ms").over(prev))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start_ms") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(run))
+      .groupBy("user_id", "island")
+      .agg(min("start_ms").as("i_start"),
+        // the island's true end: every member's end >= the island
+        // start, which itself exceeds all prior islands' ends
+        max("end_ms").as("i_end"),
+        count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_ms"),
+        max(col("i_end") - col("i_start")).as("longest_ms"))
+      .orderBy("user_id")
+  }
 }

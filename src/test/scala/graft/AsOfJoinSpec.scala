@@ -164,6 +164,46 @@ class AsOfJoinSpec extends SparkSuite {
     assert(near.count() == fwd.count()) // both left-total over events
   }
 
+  test("bucketed sides: the as-of join plans with ZERO exchanges") {
+    // the recurring feature-store shape at 100 TB: events and the
+    // dimension both live bucketed on the key, so the nightly as-of
+    // run reads bucket-aligned files and EnsureRequirements inserts
+    // no exchange on either side — only the in-partition (key, time)
+    // sorts remain, exactly like a bucketed sort-merge join
+    val wh = tmpDir("asof-bucketed-wh")
+    val ev = graft.model.Tables.pq(spark, SparkSuite.sf0001, "events")
+      .selectExpr("user_id", "ts div 1000000 AS ts_ms", "event_id")
+    val ord = graft.model.Tables.pq(spark, SparkSuite.sf0001, "orders")
+      .selectExpr("o_custkey", "o_orderkey",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS odate_ms")
+    ev.write.option("path", s"$wh/ev")
+      .bucketBy(8, "user_id").mode("overwrite").saveAsTable("ev_asof_bucketed")
+    ord.write.option("path", s"$wh/ord")
+      .bucketBy(8, "o_custkey").mode("overwrite").saveAsTable("ord_asof_bucketed")
+    try {
+      val l = spark.table("ev_asof_bucketed")
+      val r = spark.table("ord_asof_bucketed")
+      val joined = AsOfJoin.backward(l, r,
+        leftKeys = Seq(l("user_id")), rightKeys = Seq(r("o_custkey")),
+        leftTime = l("ts_ms"), rightTime = r("odate_ms"),
+        rightTiebreak = Seq(r("o_orderkey")))
+        .select(col("event_id"), col("o_orderkey"))
+      joined.collect() // finalize AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-aligned as-of must not shuffle either side:\n$plan")
+      // and the layout changes nothing about the answer
+      val want = AnalyticsQueries.asofJoin(spark, SparkSuite.sf0001)
+        .select(col("event_id"), col("asof_orderkey"))
+        .as[(Long, Option[Long])].collect().toMap
+      val got = joined.as[(Long, Option[Long])].collect().toMap
+      assert(got == want, "bucketed and shuffled as-of joins must agree")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ev_asof_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_asof_bucketed")
+    }
+  }
+
   test("empty sides: no right rows -> all-null matches; no left rows -> empty") {
     val l = leftDf
     val emptyR = rightDf.limit(0)

@@ -207,6 +207,23 @@ class PlanSpec extends SparkSuite {
       s"stage windows + per-user aggregate must share one user shuffle:\n$plan")
   }
 
+  test("interval union: two windows and two aggregates share ONE user_id exchange") {
+    val plan = planOf(AnalyticsQueries.intervalUnion(spark, sf))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1,
+      s"running-max/island windows + (user,island) + (user) aggregates " +
+        s"must all reuse the window's user shuffle:\n$plan")
+  }
+
+  test("ohlc bars: one hash aggregate, no window and no sort below the output order") {
+    val plan = planOf(AnalyticsQueries.ohlcBars(spark, sf))
+    assert(!plan.contains("Window"), s"ohlc must not plan a window:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"ohlc is one (user, hour) aggregate exchange:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("partial_min"),
+      s"bar state must fold map-side (partial aggregation):\n$plan")
+  }
+
   test("retention: cohort window and offset aggregate partition by user first") {
     val plan = planOf(AnalyticsQueries.retentionCohorts(spark, sf))
     assert(plan.contains("windowspecdefinition(user_id"),
@@ -432,6 +449,13 @@ class PlanSpec extends SparkSuite {
       // the two pair-side joins over the in-row signature pass (the
       // double-hashed minima fold needs no exchange of its own)
       "d_bbit_minhash" -> 5,
+      // ohlc: ONE (user, hour) hash aggregate, min_by/max_by carry the
+      // bars — no window, no sort; twap: the lead window and the
+      // per-user aggregate share one user exchange; interval_union:
+      // running-max + island windows AND both downstream aggregates
+      // ((user, island), then (user)) all cluster on supersets of the
+      // window's user_id partitioning — one exchange for four stages
+      "e_ohlc" -> 1, "e_twap" -> 1, "e_interval_union" -> 1,
       "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
       "e_event_stats_salted" -> 2, "e_funnel" -> 1, "e_grouping_sets" -> 1,
       "e_json_props" -> 1, "e_moving_stats" -> 1, "e_moving_median" -> 1,

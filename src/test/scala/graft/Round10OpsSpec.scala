@@ -157,6 +157,81 @@ class Round10OpsSpec extends SparkSuite {
       Seq((7L, 1L, 1L, 42L)))
   }
 
+  test("ohlc open/close follow the packed (ms, event_id) order, ties included") {
+    val dir = tmpDir("ohlc-fixture")
+    // one user, one hour; two events share a ms (open = lower event_id),
+    // the latest event closes the bar
+    Seq(
+      (1L, 1000L * 1000000L, 1L, "t", 5.0),
+      (1L, 1000L * 1000000L, 2L, "t", 7.0),
+      (1L, 2000L * 1000000L, 0L, "t", 3.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticsQueries.ohlcBars(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq((1L, 0L, 5.0, 7.0, 3.0, 3.0, 3L, 15.0)),
+      s"bar must open at the ms-tie's lower event_id and close at the last ms: $got")
+  }
+
+  test("twap weights each value by its holding time; last event carries none") {
+    val dir = tmpDir("twap-fixture")
+    // segments: 10 held 1000 ms, 20 held 2000 ms; the value 30 never
+    // gets a successor so it is weightless — twap = 50000/3000
+    Seq(
+      (1L, 0L, 0L, "t", 10.0),
+      (1L, 1000L * 1000000L, 1L, "t", 20.0),
+      (1L, 3000L * 1000000L, 2L, "t", 30.0),
+      (2L, 500L * 1000000L, 3L, "t", 99.0)) // single event: no segment, no row
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticsQueries.timeWeightedAvg(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3000L, 16.666667)),
+      s"twap must be the duration-weighted mean, single-event users dropped: $got")
+  }
+
+  test("interval union needs the RUNNING max of ends, not the previous row's") {
+    val dir = tmpDir("iunion-fixture")
+    // a long interval [0, 10000) swallows two later short ones — the
+    // third starts AFTER the second ENDS, so a lag(end) formulation
+    // would wrongly open a new island; the running max keeps them merged
+    Seq(
+      (1L, 0L, 0L, "t", 1.0),                  // [0, 10000)
+      (1L, 2000L * 1000000L, 1L, "t", 0.1),    // [2000, 3000)  inside
+      (1L, 5000L * 1000000L, 2L, "t", 0.01),   // [5000, 5100)  inside, starts past 3000
+      (1L, 20000L * 1000000L, 3L, "t", 0.05))  // [20000, 20500) new island
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticsQueries.intervalUnion(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 10500L, 10000L)),
+      s"overlap merge must ride the running max of interval ends: $got")
+  }
+
+  test("ohlc/twap/interval-union survive empty and single-event inputs") {
+    val dir = tmpDir("ts-degenerate")
+    Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(AnalyticsQueries.ohlcBars(spark, dir).count() == 0)
+    assert(AnalyticsQueries.timeWeightedAvg(spark, dir).count() == 0)
+    assert(AnalyticsQueries.intervalUnion(spark, dir).count() == 0)
+    val one = tmpDir("ts-single")
+    Seq((7L, 42L * 1000000L, 0L, "t", 2.5))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$one/events.parquet")
+    // one event: a degenerate bar (open=close=high=low), no twap
+    // segment, one island of the interval's own length (25000 ms)
+    assert(AnalyticsQueries.ohlcBars(spark, one)
+      .as[(Long, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().toSeq == Seq((7L, 0L, 2.5, 2.5, 2.5, 2.5, 1L, 2.5)))
+    assert(AnalyticsQueries.timeWeightedAvg(spark, one).count() == 0)
+    assert(AnalyticsQueries.intervalUnion(spark, one)
+      .as[(Long, Long, Long, Long)].collect().toSeq ==
+      Seq((7L, 1L, 25000L, 25000L)))
+  }
+
   test("mips ranks by magnitude where cosine would tie (crafted)") {
     // two corpus vectors share the query's DIRECTION (cosine ties at 1,
     // lower id would win) but differ in norm — MIPS must put the
