@@ -412,6 +412,20 @@ object Main {
       println(s"export: $n docs written to $out across $shards shards")
       spark.stop()
 
+    case "join-asof" :: rest =>
+      // Point-in-time enrichment as a job: attach to every left row the
+      // as-of-matching right row (backward / forward / nearest, with
+      // tolerance) through the native merge-pass operator — the
+      // feature-store join, runnable without writing Scala.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, n) =
+        try joinAsofCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"join-asof: $n rows written to $out")
+      spark.stop()
+
     case "scrub" :: rest =>
       // The ingest-side consumer of the scrub artifact: rewrite a batch
       // of documents with corpus-duplicated spans removed. With --index
@@ -585,6 +599,60 @@ object Main {
       if (packed.isDefined) written.select("shard").distinct().count().toInt
       else o.get("shards").map(_.toInt).getOrElse(8)
     (out, written.count(), nShards)
+  }
+
+  /** `join-asof` body, session-injected for specs. Key pairs parse from
+    * `--on lcol=rcol[,lcol2=rcol2]` (a bare `col` means the same name
+    * on both sides); direction defaults to backward. The output is
+    * left-total by the operator's contract, so the reported row count
+    * is exactly the left table's.
+    */
+  private[cli] def joinAsofCmd(
+      spark: SparkSession, o: Map[String, String]): (String, Long) = {
+    import graft.plans.{AsOfDirection, AsOfJoin}
+    val leftIn = o.getOrElse("left", die("--left <parquet> is required"))
+    val rightIn = o.getOrElse("right", die("--right <parquet> is required"))
+    val out = o.getOrElse("out", die("--out <parquet> is required"))
+    val on = o.getOrElse("on", die("--on lcol=rcol[,...] is required"))
+    val lTime = o.getOrElse("left-time", die("--left-time <col> is required"))
+    val rTime = o.getOrElse("right-time", die("--right-time <col> is required"))
+    val l = spark.read.parquet(leftIn)
+    val r = spark.read.parquet(rightIn)
+    val keys = on.split(',').toSeq.map(_.split('=') match {
+      case Array(a, b) => (a.trim, b.trim)
+      case Array(a) => (a.trim, a.trim)
+      case _ => throw new IllegalArgumentException(
+        s"--on expects lcol=rcol pairs, got '$on'")
+    })
+    val tiebreak = o.get("tiebreak")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val tol = o.get("tolerance-ms").map { t =>
+      try t.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"--tolerance-ms needs a millisecond count, got '$t'")
+      }
+    }
+    val join = o.getOrElse("direction", "backward") match {
+      case "backward" => AsOfJoin.backward _
+      case "forward"  => AsOfJoin.forward _
+      case "nearest"  => AsOfJoin.nearest _
+      case other => throw new IllegalArgumentException(
+        s"--direction must be backward|forward|nearest, got '$other'")
+    }
+    val joined = join(l, r,
+      keys.map(k => l(k._1)), keys.map(k => r(k._2)),
+      l(lTime), r(rTime), tiebreak.map(r(_)), tol)
+    // the operator keeps both sides' columns; right columns whose names
+    // clash with a left column (typically the join keys) get a right_
+    // prefix so the parquet write never sees duplicates (the merge_asof
+    // suffix convention)
+    val leftCols = l.columns.toSet
+    val projected = joined.select(
+      l.columns.toSeq.map(c => l(c)) ++
+        r.columns.toSeq.map(c =>
+          if (leftCols(c)) r(c).as(s"right_$c") else r(c)): _*)
+    projected.write.mode("overwrite").parquet(out)
+    (out, l.count())
   }
 
   /** `scrub` body, session-injected for specs (see [[buildIndexCmd]]).

@@ -434,6 +434,44 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(e2.getMessage.contains("duplicate"))
   }
 
+  test("join-asof verb: nearest + tolerance through the native operator, left-total") {
+    val dir = tmpDir("cli-asof")
+    Seq((1L, 18L, "mid"), (1L, 25L, "fwd"), (2L, 10L, "none"))
+      .toDF("k", "t", "tag").write.mode("overwrite").parquet(s"$dir/left")
+    Seq((1L, 10L, 100L), (1L, 10L, 101L), (1L, 30L, 102L))
+      .toDF("k", "rt", "rid").write.mode("overwrite").parquet(s"$dir/right")
+    val out = s"$dir/out"
+    val (o, n) = Main.joinAsofCmd(spark, Map(
+      "left" -> s"$dir/left", "right" -> s"$dir/right",
+      "on" -> "k", "left-time" -> "t", "right-time" -> "rt",
+      "tiebreak" -> "rid", "direction" -> "nearest",
+      "tolerance-ms" -> "20", "out" -> out))
+    assert(o == out && n == 3) // left-total: one output row per left row
+    val got = spark.read.parquet(out).select("tag", "rid")
+      .as[(String, Option[Long])].collect().toMap
+    assert(got == Map(
+      "mid" -> Some(101L),  // 8 back vs 12 fwd: backward arm, tie rid 101
+      "fwd" -> Some(102L),  // 15 back vs 5 fwd: forward arm
+      "none" -> None))      // key 2 has no right rows
+    // mapped key names and the backward default also parse
+    val out2 = s"$dir/out2"
+    val (_, n2) = Main.joinAsofCmd(spark, Map(
+      "left" -> s"$dir/left", "right" -> s"$dir/right",
+      "on" -> "k=k", "left-time" -> "t", "right-time" -> "rt",
+      "tiebreak" -> "rid", "out" -> out2))
+    assert(n2 == 3)
+    val back = spark.read.parquet(out2).select("tag", "rid")
+      .as[(String, Option[Long])].collect().toMap
+    assert(back("mid").contains(101L) && back("fwd").contains(101L))
+    val bad = intercept[IllegalArgumentException] {
+      Main.joinAsofCmd(spark, Map(
+        "left" -> s"$dir/left", "right" -> s"$dir/right",
+        "on" -> "k", "left-time" -> "t", "right-time" -> "rt",
+        "direction" -> "sideways", "out" -> s"$dir/out3"))
+    }
+    assert(bad.getMessage.contains("backward|forward|nearest"))
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
