@@ -960,8 +960,10 @@ object SparkEntry {
           |  FROM e)
           |SELECT user_id, count(*) AS n_segments,
           |       CAST(sum(dt) AS BIGINT) AS span_ms,
-          |       round(CAST(sum(CAST(value AS DECIMAL(18,4)) * dt) AS DOUBLE)
-          |             / nullif(CAST(sum(dt) AS DOUBLE), 0), 6) AS twap
+          |       CAST(round(CAST(round(
+          |         CAST(sum(CAST(value AS DECIMAL(18,4)) * dt) AS DOUBLE)
+          |             / nullif(CAST(sum(dt) AS DOUBLE), 0), 12)
+          |         AS DECIMAL(38,12)), 6) AS DOUBLE) AS twap
           |FROM g WHERE dt IS NOT NULL
           |GROUP BY 1 ORDER BY 1""".stripMargin,
       // Interval-union spec: variable-length intervals (floor(value *

@@ -1666,8 +1666,11 @@ object AnalyticsQueries {
         sum("dt").as("span_ms"),
         sum(dec4(col("value")) * col("dt")).cast(DoubleType).as("wsum"))
       .select(col("user_id"), col("n_segments"), col("span_ms"),
-        round(when(col("span_ms") > 0, col("wsum") / col("span_ms")), 6)
-          .as("twap"))
+        // derived-double policy: the division rounds through the 12-dp
+        // DECIMAL grid before the final 6-dp round, so both engines
+        // take the same half-up branch on boundary cases
+        round(round(when(col("span_ms") > 0, col("wsum") / col("span_ms")), 12)
+          .cast(DecimalType(38, 12)), 6).cast(DoubleType).as("twap"))
       .orderBy("user_id")
   }
 
