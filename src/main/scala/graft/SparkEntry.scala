@@ -71,6 +71,7 @@ object SparkEntry {
     "e_ohlc" -> (AnalyticsQueries.ohlcBars _),
     "e_twap" -> (AnalyticsQueries.timeWeightedAvg _),
     "e_interval_union" -> (AnalyticsQueries.intervalUnion _),
+    "e_seasonal_baseline" -> (AnalyticsQueries.seasonalBaseline _),
     "e_resample_ffill" -> (AnalyticsQueries.resampleForwardFill _),
     "e_approx_quantiles" -> (AnalyticsQueries.approxQuantilesGate _),
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
@@ -969,6 +970,27 @@ object SparkEntry {
       // Interval-union spec: variable-length intervals (floor(value *
       // 1e4) ms), islands split where a start clears the RUNNING MAX of
       // prior ends, coverage summed per island then per user.
+      // Seasonal-exceedance spec: the 2x hour-of-day baseline test as
+      // an integer cross-multiplication (u*n > 2*s) on the 1e-4 grid —
+      // no division, no float threshold, replays in any engine.
+      "e_seasonal_baseline" ->
+        """WITH e AS (
+          |  SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hod,
+          |         CAST(floor(value * 10000) AS BIGINT) AS u
+          |  FROM events),
+          |b AS (
+          |  SELECT event_type, hod, CAST(sum(u) AS BIGINT) AS s,
+          |         count(*) AS n
+          |  FROM e GROUP BY 1, 2),
+          |b2 AS (
+          |  SELECT *, count(*) OVER (PARTITION BY event_type) AS n_hods
+          |  FROM b)
+          |SELECT e.event_type, count(*) AS n_events,
+          |       CAST(max(b2.n_hods) AS BIGINT) AS n_hods,
+          |       CAST(sum(CASE WHEN e.u * b2.n > 2 * b2.s
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_excess
+          |FROM e JOIN b2 USING (event_type, hod)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "e_interval_union" ->
         """WITH e AS (
           |  SELECT user_id, epoch_ms(ts) AS start_ms, event_id,

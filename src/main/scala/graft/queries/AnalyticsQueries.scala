@@ -1674,6 +1674,44 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** Seasonal-baseline exceedance census: per event type, how many
+    * events exceed 2× their own HOUR-OF-DAY mean — anomaly detection
+    * that a global mean (the [[anomalyZscore]] shape) gets wrong
+    * whenever load is periodic: a midnight spike is an anomaly, the
+    * same value at the daily peak is baseline. The test is the integer
+    * cross-multiplication `u·n > 2·s` (value > 2·s/n without the
+    * division) on the 1e-4 fixed-point grid, so the census replays
+    * bit-identically in any engine — the same no-float-thresholds
+    * policy as the CUSUM census.
+    *
+    * Scale shape: the baseline is (type × 24)-cardinality — computed
+    * with one metadata-scale aggregate (+ a tiny per-type window for
+    * the hod count), BROADCAST back into the events scan, and the
+    * final aggregate moves only type-grain partials. The fact table
+    * crosses one exchange as map-side partials; no distinct-aggregate
+    * expand ever doubles it. At 2^63-straining row counts the `u·n`
+    * product widens to DECIMAL(38,0); at harness scales it is exact in
+    * BIGINT.
+    */
+  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(col("event_type"),
+        expr("((ts div 1000000) div 3600000) % 24").as("hod"),
+        floor(col("value") * lit(10000)).cast(LongType).as("u"))
+    val base = ev.groupBy("event_type", "hod")
+      .agg(sum("u").as("s"), count(lit(1)).as("n"))
+      .withColumn("n_hods",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+    ev.join(broadcast(base), Seq("event_type", "hod"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max("n_hods").as("n_hods"),
+        sum(when(col("u") * col("n") > lit(2L) * col("s"), 1L)
+          .otherwise(0L)).as("n_excess"))
+      .orderBy("event_type")
+  }
+
   /** Interval-union coverage per user (gaps-and-islands with VARIABLE
     * interval lengths): each event opens an interval of
     * `floor(value * 10000)` ms; overlapping intervals merge into

@@ -456,6 +456,11 @@ class PlanSpec extends SparkSuite {
       // ((user, island), then (user)) all cluster on supersets of the
       // window's user_id partitioning — one exchange for four stages
       "e_ohlc" -> 1, "e_twap" -> 1, "e_interval_union" -> 1,
+      // seasonal baseline: the (type, hod) aggregate + its tiny
+      // per-type window (both metadata-scale), then the one fact-grain
+      // type aggregate; the baseline joins back as a BROADCAST — the
+      // fact table crosses exactly one of the three exchanges
+      "e_seasonal_baseline" -> 3,
       "e_event_gaps" -> 1, "e_event_rollup" -> 1, "e_event_stats" -> 1,
       "e_event_stats_salted" -> 2, "e_funnel" -> 1, "e_grouping_sets" -> 1,
       "e_json_props" -> 1, "e_moving_stats" -> 1, "e_moving_median" -> 1,

@@ -209,6 +209,26 @@ class Round10OpsSpec extends SparkSuite {
       s"overlap merge must ride the running max of interval ends: $got")
   }
 
+  test("seasonal baseline: the same value is an anomaly at one hour, baseline at another") {
+    val dir = tmpDir("seasonal-fixture")
+    val h = 3600000L
+    // hod 0 runs quiet (1,1,1,4): the 4.0 exceeds 2x its hour's mean;
+    // hod 1 runs hot (5,5,5,4): the SAME 4.0 is below baseline there —
+    // a global-mean test could never split the two
+    val rows = Seq(
+      (0L * h, 0L, 1.0), (0L * h + 1, 1L, 1.0), (0L * h + 2, 2L, 1.0),
+      (0L * h + 3, 3L, 4.0),
+      (1L * h, 4L, 5.0), (1L * h + 1, 5L, 5.0), (1L * h + 2, 6L, 5.0),
+      (1L * h + 3, 7L, 4.0))
+    rows.map { case (ms, id, v) => (1L, ms * 1000000L, id, "t", v) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticsQueries.seasonalBaseline(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("t", 8L, 2L, 1L)),
+      s"exactly the quiet-hour 4.0 exceeds 2x its own hod mean: $got")
+  }
+
   test("ohlc/twap/interval-union survive empty and single-event inputs") {
     val dir = tmpDir("ts-degenerate")
     Seq.empty[(Long, Long, Long, String, Double)]
@@ -217,6 +237,7 @@ class Round10OpsSpec extends SparkSuite {
     assert(AnalyticsQueries.ohlcBars(spark, dir).count() == 0)
     assert(AnalyticsQueries.timeWeightedAvg(spark, dir).count() == 0)
     assert(AnalyticsQueries.intervalUnion(spark, dir).count() == 0)
+    assert(AnalyticsQueries.seasonalBaseline(spark, dir).count() == 0)
     val one = tmpDir("ts-single")
     Seq((7L, 42L * 1000000L, 0L, "t", 2.5))
       .toDF("user_id", "ts", "event_id", "event_type", "value")
@@ -230,6 +251,10 @@ class Round10OpsSpec extends SparkSuite {
     assert(AnalyticsQueries.intervalUnion(spark, one)
       .as[(Long, Long, Long, Long)].collect().toSeq ==
       Seq((7L, 1L, 25000L, 25000L)))
+    // one event is its own baseline: u*1 > 2*u never holds
+    assert(AnalyticsQueries.seasonalBaseline(spark, one)
+      .as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("t", 1L, 1L, 0L)))
   }
 
   test("mips ranks by magnitude where cosine would tie (crafted)") {
