@@ -221,6 +221,14 @@ final case class AsOfJoinExec(
 
 /** Public API over the operator. Keys/time resolve against the input
   * frames' own columns (`df("col")`), times cast to epoch-long.
+  *
+  * Null contract (pinned in AsOfJoinSpec): NULL KEYS FORM THEIR OWN
+  * JOIN GROUP — the merge compares keys with ordering semantics, so a
+  * null-key left row matches null-key right rows (unlike an SQL
+  * equi-join, where NULL = NULL is never true; like grouping, where
+  * nulls share a group). Null TIMES are a contract violation: the
+  * time column must be non-null (a null time coerces to epoch 0 in
+  * the merge) — filter or default upstream.
   */
 object AsOfJoin {
 

@@ -277,6 +277,37 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** Streaming OHLC bars (streaming twin of the batch `e_ohlc`):
+    * watermarked hourly tumbling windows per user, the bar built by
+    * the SAME min_by/max_by-over-packed-order-key aggregate as the
+    * batch query — append mode emits each bar exactly once when the
+    * watermark closes its hour, columns aligned with the batch gate so
+    * the two are directly comparable. State is O(open bars) and each
+    * bar's state is O(1): the packed (ms, event_id) key means the
+    * store holds only the current extrema, never the bar's events.
+    */
+  def streamingOhlcBars(
+      events: DataFrame, // user_id, ts_ms, event_id, value
+      watermark: String = "1 hour"): DataFrame = {
+    val ordKey = col("ts_ms") * lit(1000000L) + col("event_id")
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"), window(col("event_time"), "1 hour"))
+      .agg(
+        min_by(col("value"), ordKey).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ordKey).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .select(col("user_id"),
+        expr("unix_millis(window.start) div 3600000").as("hour"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Streaming point-in-time enrichment through the NATIVE as-of
     * operator ([[graft.plans.AsOfJoin]]) — the streaming twin of the
     * batch `q_asof_order`/`q_asof_forward`/`q_asof_nearest` family and

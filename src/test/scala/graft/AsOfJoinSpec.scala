@@ -204,6 +204,19 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("null keys form their own join group (grouping semantics, documented)") {
+    val l = Seq((Option.empty[Long], 10L, "nk"), (Some(1L), 10L, "k1"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option.empty[Long], 5L, 200L), (Some(1L), 5L, 201L))
+      .toDF("k", "rt", "rid")
+    val out = AsOfJoin.backward(l, r,
+      Seq(l("k")), Seq(r("k")), l("t"), r("rt"))
+      .select(col("tag"), col("rid"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(out == Map("nk" -> Some(200L), "k1" -> Some(201L)),
+      s"null-key rows must match each other, never a real key: $out")
+  }
+
   test("empty sides: no right rows -> all-null matches; no left rows -> empty") {
     val l = leftDf
     val emptyR = rightDf.limit(0)

@@ -251,6 +251,39 @@ class StreamingAnalyticsSpec extends SparkSuite {
     index.centroids.unpersist()
   }
 
+  test("streaming ohlc bars equal the batch bars once the watermark closes the hour") {
+    implicit val ctx = spark.sqlContext
+    // the batch fixture's hour-0 bar: ms-tie opens at the lower
+    // event_id, the last ms closes; hour-2 rows only advance the
+    // watermark past hour 0
+    val rows = Seq(
+      (1L, 1000L, 1L, 5.0), (1L, 1000L, 2L, 7.0), (1L, 2000L, 0L, 3.0))
+    val flush = Seq(
+      (1L, 2 * 3600000L, 10L, 1.0), (1L, 2 * 3600000L + 300000L, 11L, 1.0))
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val bars = StreamingAnalytics.streamingOhlcBars(
+      mem.toDF().toDF("user_id", "ts_ms", "event_id", "value"))
+    val q = bars.writeStream.format("memory").queryName("ohlc_bars")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    flush.foreach { r => mem.addData(r); q.processAllAvailable() }
+    val got = spark.table("ohlc_bars")
+      .as[(Long, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().toSeq
+    q.stop()
+    // batch twin over the same hour-0 rows
+    val dir = tmpDir("stream-ohlc-batch")
+    rows.map { case (u, ms, id, v) => (u, ms * 1000000L, id, "t", v) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = graft.queries.AnalyticsQueries.ohlcBars(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().toSeq
+    assert(got == want && want == Seq((1L, 0L, 5.0, 7.0, 3.0, 3.0, 3L, 15.0)),
+      s"closed streaming bar must equal the batch bar: $got vs $want")
+  }
+
   test("streaming as-of probe equals the batch native as-of, one event per batch") {
     implicit val ctx = spark.sqlContext
     val sf = SparkSuite.sf0001
