@@ -124,6 +124,16 @@ final case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // first-class observability, like every built-in join: row volume
+  // and match rate show up in the Spark UI / listener metrics
+  override lazy val metrics = Map(
+    "numOutputRows" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+    "numMatched" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matched left rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
@@ -137,6 +147,8 @@ final case class AsOfJoinExec(
     val tol = tolerance
     val dir = direction
     val outAttrs = output
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIt, rIt) =>
         val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
@@ -213,6 +225,8 @@ final case class AsOfJoinExec(
             } else if (backOk) candidate
             else if (fwdRow != null) fwdRow
             else nullRight
+          outRows += 1
+          if (chosen ne nullRight) matched += 1
           outProj(joined(lrow, chosen))
         }
     }

@@ -85,6 +85,14 @@ class AsOfJoinSpec extends SparkSuite {
     // each side sorted by (key, time[, tiebreak]) directly under the join
     val exec = nodes.collectFirst { case e: AsOfJoinExec => e }.get
     assert(exec.requiredChildOrdering.forall(_.nonEmpty))
+    // the operator reports first-class SQL metrics like a built-in
+    // join; the final ORDER BY's range-boundary sampling re-executes
+    // the child, so the count is a whole multiple of the 1000 events
+    val out = exec.metrics("numOutputRows").value
+    val matched = exec.metrics("numMatched").value
+    assert(out >= 1000L && out % 1000L == 0L,
+      s"left-total over sf0.001 events (x sampling passes): $out")
+    assert(matched > 0 && matched <= out, s"match count out of range: $matched")
   }
 
   test("forward semantics: first match at-or-after, tie first-wins, tolerance") {
