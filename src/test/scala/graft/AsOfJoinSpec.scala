@@ -212,6 +212,58 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("randomized: every direction x tolerance equals the brute-force reference") {
+    // seeded, deterministic; dense time range [0, 25) over 4 keys forces
+    // plenty of exact-time collisions (rt == t) and right-side (key, rt)
+    // ties, the cases where the merge's take/hold-ahead rules matter
+    val rnd = new scala.util.Random(20260815L)
+    def table(n: Int): Seq[(Long, Long, Long)] =
+      (0 until n).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(25).toLong, i.toLong))
+    def brute(
+        left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+        dir: String, tol: Option[Long]): Map[Long, Option[Long]] =
+      left.map { case (k, t, lid) =>
+        val rs = right.filter(_._1 == k)
+        val back = rs.filter(r => r._2 <= t && tol.forall(t - r._2 <= _))
+          .sortBy(r => (r._2, r._3)).lastOption
+        val fwd = rs.filter(r => r._2 >= t && tol.forall(r._2 - t <= _))
+          .sortBy(r => (r._2, r._3)).headOption
+        val pick = dir match {
+          case "backward" => back
+          case "forward"  => fwd
+          case "nearest"  => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        lid -> pick.map(_._3)
+      }.toMap
+    for {
+      dir <- Seq("backward", "forward", "nearest")
+      tol <- Seq(None, Some(3L))
+      trial <- 1 to 2
+    } {
+      val lRows = table(50)
+      val rRows = table(50)
+      val l = lRows.toDF("k", "t", "lid")
+      val r = rRows.toDF("k", "rt", "rid")
+      val join = dir match {
+        case "backward" => AsOfJoin.backward _
+        case "forward"  => AsOfJoin.forward _
+        case "nearest"  => AsOfJoin.nearest _
+      }
+      val got = join(l, r, Seq(l("k")), Seq(r("k")), l("t"), r("rt"),
+        Seq(r("rid")), tol)
+        .select(col("lid"), col("rid"))
+        .as[(Long, Option[Long])].collect().toMap
+      val want = brute(lRows, rRows, dir, tol)
+      assert(got == want,
+        s"$dir tol=$tol trial=$trial diverged: " +
+          (got.toSet -- want.toSet).take(5).toString)
+    }
+  }
+
   test("null keys form their own join group (grouping semantics, documented)") {
     val l = Seq((Option.empty[Long], 10L, "nk"), (Some(1L), 10L, "k1"))
       .toDF("k", "t", "tag")
