@@ -588,17 +588,22 @@ object Main {
       .write.mode("overwrite").partitionBy("shard")
     val codec = if (o.contains("gzip")) writer.option("compression", "gzip") else writer
     codec.json(out)
-    // manifest AFTER the shard write — the overwrite above clears `out`
-    packed.foreach { layout =>
-      graft.queries.TextQueries.manifestOf(layout)
-        .write.mode("overwrite").parquet(s"$out/_manifest")
-      layout.unpersist()
+    // manifest AFTER the shard write — the overwrite above clears
+    // `out`. Counts come from frames this function already holds (the
+    // cached layout / the input scan), never from re-parsing the JSONL
+    // just written — the export of a large corpus shouldn't cost a
+    // second full pass for a progress line.
+    packed match {
+      case Some(layout) =>
+        graft.queries.TextQueries.manifestOf(layout)
+          .write.mode("overwrite").parquet(s"$out/_manifest")
+        val n = layout.count()
+        val nShards = layout.select("shard_id").distinct().count().toInt
+        layout.unpersist()
+        (out, n, nShards)
+      case None =>
+        (out, docs.count(), o.get("shards").map(_.toInt).getOrElse(8))
     }
-    val written = spark.read.json(out)
-    val nShards =
-      if (packed.isDefined) written.select("shard").distinct().count().toInt
-      else o.get("shards").map(_.toInt).getOrElse(8)
-    (out, written.count(), nShards)
   }
 
   /** `join-asof` body, session-injected for specs. Key pairs parse from
@@ -632,14 +637,14 @@ object Main {
           s"--tolerance-ms needs a millisecond count, got '$t'")
       }
     }
-    val join = o.getOrElse("direction", "backward") match {
-      case "backward" => AsOfJoin.backward _
-      case "forward"  => AsOfJoin.forward _
-      case "nearest"  => AsOfJoin.nearest _
+    val dir = o.getOrElse("direction", "backward") match {
+      case "backward" => AsOfDirection.Backward
+      case "forward"  => AsOfDirection.Forward
+      case "nearest"  => AsOfDirection.Nearest
       case other => throw new IllegalArgumentException(
         s"--direction must be backward|forward|nearest, got '$other'")
     }
-    val joined = join(l, r,
+    val joined = AsOfJoin.join(dir, l, r,
       keys.map(k => l(k._1)), keys.map(k => r(k._2)),
       l(lTime), r(rTime), tiebreak.map(r(_)), tol)
     // the operator keeps both sides' columns; right columns whose names

@@ -299,7 +299,34 @@ object AsOfJoin {
     join(AsOfDirection.Nearest, left, right, leftKeys, rightKeys,
       leftTime, rightTime, rightTiebreak, toleranceMs)
 
-  private def join(
+  /** Time column → epoch milliseconds. TIMESTAMP (either kind) and
+    * DATE go through `unix_millis`, because a bare `cast(LongType)`
+    * yields epoch SECONDS for timestamps (and DAYS for dates) — a
+    * silent 1000× unit error against the millisecond `toleranceMs`
+    * contract. Numeric columns are already the caller's epoch-ms and
+    * just widen to long.
+    */
+  private def toEpochMs(c: Column): Column = {
+    val isTimeTyped = {
+      val e = GraftSqlShim.expr(c)
+      e.resolved && (e.dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      })
+    }
+    if (isTimeTyped)
+      org.apache.spark.sql.functions.unix_millis(
+        c.cast(org.apache.spark.sql.types.TimestampType))
+    else c.cast(LongType)
+  }
+
+  /** The shared constructor behind [[backward]]/[[forward]]/[[nearest]]
+    * — public so CLI/streaming dispatch can pass an [[AsOfDirection]]
+    * through instead of re-matching on it.
+    */
+  def join(
       direction: AsOfDirection,
       left: DataFrame,
       right: DataFrame,
@@ -307,19 +334,39 @@ object AsOfJoin {
       rightKeys: Seq[Column],
       leftTime: Column,
       rightTime: Column,
-      rightTiebreak: Seq[Column],
-      toleranceMs: Option[Long]): DataFrame = {
+      rightTiebreak: Seq[Column] = Nil,
+      toleranceMs: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty, "as-of join needs at least one key")
     require(leftKeys.length == rightKeys.length,
       s"key arity mismatch: ${leftKeys.length} vs ${rightKeys.length}")
     require(toleranceMs.forall(_ >= 0L), "tolerance must be non-negative")
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    // self-join guard: built-in joins get DeduplicateRelations; a
+    // custom node does not, and shared exprIds would bind right-side
+    // expressions against the wrong child or collide in the output
+    val shared = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(shared.isEmpty,
+      s"left and right share column instances (${shared.toSeq.take(3).mkString(", ")}…): " +
+        "alias one side first, e.g. right.select(right.columns.map(c => col(c).as(c + \"_r\")): _*)")
+    val lKeyExprs = leftKeys.map(GraftSqlShim.expr)
+    val rKeyExprs = rightKeys.map(GraftSqlShim.expr)
+    // the merge generates its key ordering from the LEFT key types and
+    // compares both sides' key projections with it — mismatched types
+    // would compare garbage bytes, so fail loudly instead
+    lKeyExprs.zip(rKeyExprs).zipWithIndex.foreach { case ((le, re), i) =>
+      if (le.resolved && re.resolved)
+        require(le.dataType == re.dataType,
+          s"key $i type mismatch: left ${le.dataType.simpleString} vs " +
+            s"right ${re.dataType.simpleString} — cast one side explicitly")
+    }
     val node = AsOfJoinNode(
-      left.queryExecution.analyzed,
-      right.queryExecution.analyzed,
-      leftKeys.map(GraftSqlShim.expr),
-      rightKeys.map(GraftSqlShim.expr),
-      GraftSqlShim.expr(leftTime.cast(LongType)),
-      GraftSqlShim.expr(rightTime.cast(LongType)),
+      lPlan,
+      rPlan,
+      lKeyExprs,
+      rKeyExprs,
+      GraftSqlShim.expr(toEpochMs(leftTime)),
+      GraftSqlShim.expr(toEpochMs(rightTime)),
       rightTiebreak.map(GraftSqlShim.expr),
       toleranceMs,
       direction)

@@ -341,12 +341,7 @@ object StreamingAnalytics {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
-        val join = direction match {
-          case graft.plans.AsOfDirection.Backward => graft.plans.AsOfJoin.backward _
-          case graft.plans.AsOfDirection.Forward  => graft.plans.AsOfJoin.forward _
-          case graft.plans.AsOfDirection.Nearest  => graft.plans.AsOfJoin.nearest _
-        }
-        sink(join(b, right,
+        sink(graft.plans.AsOfJoin.join(direction, b, right,
           keys.map(k => b(k._1)), keys.map(k => right(k._2)),
           b(leftTimeCol), right(rightTimeCol),
           rightTiebreak.map(right(_)), toleranceMs))

@@ -264,6 +264,48 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("guards: key type mismatch and shared-lineage inputs fail loudly") {
+    val l = leftDf
+    // int vs long keys: the merge would generate its ordering from the
+    // left type and compare the right side's bytes as garbage
+    val rInt = Seq((1, 10L, 100L)).toDF("k", "rt", "rid")
+    val typeErr = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, rInt, Seq(l("k")), Seq(rInt("k")), l("t"), rInt("rt"))
+    }
+    assert(typeErr.getMessage.contains("type mismatch"))
+    // self-join lineage: shared exprIds would bind right expressions
+    // against the wrong child (built-in joins get DeduplicateRelations,
+    // a custom node does not) — refuse with an aliasing hint
+    val d = leftDf
+    val selfErr = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(d, d.filter(col("t") > 0),
+        Seq(d("k")), Seq(d("k")), d("t"), d("t"))
+    }
+    assert(selfErr.getMessage.contains("alias one side"))
+  }
+
+  test("timestamp time columns mean MILLISECONDS against toleranceMs") {
+    import java.sql.Timestamp
+    // a bare cast(long) on TIMESTAMP yields epoch SECONDS; the operator
+    // must convert through unix_millis so a 30-second-stale match is
+    // correctly outside a 10-second tolerance (the seconds bug would
+    // see 30 <= 10000 and match)
+    val l = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "a"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, Timestamp.valueOf("2024-01-01 09:59:30"), 100L))
+      .toDF("k", "rt", "rid")
+    val tight = AsOfJoin.backward(l, r,
+      Seq(l("k")), Seq(r("k")), l("t"), r("rt"),
+      toleranceMs = Some(10000L))
+      .select(col("rid")).as[Option[Long]].head()
+    assert(tight.isEmpty, "30s-stale match must fail a 10s tolerance")
+    val loose = AsOfJoin.backward(l, r,
+      Seq(l("k")), Seq(r("k")), l("t"), r("rt"),
+      toleranceMs = Some(45000L))
+      .select(col("rid")).as[Option[Long]].head()
+    assert(loose.contains(100L), "30s-stale match must pass a 45s tolerance")
+  }
+
   test("null keys form their own join group (grouping semantics, documented)") {
     val l = Seq((Option.empty[Long], 10L, "nk"), (Some(1L), 10L, "k1"))
       .toDF("k", "t", "tag")
