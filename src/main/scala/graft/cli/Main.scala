@@ -644,20 +644,41 @@ object Main {
       case other => throw new IllegalArgumentException(
         s"--direction must be backward|forward|nearest, got '$other'")
     }
-    val joined = AsOfJoin.join(dir, l, r,
-      keys.map(k => l(k._1)), keys.map(k => r(k._2)),
-      l(lTime), r(rTime), tiebreak.map(r(_)), tol)
     // the operator keeps both sides' columns; right columns whose names
     // clash with a left column (typically the join keys) get a right_
     // prefix so the parquet write never sees duplicates (the merge_asof
-    // suffix convention)
+    // suffix convention). The right-side references resolve by
+    // expression id, so this works on the joined frame of either branch.
     val leftCols = l.columns.toSet
-    val projected = joined.select(
-      l.columns.toSeq.map(c => l(c)) ++
-        r.columns.toSeq.map(c =>
-          if (leftCols(c)) r(c).as(s"right_$c") else r(c)): _*)
-    projected.write.mode("overwrite").parquet(out)
-    (out, l.count())
+    def prefixClashes(joined: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      r.columns.filter(leftCols).foldLeft(joined) { (df, c) =>
+        df.withColumn(s"right_$c", r(c)).drop(r(c))
+      }
+    if (o.contains("stream")) {
+      // the streaming shape: left facts arrive as files, the right
+      // dimension is the static nightly artifact — AvailableNow
+      // processes what's there, checkpoints, exits; re-running with
+      // the same checkpoint joins only new files' rows
+      val ckpt = o.getOrElse("checkpoint", throw new IllegalArgumentException(
+        "--checkpoint <dir> is required with --stream"))
+      val leftStream = spark.readStream.schema(l.schema).parquet(leftIn)
+      val before = scala.util.Try(
+        spark.read.parquet(out).count()).getOrElse(0L)
+      val q = graft.streaming.StreamingAnalytics.streamingAsOfProbe(
+        leftStream, r, keys, lTime, rTime, tiebreak, ckpt,
+        b => prefixClashes(b).write.mode("append").parquet(out),
+        direction = dir, toleranceMs = tol,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      (out, spark.read.parquet(out).count() - before)
+    } else {
+      val joined = AsOfJoin.join(dir, l, r,
+        keys.map(k => l(k._1)), keys.map(k => r(k._2)),
+        l(lTime), r(rTime), tiebreak.map(r(_)), tol)
+      prefixClashes(joined).write.mode("overwrite").parquet(out)
+      (out, l.count())
+    }
   }
 
   /** `scrub` body, session-injected for specs (see [[buildIndexCmd]]).

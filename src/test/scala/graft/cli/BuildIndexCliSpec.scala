@@ -472,6 +472,31 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(bad.getMessage.contains("backward|forward|nearest"))
   }
 
+  test("join-asof --stream: checkpointed left joins only new files on restart") {
+    val dir = tmpDir("cli-asof-stream")
+    Seq((1L, 10L, 100L), (1L, 30L, 102L))
+      .toDF("k", "rt", "rid").write.mode("overwrite").parquet(s"$dir/right")
+    // first left file, first run
+    Seq((1L, 18L, 0L)).toDF("k", "t", "lid")
+      .write.mode("overwrite").parquet(s"$dir/left")
+    val args = Map(
+      "left" -> s"$dir/left", "right" -> s"$dir/right",
+      "on" -> "k", "left-time" -> "t", "right-time" -> "rt",
+      "tiebreak" -> "rid", "stream" -> "true",
+      "checkpoint" -> s"$dir/ckpt", "out" -> s"$dir/out")
+    val (_, n1) = Main.joinAsofCmd(spark, args)
+    assert(n1 == 1L)
+    // a second file lands; the same checkpoint must process ONLY it
+    Seq((1L, 31L, 1L)).toDF("k", "t", "lid")
+      .write.mode("append").parquet(s"$dir/left")
+    val (_, n2) = Main.joinAsofCmd(spark, args)
+    assert(n2 == 1L, s"restart must join only the new file's rows, got $n2")
+    val got = spark.read.parquet(s"$dir/out").select("lid", "rid")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(0L -> Some(100L), 1L -> Some(102L)),
+      s"both runs' backward matches must accumulate in out: $got")
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
