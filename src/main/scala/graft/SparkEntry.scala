@@ -77,6 +77,8 @@ object SparkEntry {
     "q_asof_order" -> (AnalyticsQueries.asofJoin _),
     "q_asof_forward" -> (AnalyticsQueries.asofJoinForward _),
     "q_asof_nearest" -> (AnalyticsQueries.asofJoinNearest _),
+    "q_asof_bucketed" -> (AnalyticsQueries.asofJoinBucketed _),
+    "q_asof_global" -> (AnalyticsQueries.asofJoinGlobal _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     "q19_disjunct" -> (AnalyticsQueries.q19Disjunct _),
     "q14_promo" -> (AnalyticsQueries.q14PromoShare _),
@@ -527,6 +529,43 @@ object SparkEntry {
           |    ON o.o_custkey = e.user_id AND o.odate_ms <= e.ts_ms)
           |SELECT event_id, user_id, ts_ms,
           |       o_orderkey AS asof_orderkey, total AS asof_total
+          |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      // Bucket-aligned layout changes the PLAN (zero exchanges), never
+      // the ANSWER: the bucketed gate re-uses the q_asof_order spec.
+      "q_asof_bucketed" ->
+        """WITH ev AS (
+          |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+          |ord AS (
+          |  SELECT o_custkey, o_orderkey,
+          |         epoch_ms(o_orderdate) AS odate_ms,
+          |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+          |  FROM orders),
+          |ranked AS (
+          |  SELECT e.event_id, e.user_id, e.ts_ms, o.o_orderkey, o.total,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY o.odate_ms DESC, o.o_orderkey DESC) AS rn
+          |  FROM ev e LEFT JOIN ord o
+          |    ON o.o_custkey = e.user_id AND o.odate_ms <= e.ts_ms)
+          |SELECT event_id, user_id, ts_ms,
+          |       o_orderkey AS asof_orderkey, total AS asof_total
+          |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      // Keyless (global) as-of spec: latest daily order census at or
+      // before each event's time, 30-day tolerance, no join key — the
+      // bounded backward range join + arg_max over the single global
+      // timeline (day_ms is unique after the census GROUP BY).
+      "q_asof_global" ->
+        """WITH ev AS (
+          |  SELECT event_id, epoch_ms(ts) AS ts_ms FROM events),
+          |daily AS (
+          |  SELECT epoch_ms(o_orderdate) AS day_ms, count(*) AS n_orders
+          |  FROM orders GROUP BY 1),
+          |ranked AS (
+          |  SELECT e.event_id, e.ts_ms, d.day_ms, d.n_orders,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY d.day_ms DESC) AS rn
+          |  FROM ev e LEFT JOIN daily d
+          |    ON d.day_ms <= e.ts_ms AND e.ts_ms - d.day_ms <= 2592000000)
+          |SELECT event_id, ts_ms, day_ms, n_orders
           |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
       // Forward as-of spec: FIRST order (by date, then orderkey) at or
       // after each event's time — the mirror range join + arg_min.

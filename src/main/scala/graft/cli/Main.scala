@@ -665,13 +665,24 @@ object Main {
       val leftStream = spark.readStream.schema(l.schema).parquet(leftIn)
       val before = scala.util.Try(
         spark.read.parquet(out).count()).getOrElse(0L)
+      // idempotent per batch: foreachBatch is at-least-once, so a crash
+      // between a plain append and the checkpoint commit would duplicate
+      // that batch's rows on restart. Each epoch instead OVERWRITES its
+      // own batch_id=<id> partition directory — a replayed batch lands
+      // on the same path and replaces itself, never doubles. Readers of
+      // `out` see one partitioned table (plus a discovered batch_id
+      // column they can ignore).
       val q = graft.streaming.StreamingAnalytics.streamingAsOfProbe(
         leftStream, r, keys, lTime, rTime, tiebreak, ckpt,
-        b => prefixClashes(b).write.mode("append").parquet(out),
+        (b, bid) => prefixClashes(b).write.mode("overwrite")
+          .parquet(s"$out/batch_id=$bid"),
         direction = dir, toleranceMs = tol,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       q.awaitTermination()
-      (out, spark.read.parquet(out).count() - before)
+      // same guard as `before`: if the left input had no files, no batch
+      // fires and `out` may still not exist
+      val after = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+      (out, after - before)
     } else {
       val joined = AsOfJoin.join(dir, l, r,
         keys.map(k => l(k._1)), keys.map(k => r(k._2)),

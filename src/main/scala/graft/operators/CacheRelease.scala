@@ -46,11 +46,17 @@ object CacheRelease {
       private[this] var misses = 0
       private def done(): Unit = { df.unpersist(); lm.unregister(this) }
       private def check(qe: QueryExecution): Unit = synchronized {
-        val consumed = qe.id > sentinel &&
-          (try qe.analyzed.exists(_.sameResult(target))
-          catch { case NonFatal(_) => false })
-        if (consumed) done()
-        else { misses += 1; if (misses >= maxMisses) done() }
+        // pre-sentinel completions are in-flight probe actions from
+        // BEFORE registration — neither a consumer nor a "miss": they
+        // must not erode the maxMisses budget of post-registration
+        // bystanders, so ignore them entirely
+        if (qe.id > sentinel) {
+          val consumed =
+            try qe.analyzed.exists(_.sameResult(target))
+            catch { case NonFatal(_) => false }
+          if (consumed) done()
+          else { misses += 1; if (misses >= maxMisses) done() }
+        }
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = check(qe)

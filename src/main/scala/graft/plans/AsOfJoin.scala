@@ -50,7 +50,8 @@ final case class AsOfJoinNode(
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
     tolerance: Option[Long],
-    direction: AsOfDirection) extends BinaryNode {
+    direction: AsOfDirection,
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -74,15 +75,32 @@ object AsOfDirection {
   case object Nearest extends AsOfDirection
 }
 
-/** Plans [[AsOfJoinNode]] → [[AsOfJoinExec]]; injected by
-  * [[graft.GraftExtensions]] next to the function registrations.
+/** Plans [[AsOfJoinNode]] → [[BroadcastAsOfJoinExec]] when the right
+  * side is dimension-sized (the same stats-vs-`autoBroadcastJoinThreshold`
+  * test Spark's own JoinSelection applies, overridable per join via the
+  * node's `broadcastRight`), else the merge-shape [[AsOfJoinExec]].
+  * Keyless (global) as-of ALWAYS broadcasts — with no key there is
+  * nothing to cluster on, and the right side of a global as-of is a
+  * small ordered table (calibration curve, rate table) by nature.
+  * Injected by [[graft.GraftExtensions]] next to the function
+  * registrations; AQE re-runs the choice with runtime stats.
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
-      AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
-        n.rightTiebreak, n.tolerance, n.direction,
-        planLater(n.left), planLater(n.right)) :: Nil
+      val autoSmall = {
+        val thresh =
+          org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+        thresh > 0 && n.right.stats.sizeInBytes <= thresh
+      }
+      if (n.leftKeys.isEmpty || n.broadcastRight.getOrElse(autoSmall))
+        BroadcastAsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+          n.rightTiebreak, n.tolerance, n.direction,
+          planLater(n.left), planLater(n.right)) :: Nil
+      else
+        AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+          n.rightTiebreak, n.tolerance, n.direction,
+          planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
@@ -240,9 +258,13 @@ final case class AsOfJoinExec(
   * JOIN GROUP — the merge compares keys with ordering semantics, so a
   * null-key left row matches null-key right rows (unlike an SQL
   * equi-join, where NULL = NULL is never true; like grouping, where
-  * nulls share a group). Null TIMES are a contract violation: the
-  * time column must be non-null (a null time coerces to epoch 0 in
-  * the merge) — filter or default upstream.
+  * nulls share a group). Null TIMES are a contract violation and FAIL
+  * LOUDLY: the API wraps each nullable time column in a raise-on-null
+  * guard, so a null time raises with an actionable message instead of
+  * silently matching at epoch 0 — filter or default upstream. (The
+  * guard costs one branch on a column the merge evaluates per row
+  * anyway, and is skipped entirely when the column is statically
+  * non-nullable.)
   */
 object AsOfJoin {
 
@@ -260,9 +282,10 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column,
       rightTiebreak: Seq[Column] = Nil,
-      toleranceMs: Option[Long] = None): DataFrame =
+      toleranceMs: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame =
     join(AsOfDirection.Backward, left, right, leftKeys, rightKeys,
-      leftTime, rightTime, rightTiebreak, toleranceMs)
+      leftTime, rightTime, rightTiebreak, toleranceMs, broadcast)
 
   /** Forward as-of: every left row picks the FIRST right row with
     * equal keys and `rightTime >= leftTime` (right-time ties broken by
@@ -277,9 +300,10 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column,
       rightTiebreak: Seq[Column] = Nil,
-      toleranceMs: Option[Long] = None): DataFrame =
+      toleranceMs: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame =
     join(AsOfDirection.Forward, left, right, leftKeys, rightKeys,
-      leftTime, rightTime, rightTiebreak, toleranceMs)
+      leftTime, rightTime, rightTiebreak, toleranceMs, broadcast)
 
   /** Nearest as-of: every left row picks whichever of its backward and
     * forward matches is closer in time; equal distance prefers the
@@ -295,9 +319,10 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column,
       rightTiebreak: Seq[Column] = Nil,
-      toleranceMs: Option[Long] = None): DataFrame =
+      toleranceMs: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame =
     join(AsOfDirection.Nearest, left, right, leftKeys, rightKeys,
-      leftTime, rightTime, rightTiebreak, toleranceMs)
+      leftTime, rightTime, rightTiebreak, toleranceMs, broadcast)
 
   /** Time column → epoch milliseconds. TIMESTAMP (either kind) and
     * DATE go through `unix_millis`, because a bare `cast(LongType)`
@@ -322,9 +347,44 @@ object AsOfJoin {
     else c.cast(LongType)
   }
 
+  /** [[toEpochMs]] plus the loud null guard: the merge reads the time
+    * as a primitive long, so a null would silently coerce to epoch 0
+    * and MATCH THERE — the worst kind of wrong answer on dirty data.
+    * Nullable time columns instead raise per offending row via
+    * `raise_error`; statically non-nullable columns skip the branch.
+    */
+  private def guardedEpochMs(c: Column, side: String): Column = {
+    val ms = toEpochMs(c)
+    val e = GraftSqlShim.expr(ms)
+    if (e.resolved && !e.nullable) ms
+    else {
+      import org.apache.spark.sql.functions.{lit, raise_error, when}
+      when(ms.isNotNull, ms).otherwise(
+        raise_error(lit(s"as-of join: null $side-side time — the time column " +
+          "must be non-null (a null would otherwise match at epoch 0); " +
+          "filter nulls or default the time upstream")).cast(LongType))
+    }
+  }
+
   /** The shared constructor behind [[backward]]/[[forward]]/[[nearest]]
     * — public so CLI/streaming dispatch can pass an [[AsOfDirection]]
     * through instead of re-matching on it.
+    *
+    * `broadcast` picks the physical path: `None` (default) lets the
+    * strategy decide from the right side's stats vs
+    * `autoBroadcastJoinThreshold` (exactly like Spark's own join
+    * selection), `Some(true)` forces the broadcast-index exec — the
+    * left side then pays NO exchange and NO sort — and `Some(false)`
+    * forces the co-partitioned merge exec (e.g. to exploit bucketed
+    * layouts, where the merge plans with zero exchanges).
+    *
+    * KEYLESS (GLOBAL) as-of: empty key lists are allowed — every left
+    * row matches against the single global right timeline (pandas
+    * `merge_asof` with `by=None`; calibration curves, rate tables).
+    * With nothing to cluster on, the merge shape does not apply, so a
+    * keyless join always broadcasts the right side — which must
+    * therefore be driver-collectable (dimension-sized), and
+    * `broadcast = Some(false)` is rejected.
     */
   def join(
       direction: AsOfDirection,
@@ -335,8 +395,12 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column,
       rightTiebreak: Seq[Column] = Nil,
-      toleranceMs: Option[Long] = None): DataFrame = {
-    require(leftKeys.nonEmpty, "as-of join needs at least one key")
+      toleranceMs: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame = {
+    require(leftKeys.nonEmpty || broadcast != Some(false),
+      "a keyless (global) as-of join has nothing to cluster a merge on — " +
+        "it always broadcasts the right side; drop broadcast=Some(false) " +
+        "or supply at least one key")
     require(leftKeys.length == rightKeys.length,
       s"key arity mismatch: ${leftKeys.length} vs ${rightKeys.length}")
     require(toleranceMs.forall(_ >= 0L), "tolerance must be non-negative")
@@ -365,11 +429,12 @@ object AsOfJoin {
       rPlan,
       lKeyExprs,
       rKeyExprs,
-      GraftSqlShim.expr(toEpochMs(leftTime)),
-      GraftSqlShim.expr(toEpochMs(rightTime)),
+      GraftSqlShim.expr(guardedEpochMs(leftTime, "left")),
+      GraftSqlShim.expr(guardedEpochMs(rightTime, "right")),
       rightTiebreak.map(GraftSqlShim.expr),
       toleranceMs,
-      direction)
+      direction,
+      broadcast)
     GraftSqlShim.ofRows(left.sparkSession, node)
   }
 }

@@ -175,14 +175,16 @@ object AnalyticsQueries {
   /** As-of join — for each event, the latest order of the same customer
     * at or before the event time (ties: highest orderkey) — through the
     * NATIVE [[graft.plans.AsOfJoinNode]] operator (the board's
-    * custom-operator ladder step c: logical node + strategy + merge
-    * exec, injected via GraftExtensions). Each side shuffles only
-    * itself on its own key (co-partitioned like a sort-merge join),
-    * sorts separately, and one streaming merge pass with a ONE-ROW
-    * candidate memory emits the matches — no union materialization, no
-    * null-padded schema, no window buffer. Output identical to
-    * [[asofJoinViaWindow]] (AsOfJoinSpec pins equality AND the plan
-    * shape); the same DuckDB oracle gates both.
+    * custom-operator ladder step c: logical node + strategy + exec,
+    * injected via GraftExtensions). The strategy auto-selects the
+    * physical path from the right side's stats: orders is
+    * dimension-sized here, so this plans the BROADCAST-INDEX exec —
+    * the events fact table pays NO exchange and NO sort (the 100 TB
+    * feature-store shape: the left side's shuffle would otherwise be
+    * the entire cost); a larger right side would plan the
+    * co-partitioned merge exec instead (gated by [[asofJoinForward]]).
+    * Output identical to [[asofJoinViaWindow]] (AsOfJoinSpec pins
+    * equality AND both plan shapes); the same DuckDB oracle gates both.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = pq(spark, dir, "events")
@@ -203,10 +205,13 @@ object AnalyticsQueries {
   /** Forward as-of through the same native operator: for each event,
     * the FIRST order of the same customer at or after the event time
     * (ties: lowest orderkey — the forward arm's first-wins
-    * convention). Same plan shape as [[asofJoin]]: two side-local
-    * exchanges, per-side sorts, one merge pass — and the forward arm
-    * needs NO candidate memory at all (the match is the merge head,
-    * never consumed).
+    * convention). PINNED to the merge-shape exec (`broadcast =
+    * Some(false)`): two side-local exchanges, per-side sorts, one
+    * merge pass with NO candidate memory on the forward arm — this
+    * gate keeps the co-partitioned merge path oracle-gated while
+    * [[asofJoin]]/[[asofJoinNearest]] auto-select the broadcast-index
+    * path over the dimension-sized orders table; both paths also prove
+    * equal on randomized inputs in AsOfJoinSpec.
     */
   def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
     val ev = pq(spark, dir, "events")
@@ -218,7 +223,8 @@ object AnalyticsQueries {
       ev, ord,
       leftKeys = Seq(ev("user_id")), rightKeys = Seq(ord("o_custkey")),
       leftTime = ev("ts_ms"), rightTime = ord("odate_ms"),
-      rightTiebreak = Seq(ord("o_orderkey")))
+      rightTiebreak = Seq(ord("o_orderkey")),
+      broadcast = Some(false))
       .select(col("event_id"), col("user_id"), col("ts_ms"),
         col("o_orderkey").as("next_orderkey"), col("o_total").as("next_total"))
       .orderBy("event_id")
@@ -247,6 +253,76 @@ object AnalyticsQueries {
       .select(col("event_id"), col("user_id"), col("ts_ms"),
         col("o_orderkey").as("near_orderkey"),
         (col("odate_ms") - col("ts_ms")).as("near_delta_ms"))
+      .orderBy("event_id")
+  }
+
+  /** [[asofJoin]] over BUCKET-ALIGNED copies of both tables, through
+    * the merge exec — the end-to-end form of the layout the 100 TB
+    * feature store actually runs nightly: events and the dimension
+    * both live bucketed on the key, so the co-partitioned merge join
+    * plans with ZERO hash exchanges (EnsureRequirements sees each
+    * bucketed scan's HashPartitioning already satisfying its
+    * ClusteredDistribution — only the in-partition (key, time) sorts
+    * remain, exactly like a bucketed sort-merge join). The bucketed
+    * copies are (re)written into a session-temp warehouse on each call
+    * — the write cost is the honest price of the layout, paid once
+    * nightly at scale and amortized over every join that reads it.
+    * `broadcast = Some(false)` pins the merge path: the POINT of
+    * bucketing is avoiding both the shuffle and the broadcast build.
+    * Same answer and same oracle as [[asofJoin]]; the shuffle ledger
+    * pins this plan at 0 hash exchanges.
+    */
+  def asofJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode.toLong & 0xffffffffL).toHexString
+    val wh = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_asof_bucketed_$tag")
+      .getAbsolutePath
+    val ev = pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+    val ord = pq(spark, dir, "orders")
+      .select(col("o_custkey"), tsMillis(col("o_orderdate")).as("odate_ms"),
+        col("o_orderkey"), dec(col("o_totalprice")).cast(DoubleType).as("o_total"))
+    ev.write.option("path", s"$wh/ev").bucketBy(8, "user_id")
+      .mode("overwrite").saveAsTable(s"graft_asof_ev_b_$tag")
+    ord.write.option("path", s"$wh/ord").bucketBy(8, "o_custkey")
+      .mode("overwrite").saveAsTable(s"graft_asof_ord_b_$tag")
+    val l = spark.table(s"graft_asof_ev_b_$tag")
+    val r = spark.table(s"graft_asof_ord_b_$tag")
+    graft.plans.AsOfJoin.backward(
+      l, r,
+      leftKeys = Seq(l("user_id")), rightKeys = Seq(r("o_custkey")),
+      leftTime = l("ts_ms"), rightTime = r("odate_ms"),
+      rightTiebreak = Seq(r("o_orderkey")),
+      broadcast = Some(false))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("o_orderkey").as("asof_orderkey"), col("o_total").as("asof_total"))
+      .orderBy("event_id")
+  }
+
+  /** KEYLESS (global) as-of — pandas `merge_asof` with `by=None`: each
+    * event attaches the most recent GLOBAL daily order census at or
+    * before its time, within a 30-day tolerance (the calibration-curve
+    * / rate-table pattern: one small ordered right table, no join
+    * key). Physical shape: the daily census aggregates once (its one
+    * exchange is day-cardinality), broadcasts as a single time-sorted
+    * index, and the events fact table binary-searches it with NO
+    * exchange and NO sort — keyless as-of always takes the
+    * broadcast-index path, because with no key there is nothing to
+    * cluster a merge on.
+    */
+  def asofJoinGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(col("event_id"), expr("ts div 1000000").as("ts_ms"))
+    val daily = pq(spark, dir, "orders")
+      .select(tsMillis(col("o_orderdate")).as("day_ms"))
+      .groupBy("day_ms")
+      .agg(count(lit(1)).as("n_orders"))
+    graft.plans.AsOfJoin.backward(
+      ev, daily,
+      leftKeys = Nil, rightKeys = Nil,
+      leftTime = ev("ts_ms"), rightTime = daily("day_ms"),
+      toleranceMs = Some(30L * 86400000L))
+      .select(col("event_id"), col("ts_ms"), col("day_ms"), col("n_orders"))
       .orderBy("event_id")
   }
 
@@ -1616,18 +1692,18 @@ object AnalyticsQueries {
 
   /** Hourly OHLC bars per user — candlestick downsampling as ONE hash
     * aggregate, no window and no sort: open/close are `min_by`/`max_by`
-    * over a collision-free packed order key (ms * 1e6 + event_id, exact
-    * in BIGINT under the harness id range — same construction as
-    * [[firstOrderPerCustomer]]; at wider id ranges the key widens to a
-    * struct, which Spark's min_by orders natively), high/low/count/sum
-    * are plain aggregates. The row_number-per-bar formulation needs a
-    * full shuffle + sort of every event; this is map-side partials into
-    * a single (user, hour)-keyed exchange, and bar state is O(1) per
-    * group regardless of how many events land in a bar. Sum rides
-    * DECIMAL for shuffle-order independence.
+    * over a STRUCT order key (ts_ms, event_id) — Spark orders structs
+    * natively and lexicographically, so the ranking is exact for ANY id
+    * or timestamp range (the earlier packed-BIGINT key `ms*1e6 + id`
+    * silently mis-ranked once event_id ≥ 1e6 or ms neared 9.2e12);
+    * high/low/count/sum are plain aggregates. The row_number-per-bar
+    * formulation needs a full shuffle + sort of every event; this is
+    * map-side partials into a single (user, hour)-keyed exchange, and
+    * bar state is O(1) per group regardless of how many events land in
+    * a bar. Sum rides DECIMAL for shuffle-order independence.
     */
   def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
-    val ordKey = col("ts_ms") * lit(1000000L) + col("event_id")
+    val ordKey = struct(col("ts_ms"), col("event_id"))
     pq(spark, dir, "events")
       .select(col("user_id"), expr("ts div 1000000").as("ts_ms"),
         col("event_id"), col("value"))

@@ -283,13 +283,15 @@ object StreamingAnalytics {
     * batch query — append mode emits each bar exactly once when the
     * watermark closes its hour, columns aligned with the batch gate so
     * the two are directly comparable. State is O(open bars) and each
-    * bar's state is O(1): the packed (ms, event_id) key means the
-    * store holds only the current extrema, never the bar's events.
+    * bar's state is O(1): the (ts_ms, event_id) struct order key means
+    * the store holds only the current extrema, never the bar's events
+    * (struct ordering is exact for any id/timestamp range, matching
+    * the batch query's key).
     */
   def streamingOhlcBars(
       events: DataFrame, // user_id, ts_ms, event_id, value
       watermark: String = "1 hour"): DataFrame = {
-    val ordKey = col("ts_ms") * lit(1000000L) + col("event_id")
+    val ordKey = struct(col("ts_ms"), col("event_id"))
     events
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
       .withWatermark("event_time", watermark)
@@ -320,6 +322,13 @@ object StreamingAnalytics {
     * re-shuffles per trigger at dimension scale; for a large dimension,
     * pre-bucket the artifact on the key). Right-table refresh is the
     * caller's lambda split, same as the index probes.
+    *
+    * The sink receives the epoch's BATCH ID alongside the joined frame:
+    * foreachBatch is at-least-once (a crash between the sink's write
+    * and the checkpoint commit re-runs the batch on restart), so a
+    * durable sink must key its write on the batch id — e.g. overwrite a
+    * `batch_id=<id>` partition directory — to stay idempotent under
+    * replay. Sinks that only buffer in memory can ignore it.
     */
   def streamingAsOfProbe(
       left: DataFrame,
@@ -329,7 +338,7 @@ object StreamingAnalytics {
       rightTimeCol: String,
       rightTiebreak: Seq[String],
       checkpoint: String,
-      sink: DataFrame => Unit,
+      sink: (DataFrame, Long) => Unit,
       direction: graft.plans.AsOfDirection = graft.plans.AsOfDirection.Backward,
       toleranceMs: Option[Long] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -339,12 +348,12 @@ object StreamingAnalytics {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
         sink(graft.plans.AsOfJoin.join(direction, b, right,
           keys.map(k => b(k._1)), keys.map(k => right(k._2)),
           b(leftTimeCol), right(rightTimeCol),
-          rightTiebreak.map(right(_)), toleranceMs))
+          rightTiebreak.map(right(_)), toleranceMs), batchId)
       }
       .start()
 
@@ -450,6 +459,14 @@ object StreamingAnalytics {
     * THREE longs per type — O(types) for any stream lifetime — and the
     * fold is exact integer algebra, so a replay (or the nightly batch
     * recomputation) reproduces it bit-for-bit.
+    *
+    * Types ABSENT from the baseline map are dropped (no rows emitted,
+    * no state kept): a type the batch census never saw has no (m, S)
+    * pair, and folding it with a degenerate stand-in (e.g. m=1, s=0 ⇒
+    * y = x) would silently report every arriving count as pure excess —
+    * an ever-growing false alarm. Re-run the batch census to admit new
+    * types; a monitor wanting them surfaced routes the input through a
+    * separate unknown-type filter instead.
     */
   def streamingCusum(
       hourly: Dataset[HourCount],
@@ -461,16 +478,19 @@ object StreamingAnalytics {
       .flatMapGroupsWithState[(Long, Long, Long), CusumPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (tpe: String, it: Iterator[HourCount], state: GroupState[(Long, Long, Long)]) =>
-          val (m, s) = baseline.getOrElse(tpe, (1L, 0L))
-          var (st, peak, peakH) =
-            state.getOption.getOrElse((0L, Long.MinValue, 0L))
-          val out = it.toArray.sortBy(_.h).map { hc =>
-            st = math.max(0L, st + (m * hc.x - s))
-            if (st > peak) { peak = st; peakH = hc.h }
-            CusumPoint(tpe, hc.h, st, peak, peakH)
+          baseline.get(tpe) match {
+            case None => Iterator.empty // unknown to the census: drop, don't fabricate a baseline
+            case Some((m, s)) =>
+              var (st, peak, peakH) =
+                state.getOption.getOrElse((0L, Long.MinValue, 0L))
+              val out = it.toArray.sortBy(_.h).map { hc =>
+                st = math.max(0L, st + (m * hc.x - s))
+                if (st > peak) { peak = st; peakH = hc.h }
+                CusumPoint(tpe, hc.h, st, peak, peakH)
+              }
+              state.update((st, peak, peakH))
+              out.iterator
           }
-          state.update((st, peak, peakH))
-          out.iterator
       }
   }
 

@@ -69,15 +69,29 @@ class AsOfJoinSpec extends SparkSuite {
     assert(native == window, "custom node diverged from the window oracle")
   }
 
-  test("plan shape: AsOfJoinExec over two side-local exchanges, no window") {
-    val df = AnalyticsQueries.asofJoin(spark, SparkSuite.sf0001)
+  private def flatPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flatPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatPlan(q.plan)
+    case other => other +: other.children.flatMap(flatPlan)
+  }
+
+  test("merge plan shape: AsOfJoinExec over two side-local exchanges, no window") {
+    // the merge-pinned backward join (broadcast = Some(false)): the
+    // path a beyond-threshold right side takes. Backward at sf0.001
+    // has known matches (forward may legitimately have none when every
+    // event postdates the last order)
+    val evT = graft.model.Tables.pq(spark, SparkSuite.sf0001, "events")
+      .selectExpr("user_id", "ts div 1000000 AS ts_ms", "event_id")
+    val ordT = graft.model.Tables.pq(spark, SparkSuite.sf0001, "orders")
+      .selectExpr("o_custkey",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS odate_ms", "o_orderkey")
+    val df = AsOfJoin.backward(evT, ordT,
+      Seq(evT("user_id")), Seq(ordT("o_custkey")), evT("ts_ms"), ordT("odate_ms"),
+      Seq(ordT("o_orderkey")), broadcast = Some(false))
+      .select(col("event_id"), col("o_orderkey"))
+      .orderBy("event_id")
     df.collect() // finalize AQE
-    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flat(q.plan)
-      case other => other +: other.children.flatMap(flat)
-    }
-    val nodes = flat(df.queryExecution.executedPlan)
+    val nodes = flatPlan(df.queryExecution.executedPlan)
     assert(nodes.exists(_.isInstanceOf[AsOfJoinExec]),
       s"expected AsOfJoinExec among: ${nodes.map(_.nodeName).mkString(", ")}")
     assert(!nodes.exists(_.nodeName.contains("Window")),
@@ -93,6 +107,46 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out >= 1000L && out % 1000L == 0L,
       s"left-total over sf0.001 events (x sampling passes): $out")
     assert(matched > 0 && matched <= out, s"match count out of range: $matched")
+  }
+
+  test("broadcast plan shape: dimension-sized right auto-selects the index path, " +
+      "left side pays NO exchange and NO sort") {
+    // orders at test scale is far under autoBroadcastJoinThreshold, so
+    // the UNPINNED gate must plan BroadcastAsOfJoinExec: right side
+    // builds the index through one BroadcastExchange, left side streams
+    // through shuffle-free and sort-free — the 100 TB feature-store plan
+    val df = AnalyticsQueries.asofJoin(spark, SparkSuite.sf0001)
+    df.collect()
+    val nodes = flatPlan(df.queryExecution.executedPlan)
+    val exec = nodes.collectFirst {
+      case e: graft.plans.BroadcastAsOfJoinExec => e }
+    assert(exec.nonEmpty,
+      s"expected BroadcastAsOfJoinExec among: ${nodes.map(_.nodeName).mkString(", ")}")
+    assert(nodes.exists(_.nodeName.contains("BroadcastExchange")),
+      "the right side must build through a broadcast exchange")
+    // nothing between the left scan and the join: walk the join's left
+    // subtree — no exchange, no sort
+    val leftSub = flatPlan(exec.get.left)
+    assert(!leftSub.exists(_.nodeName.contains("Exchange")),
+      s"left side must not shuffle:\n${exec.get.left}")
+    assert(!leftSub.exists(_.nodeName.contains("Sort")),
+      s"left side must not sort:\n${exec.get.left}")
+    // and the two physical paths agree on the full gate output: the
+    // SAME backward join forced through the merge exec
+    val ev = graft.model.Tables.pq(spark, SparkSuite.sf0001, "events")
+      .selectExpr("user_id", "ts div 1000000 AS ts_ms", "event_id")
+    val ord = graft.model.Tables.pq(spark, SparkSuite.sf0001, "orders")
+      .selectExpr("o_custkey",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS odate_ms", "o_orderkey")
+    val viaMerge = graft.plans.AsOfJoin.backward(ev, ord,
+      Seq(ev("user_id")), Seq(ord("o_custkey")), ev("ts_ms"), ord("odate_ms"),
+      Seq(ord("o_orderkey")), broadcast = Some(false))
+      .select(col("event_id"), col("o_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    val viaBroadcast = df.select(col("event_id"), col("asof_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(viaBroadcast == viaMerge,
+      "broadcast-index and merge paths must produce identical matches")
   }
 
   test("forward semantics: first match at-or-after, tie first-wins, tolerance") {
@@ -191,10 +245,15 @@ class AsOfJoinSpec extends SparkSuite {
     try {
       val l = spark.table("ev_asof_bucketed")
       val r = spark.table("ord_asof_bucketed")
+      // broadcast = Some(false): the POINT of the bucketed layout is
+      // paying neither a shuffle nor a broadcast build — without the
+      // pin the small test tables would auto-select the broadcast path
+      // (whose BroadcastExchange the no-Exchange assertion rejects)
       val joined = AsOfJoin.backward(l, r,
         leftKeys = Seq(l("user_id")), rightKeys = Seq(r("o_custkey")),
         leftTime = l("ts_ms"), rightTime = r("odate_ms"),
-        rightTiebreak = Seq(r("o_orderkey")))
+        rightTiebreak = Seq(r("o_orderkey")),
+        broadcast = Some(false))
         .select(col("event_id"), col("o_orderkey"))
       joined.collect() // finalize AQE
       val plan = joined.queryExecution.executedPlan.toString
@@ -242,24 +301,27 @@ class AsOfJoinSpec extends SparkSuite {
     for {
       dir <- Seq("backward", "forward", "nearest")
       tol <- Seq(None, Some(3L))
+      // BOTH physical paths must equal the same reference: the
+      // co-partitioned merge exec and the broadcast-index exec
+      bcast <- Seq(Some(false), Some(true))
       trial <- 1 to 2
     } {
       val lRows = table(50)
       val rRows = table(50)
       val l = lRows.toDF("k", "t", "lid")
       val r = rRows.toDF("k", "rt", "rid")
-      val join = dir match {
-        case "backward" => AsOfJoin.backward _
-        case "forward"  => AsOfJoin.forward _
-        case "nearest"  => AsOfJoin.nearest _
+      val d = dir match {
+        case "backward" => graft.plans.AsOfDirection.Backward
+        case "forward"  => graft.plans.AsOfDirection.Forward
+        case "nearest"  => graft.plans.AsOfDirection.Nearest
       }
-      val got = join(l, r, Seq(l("k")), Seq(r("k")), l("t"), r("rt"),
-        Seq(r("rid")), tol)
+      val got = AsOfJoin.join(d, l, r, Seq(l("k")), Seq(r("k")), l("t"), r("rt"),
+        Seq(r("rid")), tol, broadcast = bcast)
         .select(col("lid"), col("rid"))
         .as[(Long, Option[Long])].collect().toMap
       val want = brute(lRows, rRows, dir, tol)
       assert(got == want,
-        s"$dir tol=$tol trial=$trial diverged: " +
+        s"$dir tol=$tol bcast=$bcast trial=$trial diverged: " +
           (got.toSet -- want.toSet).take(5).toString)
     }
   }
@@ -317,6 +379,68 @@ class AsOfJoinSpec extends SparkSuite {
       .as[(String, Option[Long])].collect().toMap
     assert(out == Map("nk" -> Some(200L), "k1" -> Some(201L)),
       s"null-key rows must match each other, never a real key: $out")
+  }
+
+  test("null time raises loudly instead of silently matching at epoch 0") {
+    // the contract used to be "null time coerces to epoch 0" — a silent
+    // wrong-match generator on dirty data; now it raises per row
+    val l = Seq((1L, Option(10L), "ok"), (1L, Option.empty[Long], "bad"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 5L, 100L)).toDF("k", "rt", "rid")
+    for (bcast <- Seq(Some(true), Some(false))) {
+      val err = intercept[Exception] {
+        AsOfJoin.join(graft.plans.AsOfDirection.Backward, l, r,
+          Seq(l("k")), Seq(r("k")), l("t"), r("rt"), Nil, None, bcast)
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(err).exists(_.contains("null left-side time")),
+        s"bcast=$bcast: expected the loud null-time message, got: ${msgs(err)}")
+    }
+    // null on the RIGHT side raises too
+    val rNull = Seq((1L, Option.empty[Long], 100L)).toDF("k", "rt", "rid")
+    val lOk = Seq((1L, 10L, "ok")).toDF("k", "t", "tag")
+    val errR = intercept[Exception] {
+      AsOfJoin.backward(lOk, rNull,
+        Seq(lOk("k")), Seq(rNull("k")), lOk("t"), rNull("rt")).collect()
+    }
+    def msgsR(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsR(t.getCause)
+    assert(msgsR(errR).exists(_.contains("null right-side time")))
+    // and non-null data through the guard still answers correctly
+    val fine = AsOfJoin.backward(lOk, r,
+      Seq(lOk("k")), Seq(r("k")), lOk("t"), r("rt"))
+      .select(col("rid")).as[Option[Long]].head()
+    assert(fine.contains(100L))
+  }
+
+  test("keyless (global) as-of: matches against the single global timeline") {
+    // pandas merge_asof with by=None — always the broadcast path
+    val l = Seq((5L, "a"), (18L, "b"), (100L, "c")).toDF("t", "tag")
+    val r = Seq((10L, 100L), (20L, 101L), (30L, 102L)).toDF("rt", "rid")
+    val out = AsOfJoin.backward(l, r,
+      leftKeys = Nil, rightKeys = Nil,
+      leftTime = l("t"), rightTime = r("rt"),
+      rightTiebreak = Seq(r("rid")))
+      .select(col("tag"), col("rid"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(out == Map(
+      "a" -> None,         // t=5: nothing at-or-before
+      "b" -> Some(100L),   // t=18: rt=10 is the latest at-or-before
+      "c" -> Some(102L)))  // t=100: global last row
+    // tolerance applies on the global timeline too
+    val tight = AsOfJoin.nearest(l, r,
+      Nil, Nil, l("t"), r("rt"), Seq(r("rid")), toleranceMs = Some(4L))
+      .select(col("tag"), col("rid"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(tight == Map("a" -> None, "b" -> Some(101L), "c" -> None))
+    // forcing the merge path keyless is rejected: nothing to cluster on
+    val err = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, Nil, Nil, l("t"), r("rt"),
+        broadcast = Some(false))
+    }
+    assert(err.getMessage.contains("keyless"))
   }
 
   test("empty sides: no right rows -> all-null matches; no left rows -> empty") {

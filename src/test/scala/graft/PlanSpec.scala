@@ -509,12 +509,16 @@ class PlanSpec extends SparkSuite {
       // one source-grain aggregate; totals via a global window over the
       // source-cardinality rows (single partition, metadata-scale)
       "p_epoch_plan" -> 1,
-      // native as-of join (round 10): each side shuffles ONLY ITSELF on
-      // its own key (SMJ-style co-partitioning) — 2 exchanges, but each
-      // carries one table in its own narrow shape, vs the union form's
-      // single exchange dragging both tables null-padded to the
-      // combined schema plus a window pass over the union
-      "q_asof_order" -> 2, "q_asof_forward" -> 2, "q_asof_nearest" -> 2,
+      // native as-of join (round 10/11): the dimension-sized orders
+      // side auto-selects the BROADCAST-INDEX path — the events fact
+      // table pays NO exchange at all (q_asof_order/nearest -> 0);
+      // q_asof_forward is pinned to the merge path (broadcast=false)
+      // to keep its SMJ-style two-side-local-exchange shape gated;
+      // q_asof_bucketed reads bucket-aligned tables through the merge
+      // exec with ZERO exchanges; q_asof_global's one exchange is the
+      // day-cardinality census aggregate feeding the broadcast
+      "q_asof_order" -> 0, "q_asof_forward" -> 2, "q_asof_nearest" -> 0,
+      "q_asof_bucketed" -> 0, "q_asof_global" -> 1,
       "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
       "q_first_order" -> 1,

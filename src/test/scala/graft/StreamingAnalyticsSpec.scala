@@ -312,7 +312,7 @@ class StreamingAnalyticsSpec extends SparkSuite {
       leftTimeCol = "ts_ms", rightTimeCol = "odate_ms",
       rightTiebreak = Seq("o_orderkey"),
       checkpoint = tmpDir("asof-ckpt"),
-      sink = b => got ++= b.select(col("event_id"), col("o_orderkey"))
+      sink = (b, _) => got ++= b.select(col("event_id"), col("o_orderkey"))
         .as[(Long, Option[Long])].collect())
     // one row per micro-batch: the probe must not depend on batching
     streamRows.foreach { r => mem.addData(r); q.processAllAvailable() }
