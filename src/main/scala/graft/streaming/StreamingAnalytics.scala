@@ -533,6 +533,135 @@ object StreamingAnalytics {
       }
   }
 
+  /** STREAM-STREAM as-of join — both sides unbounded: the real-time
+    * feature-store case where facts AND dimension updates arrive live
+    * (events + feature writes), completing the as-of family's streaming
+    * story beyond [[streamingAsOfProbe]]'s static right side. The
+    * backward arm of the native operator is exactly a one-row
+    * candidate memory per key — here that memory is made PERSISTENT:
+    * `flatMapGroupsWithState` keys the union of both streams on the
+    * join key and carries, per key, the latest right row at-or-before
+    * the stream's progress; each left row emits joined against the
+    * current state. State is ONE right row per key for any stream
+    * lifetime — O(keys), never O(stream) — and survives restarts
+    * through the checkpoint, so a dimension write from last week still
+    * enriches today's facts.
+    *
+    * Ordering contract: within a micro-batch rows process in
+    * (time, right-before-left, tiebreak) order, so a right row and the
+    * left rows at-or-after it in the same batch match exactly like the
+    * batch operator (right-time ties: last in tiebreak order wins).
+    * ACROSS batches, matching reflects ARRIVAL: a right row arriving
+    * after a left row it would have matched does not retro-match —
+    * the point-in-time contract of a live store (the batch join
+    * recomputes the retroactive truth nightly; equal-time ties across
+    * batches resolve freshest-write-wins). Rows older than the current
+    * WATERMARK are dropped loudly into nothing (the late-data bound;
+    * `watermark` sets the admission window). Right columns whose names
+    * clash with a left column get a `right_` prefix, the CLI's
+    * merge_asof suffix convention.
+    */
+  def streamingAsOfJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightTiebreak: Seq[String] = Nil,
+      toleranceMs: Option[Long] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    require(keys.nonEmpty, "stream-stream as-of needs at least one key")
+    val lSchema = left.schema
+    val rSchema = right.schema
+    val keySchema = StructType(keys.zipWithIndex.map { case ((lk, _), i) =>
+      StructField(s"k$i", lSchema(lk).dataType, nullable = true)
+    })
+    // one normalized union row: key fields, epoch-ms time, side tag
+    // (right = 0 sorts before left at equal time — rt == lt is a
+    // backward match), and each side's payload as a nullable struct
+    val lKeyCols = keys.zipWithIndex.map { case ((lk, _), i) => col(lk).as(s"_k$i") }
+    val rKeyCols = keys.zipWithIndex.map { case ((_, rk), i) => col(rk).as(s"_k$i") }
+    val l2 = left.select(lKeyCols ++ Seq(
+      col(leftTimeCol).cast(LongType).as("_t"), lit(1).as("_side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("_l"),
+      lit(null).cast(rSchema).as("_r")): _*)
+    val r2 = right.select(rKeyCols ++ Seq(
+      col(rightTimeCol).cast(LongType).as("_t"), lit(0).as("_side"),
+      lit(null).cast(lSchema).as("_l"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("_r")): _*)
+    val unioned = l2.unionByName(r2)
+      .withColumn("_et", timestamp_millis(col("_t")))
+      .withWatermark("_et", watermark)
+    val outSchema = StructType(
+      lSchema.fields.toIndexedSeq ++ rSchema.fields.map { f =>
+        val name = if (lSchema.fieldNames.contains(f.name)) s"right_${f.name}" else f.name
+        StructField(name, f.dataType, nullable = true)
+      })
+    val stateSchema = StructType(Seq(
+      StructField("t", LongType, nullable = false),
+      StructField("r", rSchema, nullable = true)))
+    val nKeys = keys.length
+    val tbIdx = rightTiebreak.map(rSchema.fieldIndex)
+    val tol = toleranceMs
+    val nL = lSchema.length
+    val nR = rSchema.length
+    implicit val keyEnc = Encoders.row(keySchema)
+    implicit val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.row(stateSchema)
+    def cmpAny(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    unioned
+      .groupByKey(r => Row.fromSeq((0 until nKeys).map(r.get)))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Row, it: Iterator[Row], state: GroupState[Row]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // (time, right-first, tiebreak) — the merge exec's right-side
+          // ordering, applied inside the batch
+          val rows = it.toArray.sortWith { (a, b) =>
+            val ta = a.getLong(nKeys); val tb = b.getLong(nKeys)
+            if (ta != tb) ta < tb
+            else {
+              val sa = a.getInt(nKeys + 1); val sb = b.getInt(nKeys + 1)
+              if (sa != sb) sa < sb
+              else if (sa == 0 && tbIdx.nonEmpty) {
+                val ra = a.getStruct(nKeys + 3); val rb = b.getStruct(nKeys + 3)
+                tbIdx.iterator.map(i => cmpAny(ra.get(i), rb.get(i)))
+                  .find(_ != 0).getOrElse(0) < 0
+              } else false
+            }
+          }
+          var curT = state.getOption.map(_.getLong(0)).getOrElse(Long.MinValue)
+          var curR = state.getOption.map(_.get(1).asInstanceOf[Row]).orNull
+          val out = Seq.newBuilder[Row]
+          rows.foreach { r =>
+            val t = r.getLong(nKeys)
+            if (t >= wm) { // watermark bound: older rows are late, dropped
+              if (r.getInt(nKeys + 1) == 0) {
+                // right row: freshest at-or-after the held one wins
+                if (t >= curT) { curT = t; curR = r.getStruct(nKeys + 3) }
+              } else {
+                val l = r.getStruct(nKeys + 2)
+                val matched = curR != null && tol.forall(t - curT <= _)
+                val rVals =
+                  if (matched) (0 until nR).map(curR.get)
+                  else IndexedSeq.fill[Any](nR)(null)
+                out += Row.fromSeq((0 until nL).map(l.get) ++ rVals)
+              }
+            }
+          }
+          if (curR != null) state.update(Row(curT, curR))
+          out.result().iterator
+      }(stateEnc, outEnc)
+      .toDF()
+  }
+
   /** Stream-stream inner join — both sides unbounded: orders and events
     * join on the customer key within a bounded event-time window
     * (event within 1 hour AFTER its order). The time-range predicate +

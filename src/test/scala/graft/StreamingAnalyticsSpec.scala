@@ -322,6 +322,60 @@ class StreamingAnalyticsSpec extends SparkSuite {
       s"streaming as-of diverged: ${got.toSet} vs $expected")
   }
 
+  test("stream-stream as-of: two file streams, restart mid-stream, equals the batch join") {
+    val dir = tmpDir("ss-asof")
+    // phase 1: dimension writes land, then facts arrive
+    Seq((1L, 10L, 100L), (1L, 10L, 101L), (2L, 5L, 200L))
+      .toDF("k", "rt", "rid").write.mode("overwrite").parquet(s"$dir/right")
+    Seq((1L, 18L, 0L), (2L, 10L, 1L), (3L, 7L, 2L))
+      .toDF("k", "t", "lid").write.mode("overwrite").parquet(s"$dir/left")
+    val lSchema = spark.read.parquet(s"$dir/left").schema
+    val rSchema = spark.read.parquet(s"$dir/right").schema
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    def runOnce(): Unit = {
+      val l = spark.readStream.schema(lSchema).parquet(s"$dir/left")
+      val r = spark.readStream.schema(rSchema).parquet(s"$dir/right")
+      val joined = StreamingAnalytics.streamingAsOfJoinStream(
+        l, r, Seq("k" -> "k"), "t", "rt", rightTiebreak = Seq("rid"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // clash prefix applies to "k" only; "rid" is unique to the right
+          got ++= b.select(col("lid"), col("rid"))
+            .as[(Long, Option[Long])].collect()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // backward semantics inside one batch: tie on rt=10 -> last rid wins
+    assert(got.toMap == Map(0L -> Some(101L), 1L -> Some(200L), 2L -> None),
+      s"phase 1 diverged: ${got.toMap}")
+    // phase 2: BOTH streams advance; the restarted query must resume
+    // from the checkpoint and key 2's held dimension row (written in
+    // phase 1) must still enrich a phase-2 fact
+    Seq((1L, 30L, 102L))
+      .toDF("k", "rt", "rid").write.mode("append").parquet(s"$dir/right")
+    Seq((1L, 31L, 3L), (2L, 6L, 4L))
+      .toDF("k", "t", "lid").write.mode("append").parquet(s"$dir/left")
+    runOnce()
+    assert(got.size == 5, s"restart must process only the new files: $got")
+    // the full streamed result equals the BATCH native as-of join over
+    // the complete inputs (the feeds are time-ordered, so arrival
+    // matching and retroactive truth coincide)
+    val lB = spark.read.parquet(s"$dir/left")
+    val rB = spark.read.parquet(s"$dir/right")
+    val batch = graft.plans.AsOfJoin.backward(lB, rB,
+      Seq(lB("k")), Seq(rB("k")), lB("t"), rB("rt"), Seq(rB("rid")))
+      .select(col("lid"), col("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got.toMap == batch,
+      s"stream-stream as-of diverged from batch: ${got.toMap} vs $batch")
+  }
+
   test("streaming cusum equals the batch changepoint census on a replayed feed") {
     implicit val ctx = spark.sqlContext
     val sf = SparkSuite.sf0001
