@@ -249,9 +249,11 @@ object TextQueries {
     * Measured cost of the bound (Profile, warm, local[32]): ~0.8s at
     * sf0.01 and ~4s at sf0.1 vs ~2.2s for the unbounded self-join it
     * replaced — the same constant-vs-quadratic trade as
-    * [[jaccardPrefixFiltered]] (whose crossover extrapolates to ~sf1):
-    * the df aggregate + prefix build are linear passes bought to cap a
-    * bucket term that is unbounded in the corpus duplicate structure.
+    * [[jaccardPrefixFiltered]] (whose crossover was MEASURED in round
+    * 11 to sit before sf1 — see the README crossover table): the df
+    * aggregate + prefix build are linear passes bought to cap a bucket
+    * term that is unbounded in the corpus duplicate structure; at the
+    * round-11 sf1 point this query scales 10× data → 2.2–7× time.
     */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val docsG = gramArrays(docs(spark, dir))
@@ -317,11 +319,14 @@ object TextQueries {
     *
     * Measured crossover (Profile, warm, local[32]): the prefix
     * machinery's constant costs 1.7x the unfiltered join at sf0.01
-    * (0.95s vs 0.56s) but only 1.25x at sf0.1 (3.2s vs 2.5s) — the
-    * gap closes as the quadratic bucket term grows, extrapolating to
-    * parity around sf1 (~10x the largest local fixture) and to the
-    * prefix path being the only affordable exact path at corpus scale,
-    * where bucket sizes, not scan constants, dominate.
+    * (0.95s vs 0.56s) but only 1.25x at sf0.1 (3.2s vs 2.5s) — and
+    * round 11 MEASURED the sf1 point on a matched-marginals 50k-doc
+    * corpus (same vocabulary, so same bucket density): unfiltered
+    * 50.4s (25.7x for 10x data — the quadratic term, on schedule) vs
+    * prefix 31.5s (11.6x, near-linear). The crossover sits BEFORE sf1;
+    * beyond it the prefix path is the only affordable exact path,
+    * where bucket sizes, not scan constants, dominate. Full table in
+    * the README's "Current numbers" section.
     */
   def jaccardPrefixFiltered(spark: SparkSession, dir: String): DataFrame = {
     val (grams, _) = gramTables(spark, dir)
@@ -3332,7 +3337,13 @@ object TextQueries {
     *
     * Scale shape: one corpus pass for signatures (docs×64 output), the
     * calibration join touches pair-scale rows only. No new pair term:
-    * the pair set is the prefix-bounded Jaccard join's output.
+    * the pair set is the prefix-bounded Jaccard join's output —
+    * [[jaccardPrefixFiltered]], NOT the unfiltered [[ngramJaccard]]
+    * (identical rows by the prefix filter's proven losslessness, same
+    * oracle). The round-11 sf1 probe caught the code calling the
+    * unfiltered join while this doc claimed the bounded one: 84.7s at
+    * sf1, inheriting the quadratic bucket term the calibration has no
+    * business paying; the swap is output-identical and scale-safe.
     */
   def bbitMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -3365,7 +3376,7 @@ object TextQueries {
           }
         }
       }.toDF("doc_id", "i", "bit")
-    val pairs = ngramJaccard(spark, dir)
+    val pairs = jaccardPrefixFiltered(spark, dir)
     pairs
       .join(bits.select(col("doc_id").as("id1"), col("i"), col("bit").as("b1")), "id1")
       .join(bits.select(col("doc_id").as("id2"), col("i"), col("bit").as("b2")),
