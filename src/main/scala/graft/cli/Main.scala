@@ -40,6 +40,15 @@ import java.time.temporal.ChronoUnit
   *          either layout back)
   *   curate --in <dir with documents.parquet> --out <parquet>
   *          (quality gates + dedup + decontamination; prints the funnel)
+  *   join-asof --left <parquet> --right <parquet> --on k[=rk][,...]
+  *             --left-time <col> --right-time <col> --out <parquet>
+  *             [--direction backward|forward|nearest] [--tolerance-ms N]
+  *             [--tiebreak c,...]
+  *             [--stream --checkpoint <dir> [--right-stream [--watermark 10minutes]]]
+  *          (point-in-time enrichment, left-total; --stream consumes the
+  *          left dir incrementally against the static right; adding
+  *          --right-stream makes BOTH sides live — per-key dimension
+  *          state carried across batches and restarts, backward only)
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -662,6 +671,38 @@ object Main {
       // the same checkpoint joins only new files' rows
       val ckpt = o.getOrElse("checkpoint", throw new IllegalArgumentException(
         "--checkpoint <dir> is required with --stream"))
+      if (o.contains("right-stream")) {
+        // BOTH sides streaming (facts + live dimension writes): per-key
+        // last-right-row state carried across micro-batches and restarts.
+        // Matching is arrival-order (the live point-in-time contract), so
+        // only the backward direction is meaningful here — a forward match
+        // would need future right rows the stream hasn't seen yet.
+        if (dir != AsOfDirection.Backward)
+          throw new IllegalArgumentException(
+            "--right-stream supports only --direction backward: a live " +
+            "join can only match dimension rows that have already arrived")
+        val rightStream = spark.readStream.schema(r.schema).parquet(rightIn)
+        val leftStream = spark.readStream.schema(l.schema).parquet(leftIn)
+        val joined = graft.streaming.StreamingAnalytics.streamingAsOfJoinStream(
+          leftStream, rightStream, keys, lTime, rTime, tiebreak, tol,
+          // "10minutes" → "10 minutes": a spaced value would be split
+          // into two argv tokens by sbt/shell before parseArgs sees it
+          watermark = o.getOrElse("watermark", "1 hour")
+            .replaceAll("(?<=\\d)(?=[a-zA-Z])", " "))
+        val before = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+        // the parquet FILE sink (not foreachBatch): its sink log makes
+        // replayed epochs invisible to readers — exactly-once without the
+        // batch_id partition convention the static-right branch needs
+        val q = joined.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val after = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+        return (out, after - before)
+      }
       val leftStream = spark.readStream.schema(l.schema).parquet(leftIn)
       val before = scala.util.Try(
         spark.read.parquet(out).count()).getOrElse(0L)

@@ -497,6 +497,41 @@ class BuildIndexCliSpec extends SparkSuite {
       s"both runs' backward matches must accumulate in out: $got")
   }
 
+  test("join-asof --right-stream: both sides live, dimension state survives restart") {
+    val dir = tmpDir("cli-asof-ss")
+    Seq((1L, 10L, 100L))
+      .toDF("k", "rt", "rid").write.mode("overwrite").parquet(s"$dir/right")
+    Seq((1L, 18L, 0L)).toDF("k", "t", "lid")
+      .write.mode("overwrite").parquet(s"$dir/left")
+    val args = Map(
+      "left" -> s"$dir/left", "right" -> s"$dir/right",
+      "on" -> "k", "left-time" -> "t", "right-time" -> "rt",
+      "tiebreak" -> "rid", "stream" -> "true", "right-stream" -> "true",
+      "watermark" -> "1hour", // unspaced form: one argv token pre-parse
+      "checkpoint" -> s"$dir/ckpt", "out" -> s"$dir/out")
+    val (_, n1) = Main.joinAsofCmd(spark, args)
+    assert(n1 == 1L)
+    // BOTH sides advance; the restarted query must resume from the
+    // checkpoint, see only the new files, and key 1's held dimension row
+    // must have been superseded by the newer write before the new fact
+    Seq((1L, 30L, 102L))
+      .toDF("k", "rt", "rid").write.mode("append").parquet(s"$dir/right")
+    Seq((1L, 31L, 1L), (2L, 6L, 4L)).toDF("k", "t", "lid")
+      .write.mode("append").parquet(s"$dir/left")
+    val (_, n2) = Main.joinAsofCmd(spark, args)
+    assert(n2 == 2L, s"restart must join only the new files' rows, got $n2")
+    val got = spark.read.parquet(s"$dir/out").select("lid", "rid")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(0L -> Some(100L), 1L -> Some(102L), 4L -> None),
+      s"stream-stream CLI result diverged: $got")
+    // a live join can't look forward: reject loudly
+    val bad = intercept[IllegalArgumentException] {
+      Main.joinAsofCmd(spark, args ++ Map("direction" -> "forward",
+        "checkpoint" -> s"$dir/ckpt2", "out" -> s"$dir/out2"))
+    }
+    assert(bad.getMessage.contains("backward"))
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
