@@ -82,6 +82,14 @@ object Bench {
     canaryShuffleOnce()
     val canaryBefore = math.min(canaryOnce(), canaryOnce())
     val canaryShufBefore = math.min(canaryShuffleOnce(), canaryShuffleOnce())
+    // Per-decile shuffle canaries (r10 verdict task 2): the r10 artifact's
+    // before/after pair (1.09 -> 10.43) proved the throttle can degrade
+    // MID-run, leaving no way to tell which timings it touched. One shuffle
+    // probe after every ~10% of the board stamps the box's I/O speed along
+    // the run, so a reader can see exactly which stretch of queries ran
+    // throttled instead of guessing from two endpoints. Cost: ~10 probes of
+    // ~0.3-0.5s against a ~2-minute board.
+    val canaryTrack = scala.collection.mutable.ArrayBuffer.empty[Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
     // min of 2 runs per query: run 1 pays one-time janino/JIT compilation
     // of that query's operator shapes (measured 2-10x of steady state and
@@ -106,7 +114,9 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+    val decileEvery = math.max(1, SparkEntry.queries.size / 10)
+    val firstPass = SparkEntry.queries.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % decileEvery == 0) canaryTrack += canaryShuffleOnce()
       name -> (1 to 2).map(_ => timeOnce(name, fn))
     }
     // The box shows a multi-minute throttle duty cycle (README noise
@@ -133,7 +143,7 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def q(s: String): String =
       "\"" + s.flatMap { c => if (c == '"' || c == '\\') "\\" + c else if (c < ' ') " " else c.toString } + "\""
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
@@ -141,7 +151,8 @@ object Bench {
     val canaryShufAfter = math.min(canaryShuffleOnce(), canaryShuffleOnce())
     val canary = s"""{"before":${fmt(canaryBefore)},"after":${fmt(canaryAfter)},"ratio":${fmt(
       if (canaryBefore > 0) canaryAfter / canaryBefore else 1.0)},"shuffle_before":${fmt(
-      canaryShufBefore)},"shuffle_after":${fmt(canaryShufAfter)}}"""
+      canaryShufBefore)},"shuffle_after":${fmt(canaryShufAfter)},"shuffle_track":${
+      canaryTrack.map(fmt).mkString("[", ",", "]")}}"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canary,"sf":"$sfDir"}"""
     // durable copy the driver (or a human) can read even if stdout is
     // truncated; r5's report was lost to exactly that
