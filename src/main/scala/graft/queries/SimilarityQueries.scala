@@ -106,6 +106,15 @@ object SimilarityQueries {
     * tiled path runs B times. Zero-norm vectors have NaN cosine to
     * everything; `c >= 0.45` is false for NaN, so they never pair —
     * deterministic and oracle-matching (DuckDB's NaN comparison agrees).
+    *
+    * Measured scaling (round-11 sf1 sweep, matched-marginals 10×
+    * embeddings): 0.48s → 22.8s — the board's steepest ratio, and the
+    * EXPECTED one: exact all-pairs is O(N²) by contract (100× pairs,
+    * 12.8 GFLOP of dots at 20k×64), sub-quadratic wall-clock only via
+    * amortized fixed costs. This is the exactness anchor the sketch
+    * paths are gated against; for scale use
+    * [[graft.queries.TextQueries.minhashLsh]]/[[semDedup]] or the ANN
+    * family (all ≤ 10× in the same sweep).
     */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     embedNearDupImpl(spark, dir, maxBlockRows)
