@@ -376,6 +376,62 @@ class StreamingAnalyticsSpec extends SparkSuite {
       s"stream-stream as-of diverged from batch: ${got.toMap} vs $batch")
   }
 
+  test("stream-stream as-of: randomized time-sliced feeds equal the batch join") {
+    // the equality contract: on feeds that arrive in time order (sliced
+    // into phases along a shared time axis, both sides advancing each
+    // phase), arrival-order matching and retroactive batch truth
+    // coincide — for ANY key/time layout, with and without tolerance.
+    // Random keys/times; equal-time ties stay within one phase by
+    // construction (phase boundaries cut the time axis, not row counts),
+    // so the in-batch (time, right-first, tiebreak) sort governs them.
+    val rnd = new scala.util.Random(11)
+    for (tol <- Seq(None, Some(40L))) {
+      val dir = tmpDir(s"ss-asof-rand-tol${tol.isDefined}")
+      def gen(n: Int): Seq[(Long, Long, Long)] =
+        (0 until n).map(i => (rnd.nextInt(5).toLong + 1L, rnd.nextInt(300).toLong, i.toLong))
+      val right = gen(120) // (k, rt, rid)
+      val left = gen(120)  // (k, t, lid)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+      var first = true
+      for ((lo, hi) <- Seq((0L, 100L), (100L, 200L), (200L, 300L))) {
+        val mode = if (first) "overwrite" else "append"
+        right.filter(r => r._2 >= lo && r._2 < hi)
+          .toDF("k", "rt", "rid").write.mode(mode).parquet(s"$dir/right")
+        left.filter(r => r._2 >= lo && r._2 < hi)
+          .toDF("k", "t", "lid").write.mode(mode).parquet(s"$dir/left")
+        first = false
+        val lSchema = spark.read.parquet(s"$dir/left").schema
+        val rSchema = spark.read.parquet(s"$dir/right").schema
+        val joined = StreamingAnalytics.streamingAsOfJoinStream(
+          spark.readStream.schema(lSchema).parquet(s"$dir/left"),
+          spark.readStream.schema(rSchema).parquet(s"$dir/right"),
+          Seq("k" -> "k"), "t", "rt",
+          rightTiebreak = Seq("rid"), toleranceMs = tol)
+        val q = joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            got ++= b.select(col("lid"), col("rid"))
+              .as[(Long, Option[Long])].collect()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val lB = spark.read.parquet(s"$dir/left")
+      val rB = spark.read.parquet(s"$dir/right")
+      val batch = graft.plans.AsOfJoin.backward(lB, rB,
+        Seq(lB("k")), Seq(rB("k")), lB("t"), rB("rt"), Seq(rB("rid")),
+        toleranceMs = tol)
+        .select(col("lid"), col("rid"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got.size == left.size, s"left-total violated: ${got.size}")
+      assert(got.toMap == batch,
+        s"randomized stream-stream (tol=$tol) diverged from batch")
+    }
+  }
+
   test("streaming cusum equals the batch changepoint census on a replayed feed") {
     implicit val ctx = spark.sqlContext
     val sf = SparkSuite.sf0001
