@@ -14,8 +14,9 @@ base = json.load(open(sys.argv[1]))
 scaled = json.load(open(sys.argv[2]))
 threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
 
+ratio_total = scaled["value"] / base["value"] if base["value"] else float("nan")
 print(f"base total {base['value']}s | scaled total {scaled['value']}s "
-      f"({scaled['value']/base['value']:.1f}x) | scaled errors {scaled['errors']}")
+      f"({ratio_total:.1f}x) | scaled errors {scaled['errors']}")
 print(f"scaled canary: {scaled['canary']}")
 
 rows = []
@@ -33,4 +34,7 @@ for r, q, t0, t1 in rows[:25]:
     print(f"{q:28s} {t0:7.2f}s -> {t1:8.2f}s  {r:6.1f}x{flag}")
 over = [q for r, q, *_ in rows if r > threshold]
 print(f"\n{len(over)} over {threshold}x: {over}")
-print(f"median ratio: {sorted(r for r, *_ in rows)[len(rows)//2]:.2f}")
+if rows:
+    print(f"median ratio: {sorted(r for r, *_ in rows)[len(rows)//2]:.2f}")
+else:
+    print("no common query names between the two artifacts — nothing compared")

@@ -33,6 +33,7 @@ and:   sbt "runMain graft.tools.AsOfAb <outDir> 4" for the as-of paths.
 Requires duckdb + numpy (the driver-side python env has both). Runtime
 ~2-3 min. Uses no network.
 """
+import os
 import sys
 
 import duckdb
@@ -40,6 +41,7 @@ import numpy as np
 import random
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+os.makedirs(out, exist_ok=True)  # duckdb COPY does not create parents
 SRC = "/root/testdata/sf0.1"
 con = duckdb.connect()
 con.execute("SELECT setseed(0.42)")

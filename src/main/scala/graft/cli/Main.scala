@@ -48,7 +48,11 @@ import java.time.temporal.ChronoUnit
   *          (point-in-time enrichment, left-total; --stream consumes the
   *          left dir incrementally against the static right; adding
   *          --right-stream makes BOTH sides live — per-key dimension
-  *          state carried across batches and restarts, backward only)
+  *          state carried across batches and restarts, backward only,
+  *          and left-total only up to the watermark: facts arriving
+  *          later than --watermark behind the stream's max event time
+  *          are late data and are dropped, so widen it for catch-up
+  *          runs over deep backlogs)
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,

@@ -331,7 +331,7 @@ object AsOfJoin {
     * contract. Numeric columns are already the caller's epoch-ms and
     * just widen to long.
     */
-  private def toEpochMs(c: Column): Column = {
+  private[graft] def toEpochMs(c: Column): Column = {
     val isTimeTyped = {
       val e = GraftSqlShim.expr(c)
       e.resolved && (e.dataType match {
@@ -353,7 +353,7 @@ object AsOfJoin {
     * Nullable time columns instead raise per offending row via
     * `raise_error`; statically non-nullable columns skip the branch.
     */
-  private def guardedEpochMs(c: Column, side: String): Column = {
+  private[graft] def guardedEpochMs(c: Column, side: String): Column = {
     val ms = toEpochMs(c)
     val e = GraftSqlShim.expr(ms)
     if (e.resolved && !e.nullable) ms

@@ -182,27 +182,80 @@ final class AsOfBroadcastIndex(
 
 object AsOfBroadcastIndex {
 
-  /** Per-executor memo: one index per broadcast row array. Keyed
-    * WEAKLY on the array instance the broadcast manager caches, so the
-    * entry (and the index) is collectable exactly when the broadcast
-    * block is — no unbounded growth across a long session's many
-    * joins. The lock covers build-or-get; concurrent tasks of the same
-    * stage wait for one build instead of each paying the sort.
+  /** One memoized index per (broadcast row array, bound key/time/
+    * tiebreak expressions). The expressions are part of the key because
+    * a REUSED BroadcastExchange hands the SAME row-array instance to
+    * every consumer: two as-of joins over one dimension but different
+    * time columns (effective_ts vs expiry_ts) would otherwise share one
+    * index and the second join's binary searches would run over the
+    * wrong column's times — silently wrong matches, no error. Entries
+    * under one array are a short list matched by `semanticEquals`
+    * (reused-exchange consumers are few).
+    */
+  private final case class Entry(
+      keys: Seq[Expression], time: Expression, tb: Seq[Expression],
+      index: AsOfBroadcastIndex)
+
+  /** Per-executor memo, keyed WEAKLY on the array instance the
+    * broadcast manager caches, so entries (and their indexes) are
+    * collectable exactly when the broadcast block is — no unbounded
+    * growth across a long session's many joins.
     */
   private val cache =
-    new java.util.WeakHashMap[Array[InternalRow], AsOfBroadcastIndex]()
+    new java.util.WeakHashMap[Array[InternalRow], java.util.ArrayList[Entry]]()
+
+  /** Per-array build monitors: concurrent tasks of the same stage wait
+    * for ONE build of their array's index instead of each paying the
+    * sort, while builds for DIFFERENT broadcasts proceed in parallel
+    * (a single global build lock would serialize unrelated joins'
+    * dimension-sized sorts behind one monitor).
+    */
+  private val slots =
+    new java.util.WeakHashMap[Array[InternalRow], Object]()
+
+  private def sameExprs(a: Seq[Expression], b: Seq[Expression]): Boolean =
+    a.length == b.length &&
+      a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
 
   def forRows(
       rows: Array[InternalRow],
       boundKeys: Seq[Expression],
       boundTime: Expression,
-      boundTiebreak: Seq[Expression]): AsOfBroadcastIndex = cache.synchronized {
-    val hit = cache.get(rows)
-    if (hit != null) hit
-    else {
-      val built = build(rows, boundKeys, boundTime, boundTiebreak)
-      cache.put(rows, built)
-      built
+      boundTiebreak: Seq[Expression]): AsOfBroadcastIndex = {
+    def lookup(): AsOfBroadcastIndex = {
+      val list = cache.get(rows)
+      if (list == null) null
+      else {
+        var i = 0
+        while (i < list.size) {
+          val e = list.get(i)
+          if (sameExprs(e.keys, boundKeys) && e.time.semanticEquals(boundTime) &&
+              sameExprs(e.tb, boundTiebreak)) return e.index
+          i += 1
+        }
+        null
+      }
+    }
+    val slot = slots.synchronized {
+      var s = slots.get(rows)
+      if (s == null) { s = new Object; slots.put(rows, s) }
+      s
+    }
+    slot.synchronized {
+      val hit = cache.synchronized(lookup())
+      if (hit != null) hit
+      else {
+        val built = build(rows, boundKeys, boundTime, boundTiebreak)
+        cache.synchronized {
+          var list = cache.get(rows)
+          if (list == null) {
+            list = new java.util.ArrayList[Entry]()
+            cache.put(rows, list)
+          }
+          list.add(Entry(boundKeys, boundTime, boundTiebreak, built))
+        }
+        built
+      }
     }
   }
 

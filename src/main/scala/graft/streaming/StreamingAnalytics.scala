@@ -556,8 +556,16 @@ object StreamingAnalytics {
     * the point-in-time contract of a live store (the batch join
     * recomputes the retroactive truth nightly; equal-time ties across
     * batches resolve freshest-write-wins). Rows older than the current
-    * WATERMARK are dropped loudly into nothing (the late-data bound;
-    * `watermark` sets the admission window). Right columns whose names
+    * WATERMARK are dropped — including LEFT rows, so the output is
+    * left-total only up to the watermark: a fact arriving later than
+    * `watermark` behind the stream's max event time is late data and
+    * produces NO output row (`watermark` sets that admission window;
+    * widen it for catch-up runs over deep backlogs). Time columns
+    * normalize exactly like the batch operator ([[graft.plans.AsOfJoin]]):
+    * TIMESTAMP/DATE via `unix_millis` (epoch MILLISECONDS — so
+    * `toleranceMs` and `watermark` mean the same thing on both paths),
+    * numerics via cast; a NULL time raises per row instead of matching
+    * at epoch 0. Right columns whose names
     * clash with a left column get a `right_` prefix, the CLI's
     * merge_asof suffix convention.
     */
@@ -583,12 +591,19 @@ object StreamingAnalytics {
     // backward match), and each side's payload as a nullable struct
     val lKeyCols = keys.zipWithIndex.map { case ((lk, _), i) => col(lk).as(s"_k$i") }
     val rKeyCols = keys.zipWithIndex.map { case ((_, rk), i) => col(rk).as(s"_k$i") }
+    // time normalization MUST match the batch operator's: TIMESTAMP/DATE
+    // columns go through unix_millis (a bare cast(LongType) yields
+    // SECONDS — a silent 1000x shift of tolerance and watermark), and a
+    // null time raises per row instead of matching at epoch 0 — the same
+    // loud contract the batch API enforces
     val l2 = left.select(lKeyCols ++ Seq(
-      col(leftTimeCol).cast(LongType).as("_t"), lit(1).as("_side"),
+      graft.plans.AsOfJoin.guardedEpochMs(left(leftTimeCol), "left").as("_t"),
+      lit(1).as("_side"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("_l"),
       lit(null).cast(rSchema).as("_r")): _*)
     val r2 = right.select(rKeyCols ++ Seq(
-      col(rightTimeCol).cast(LongType).as("_t"), lit(0).as("_side"),
+      graft.plans.AsOfJoin.guardedEpochMs(right(rightTimeCol), "right").as("_t"),
+      lit(0).as("_side"),
       lit(null).cast(lSchema).as("_l"),
       struct(right.columns.map(col).toIndexedSeq: _*).as("_r")): _*)
     val unioned = l2.unionByName(r2)

@@ -455,4 +455,59 @@ class AsOfJoinSpec extends SparkSuite {
     assert(AsOfJoin.backward(emptyL, r,
       Seq(emptyL("k")), Seq(r("k")), emptyL("t"), r("rt")).count() == 0)
   }
+
+  test("broadcast index memo keys on the bound expressions, not just the row array") {
+    // a REUSED BroadcastExchange hands every consumer the SAME row-array
+    // instance: two joins over one dimension but different time columns
+    // must not share an index (the second's binary searches would run
+    // over the wrong column's times — silently wrong matches)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.types.LongType
+    import graft.plans.{AsOfBroadcastIndex, AsOfDirection}
+    // (k, t1, t2): by t1 row0 precedes row1; by t2 the ORDER FLIPS
+    val rows: Array[InternalRow] = Array(
+      InternalRow(1L, 10L, 100L), InternalRow(1L, 20L, 90L))
+    val key = Seq(BoundReference(0, LongType, nullable = false))
+    val t1 = BoundReference(1, LongType, nullable = false)
+    val t2 = BoundReference(2, LongType, nullable = false)
+    val idx1 = AsOfBroadcastIndex.forRows(rows, key, t1, Nil)
+    val idx2 = AsOfBroadcastIndex.forRows(rows, key, t2, Nil)
+    assert(idx1 ne idx2, "same array + different time expr must not share an index")
+    // and the memo still dedups true repeats (same exprs -> same instance)
+    assert(AsOfBroadcastIndex.forRows(rows, key, t1, Nil) eq idx1)
+    val probeKey = UnsafeProjection.create(
+      Seq(BoundReference(0, LongType, nullable = false)))(InternalRow(1L)).copy()
+    // backward at lt=15: by t1 the match is the t1=10 row; by t2 NOTHING
+    // is at-or-before 15 — a shared index would return the wrong answer
+    val m1 = idx1.probe(probeKey, 15L, AsOfDirection.Backward, None)
+    assert(m1 != null && m1.getLong(1) == 10L)
+    assert(idx2.probe(probeKey, 15L, AsOfDirection.Backward, None) == null)
+    // by t2 at lt=95 the match is the (t2=90, t1=20) row
+    val m2 = idx2.probe(probeKey, 95L, AsOfDirection.Backward, None)
+    assert(m2 != null && m2.getLong(2) == 90L && m2.getLong(1) == 20L)
+  }
+
+  test("two broadcast as-of joins over the same dimension, different time columns") {
+    // end-to-end twin of the memo test: one action planning both joins,
+    // so a reused exchange (when the planner chooses it) flows through
+    // the per-expression memo entries
+    val r = Seq((1L, 10L, 100L, 7L), (1L, 20L, 90L, 8L))
+      .toDF("k", "t1", "t2", "rid")
+    val l = Seq((1L, 15L, 0L), (1L, 95L, 1L)).toDF("k", "t", "lid")
+    val j1 = AsOfJoin.backward(l, r, Seq(l("k")), Seq(r("k")),
+      l("t"), r("t1"), broadcast = Some(true))
+      .select(col("lid"), lit("t1").as("via"), col("rid"))
+    val j2 = AsOfJoin.backward(l, r, Seq(l("k")), Seq(r("k")),
+      l("t"), r("t2"), broadcast = Some(true))
+      .select(col("lid"), lit("t2").as("via"), col("rid"))
+    val got = j1.unionByName(j2).as[(Long, String, Option[Long])]
+      .collect().map(x => (x._1, x._2) -> x._3).toMap
+    assert(got == Map(
+      (0L, "t1") -> Some(7L),  // t=15: t1=10 row
+      (1L, "t1") -> Some(8L),  // t=95: t1=20 row (latest <= 95)
+      (0L, "t2") -> None,      // t=15: no t2 <= 15
+      (1L, "t2") -> Some(8L)), // t=95: t2=90 row
+      s"cross-contaminated broadcast index: $got")
+  }
 }

@@ -432,6 +432,56 @@ class StreamingAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("stream-stream as-of: TIMESTAMP time columns mean milliseconds, nulls raise") {
+    // the batch operator normalizes TIMESTAMP via unix_millis; a bare
+    // cast(LongType) yields SECONDS — same flags would silently mean a
+    // 1000x wider tolerance on the streaming path
+    val dir = tmpDir("ss-asof-ts")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 00:00:00"), 100L))
+      .toDF("k", "rt", "rid").write.mode("overwrite").parquet(s"$dir/right")
+    Seq((1L, ts("2024-01-01 00:00:03"), 0L),  // 3s stale: within 5s tolerance
+        (1L, ts("2024-01-01 00:00:10"), 1L))  // 10s stale: must NOT match
+      .toDF("k", "t", "lid").write.mode("overwrite").parquet(s"$dir/left")
+    val lSchema = spark.read.parquet(s"$dir/left").schema
+    val rSchema = spark.read.parquet(s"$dir/right").schema
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val q = StreamingAnalytics.streamingAsOfJoinStream(
+      spark.readStream.schema(lSchema).parquet(s"$dir/left"),
+      spark.readStream.schema(rSchema).parquet(s"$dir/right"),
+      Seq("k" -> "k"), "t", "rt", toleranceMs = Some(5000L))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= b.select(col("lid"), col("rid")).as[(Long, Option[Long])].collect()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.toMap == Map(0L -> Some(100L), 1L -> None),
+      s"tolerance must be MILLISECONDS on timestamp columns: ${got.toMap}")
+    // null time: the same loud per-row contract as the batch API
+    Seq((Some(1L), Option.empty[java.sql.Timestamp], Some(2L)))
+      .toDF("k", "t", "lid").write.mode("append").parquet(s"$dir/left")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = StreamingAnalytics.streamingAsOfJoinStream(
+        spark.readStream.schema(lSchema).parquet(s"$dir/left"),
+        spark.readStream.schema(rSchema).parquet(s"$dir/right"),
+        Seq("k" -> "k"), "t", "rt")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("noop")
+        .start()
+      q2.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("null left-side time")),
+      s"null time must raise the batch API's message: ${messages(err)}")
+  }
+
   test("streaming cusum equals the batch changepoint census on a replayed feed") {
     implicit val ctx = spark.sqlContext
     val sf = SparkSuite.sf0001
