@@ -80,6 +80,7 @@ object SparkEntry {
     "q_asof_bucketed" -> (AnalyticsQueries.asofJoinBucketed _),
     "q_asof_global" -> (AnalyticsQueries.asofJoinGlobal _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
+    "q_interval_overlap" -> (AnalyticsQueries.intervalOverlapJoin _),
     "q19_disjunct" -> (AnalyticsQueries.q19Disjunct _),
     "q14_promo" -> (AnalyticsQueries.q14PromoShare _),
     "q10_returns" -> (AnalyticsQueries.q10ReturnedItems _),
@@ -510,6 +511,38 @@ object SparkEntry {
           |  ON e.user_id = o.o_custkey
           | AND e.ts_ms >= o.odate_ms AND e.ts_ms < o.odate_ms + 129600000
           |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+      // Interval OVERLAP join: the oracle states the naive inequality
+      // join over the session intervals (sessionize's lag/sum contract)
+      // and the 10-minute error windows; Spark executes the day-bucketed
+      // exactly-once form (pair counted in its overlap-start bucket).
+      "q_interval_overlap" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+          |flagged AS (
+          |  SELECT user_id, event_id, ts_ms,
+          |         CASE WHEN lag(ts_ms) OVER w IS NULL
+          |                   OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+          |numbered AS (
+          |  SELECT user_id, ts_ms,
+          |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM flagged),
+          |sess AS (
+          |  SELECT user_id, session_id, min(ts_ms) AS s_start, max(ts_ms) + 1 AS s_end
+          |  FROM numbered GROUP BY 1, 2),
+          |wins AS (
+          |  SELECT user_id AS w_user, ts_ms AS w_start, ts_ms + 600000 AS w_end
+          |  FROM ev WHERE event_type = 'error'),
+          |cnt AS (
+          |  SELECT s.user_id, s.session_id, count(*) AS n_overlaps
+          |  FROM sess s JOIN wins w
+          |    ON s.user_id = w.w_user AND s.s_start < w.w_end AND w.w_start < s.s_end
+          |  GROUP BY 1, 2)
+          |SELECT s.user_id, CAST(s.session_id AS BIGINT) AS session_id,
+          |       s.s_start, s.s_end,
+          |       CAST(coalesce(c.n_overlaps, 0) AS BIGINT) AS n_overlaps
+          |FROM sess s LEFT JOIN cnt c USING (user_id, session_id)
+          |ORDER BY 1, 2""".stripMargin,
       // As-of semantics spec: latest order (by date, then orderkey) at or
       // before each event's time for the same key; expressed here as a
       // backward range join + arg_max, vs Spark's union+window algorithm.

@@ -600,6 +600,70 @@ object AnalyticsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Interval-OVERLAP join (interval × interval, distinct from
+    * [[rangeJoinOrderEvents]]'s point-in-interval shape): for each user
+    * session — the gaps-and-islands intervals of the e_sessionize
+    * contract, `[first event, last event + 1)` — the number of the same
+    * user's error-alert windows (`[ts, ts + 10 min)` around each error
+    * event) that overlap it. Spark has no native interval join and the
+    * naive inequality-only join plans as a nested-loop cross product;
+    * the scale-correct distributed form buckets BOTH interval sets by
+    * the days they span (explode over span/day + 1 buckets), equi-joins
+    * on (user, day) — a hash join Catalyst can shuffle, broadcast, and
+    * AQE-skew-split — with the exact overlap predicate as a residual,
+    * and keeps each overlapping pair EXACTLY ONCE with no distinct: a
+    * pair is counted only in the bucket containing the overlap's START,
+    * `greatest(s_start, w_start) div day`, which lies inside both
+    * intervals (the overlap is nonempty) and therefore inside both
+    * sides' replication ranges. Left-total: sessions with no
+    * overlapping window report 0.
+    */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val winMs = 600000L
+    val gapMs = 30L * 60 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val ev = pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"),
+        col("event_id"), col("event_type"))
+    // same user exchange serves the lag window, the running sum, and the
+    // per-session aggregate (grouping keys are a superset of the window
+    // partitioning)
+    val sessions = ev
+      .withColumn("prev_ts", lag("ts_ms", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_ms").as("s_start"), (max("ts_ms") + lit(1L)).as("s_end"))
+    val wins = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("w_user"), col("ts_ms").as("w_start"),
+        (col("ts_ms") + lit(winMs)).as("w_end"))
+    val sB = sessions.withColumn("day", explode(sequence(
+      expr(s"s_start div $dayMs"), expr(s"(s_end - 1) div $dayMs"))))
+    val wB = wins.withColumn("w_day", explode(sequence(
+      expr(s"w_start div $dayMs"), expr(s"(w_end - 1) div $dayMs"))))
+    // LEFT OUTER with every predicate in the ON clause, then count the
+    // non-null matches: left-totality comes from the join itself (every
+    // session keeps >= 1 bucket row), so there is no join-back to the
+    // sessions frame — which would otherwise recompute the whole
+    // window subtree — and the per-session aggregate's keys are a
+    // superset of the window's user partitioning, so after the
+    // (broadcast-sized) windows join the plan has ONE hash exchange
+    // end-to-end.
+    sB.join(wB,
+        sB("user_id") === wB("w_user") && sB("day") === wB("w_day") &&
+          sB("s_start") < wB("w_end") && wB("w_start") < sB("s_end") &&
+          sB("day") === expr(s"greatest(s_start, w_start) div $dayMs"),
+        "left_outer")
+      .groupBy("user_id", "session_id")
+      .agg(min("s_start").as("s_start"), min("s_end").as("s_end"),
+        count(col("w_user")).as("n_overlaps"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Time-based moving aggregate: per user, events and value-sum over
     * the trailing 5 minutes (RANGE frame over event time — one shuffle
     * on the user, one sort, incremental frame evaluation). Sum in

@@ -368,6 +368,10 @@ class PlanSpec extends SparkSuite {
       "d_dedup_keep" -> 1, "d_df_prune" -> 0, "d_dup_by_source" -> 2,
       "d_dup_clusters" -> 0, "d_dup_clusters_lp" -> 0, "d_edit_dist" -> 0,
       "d_embed_neardup" -> 0,
+      // day-bucketed interval-overlap join: ONE user exchange serves the
+      // session windows, the per-session aggregate, and (via broadcast
+      // of the error windows) the bucket join
+      "q_interval_overlap" -> 1,
       // cluster argmax: clusters broadcast into the quality scan, one
       // aggregate exchange
       "d_dedup_best" -> 1,
