@@ -310,6 +310,10 @@ object Main {
           "stream-backup supports chrono-unit-slice only; the resolved " +
             "time-configuration type is period-from-first (anchoring windows at the " +
             "first record of an unbounded stream is not supported — use `backup`)")
+        // config parsing only produces the two types above; the internal
+        // AnchoredPeriod (a streaming run's resolved anchor) can never
+        // reach here — die loudly if that invariant ever breaks
+        case other => die(s"stream-backup: unexpected time configuration $other")
       }
       val (gzipOpt, _) = compressionOf(o, cfg)
       val spark = session(cfg)

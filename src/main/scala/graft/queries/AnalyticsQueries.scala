@@ -617,6 +617,11 @@ object AnalyticsQueries {
     * intervals (the overlap is nonempty) and therefore inside both
     * sides' replication ranges. Left-total: sessions with no
     * overlapping window report 0.
+    *
+    * Measured scaling (Profile, min-warm, local[32], the round-11 sf1
+    * star): 1.52s at sf0.1 → 1.81s at sf1 — 1.2× for 10× data; the
+    * session window's single user exchange dominates and the
+    * broadcast-sized windows side adds nothing.
     */
   def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
     val dayMs = 86400000L
