@@ -531,7 +531,7 @@ object SparkEntry {
           |  SELECT user_id, session_id, min(ts_ms) AS s_start, max(ts_ms) + 1 AS s_end
           |  FROM numbered GROUP BY 1, 2),
           |wins AS (
-          |  SELECT user_id AS w_user, ts_ms AS w_start, ts_ms + 600000 AS w_end
+          |  SELECT user_id AS w_user, ts_ms AS w_start, ts_ms + 3600000 AS w_end
           |  FROM ev WHERE event_type = 'error'),
           |cnt AS (
           |  SELECT s.user_id, s.session_id, count(*) AS n_overlaps

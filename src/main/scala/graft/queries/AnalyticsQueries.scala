@@ -604,8 +604,13 @@ object AnalyticsQueries {
     * [[rangeJoinOrderEvents]]'s point-in-interval shape): for each user
     * session — the gaps-and-islands intervals of the e_sessionize
     * contract, `[first event, last event + 1)` — the number of the same
-    * user's error-alert windows (`[ts, ts + 10 min)` around each error
-    * event) that overlap it. Spark has no native interval join and the
+    * user's error-alert windows (`[ts, ts + 60 min)` around each error
+    * event) that overlap it. The window is deliberately LONGER than the
+    * 30-minute session gap, so windows genuinely cross session
+    * boundaries (an error late in one session alerts into the next) —
+    * with a window shorter than the gap every overlap would collapse to
+    * "errors inside the session" and a trivial per-session count would
+    * pass the oracle without any join at all. Spark has no native interval join and the
     * naive inequality-only join plans as a nested-loop cross product;
     * the scale-correct distributed form buckets BOTH interval sets by
     * the days they span (explode over span/day + 1 buckets), equi-joins
@@ -625,7 +630,7 @@ object AnalyticsQueries {
     */
   def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
     val dayMs = 86400000L
-    val winMs = 600000L
+    val winMs = 3600000L
     val gapMs = 30L * 60 * 1000
     val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     val ev = pq(spark, dir, "events")

@@ -65,7 +65,7 @@ class AnalyticsOpsSpec extends SparkSuite {
         (u, sid, g.map(_._1._2).min, g.map(_._1._2).max + 1)
       }
     }.toSeq
-    val wins = ev.filter(_._4 == "error").map(r => (r._1, r._2, r._2 + 600000L))
+    val wins = ev.filter(_._4 == "error").map(r => (r._1, r._2, r._2 + 3600000L))
     val expect = sessions.map { case (u, sid, s0, s1) =>
       (u, sid, s0, s1,
         wins.count(w => w._1 == u && s0 < w._3 && w._2 < s1).toLong)
@@ -73,6 +73,15 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(got == expect, s"interval overlap diverged (first 5): " +
       s"${got.take(5)} vs ${expect.take(5)}")
     assert(expect.exists(_._5 > 0), "fixture lacks any overlap")
+    // the 60-min window exceeds the 30-min gap precisely so windows CROSS
+    // session boundaries — verify the join is load-bearing here: some
+    // session must overlap more windows than the errors it contains
+    val errorsIn = sessions.map { case (u, sid, s0, s1) =>
+      (u, sid) -> wins.count(w => w._1 == u && w._2 >= s0 && w._2 < s1).toLong
+    }.toMap
+    assert(expect.exists { case (u, sid, _, _, n) => n > errorsIn((u, sid)) },
+      "no cross-session overlap in the fixture: a per-session error count " +
+        "would be indistinguishable from the interval join")
     // sf0.001 sessions rarely cross midnight, so drive the exactly-once
     // bucket condition with a crafted fixture: ONE session spanning two
     // days overlapping ONE error window that ALSO spans both days — the
@@ -81,14 +90,20 @@ class AnalyticsOpsSpec extends SparkSuite {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     Seq(
       (0L, ts("2024-01-01 23:50:00"), 1L, "click", 1.0, "{}"),
-      (1L, ts("2024-01-01 23:55:00"), 1L, "error", 1.0, "{}"), // window 23:55-00:05
+      (1L, ts("2024-01-01 23:55:00"), 1L, "error", 1.0, "{}"), // window 23:55-00:55
       (2L, ts("2024-01-02 00:10:00"), 1L, "click", 1.0, "{}"), // same session (20m gap)
-      (3L, ts("2024-01-05 12:00:00"), 2L, "click", 1.0, "{}")  // no error: 0 overlaps
+      (3L, ts("2024-01-05 12:00:00"), 2L, "click", 1.0, "{}"), // no error: 0 overlaps
+      // cross-session alert: the error's 60-min window outlives the
+      // 40-min gap and overlaps user 3's SECOND session, which itself
+      // contains no error
+      (4L, ts("2024-01-07 12:00:00"), 3L, "error", 1.0, "{}"), // window 12:00-13:00
+      (5L, ts("2024-01-07 12:40:00"), 3L, "click", 1.0, "{}")  // new session (40m gap)
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val crafted = AnalyticsQueries.intervalOverlapJoin(spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
-    assert(crafted.map(r => (r._1, r._2, r._5)) == Seq((1L, 1L, 1L), (2L, 1L, 0L)),
-      s"double-bucket pair must count exactly once: $crafted")
+    assert(crafted.map(r => (r._1, r._2, r._5)) ==
+      Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 1L), (3L, 2L, 1L)),
+      s"double-bucket dedup or cross-session overlap wrong: $crafted")
   }
 }
