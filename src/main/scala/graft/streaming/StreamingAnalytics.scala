@@ -818,4 +818,109 @@ object StreamingAnalytics {
           }
       }
   }
+
+  /** Input shape for [[streamingIntervalOverlap]]. */
+  final case class OverlapEvent(userId: Long, tsMs: Long, isError: Boolean)
+
+  /** Per-user state: the open session plus the ends of still-live alert
+    * windows (w_end > session last) — the only windows that can overlap
+    * this or a future session. Bounded by winMs × the user's error
+    * rate, NOT by stream length. `start == -1` is the windows-only
+    * sentinel: the session timed out and was emitted, but live windows
+    * remain that may overlap the user's NEXT session (winMs > gapMs
+    * makes that real) — dropping them with the session would undercount
+    * exactly the cross-session case.
+    */
+  final case class OverlapState(
+      start: Long, last: Long, n: Long, winEnds: List[Long])
+
+  /** A closed session with its overlap census. `end` is exclusive
+    * (`last event + 1`), the batch query's convention. */
+  final case class SessionOverlap(
+      userId: Long, start: Long, end: Long, nOverlaps: Long)
+
+  /** Streaming twin of the batch interval-overlap join
+    * ([[graft.queries.AnalyticsQueries.intervalOverlapJoin]]): per user,
+    * gap-based sessions accrue the count of error-alert windows
+    * (`[ts, ts + winMs)` around each error event) overlapping them,
+    * emitted as each session closes (gap observed in-stream, or
+    * event-time timeout once the watermark passes `last + gapMs`).
+    *
+    * The batch form day-buckets two interval sets and joins; here the
+    * join dissolves into state arithmetic: a window counts toward the
+    * OPEN session immediately (its error event extends the session, so
+    * overlap is certain), and toward a LATER session at that session's
+    * open if the window is still live (`w_end > open time` — with
+    * `winMs > gapMs` an alert late in one session genuinely bleeds into
+    * the next, the cross-session case the batch gate pins). Expired
+    * window ends (`w_end <= last`) are pruned every event, so state
+    * stays O(live windows) per user. On time-ordered feeds the closed
+    * sessions match the batch query exactly (spec-pinned).
+    */
+  def streamingIntervalOverlap(
+      events: Dataset[OverlapEvent],
+      gapMs: Long,
+      winMs: Long,
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOverlap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("tsMs")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[OverlapEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[OverlapState, SessionOverlap](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, batchEvents, state: GroupState[OverlapState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            val out =
+              if (s.start >= 0)
+                Iterator.single(SessionOverlap(userId, s.start, s.last + 1, s.n))
+              else Iterator.empty
+            val live = s.winEnds.filter(_ > state.getCurrentWatermarkMs())
+            if (s.start >= 0 && live.nonEmpty) {
+              // session emitted, but windows outliving it may overlap the
+              // user's next session — hold them until their last end
+              state.update(OverlapState(-1L, -1L, 0L, live))
+              state.setTimeoutTimestamp(live.max)
+            } else state.remove()
+            out
+          } else {
+            val sorted = batchEvents.toSeq.sortBy(_.tsMs)
+            val closed = Seq.newBuilder[SessionOverlap]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open = open match {
+                case Some(s) if s.start >= 0 && e.tsMs - s.last > gapMs =>
+                  closed += SessionOverlap(userId, s.start, s.last + 1, s.n)
+                  // new session: live windows from earlier sessions that
+                  // outlast the gap overlap it from its first instant
+                  val live = s.winEnds.filter(_ > e.tsMs)
+                  Some(OverlapState(e.tsMs, e.tsMs, live.length.toLong +
+                    (if (e.isError) 1L else 0L),
+                    if (e.isError) e.tsMs + winMs :: live else live))
+                case Some(s) if s.start >= 0 =>
+                  val last = math.max(s.last, e.tsMs)
+                  // prune dead ends; an in-session error overlaps its own
+                  // session by construction, count it at creation
+                  val live = s.winEnds.filter(_ > last)
+                  Some(OverlapState(s.start, last,
+                    s.n + (if (e.isError) 1L else 0L),
+                    if (e.isError) e.tsMs + winMs :: live else live))
+                case held => // None, or the windows-only sentinel
+                  val live = held.map(_.winEnds.filter(_ > e.tsMs)).getOrElse(Nil)
+                  Some(OverlapState(e.tsMs, e.tsMs, live.length.toLong +
+                    (if (e.isError) 1L else 0L),
+                    if (e.isError) e.tsMs + winMs :: live else live))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -482,6 +482,59 @@ class StreamingAnalyticsSpec extends SparkSuite {
       s"null time must raise the batch API's message: ${messages(err)}")
   }
 
+  test("streaming interval-overlap: windows bleed across sessions, survive timeout closes") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingAnalytics.{OverlapEvent, SessionOverlap}
+    def m(x: Long) = h0 + x * 60000L
+    val mem = MemoryStream[OverlapEvent]
+    val q = StreamingAnalytics.streamingIntervalOverlap(
+        mem.toDS(), gapMs = 30L * 60000, winMs = 60L * 60000,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ovl").outputMode("append").start()
+    // the watermark is GLOBAL across users, so the timeline interleaves:
+    // no row may be added once the watermark (max event time, 0s delay)
+    // has passed it
+    // b1 — user 1 session A: error at 0m (window [0,60m)), click at 10m;
+    //      user 3's error session (the timeout-path subject)
+    mem.addData(OverlapEvent(1L, m(0), isError = true),
+      OverlapEvent(1L, m(10), isError = false),
+      OverlapEvent(3L, m(0), isError = true))
+    q.processAllAvailable()
+    // b2 — 35m gap closes A in-stream; session B opens at 45m and must
+    // count the STILL-LIVE window from A (w_end 60m > 45m) + its own
+    // error (window to 106m). Watermark after b2: 46m.
+    mem.addData(OverlapEvent(1L, m(45), isError = false),
+      OverlapEvent(1L, m(46), isError = true))
+    q.processAllAvailable()
+    // b3 — dummy row fires user 3's event-time timeout (46m > 0m+30m):
+    // the session emits and its live window (to 60m) must be HELD
+    mem.addData(OverlapEvent(2L, m(46), isError = false))
+    q.processAllAvailable()
+    // b4 — user 3 returns at 47m, inside the held window -> counts it
+    mem.addData(OverlapEvent(3L, m(47), isError = false))
+    q.processAllAvailable()
+    // b5 — 32m gap closes user 1's B; session C opens at 78m counting
+    // only B's window (106m > 78m; A's expired at 60m — unasserted,
+    // C never closes)
+    mem.addData(OverlapEvent(1L, m(78), isError = false))
+    q.processAllAvailable()
+    // b6 — 32m gap closes user 3's second session
+    mem.addData(OverlapEvent(3L, m(79), isError = false))
+    q.processAllAvailable()
+    val out = spark.table("ovl").as[SessionOverlap].collect()
+    q.stop()
+    val u1 = out.filter(_.userId == 1L).sortBy(_.start)
+    assert(u1.map(s => (s.start, s.end, s.nOverlaps)).toSeq == Seq(
+      (m(0), m(10) + 1, 1L),   // A: its own error window only
+      (m(45), m(46) + 1, 2L)), // B: A's live window + its own error
+      s"user-1 sessions diverged: ${u1.toSeq}")
+    val u3 = out.filter(_.userId == 3L).sortBy(_.start)
+    assert(u3.map(s => (s.start, s.end, s.nOverlaps)).toSeq == Seq(
+      (m(0), m(0) + 1, 1L),    // timed out; emitted with its own window
+      (m(47), m(47) + 1, 1L)), // the held window survived the timeout
+      s"user-3 sessions diverged: ${u3.toSeq}")
+  }
+
   test("streaming cusum equals the batch changepoint census on a replayed feed") {
     implicit val ctx = spark.sqlContext
     val sf = SparkSuite.sf0001
