@@ -513,8 +513,10 @@ object SparkEntry {
           |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
       // Interval OVERLAP join: the oracle states the naive inequality
       // join over the session intervals (sessionize's lag/sum contract)
-      // and the 10-minute error windows; Spark executes the day-bucketed
-      // exactly-once form (pair counted in its overlap-start bucket).
+      // and the 60-minute error windows (deliberately longer than the
+      // 30-minute session gap, so windows cross session boundaries);
+      // Spark executes the day-bucketed exactly-once form (pair counted
+      // in its overlap-start bucket).
       "q_interval_overlap" ->
         """WITH ev AS (
           |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
