@@ -44,15 +44,30 @@ import java.time.temporal.ChronoUnit
   *             --left-time <col> --right-time <col> --out <parquet>
   *             [--direction backward|forward|nearest] [--tolerance-ms N]
   *             [--tiebreak c,...]
-  *             [--stream --checkpoint <dir> [--right-stream [--watermark 10minutes]]]
+  *             [--stream --checkpoint <dir>
+  *               [--right-stream [--watermark 10minutes]
+  *                               [--mode event-time|arrival]]]
   *          (point-in-time enrichment, left-total; --stream consumes the
-  *          left dir incrementally against the static right; adding
-  *          --right-stream makes BOTH sides live — per-key dimension
-  *          state carried across batches and restarts, backward only,
-  *          and left-total only up to the watermark: facts arriving
-  *          later than --watermark behind the stream's max event time
-  *          are late data and are dropped, so widen it for catch-up
-  *          runs over deep backlogs)
+  *          left dir incrementally against the static right — NOTE the
+  *          static-right layout: each epoch overwrites its own
+  *          batch_id=<id> partition dir, so readers see a discovered
+  *          batch_id column; a pre-existing FLAT layout in --out is
+  *          rejected with a migration hint. Adding --right-stream makes
+  *          BOTH sides live — per-key dimension state carried across
+  *          batches and restarts, backward only, and left-total only up
+  *          to the watermark: facts arriving later than --watermark
+  *          behind the stream's max event time are late data and are
+  *          dropped, so widen it for catch-up runs over deep backlogs.
+  *          --mode picks the ordering contract: event-time (default)
+  *          buffers rows until the watermark passes them and replays in
+  *          event-time order — output equals the batch join for ANY
+  *          arrival order within the watermark, but a row emits only
+  *          once newer data has advanced the watermark past it (the
+  *          tail of a run stays buffered in the checkpoint and emits on
+  *          a later run); arrival emits each fact in the micro-batch it
+  *          arrives, matched against the freshest already-arrived
+  *          dimension row — prompt, but cross-batch matching reflects
+  *          arrival order)
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -689,6 +704,12 @@ object Main {
           throw new IllegalArgumentException(
             "--right-stream supports only --direction backward: a live " +
             "join can only match dimension rows that have already arrived")
+        val mode = o.getOrElse("mode", "event-time") match {
+          case "arrival" => graft.streaming.AsOfStreamMode.Arrival
+          case "event-time" => graft.streaming.AsOfStreamMode.EventTime
+          case other => throw new IllegalArgumentException(
+            s"--mode must be event-time|arrival, got '$other'")
+        }
         val rightStream = spark.readStream.schema(r.schema).parquet(rightIn)
         val leftStream = spark.readStream.schema(l.schema).parquet(leftIn)
         val joined = graft.streaming.StreamingAnalytics.streamingAsOfJoinStream(
@@ -696,7 +717,8 @@ object Main {
           // "10minutes" → "10 minutes": a spaced value would be split
           // into two argv tokens by sbt/shell before parseArgs sees it
           watermark = o.getOrElse("watermark", "1 hour")
-            .replaceAll("(?<=\\d)(?=[a-zA-Z])", " "))
+            .replaceAll("(?<=\\d)(?=[a-zA-Z])", " "),
+          mode = mode)
         val before = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
         // the parquet FILE sink (not foreachBatch): its sink log makes
         // replayed epochs invisible to readers — exactly-once without the
@@ -711,6 +733,20 @@ object Main {
         val after = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
         return (out, after - before)
       }
+      // the static-right layout moved from flat appended files to
+      // overwrite-per-batch_id partition dirs (idempotence under
+      // foreachBatch replay); an out dir from the old flat layout would
+      // mix root-level files with partition dirs and break partition
+      // discovery — reject it with a migration hint instead of
+      // producing a half-readable table
+      val legacyFlat = Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      require(legacyFlat.isEmpty,
+        s"join-asof --stream: '$out' holds ${legacyFlat.length} flat parquet " +
+          "file(s) from the pre-batch_id layout; epochs now overwrite " +
+          "batch_id=<id> partition dirs (readers see an extra discovered " +
+          "batch_id column). Move the legacy files into a batch_id=legacy/ " +
+          "subdir or point --out at a fresh directory")
       val leftStream = spark.readStream.schema(l.schema).parquet(leftIn)
       val before = scala.util.Try(
         spark.read.parquet(out).count()).getOrElse(0L)

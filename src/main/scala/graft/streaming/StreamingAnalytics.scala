@@ -4,6 +4,25 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Ordering contract for [[StreamingAnalytics.streamingAsOfJoinStream]]
+  * — the processing-time vs event-time temporal-join split:
+  * [[AsOfStreamMode.EventTime]] buffers rows until the watermark
+  * passes them and replays in event-time order (output equals the
+  * batch join on ANY feed within the watermark; emission lags by the
+  * watermark), [[AsOfStreamMode.Arrival]] matches each fact against
+  * the freshest already-arrived dimension row (prompt emission;
+  * cross-batch matching reflects arrival order).
+  */
+sealed trait AsOfStreamMode extends Serializable
+object AsOfStreamMode {
+  /** Live-enrichment contract: emit in the arriving micro-batch,
+    * matched against dimension rows that have already arrived. */
+  case object Arrival extends AsOfStreamMode
+  /** Out-of-order-safe contract: watermark-buffered event-time replay;
+    * equals the batch join for any arrival order within the watermark. */
+  case object EventTime extends AsOfStreamMode
+}
+
 /** Streaming twins of the batch analytics operators: watermarked
   * event-time windows for the aggregate surface, and custom session
   * state via `flatMapGroupsWithState` — the two Structured Streaming
@@ -542,32 +561,60 @@ object StreamingAnalytics {
     * `flatMapGroupsWithState` keys the union of both streams on the
     * join key and carries, per key, the latest right row at-or-before
     * the stream's progress; each left row emits joined against the
-    * current state. State is ONE right row per key for any stream
-    * lifetime — O(keys), never O(stream) — and survives restarts
-    * through the checkpoint, so a dimension write from last week still
-    * enriches today's facts.
+    * current state. State survives restarts through the checkpoint, so
+    * a dimension write from last week still enriches today's facts.
     *
-    * Ordering contract: within a micro-batch rows process in
-    * (time, right-before-left, tiebreak) order, so a right row and the
-    * left rows at-or-after it in the same batch match exactly like the
-    * batch operator (right-time ties: last in tiebreak order wins).
-    * ACROSS batches, matching reflects ARRIVAL: a right row arriving
-    * after a left row it would have matched does not retro-match —
-    * the point-in-time contract of a live store (the batch join
-    * recomputes the retroactive truth nightly; equal-time ties across
-    * batches resolve freshest-write-wins). Rows older than the current
-    * WATERMARK are dropped — including LEFT rows, so the output is
-    * left-total only up to the watermark: a fact arriving later than
-    * `watermark` behind the stream's max event time is late data and
-    * produces NO output row (`watermark` sets that admission window;
-    * widen it for catch-up runs over deep backlogs). Time columns
-    * normalize exactly like the batch operator ([[graft.plans.AsOfJoin]]):
-    * TIMESTAMP/DATE via `unix_millis` (epoch MILLISECONDS — so
-    * `toleranceMs` and `watermark` mean the same thing on both paths),
-    * numerics via cast; a NULL time raises per row instead of matching
-    * at epoch 0. Right columns whose names
-    * clash with a left column get a `right_` prefix, the CLI's
-    * merge_asof suffix convention.
+    * Two ordering contracts, selected by `mode` — the same split Flink
+    * draws between processing-time and event-time temporal joins:
+    *
+    *  - [[AsOfStreamMode.EventTime]] (DEFAULT — the out-of-order-safe
+    *    production contract): rows buffer in state until the watermark
+    *    passes their event time, then process in (time,
+    *    right-before-left, tiebreak) order. The emitted output equals
+    *    the BATCH native join over the same rows for ANY arrival order
+    *    within the watermark — cross-partition interleave, facts
+    *    before the dimension writes they match, anything — because by
+    *    the time a row processes, everything earlier has provably
+    *    arrived (or is late and dropped). The price is latency: a left
+    *    row emits only once the watermark passes it, i.e. roughly
+    *    `watermark` behind the stream head, and per-key state is
+    *    O(rows inside the watermark horizon) + the one-row dimension
+    *    memory — still bounded by throughput × watermark, never by
+    *    stream lifetime.
+    *  - [[AsOfStreamMode.Arrival]] (the live-enrichment contract):
+    *    each left row emits in the micro-batch it arrives, matched
+    *    against the freshest dimension row that has ALREADY arrived
+    *    with right time at-or-before the left time (a held dimension
+    *    write from the future of a straggling fact does NOT match —
+    *    matches never have rt > lt). Within a micro-batch rows process
+    *    in (time, right-before-left, tiebreak) order, so single-batch
+    *    feeds match the batch operator exactly; ACROSS batches,
+    *    matching reflects arrival — a right row arriving after a left
+    *    row it would have matched does not retro-match (the batch join
+    *    recomputes the retroactive truth nightly). State is ONE right
+    *    row per key for any stream lifetime.
+    *
+    * In both modes, rows older than the current WATERMARK are dropped —
+    * including LEFT rows, so the output is left-total only up to the
+    * watermark: a fact arriving later than `watermark` behind the
+    * stream's max event time is late data and produces NO output row
+    * (`watermark` sets that admission window; widen it for catch-up
+    * runs over deep backlogs). Time columns normalize exactly like the
+    * batch operator ([[graft.plans.AsOfJoin]]): TIMESTAMP/DATE via
+    * `unix_millis` (epoch MILLISECONDS — so `toleranceMs` and
+    * `watermark` mean the same thing on both paths), numerics via
+    * cast; a NULL time raises per row instead of matching at epoch 0.
+    * Right columns whose names clash with a left column get a `right_`
+    * prefix, the CLI's merge_asof suffix convention.
+    *
+    * KEYLESS (GLOBAL) as-of: an empty `keys` matches every left row
+    * against the single global dimension timeline (the streaming twin
+    * of the batch keyless join, `q_asof_global` — calibration curves,
+    * rate tables). All rows then funnel through ONE state key, so
+    * per-trigger work for that key is single-task — fine exactly when
+    * the right side is a global rate table and the left is the
+    * bottleneck stream's per-batch slice; a high-volume keyless feed
+    * should pre-aggregate upstream, same as any global stream state.
     */
   def streamingAsOfJoinStream(
       left: DataFrame,
@@ -577,20 +624,39 @@ object StreamingAnalytics {
       rightTimeCol: String,
       rightTiebreak: Seq[String] = Nil,
       toleranceMs: Option[Long] = None,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      mode: AsOfStreamMode = AsOfStreamMode.EventTime): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    require(keys.nonEmpty, "stream-stream as-of needs at least one key")
     val lSchema = left.schema
     val rSchema = right.schema
-    val keySchema = StructType(keys.zipWithIndex.map { case ((lk, _), i) =>
-      StructField(s"k$i", lSchema(lk).dataType, nullable = true)
-    })
+    // mirror the batch API's loud key-type check: the union would
+    // otherwise widen mismatched key types into a confusing encoder
+    // error (or silently group unequal representations apart)
+    keys.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val lt = lSchema(lk).dataType; val rt = rSchema(rk).dataType
+      require(lt == rt,
+        s"key $i type mismatch: left $lk ${lt.simpleString} vs " +
+          s"right $rk ${rt.simpleString} — cast one side explicitly")
+    }
+    // keyless global as-of: group everything on one constant key (the
+    // single global timeline); see the scaladoc scale note
+    val keyless = keys.isEmpty
+    val nKeys = if (keyless) 1 else keys.length
+    val keySchema = StructType(
+      if (keyless) Seq(StructField("k0", IntegerType, nullable = false))
+      else keys.zipWithIndex.map { case ((lk, _), i) =>
+        StructField(s"k$i", lSchema(lk).dataType, nullable = true)
+      })
     // one normalized union row: key fields, epoch-ms time, side tag
     // (right = 0 sorts before left at equal time — rt == lt is a
     // backward match), and each side's payload as a nullable struct
-    val lKeyCols = keys.zipWithIndex.map { case ((lk, _), i) => col(lk).as(s"_k$i") }
-    val rKeyCols = keys.zipWithIndex.map { case ((_, rk), i) => col(rk).as(s"_k$i") }
+    val lKeyCols =
+      if (keyless) Seq(lit(0).as("_k0"))
+      else keys.zipWithIndex.map { case ((lk, _), i) => col(lk).as(s"_k$i") }
+    val rKeyCols =
+      if (keyless) Seq(lit(0).as("_k0"))
+      else keys.zipWithIndex.map { case ((_, rk), i) => col(rk).as(s"_k$i") }
     // time normalization MUST match the batch operator's: TIMESTAMP/DATE
     // columns go through unix_millis (a bare cast(LongType) yields
     // SECONDS — a silent 1000x shift of tolerance and watermark), and a
@@ -614,67 +680,137 @@ object StreamingAnalytics {
         val name = if (lSchema.fieldNames.contains(f.name)) s"right_${f.name}" else f.name
         StructField(name, f.dataType, nullable = true)
       })
-    val stateSchema = StructType(Seq(
-      StructField("t", LongType, nullable = false),
-      StructField("r", rSchema, nullable = true)))
-    val nKeys = keys.length
     val tbIdx = rightTiebreak.map(rSchema.fieldIndex)
     val tol = toleranceMs
     val nL = lSchema.length
     val nR = rSchema.length
     implicit val keyEnc = Encoders.row(keySchema)
     implicit val outEnc = Encoders.row(outSchema)
-    val stateEnc = Encoders.row(stateSchema)
     def cmpAny(a: Any, b: Any): Int = (a, b) match {
       case (null, null) => 0
       case (null, _) => -1
       case (_, null) => 1
       case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
     }
-    unioned
-      .groupByKey(r => Row.fromSeq((0 until nKeys).map(r.get)))(keyEnc)
-      .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Row, it: Iterator[Row], state: GroupState[Row]) =>
-          val wm = state.getCurrentWatermarkMs()
-          // (time, right-first, tiebreak) — the merge exec's right-side
-          // ordering, applied inside the batch
-          val rows = it.toArray.sortWith { (a, b) =>
-            val ta = a.getLong(nKeys); val tb = b.getLong(nKeys)
-            if (ta != tb) ta < tb
-            else {
-              val sa = a.getInt(nKeys + 1); val sb = b.getInt(nKeys + 1)
-              if (sa != sb) sa < sb
-              else if (sa == 0 && tbIdx.nonEmpty) {
-                val ra = a.getStruct(nKeys + 3); val rb = b.getStruct(nKeys + 3)
-                tbIdx.iterator.map(i => cmpAny(ra.get(i), rb.get(i)))
-                  .find(_ != 0).getOrElse(0) < 0
-              } else false
-            }
-          }
-          var curT = state.getOption.map(_.getLong(0)).getOrElse(Long.MinValue)
-          var curR = state.getOption.map(_.get(1).asInstanceOf[Row]).orNull
-          val out = Seq.newBuilder[Row]
-          rows.foreach { r =>
-            val t = r.getLong(nKeys)
-            if (t >= wm) { // watermark bound: older rows are late, dropped
-              if (r.getInt(nKeys + 1) == 0) {
-                // right row: freshest at-or-after the held one wins
-                if (t >= curT) { curT = t; curR = r.getStruct(nKeys + 3) }
-              } else {
-                val l = r.getStruct(nKeys + 2)
-                val matched = curR != null && tol.forall(t - curT <= _)
-                val rVals =
-                  if (matched) (0 until nR).map(curR.get)
-                  else IndexedSeq.fill[Any](nR)(null)
-                out += Row.fromSeq((0 until nL).map(l.get) ++ rVals)
+    // (time, right-before-left, right tiebreak) — the merge exec's
+    // ordering; `get` indices parameterized so the same comparator
+    // serves the union rows (key prefix) and the buffered pending rows
+    def rowLt(tAt: Int, sideAt: Int, rAt: Int)(a: Row, b: Row): Boolean = {
+      val ta = a.getLong(tAt); val tb = b.getLong(tAt)
+      if (ta != tb) ta < tb
+      else {
+        val sa = a.getInt(sideAt); val sb = b.getInt(sideAt)
+        if (sa != sb) sa < sb
+        else if (sa == 0 && tbIdx.nonEmpty) {
+          val ra = a.getStruct(rAt); val rb = b.getStruct(rAt)
+          tbIdx.iterator.map(i => cmpAny(ra.get(i), rb.get(i)))
+            .find(_ != 0).getOrElse(0) < 0
+        } else false
+      }
+    }
+    def joinedRow(l: Row, curR: Row, curT: Long, t: Long): Row = {
+      val matched = curR != null && curT <= t && tol.forall(t - curT <= _)
+      val rVals =
+        if (matched) (0 until nR).map(curR.get)
+        else IndexedSeq.fill[Any](nR)(null)
+      Row.fromSeq((0 until nL).map(l.get) ++ rVals)
+    }
+    val grouped =
+      unioned.groupByKey(r => Row.fromSeq((0 until nKeys).map(r.get)))(keyEnc)
+    mode match {
+      case AsOfStreamMode.Arrival =>
+        val stateSchema = StructType(Seq(
+          StructField("t", LongType, nullable = false),
+          StructField("r", rSchema, nullable = true)))
+        val stateEnc = Encoders.row(stateSchema)
+        grouped.flatMapGroupsWithState[Row, Row](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: Row, it: Iterator[Row], state: GroupState[Row]) =>
+            val wm = state.getCurrentWatermarkMs()
+            val rows = it.toArray.sortWith(rowLt(nKeys, nKeys + 1, nKeys + 3))
+            var curT = state.getOption.map(_.getLong(0)).getOrElse(Long.MinValue)
+            var curR = state.getOption.map(_.get(1).asInstanceOf[Row]).orNull
+            val out = Seq.newBuilder[Row]
+            rows.foreach { r =>
+              val t = r.getLong(nKeys)
+              if (t >= wm) { // watermark bound: older rows are late, dropped
+                if (r.getInt(nKeys + 1) == 0) {
+                  // right row: freshest at-or-after the held one wins
+                  if (t >= curT) { curT = t; curR = r.getStruct(nKeys + 3) }
+                } else {
+                  // curT <= t enforced inside joinedRow: a dimension row
+                  // held from a LATER event time than this fact must not
+                  // match — the contract is "latest right at-or-before",
+                  // and without the check a cross-batch future write
+                  // would pass the tolerance test vacuously (negative Δt)
+                  out += joinedRow(r.getStruct(nKeys + 2), curR, curT, t)
+                }
               }
             }
-          }
-          if (curR != null) state.update(Row(curT, curR))
-          out.result().iterator
-      }(stateEnc, outEnc)
-      .toDF()
+            if (curR != null) state.update(Row(curT, curR))
+            out.result().iterator
+        }(stateEnc, outEnc).toDF()
+
+      case AsOfStreamMode.EventTime =>
+        // pending row: (t, side, l, r) — key fields dropped (the state
+        // is already per-key); buffered until the watermark passes t
+        val pendingSchema = StructType(Seq(
+          StructField("t", LongType, nullable = false),
+          StructField("side", IntegerType, nullable = false),
+          StructField("l", lSchema, nullable = true),
+          StructField("r", rSchema, nullable = true)))
+        val stateSchema = StructType(Seq(
+          StructField("t", LongType, nullable = false),
+          StructField("r", rSchema, nullable = true),
+          StructField("buf", ArrayType(pendingSchema, containsNull = false),
+            nullable = false)))
+        val stateEnc = Encoders.row(stateSchema)
+        grouped.flatMapGroupsWithState[Row, Row](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (_: Row, it: Iterator[Row], state: GroupState[Row]) =>
+            // one unified body serves data batches AND timeout wakeups
+            // (a timeout delivers an empty iterator): admit new rows to
+            // the buffer, then replay everything the watermark has
+            // passed in event-time order
+            val wm = state.getCurrentWatermarkMs()
+            val prior = state.getOption
+            var curT = prior.map(_.getLong(0)).getOrElse(Long.MinValue)
+            var curR = prior.map(_.get(1).asInstanceOf[Row]).orNull
+            val priorBuf = prior.map(_.getSeq[Row](2)).getOrElse(Seq.empty)
+            val fresh = it.flatMap { r =>
+              val t = r.getLong(nKeys)
+              if (t < wm) None // late beyond the watermark: dropped
+              else Some(Row(t, r.getInt(nKeys + 1),
+                r.getStruct(nKeys + 2), r.getStruct(nKeys + 3)))
+            }.toVector
+            // fresh rows all have t >= wm, so they are never replayed in
+            // the batch they arrive — anything earlier could still come
+            val (ready, rest) =
+              (priorBuf ++ fresh).sortWith(rowLt(0, 1, 3)).partition(_.getLong(0) < wm)
+            val out = Seq.newBuilder[Row]
+            ready.foreach { p =>
+              val t = p.getLong(0)
+              if (p.getInt(1) == 0) {
+                // rights replay in time order: curT is monotone, last
+                // tiebreak at equal time wins — exactly the batch merge
+                curT = t; curR = p.getStruct(3)
+              } else out += joinedRow(p.getStruct(2), curR, curT, t)
+            }
+            if (curR == null && rest.isEmpty) {
+              if (state.exists) state.remove()
+            } else {
+              state.update(Row(curT, curR, rest))
+              // wake when the watermark passes the earliest pending row
+              // (> wm required by the API); with nothing pending, park
+              // the timeout far ahead — any future data re-arms it, and
+              // leaving a PASSED timestamp would re-fire every batch
+              state.setTimeoutTimestamp(
+                if (rest.nonEmpty) math.max(rest.map(_.getLong(0)).min, wm + 1L)
+                else wm + 10L * 365 * 86400000L)
+            }
+            out.result().iterator
+        }(stateEnc, outEnc).toDF()
+    }
   }
 
   /** Stream-stream inner join — both sides unbounded: orders and events
@@ -822,17 +958,27 @@ object StreamingAnalytics {
   /** Input shape for [[streamingIntervalOverlap]]. */
   final case class OverlapEvent(userId: Long, tsMs: Long, isError: Boolean)
 
-  /** Per-user state: the open session plus the ends of still-live alert
-    * windows (w_end > session last) — the only windows that can overlap
-    * this or a future session. Bounded by winMs × the user's error
-    * rate, NOT by stream length. `start == -1` is the windows-only
-    * sentinel: the session timed out and was emitted, but live windows
-    * remain that may overlap the user's NEXT session (winMs > gapMs
-    * makes that real) — dropping them with the session would undercount
-    * exactly the cross-session case.
+  /** Per-user session state: the open session plus the ends of
+    * still-live alert windows (w_end > session last) — the only windows
+    * that can overlap this or a future session. Bounded by winMs × the
+    * user's error rate, NOT by stream length. `start == -1` is the
+    * windows-only sentinel: the session closed and was emitted, but
+    * live windows remain that may overlap the user's NEXT session
+    * (winMs > gapMs makes that real) — dropping them with the session
+    * would undercount exactly the cross-session case.
     */
   final case class OverlapState(
       start: Long, last: Long, n: Long, winEnds: List[Long])
+
+  /** Full per-user state for [[streamingIntervalOverlap]]: the
+    * watermark replay buffer (events newer than the watermark, held
+    * until everything earlier has provably arrived) plus the session
+    * state the replayed prefix has produced. `pending` is bounded by
+    * the user's throughput × the watermark delay, never by stream
+    * lifetime.
+    */
+  final case class OverlapReplayState(
+      pending: Seq[(Long, Boolean)], sess: Option[OverlapState])
 
   /** A closed session with its overlap census. `end` is exclusive
     * (`last event + 1`), the batch query's convention. */
@@ -843,8 +989,18 @@ object StreamingAnalytics {
     * ([[graft.queries.AnalyticsQueries.intervalOverlapJoin]]): per user,
     * gap-based sessions accrue the count of error-alert windows
     * (`[ts, ts + winMs)` around each error event) overlapping them,
-    * emitted as each session closes (gap observed in-stream, or
-    * event-time timeout once the watermark passes `last + gapMs`).
+    * emitted as each session closes — that is, once the watermark
+    * passes `last + gapMs`, at which point no admissible event can
+    * extend it.
+    *
+    * OUT-OF-ORDER-SAFE: events buffer in state until the watermark
+    * passes their event time, then replay through the session logic in
+    * event-time order — so the closed sessions equal the batch query
+    * for ANY arrival order within the watermark (spec-pinned on feeds
+    * shuffled across micro-batches), not just time-ordered feeds.
+    * Events older than the watermark at arrival are late data and are
+    * dropped — the standard watermark admission contract, shared with
+    * every other stateful operator here.
     *
     * The batch form day-buckets two interval sets and joins; here the
     * join dissolves into state arithmetic: a window counts toward the
@@ -853,9 +1009,8 @@ object StreamingAnalytics {
     * open if the window is still live (`w_end > open time` — with
     * `winMs > gapMs` an alert late in one session genuinely bleeds into
     * the next, the cross-session case the batch gate pins). Expired
-    * window ends (`w_end <= last`) are pruned every event, so state
-    * stays O(live windows) per user. On time-ordered feeds the closed
-    * sessions match the batch query exactly (spec-pinned).
+    * window ends are pruned every event, so state stays O(live windows
+    * + events inside the watermark horizon) per user.
     */
   def streamingIntervalOverlap(
       events: Dataset[OverlapEvent],
@@ -869,58 +1024,77 @@ object StreamingAnalytics {
       .withWatermark("event_time", watermarkDelay)
       .as[OverlapEvent]
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[OverlapState, SessionOverlap](
+      .flatMapGroupsWithState[OverlapReplayState, SessionOverlap](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, batchEvents, state: GroupState[OverlapState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            val out =
-              if (s.start >= 0)
-                Iterator.single(SessionOverlap(userId, s.start, s.last + 1, s.n))
-              else Iterator.empty
-            val live = s.winEnds.filter(_ > state.getCurrentWatermarkMs())
-            if (s.start >= 0 && live.nonEmpty) {
-              // session emitted, but windows outliving it may overlap the
-              // user's next session — hold them until their last end
-              state.update(OverlapState(-1L, -1L, 0L, live))
-              state.setTimeoutTimestamp(live.max)
-            } else state.remove()
-            out
-          } else {
-            val sorted = batchEvents.toSeq.sortBy(_.tsMs)
-            val closed = Seq.newBuilder[SessionOverlap]
-            var open = state.getOption
-            sorted.foreach { e =>
-              open = open match {
-                case Some(s) if s.start >= 0 && e.tsMs - s.last > gapMs =>
-                  closed += SessionOverlap(userId, s.start, s.last + 1, s.n)
-                  // new session: live windows from earlier sessions that
-                  // outlast the gap overlap it from its first instant
-                  val live = s.winEnds.filter(_ > e.tsMs)
-                  Some(OverlapState(e.tsMs, e.tsMs, live.length.toLong +
-                    (if (e.isError) 1L else 0L),
-                    if (e.isError) e.tsMs + winMs :: live else live))
-                case Some(s) if s.start >= 0 =>
-                  val last = math.max(s.last, e.tsMs)
-                  // prune dead ends; an in-session error overlaps its own
-                  // session by construction, count it at creation
-                  val live = s.winEnds.filter(_ > last)
-                  Some(OverlapState(s.start, last,
-                    s.n + (if (e.isError) 1L else 0L),
-                    if (e.isError) e.tsMs + winMs :: live else live))
-                case held => // None, or the windows-only sentinel
-                  val live = held.map(_.winEnds.filter(_ > e.tsMs)).getOrElse(Nil)
-                  Some(OverlapState(e.tsMs, e.tsMs, live.length.toLong +
-                    (if (e.isError) 1L else 0L),
-                    if (e.isError) e.tsMs + winMs :: live else live))
-              }
+        case (userId, batchEvents, state: GroupState[OverlapReplayState]) =>
+          // one unified body serves data batches AND timeout wakeups (a
+          // timeout delivers an empty iterator): admit new events to the
+          // buffer, replay everything the watermark has passed in
+          // event-time order, then close whatever the watermark proves
+          // finished
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.getOrElse(OverlapReplayState(Nil, None))
+          val fresh = batchEvents
+            .map(e => (e.tsMs, e.isError)).filter(_._1 >= wm) // late: dropped
+          val (ready, rest) =
+            (prior.pending ++ fresh).sortBy(_._1).partition(_._1 < wm)
+          val closed = Seq.newBuilder[SessionOverlap]
+          var open = prior.sess
+          ready.foreach { case (ts, isErr) =>
+            open = open match {
+              case Some(s) if s.start >= 0 && ts - s.last > gapMs =>
+                closed += SessionOverlap(userId, s.start, s.last + 1, s.n)
+                // new session: live windows from earlier sessions that
+                // outlast the gap overlap it from its first instant
+                val live = s.winEnds.filter(_ > ts)
+                Some(OverlapState(ts, ts, live.length.toLong +
+                  (if (isErr) 1L else 0L),
+                  if (isErr) ts + winMs :: live else live))
+              case Some(s) if s.start >= 0 =>
+                // replay is time-ordered, so ts >= s.last always; prune
+                // dead ends — an in-session error overlaps its own
+                // session by construction, counted at creation
+                val live = s.winEnds.filter(_ > ts)
+                Some(OverlapState(s.start, ts,
+                  s.n + (if (isErr) 1L else 0L),
+                  if (isErr) ts + winMs :: live else live))
+              case held => // None, or the windows-only sentinel
+                val live = held.map(_.winEnds.filter(_ > ts)).getOrElse(Nil)
+                Some(OverlapState(ts, ts, live.length.toLong +
+                  (if (isErr) 1L else 0L),
+                  if (isErr) ts + winMs :: live else live))
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.result().iterator
           }
+          // watermark close: every admissible future event has
+          // t >= wm > last + gap, so it would open a NEW session — the
+          // open one is provably finished. Windows outliving the
+          // watermark are held (sentinel) for the user's next session;
+          // a sentinel whose windows have all expired is dropped.
+          open = open match {
+            case Some(s) if s.start >= 0 && wm > s.last + gapMs =>
+              closed += SessionOverlap(userId, s.start, s.last + 1, s.n)
+              val live = s.winEnds.filter(_ > wm)
+              if (live.nonEmpty) Some(OverlapState(-1L, -1L, 0L, live)) else None
+            case Some(s) if s.start < 0 =>
+              val live = s.winEnds.filter(_ > wm)
+              if (live.nonEmpty) Some(OverlapState(-1L, -1L, 0L, live)) else None
+            case other => other
+          }
+          if (rest.isEmpty && open.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(OverlapReplayState(rest, open))
+            // wake at the earliest event the replay is waiting on, the
+            // open session's gap horizon, or the last held window's end
+            // — whichever the watermark reaches first (> wm required)
+            val cands =
+              rest.headOption.map(_._1).toList ++
+                open.filter(_.start >= 0).map(s => s.last + gapMs) ++
+                open.filter(s => s.start < 0 && s.winEnds.nonEmpty)
+                  .map(_.winEnds.max)
+            state.setTimeoutTimestamp(math.max(cands.min, wm + 1L))
+          }
+          closed.result().iterator
       }
   }
 }

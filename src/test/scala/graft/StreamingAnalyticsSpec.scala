@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.StreamingAnalytics
+import graft.streaming.{AsOfStreamMode, StreamingAnalytics}
 import graft.streaming.StreamingAnalytics.{ClosedSession, UserEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
@@ -336,7 +336,8 @@ class StreamingAnalyticsSpec extends SparkSuite {
       val l = spark.readStream.schema(lSchema).parquet(s"$dir/left")
       val r = spark.readStream.schema(rSchema).parquet(s"$dir/right")
       val joined = StreamingAnalytics.streamingAsOfJoinStream(
-        l, r, Seq("k" -> "k"), "t", "rt", rightTiebreak = Seq("rid"))
+        l, r, Seq("k" -> "k"), "t", "rt", rightTiebreak = Seq("rid"),
+        mode = AsOfStreamMode.Arrival)
       val q = joined.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$dir/ckpt")
@@ -406,7 +407,8 @@ class StreamingAnalyticsSpec extends SparkSuite {
           spark.readStream.schema(lSchema).parquet(s"$dir/left"),
           spark.readStream.schema(rSchema).parquet(s"$dir/right"),
           Seq("k" -> "k"), "t", "rt",
-          rightTiebreak = Seq("rid"), toleranceMs = tol)
+          rightTiebreak = Seq("rid"), toleranceMs = tol,
+          mode = AsOfStreamMode.Arrival)
         val q = joined.writeStream
           .outputMode("append")
           .option("checkpointLocation", s"$dir/ckpt")
@@ -449,7 +451,8 @@ class StreamingAnalyticsSpec extends SparkSuite {
     val q = StreamingAnalytics.streamingAsOfJoinStream(
       spark.readStream.schema(lSchema).parquet(s"$dir/left"),
       spark.readStream.schema(rSchema).parquet(s"$dir/right"),
-      Seq("k" -> "k"), "t", "rt", toleranceMs = Some(5000L))
+      Seq("k" -> "k"), "t", "rt", toleranceMs = Some(5000L),
+      mode = AsOfStreamMode.Arrival)
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -480,6 +483,161 @@ class StreamingAnalyticsSpec extends SparkSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(err).exists(_.contains("null left-side time")),
       s"null time must raise the batch API's message: ${messages(err)}")
+  }
+
+  test("stream-stream as-of EventTime: arbitrary arrival order equals the batch join") {
+    // the out-of-order-safe contract: rows buffer until the watermark
+    // passes them and replay in event-time order, so the output equals
+    // the batch native join for ANY arrival order within the watermark
+    // — here both sides are shuffled into interleaved micro-batch
+    // slices that share NOTHING with event-time order (facts routinely
+    // arrive before the dimension writes they must match)
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(12)
+    for (tol <- Seq(None, Some(40L))) {
+      val right = (0 until 100).map(i =>
+        (rnd.nextInt(5) + 1L, h0 + rnd.nextInt(300).toLong, i.toLong))
+      val left = (0 until 100).map(i =>
+        (rnd.nextInt(5) + 1L, h0 + rnd.nextInt(300).toLong, i.toLong))
+      val lSlices = rnd.shuffle(left).grouped(20).toSeq
+      val rSlices = rnd.shuffle(right).grouped(20).toSeq
+      val lMem = MemoryStream[(Long, Long, Long)]
+      val rMem = MemoryStream[(Long, Long, Long)]
+      val joined = StreamingAnalytics.streamingAsOfJoinStream(
+        lMem.toDF().toDF("k", "t", "lid"), rMem.toDF().toDF("k", "rt", "rid"),
+        Seq("k" -> "k"), "t", "rt", rightTiebreak = Seq("rid"),
+        toleranceMs = tol) // default mode: EventTime
+      val name = s"ssa_et_${tol.isDefined}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      lSlices.map(Option(_)).zipAll(rSlices.map(Option(_)), None, None)
+        .foreach { case (ls, rs) =>
+          ls.foreach(s => lMem.addData(s: _*))
+          rs.foreach(s => rMem.addData(s: _*))
+          q.processAllAvailable()
+        }
+      // two flush rows on the RIGHT side (rights emit nothing): the
+      // first advances the watermark past every real row, the second
+      // runs a batch under that watermark so every key's replay timeout
+      // fires and drains its buffer
+      rMem.addData((99L, h0 + 7200000L, 900L)); q.processAllAvailable()
+      rMem.addData((99L, h0 + 7200001L, 901L)); q.processAllAvailable()
+      val got = spark.table(name).select("lid", "rid")
+        .as[(Long, Option[Long])].collect()
+      q.stop()
+      val lB = left.toDF("k", "t", "lid")
+      val rB = right.toDF("k", "rt", "rid")
+      val batch = graft.plans.AsOfJoin.backward(lB, rB,
+        Seq(lB("k")), Seq(rB("k")), lB("t"), rB("rt"), Seq(rB("rid")),
+        toleranceMs = tol)
+        .select(col("lid"), col("rid"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got.length == left.size, s"left-total violated: ${got.length}")
+      assert(got.toMap == batch,
+        s"EventTime mode (tol=$tol) diverged from the batch join")
+    }
+  }
+
+  test("stream-stream as-of EventTime: a fact arriving BEFORE its dimension write still matches, across restart") {
+    // the exact case Arrival mode cannot express: the left row lands in
+    // run 1, the right row it must match (rt < t) only in run 2 — and
+    // the buffered fact survives the checkpoint restart in between
+    val dir = tmpDir("ss-asof-et-restart")
+    Seq((1L, 18L, 0L)).toDF("k", "t", "lid")
+      .write.mode("overwrite").parquet(s"$dir/left")
+    val lSchema = spark.read.parquet(s"$dir/left").schema
+    val rSchema = new org.apache.spark.sql.types.StructType()
+      .add("k", "long", nullable = false).add("rt", "long", nullable = false)
+      .add("rid", "long", nullable = false)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    def runOnce(): Unit = {
+      val joined = StreamingAnalytics.streamingAsOfJoinStream(
+        spark.readStream.schema(lSchema).parquet(s"$dir/left"),
+        spark.readStream.schema(rSchema).parquet(s"$dir/right"),
+        Seq("k" -> "k"), "t", "rt", rightTiebreak = Seq("rid"),
+        watermark = "1 minute")
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got ++= b.select(col("lid"), col("rid")).as[(Long, Option[Long])].collect()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: only the fact exists; nothing can emit (watermark at 0)
+    Seq.empty[(Long, Long, Long)].toDF("k", "rt", "rid")
+      .write.mode("overwrite").parquet(s"$dir/right")
+    runOnce()
+    assert(got.isEmpty, s"nothing may emit before the watermark passes: $got")
+    // run 2: the dimension write the fact should match arrives LATE
+    Seq((1L, 10L, 100L)).toDF("k", "rt", "rid")
+      .write.mode("append").parquet(s"$dir/right")
+    runOnce()
+    // runs 3+4: flush rows push the watermark past the real rows, then
+    // run a batch under it so the replay timeout fires
+    Seq((9L, 10000000L, 900L)).toDF("k", "rt", "rid")
+      .write.mode("append").parquet(s"$dir/right")
+    runOnce()
+    Seq((9L, 10000001L, 901L)).toDF("k", "rt", "rid")
+      .write.mode("append").parquet(s"$dir/right")
+    runOnce()
+    assert(got.toList == List((0L, Some(100L))),
+      s"the retro-match must emit exactly once after the watermark: $got")
+  }
+
+  test("keyless stream-stream as-of: global dimension timeline, across restart") {
+    // the streaming twin of q_asof_global: no join key, every fact
+    // matches the single global rate table (EventTime replay, so rate
+    // writes may arrive after the facts they calibrate)
+    val dir = tmpDir("ss-asof-keyless")
+    Seq((5L, 0L), (12L, 1L), (30L, 2L)).toDF("t", "lid")
+      .write.mode("overwrite").parquet(s"$dir/left")
+    Seq((10L, 100L)).toDF("rt", "rate")
+      .write.mode("overwrite").parquet(s"$dir/right")
+    val lSchema = spark.read.parquet(s"$dir/left").schema
+    val rSchema = spark.read.parquet(s"$dir/right").schema
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    def runOnce(): Unit = {
+      val joined = StreamingAnalytics.streamingAsOfJoinStream(
+        spark.readStream.schema(lSchema).parquet(s"$dir/left"),
+        spark.readStream.schema(rSchema).parquet(s"$dir/right"),
+        keys = Nil, "t", "rt", rightTiebreak = Seq("rate"),
+        watermark = "1 minute")
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got ++= b.select(col("lid"), col("rate")).as[(Long, Option[Long])].collect()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // restart with a newer global rate write, then flush twice
+    Seq((25L, 101L)).toDF("rt", "rate")
+      .write.mode("append").parquet(s"$dir/right")
+    runOnce()
+    Seq((10000000L, 900L)).toDF("rt", "rate")
+      .write.mode("append").parquet(s"$dir/right")
+    runOnce()
+    Seq((10000001L, 901L)).toDF("rt", "rate")
+      .write.mode("append").parquet(s"$dir/right")
+    runOnce()
+    // lid 0 (t=5) predates every rate; lid 1 (t=12) takes the rt=10
+    // write; lid 2 (t=30) takes the rt=25 write from the SECOND run.
+    // (the flush rows are future rates no fact reaches)
+    assert(got.toMap == Map(0L -> None, 1L -> Some(100L), 2L -> Some(101L)),
+      s"keyless global as-of diverged: ${got.toMap}")
+    // and the batch keyless join over the same inputs agrees
+    val lB = spark.read.parquet(s"$dir/left")
+    val rB = spark.read.parquet(s"$dir/right")
+    val batch = graft.plans.AsOfJoin.backward(lB, rB, Nil, Nil,
+      lB("t"), rB("rt"), Seq(rB("rate")))
+      .select(col("lid"), col("rate")).as[(Long, Option[Long])].collect().toMap
+    assert(got.toMap == batch, s"keyless stream diverged from batch: $batch")
   }
 
   test("streaming interval-overlap: windows bleed across sessions, survive timeout closes") {
@@ -533,6 +691,58 @@ class StreamingAnalyticsSpec extends SparkSuite {
       (m(0), m(0) + 1, 1L),    // timed out; emitted with its own window
       (m(47), m(47) + 1, 1L)), // the held window survived the timeout
       s"user-3 sessions diverged: ${u3.toSeq}")
+  }
+
+  test("streaming interval-overlap: arbitrary arrival order equals the batch gate query") {
+    // the out-of-order-safe contract: events buffer until the watermark
+    // passes them and replay through the session logic in event-time
+    // order, so the closed sessions equal the batch day-bucketed join
+    // for ANY arrival order within the watermark — here the feed is a
+    // seeded random shuffle sliced across micro-batches
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingAnalytics.{OverlapEvent, SessionOverlap}
+    val rnd = new scala.util.Random(21)
+    // 7-minute steps over ~17.5h: per-user gaps straddle the 30-min
+    // session gap, and 60-min windows outlast it (cross-session bleed)
+    val events = (0 until 150).map { i =>
+      (rnd.nextInt(6) + 1L, h0 + i * 7L * 60000L, i.toLong,
+        if (rnd.nextInt(10) < 3) "error" else "click")
+    }
+    // the batch gate query over the identical events table
+    val dir = tmpDir("ovl-ooo-batch")
+    events.map { case (u, ms, id, tpe) => (u, ms * 1000000L, id, tpe, 1.0) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = graft.queries.AnalyticsQueries.intervalOverlapJoin(spark, dir)
+      .select("user_id", "s_start", "s_end", "n_overlaps")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.size > 20 && want.exists(_._4 >= 2L),
+      s"fixture must produce many sessions with real overlap counts: ${want.size}")
+    // stream the SAME events in shuffled order across 5 micro-batches
+    val mem = MemoryStream[OverlapEvent]
+    val q = StreamingAnalytics.streamingIntervalOverlap(
+        mem.toDS(), gapMs = 30L * 60000, winMs = 60L * 60000,
+        watermarkDelay = "18 hours")
+      .writeStream.format("memory").queryName("ovl_ooo")
+      .outputMode("append").start()
+    rnd.shuffle(events).grouped(30).foreach { slice =>
+      mem.addData(slice.map(e => OverlapEvent(e._1, e._2, e._4 == "error")): _*)
+      q.processAllAvailable()
+    }
+    // flush twice: advance the watermark past every session's gap
+    // horizon, then run a batch under it so the close timeouts fire
+    val flushT = h0 + 1000L * 3600000L
+    mem.addData(OverlapEvent(99L, flushT, isError = false))
+    q.processAllAvailable()
+    mem.addData(OverlapEvent(99L, flushT + 1L, isError = false))
+    q.processAllAvailable()
+    val got = spark.table("ovl_ooo").as[SessionOverlap].collect()
+      .filter(_.userId != 99L)
+      .map(s => (s.userId, s.start, s.end, s.nOverlaps)).toSet
+    q.stop()
+    assert(got == want,
+      s"shuffled-arrival streaming diverged from the batch join:\n" +
+        s"missing: ${want -- got}\nextra: ${got -- want}")
   }
 
   test("streaming cusum equals the batch changepoint census on a replayed feed") {

@@ -508,6 +508,7 @@ class BuildIndexCliSpec extends SparkSuite {
       "on" -> "k", "left-time" -> "t", "right-time" -> "rt",
       "tiebreak" -> "rid", "stream" -> "true", "right-stream" -> "true",
       "watermark" -> "1hour", // unspaced form: one argv token pre-parse
+      "mode" -> "arrival", // this test pins the live arrival contract
       "checkpoint" -> s"$dir/ckpt", "out" -> s"$dir/out")
     val (_, n1) = Main.joinAsofCmd(spark, args)
     assert(n1 == 1L)
@@ -530,6 +531,65 @@ class BuildIndexCliSpec extends SparkSuite {
         "checkpoint" -> s"$dir/ckpt2", "out" -> s"$dir/out2"))
     }
     assert(bad.getMessage.contains("backward"))
+    // and an unknown ordering contract rejects loudly too
+    val badMode = intercept[IllegalArgumentException] {
+      Main.joinAsofCmd(spark, args ++ Map("mode" -> "sideways",
+        "checkpoint" -> s"$dir/ckpt3", "out" -> s"$dir/out3"))
+    }
+    assert(badMode.getMessage.contains("event-time|arrival"))
+  }
+
+  test("join-asof --right-stream --mode event-time: out-of-order dimension write retro-matches") {
+    // the default event-time contract through the CLI: the fact arrives
+    // in run 1, the dimension row it must match (rt < t) only in run 2;
+    // flush runs advance the watermark until the buffered fact drains —
+    // the tail-stays-buffered behavior the CLI doc promises
+    val dir = tmpDir("cli-asof-et")
+    Seq((1L, 18L, 0L)).toDF("k", "t", "lid")
+      .write.mode("overwrite").parquet(s"$dir/left")
+    Seq.empty[(Long, Long, Long)].toDF("k", "rt", "rid")
+      .write.mode("overwrite").parquet(s"$dir/right")
+    val args = Map(
+      "left" -> s"$dir/left", "right" -> s"$dir/right",
+      "on" -> "k", "left-time" -> "t", "right-time" -> "rt",
+      "tiebreak" -> "rid", "stream" -> "true", "right-stream" -> "true",
+      "watermark" -> "1minute",
+      "checkpoint" -> s"$dir/ckpt", "out" -> s"$dir/out")
+    val (_, n1) = Main.joinAsofCmd(spark, args)
+    assert(n1 == 0L, "nothing may emit before the watermark passes the fact")
+    Seq((1L, 10L, 100L)).toDF("k", "rt", "rid")
+      .write.mode("append").parquet(s"$dir/right")
+    Main.joinAsofCmd(spark, args)
+    Seq((9L, 10000000L, 900L)).toDF("k", "rt", "rid")
+      .write.mode("append").parquet(s"$dir/right")
+    Main.joinAsofCmd(spark, args)
+    Seq((9L, 10000001L, 901L)).toDF("k", "rt", "rid")
+      .write.mode("append").parquet(s"$dir/right")
+    Main.joinAsofCmd(spark, args)
+    val got = spark.read.parquet(s"$dir/out").select("lid", "rid")
+      .as[(Long, Option[Long])].collect().toList
+    assert(got == List((0L, Some(100L))),
+      s"the late dimension write must retro-match exactly once: $got")
+  }
+
+  test("join-asof --stream rejects an out dir holding the legacy flat layout") {
+    val dir = tmpDir("cli-asof-legacy")
+    Seq((1L, 10L, 100L)).toDF("k", "rt", "rid")
+      .write.mode("overwrite").parquet(s"$dir/right")
+    Seq((1L, 18L, 0L)).toDF("k", "t", "lid")
+      .write.mode("overwrite").parquet(s"$dir/left")
+    // a pre-batch_id out dir: flat parquet files at the root
+    Seq((0L, Some(100L))).toDF("lid", "rid")
+      .write.mode("overwrite").parquet(s"$dir/out")
+    val err = intercept[IllegalArgumentException] {
+      Main.joinAsofCmd(spark, Map(
+        "left" -> s"$dir/left", "right" -> s"$dir/right",
+        "on" -> "k", "left-time" -> "t", "right-time" -> "rt",
+        "stream" -> "true", "checkpoint" -> s"$dir/ckpt",
+        "out" -> s"$dir/out"))
+    }
+    assert(err.getMessage.contains("batch_id"),
+      s"legacy layout must fail with the migration hint: ${err.getMessage}")
   }
 
   test("every kind lands on the shared IndexArtifact layout") {
