@@ -68,6 +68,17 @@ import java.time.temporal.ChronoUnit
   *          arrives, matched against the freshest already-arrived
   *          dimension row — prompt, but cross-batch matching reflects
   *          arrival order)
+  *   interval-join --left <parquet> --right <parquet>
+  *             --left-start <col> --left-end <col>
+  *             --right-start <col> --right-end <col> --out <parquet>
+  *             [--on k[=rk][,...]] [--bucket-ms N] [--count]
+  *          (interval × interval overlap join over half-open [start,
+  *          end) intervals, each overlapping pair exactly once; --count
+  *          emits the left-total per-left-row overlap census instead of
+  *          the pairs; --on is optional — keyless joins match on
+  *          overlap alone; --bucket-ms pins the bucket width, otherwise
+  *          it is chosen from interval-length stats; right columns
+  *          clashing with left names come out prefixed right_)
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -458,6 +469,19 @@ object Main {
       println(s"join-asof: $n rows written to $out")
       spark.stop()
 
+    case "interval-join" :: rest =>
+      // Interval-overlap join as a job: the distributed bucketed form
+      // (equi-join Catalyst can plan; exact predicate as a residual;
+      // each pair exactly once) — runnable without writing Scala.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, n) =
+        try intervalJoinCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"interval-join: $n rows written to $out")
+      spark.stop()
+
     case "scrub" :: rest =>
       // The ingest-side consumer of the scrub artifact: rewrite a batch
       // of documents with corpus-duplicated spans removed. With --index
@@ -775,6 +799,41 @@ object Main {
       prefixClashes(joined).write.mode("overwrite").parquet(out)
       (out, l.count())
     }
+  }
+
+  /** `interval-join` body, session-injected for specs. Key pairs parse
+    * like join-asof's `--on` (optional here: keyless joins bucket on
+    * time alone); `--count` switches from the matched-pairs output to
+    * the left-total per-left-row census.
+    */
+  private[cli] def intervalJoinCmd(
+      spark: SparkSession, o: Map[String, String]): (String, Long) = {
+    import graft.operators.IntervalJoin
+    val leftIn = o.getOrElse("left", die("--left <parquet> is required"))
+    val rightIn = o.getOrElse("right", die("--right <parquet> is required"))
+    val out = o.getOrElse("out", die("--out <parquet> is required"))
+    val lS = o.getOrElse("left-start", die("--left-start <col> is required"))
+    val lE = o.getOrElse("left-end", die("--left-end <col> is required"))
+    val rS = o.getOrElse("right-start", die("--right-start <col> is required"))
+    val rE = o.getOrElse("right-end", die("--right-end <col> is required"))
+    val keys = o.get("on").map(_.split(',').toSeq.map(_.split('=') match {
+      case Array(a, b) => (a.trim, b.trim)
+      case Array(a) => (a.trim, a.trim)
+      case _ => throw new IllegalArgumentException(
+        s"--on expects lcol=rcol pairs, got '${o("on")}'")
+    })).getOrElse(Nil)
+    val bucket = o.get("bucket-ms").map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"--bucket-ms needs a millisecond count, got '$v'"))
+    }
+    val l = spark.read.parquet(leftIn)
+    val r = spark.read.parquet(rightIn)
+    val joined =
+      if (o.contains("count"))
+        IntervalJoin.overlapCount(l, r, keys, lS, lE, rS, rE, bucket)
+      else IntervalJoin.overlap(l, r, keys, lS, lE, rS, rE, bucket)
+    joined.write.mode("overwrite").parquet(out)
+    (out, spark.read.parquet(out).count())
   }
 
   /** `scrub` body, session-injected for specs (see [[buildIndexCmd]]).

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic distributed interval-overlap join — interval × interval,
+  * the operator class `q_interval_overlap` instantiates (reference has
+  * no joins at all; this is part of the additive analytics surface).
+  *
+  * Semantics: both sides carry half-open `[start, end)` intervals in
+  * the same (numeric, typically epoch-ms) unit; a pair matches iff the
+  * intervals share a key AND genuinely overlap (`lStart < rEnd && rStart
+  * < lEnd`, both nonempty). Spark has no native interval join and the
+  * inequality-only formulation plans as a nested-loop cross product —
+  * the scale-correct form BUCKETS both interval sets by the
+  * `bucketMs`-wide slots they span (explode over span/bucket + 1
+  * slots), equi-joins on (keys, bucket) — a hash join Catalyst can
+  * shuffle, broadcast, and AQE-skew-split — with the exact overlap
+  * predicate as a residual, and keeps each overlapping pair EXACTLY
+  * ONCE with no distinct: a pair is counted only in the bucket
+  * containing the overlap's START, `greatest(lStart, rStart) div
+  * bucket`, which lies inside both intervals (the overlap is nonempty)
+  * and therefore inside both sides' replication ranges. Correctness is
+  * therefore INDEPENDENT of the bucket width (IntervalJoinSpec pins
+  * result equality across widths); width only moves the
+  * replication-vs-candidates tradeoff below.
+  *
+  * Bucket width: replication is O(intervalLen / bucket + 1) rows per
+  * interval (too-small buckets explode the input), while every
+  * interval pair of one key sharing a bucket becomes a hash-match
+  * candidate evaluated against the residual (too-large buckets
+  * degenerate toward a per-key cartesian — the all-day-sessions-in-
+  * one-day-bucket case). The sweet spot is a bucket about as wide as a
+  * typical interval: ~2× replication, candidates only near in time.
+  * With `bucketMs = None` the width is chosen from the data — one
+  * metadata-scale aggregate over both sides' interval lengths, then
+  * the power of two at or above `max(p95 length, maxLength/1024, 1)`
+  * (p95 tracks the typical interval while one outlier can't inflate
+  * the width for everyone; the maxLength/1024 floor caps any single
+  * interval's replication at ~1025 rows; the power of two keeps widths
+  * stable under small stat drift). Pass an explicit width when the
+  * caller already knows the granularity (the day-bucketed gate) or
+  * when the extra stats pass over the inputs matters.
+  *
+  * Scale shape: ONE exchange per side on (keys, bucket) — or zero/
+  * broadcast when a side is dimension-sized — identical to any
+  * equi-join; the explode happens map-side before the shuffle. Empty
+  * intervals (`end <= start`) never match (the textbook overlap
+  * predicate is wrong for them — `[5,5)` overlaps nothing); on the
+  * left they still surface in [[overlapCount]] with a zero count.
+  *
+  * Column-name clashes resolve like the CLI's merge_asof convention:
+  * right columns whose names collide with a left column come out
+  * prefixed `right_`.
+  */
+object IntervalJoin {
+
+  private val LB = "__ij_bucket_l"
+  private val RB = "__ij_bucket_r"
+
+  /** Power of two at or above `max(p95 interval length, maxLen/1024,
+    * 1)` over BOTH sides — one small aggregate job (two scans reduced
+    * to one row; lengths only, payloads never move). Public so callers
+    * and specs can observe the choice the `bucketMs = None` path makes.
+    */
+  def adaptiveBucketMs(
+      left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String): Long = {
+    val lens = left
+      .select((col(leftEnd) - col(leftStart)).cast("long").as("len"))
+      .unionAll(right
+        .select((col(rightEnd) - col(rightStart)).cast("long").as("len")))
+      .filter(col("len") > 0)
+    val row = lens.agg(
+      expr("approx_percentile(len, 0.95, 10000)").as("p95"),
+      max(col("len")).as("mx")).head()
+    if (row.isNullAt(0)) 1L // both sides empty (or all-empty intervals)
+    else {
+      val want = math.max(1L, math.max(row.getLong(0), row.getLong(1) / 1024L))
+      if (want <= 1L) 1L else java.lang.Long.highestOneBit(want - 1L) << 1
+    }
+  }
+
+  /** The matched PAIRS, each exactly once: all left columns plus all
+    * right columns (clashes prefixed `right_`). Inner by construction
+    * — use [[overlapCount]] for the left-total census.
+    */
+  def overlap(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketMs: Option[Long] = None): DataFrame = {
+    val (lB, rB, pred) = bucketed(left, right, keys,
+      leftStart, leftEnd, rightStart, rightEnd, bucketMs)
+    lB.join(rB, pred).drop(LB, RB)
+  }
+
+  /** Left-total overlap census: one row per DISTINCT left row carrying
+    * every left column plus `n_overlaps` — zero for intervals nothing
+    * overlaps (and for empty left intervals). Left-totality comes from
+    * the LEFT OUTER join itself (every left interval keeps ≥ 1 bucket
+    * row; all predicates live in the ON clause), so the left subtree is
+    * never recomputed by a join-back; the aggregate groups by every
+    * left column (constant across an interval's bucket replicas) — rows
+    * identical in ALL columns therefore merge, with their matches
+    * summed: feed a distinct-making id when that matters.
+    */
+  def overlapCount(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketMs: Option[Long] = None): DataFrame = {
+    val (lB, rB, pred) = bucketed(left, right, keys,
+      leftStart, leftEnd, rightStart, rightEnd, bucketMs)
+    lB.join(rB, pred, "left_outer")
+      .groupBy(left.columns.toIndexedSeq.map(col): _*)
+      .agg(count(col(RB)).as("n_overlaps"))
+  }
+
+  /** Shared bucket-explode + join predicate. Empty intervals get a
+    * single degenerate bucket row (greatest clamp — `sequence(a, b)`
+    * with a > b would otherwise count DOWN) and are excluded from
+    * matching by the nonempty terms in the predicate.
+    */
+  private def bucketed(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketMs: Option[Long]): (DataFrame, DataFrame, Column) = {
+    require(!left.columns.contains(LB) && !right.columns.contains(RB),
+      s"$LB/$RB are reserved internal column names")
+    keys.foreach { case (lk, rk) =>
+      require(left.columns.contains(lk), s"left key '$lk' not in ${left.columns.mkString(",")}")
+      require(right.columns.contains(rk), s"right key '$rk' not in ${right.columns.mkString(",")}")
+    }
+    bucketMs.foreach(b => require(b > 0, s"bucketMs must be positive, got $b"))
+    // clash prefix BEFORE composing: predicates then bind by plain name
+    // on the joined frame with no ambiguity
+    val leftCols = left.columns.toSet
+    val clashes = right.columns.filter(leftCols).toSet
+    val r2 = clashes.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"right_$c"))
+    def rn(c: String) = if (clashes(c)) s"right_$c" else c
+    val (rS, rE) = (rn(rightStart), rn(rightEnd))
+    val b = bucketMs.getOrElse(
+      adaptiveBucketMs(left, leftStart, leftEnd, right, rightStart, rightEnd))
+    def spans(df: DataFrame, s: String, e: String, out: String) =
+      df.withColumn(out, explode(sequence(
+        expr(s"CAST($s AS LONG) div $b"),
+        greatest(expr(s"CAST($s AS LONG) div $b"),
+          expr(s"(CAST($e AS LONG) - 1) div $b")))))
+    val lB = spans(left, leftStart, leftEnd, LB)
+    val rB = spans(r2, rS, rE, RB)
+    val keyPred = keys.map { case (lk, rk) => lB(lk) === rB(rn(rk)) }
+      .foldLeft(lit(true))(_ && _)
+    val pred = keyPred &&
+      lB(LB) === rB(RB) &&
+      // exact overlap of NONEMPTY half-open intervals, as a residual
+      lB(leftStart) < rB(rE) && rB(rS) < lB(leftEnd) &&
+      lB(leftStart) < lB(leftEnd) && rB(rS) < rB(rE) &&
+      // exactly-once: only the bucket holding the overlap's start counts
+      lB(LB) === expr(s"greatest(CAST($leftStart AS LONG), CAST($rS AS LONG)) div $b")
+    (lB, rB, pred)
+  }
+}

@@ -651,26 +651,22 @@ object AnalyticsQueries {
     val wins = ev.filter(col("event_type") === "error")
       .select(col("user_id").as("w_user"), col("ts_ms").as("w_start"),
         (col("ts_ms") + lit(winMs)).as("w_end"))
-    val sB = sessions.withColumn("day", explode(sequence(
-      expr(s"s_start div $dayMs"), expr(s"(s_end - 1) div $dayMs"))))
-    val wB = wins.withColumn("w_day", explode(sequence(
-      expr(s"w_start div $dayMs"), expr(s"(w_end - 1) div $dayMs"))))
+    // routed through the reusable operator ([[graft.operators.IntervalJoin]]):
     // LEFT OUTER with every predicate in the ON clause, then count the
-    // non-null matches: left-totality comes from the join itself (every
-    // session keeps >= 1 bucket row), so there is no join-back to the
-    // sessions frame — which would otherwise recompute the whole
-    // window subtree — and the per-session aggregate's keys are a
-    // superset of the window's user partitioning, so after the
-    // (broadcast-sized) windows join the plan has ONE hash exchange
-    // end-to-end.
-    sB.join(wB,
-        sB("user_id") === wB("w_user") && sB("day") === wB("w_day") &&
-          sB("s_start") < wB("w_end") && wB("w_start") < sB("s_end") &&
-          sB("day") === expr(s"greatest(s_start, w_start) div $dayMs"),
-        "left_outer")
-      .groupBy("user_id", "session_id")
-      .agg(min("s_start").as("s_start"), min("s_end").as("s_end"),
-        count(col("w_user")).as("n_overlaps"))
+    // non-null matches — left-totality comes from the join itself
+    // (every session keeps >= 1 bucket row), so there is no join-back
+    // to the sessions frame, and the per-session aggregate's keys
+    // (every sessions column) are a superset of the window's user
+    // partitioning, so after the (broadcast-sized) windows join the
+    // plan has ONE hash exchange end-to-end. The bucket width is pinned
+    // to a day (the gate's long-standing granularity — sessions and
+    // 60-min windows are hour-scale, so a day keeps replication at
+    // ~1×); dropping the pin and letting the operator choose from
+    // interval-length stats yields the identical answer (bucket width
+    // never changes the result — IntervalJoinSpec pins both).
+    graft.operators.IntervalJoin.overlapCount(
+        sessions, wins, keys = Seq("user_id" -> "w_user"),
+        "s_start", "s_end", "w_start", "w_end", bucketMs = Some(dayMs))
       .orderBy("user_id", "session_id")
   }
 

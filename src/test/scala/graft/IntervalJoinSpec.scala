@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.IntervalJoin
+import org.apache.spark.sql.functions.col
+
+/** The generic interval-overlap join: brute-force equivalence on
+  * randomized keyed intervals (bucket-width INDEPENDENCE — any width,
+  * including the adaptive choice, gives the identical answer),
+  * left-total counts, empty-interval edge cases, clash prefixing,
+  * keyless joins, adaptive width selection, and the plan shape (hash
+  * join + residual, never a nested-loop cross product).
+  */
+class IntervalJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  // randomized keyed intervals, negative times and EMPTY intervals
+  // (len 0) included — the half-open overlap predicate is only valid
+  // for nonempty intervals, and div truncates toward zero below zero,
+  // both of which the operator must absorb
+  private val rnd = new scala.util.Random(7)
+  private val leftRows = (0 until 160).map { i =>
+    val s = rnd.nextInt(1000) - 500L
+    (rnd.nextInt(4) + 1L, s, s + rnd.nextInt(51).toLong, i.toLong)
+  }
+  private val rightRows = (0 until 160).map { i =>
+    val s = rnd.nextInt(1000) - 500L
+    (rnd.nextInt(4) + 1L, s, s + rnd.nextInt(51).toLong, i.toLong)
+  }
+  private def lDF = leftRows.toDF("k", "ls", "le", "lid")
+  private def rDF = rightRows.toDF("rk", "rs", "re", "rid")
+
+  private def brutePairs(keyed: Boolean): Set[(Long, Long)] =
+    (for {
+      (lk, ls, le, lid) <- leftRows
+      (rk, rs, re, rid) <- rightRows
+      if (!keyed || lk == rk) && ls < re && rs < le && ls < le && rs < re
+    } yield (lid, rid)).toSet
+
+  test("pairs equal brute force for ANY bucket width, including adaptive") {
+    val want = brutePairs(keyed = true)
+    assert(want.size > 300, s"fixture too sparse: ${want.size} pairs")
+    for (bucket <- Seq(Some(1L), Some(7L), Some(64L), Some(100000L), None)) {
+      val got = IntervalJoin.overlap(lDF, rDF, Seq("k" -> "rk"),
+          "ls", "le", "rs", "re", bucket)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"bucket=$bucket emitted a pair more than once")
+      assert(got.toSet == want, s"bucket=$bucket diverged from brute force")
+    }
+  }
+
+  test("keyless join matches on overlap alone") {
+    val got = IntervalJoin.overlap(lDF, rDF, Nil, "ls", "le", "rs", "re",
+        bucketMs = Some(32L))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == brutePairs(keyed = false))
+  }
+
+  test("overlapCount is left-total: zero rows kept, empty intervals never match") {
+    val bruteCounts = brutePairs(keyed = true)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = IntervalJoin.overlapCount(lDF, rDF, Seq("k" -> "rk"),
+        "ls", "le", "rs", "re", bucketMs = Some(16L))
+      .select("lid", "n_overlaps").as[(Long, Long)].collect()
+    assert(got.length == leftRows.size, "one census row per left row")
+    got.foreach { case (lid, n) =>
+      assert(n == bruteCounts.getOrElse(lid, 0L), s"lid $lid count diverged")
+    }
+    // the fixture's empty left intervals all report zero
+    val emptyIds = leftRows.filter(r => r._3 <= r._2).map(_._4).toSet
+    assert(emptyIds.nonEmpty, "fixture should include empty intervals")
+    assert(got.filter(r => emptyIds(r._1)).forall(_._2 == 0L),
+      "an empty [s, s) interval overlaps nothing")
+  }
+
+  test("right columns clashing with left names come out right_-prefixed") {
+    val l = Seq((1L, 0L, 10L)).toDF("k", "start", "end")
+    val r = Seq((1L, 5L, 20L)).toDF("k", "start", "end")
+    val out = IntervalJoin.overlap(l, r, Seq("k" -> "k"),
+      "start", "end", "start", "end", bucketMs = Some(8L))
+    assert(out.columns.toSeq ==
+      Seq("k", "start", "end", "right_k", "right_start", "right_end"))
+    assert(out.count() == 1L)
+  }
+
+  test("adaptive bucket tracks interval length: sub-day intervals choose a sub-day power of two") {
+    // minute-scale intervals (1-8 min): a pinned day bucket would put
+    // every interval of a key in one candidate block; the adaptive
+    // width lands on the power of two covering the p95 length instead
+    val minuteL = (0 until 200).map { i =>
+      val s = i * 60000L
+      (1L + i % 3, s, s + (60000L * (1 + rnd.nextInt(8))), i.toLong)
+    }
+    val l = minuteL.toDF("k", "ls", "le", "lid")
+    val r = minuteL.map { case (k, s, e, id) => (k, s + 30000L, e + 30000L, id) }
+      .toDF("rk", "rs", "re", "rid")
+    val b = IntervalJoin.adaptiveBucketMs(l, "ls", "le", r, "rs", "re")
+    assert((b & (b - 1)) == 0L, s"bucket must be a power of two: $b")
+    assert(b >= 420000L && b <= 1048576L,
+      s"bucket must cover the ~7-min p95 without day-scale slack: $b")
+    // and the adaptive run equals a pinned run — width never changes
+    // the answer
+    val a = IntervalJoin.overlap(l, r, Seq("k" -> "rk"), "ls", "le", "rs", "re")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val p = IntervalJoin.overlap(l, r, Seq("k" -> "rk"), "ls", "le", "rs", "re",
+        bucketMs = Some(86400000L))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(a == p && a.nonEmpty)
+  }
+
+  test("plan shape: equi-join with residual — a hash/merge join, never a cross product") {
+    val plan = IntervalJoin.overlap(lDF, rDF, Seq("k" -> "rk"),
+      "ls", "le", "rs", "re", bucketMs = Some(16L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"interval join must never plan a cross product:\n$plan")
+    // at most one shuffle per side (zero when a side broadcasts)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <= 1 exchange per side:\n$plan")
+  }
+}

@@ -592,6 +592,37 @@ class BuildIndexCliSpec extends SparkSuite {
       s"legacy layout must fail with the migration hint: ${err.getMessage}")
   }
 
+  test("interval-join verb: pairs and --count round-trip through parquet") {
+    val dir = tmpDir("cli-ij")
+    Seq((1L, 0L, 10L, 0L), (1L, 20L, 30L, 1L), (2L, 0L, 10L, 2L))
+      .toDF("k", "s", "e", "lid").write.mode("overwrite").parquet(s"$dir/left")
+    Seq((1L, 5L, 8L, 10L), (1L, 9L, 25L, 11L), (2L, 50L, 60L, 12L))
+      .toDF("k", "ws", "we", "rid").write.mode("overwrite").parquet(s"$dir/right")
+    val base = Map(
+      "left" -> s"$dir/left", "right" -> s"$dir/right", "on" -> "k",
+      "left-start" -> "s", "left-end" -> "e",
+      "right-start" -> "ws", "right-end" -> "we")
+    val (_, nP) = Main.intervalJoinCmd(spark,
+      base ++ Map("bucket-ms" -> "8", "out" -> s"$dir/pairs"))
+    assert(nP == 3)
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 10L), (0L, 11L), (1L, 11L)),
+      s"pairs diverged: $pairs")
+    // --count, adaptive bucket (no --bucket-ms): left-total census
+    val (_, nC) = Main.intervalJoinCmd(spark,
+      base ++ Map("count" -> "true", "out" -> s"$dir/counts"))
+    assert(nC == 3)
+    val counts = spark.read.parquet(s"$dir/counts")
+      .select("lid", "n_overlaps").as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 2L, 1L -> 1L, 2L -> 0L), s"census diverged: $counts")
+    val bad = intercept[IllegalArgumentException] {
+      Main.intervalJoinCmd(spark,
+        base ++ Map("bucket-ms" -> "soon", "out" -> s"$dir/x"))
+    }
+    assert(bad.getMessage.contains("millisecond"))
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
