@@ -78,6 +78,7 @@ object SparkEntry {
     "q_asof_forward" -> (AnalyticsQueries.asofJoinForward _),
     "q_asof_nearest" -> (AnalyticsQueries.asofJoinNearest _),
     "q_asof_bucketed" -> (AnalyticsQueries.asofJoinBucketed _),
+    "q_asof_salted" -> (AnalyticsQueries.asofJoinSalted _),
     "q_asof_global" -> (AnalyticsQueries.asofJoinGlobal _),
     "q_range_join" -> (AnalyticsQueries.rangeJoinOrderEvents _),
     "q_interval_overlap" -> (AnalyticsQueries.intervalOverlapJoin _),
@@ -568,6 +569,26 @@ object SparkEntry {
       // Bucket-aligned layout changes the PLAN (zero exchanges), never
       // the ANSWER: the bucketed gate re-uses the q_asof_order spec.
       "q_asof_bucketed" ->
+        """WITH ev AS (
+          |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+          |ord AS (
+          |  SELECT o_custkey, o_orderkey,
+          |         epoch_ms(o_orderdate) AS odate_ms,
+          |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+          |  FROM orders),
+          |ranked AS (
+          |  SELECT e.event_id, e.user_id, e.ts_ms, o.o_orderkey, o.total,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY o.odate_ms DESC, o.o_orderkey DESC) AS rn
+          |  FROM ev e LEFT JOIN ord o
+          |    ON o.o_custkey = e.user_id AND o.odate_ms <= e.ts_ms)
+          |SELECT event_id, user_id, ts_ms,
+          |       o_orderkey AS asof_orderkey, total AS asof_total
+          |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      // Salt-split skew posture changes the PLAN (both merge exchanges
+      // hash (key, salt)), never the ANSWER: the salted gate re-uses
+      // the q_asof_order spec, same as the bucketed gate.
+      "q_asof_salted" ->
         """WITH ev AS (
           |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
           |ord AS (

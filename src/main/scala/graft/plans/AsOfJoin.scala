@@ -437,4 +437,64 @@ object AsOfJoin {
       broadcast)
     GraftSqlShim.ofRows(left.sparkSession, node)
   }
+
+  /** SKEW-SAFE merge as-of. Custom execs sit outside AQE's
+    * OptimizeSkewedJoin, so on the merge path one hot key (a bot user
+    * owning 10% of the facts) serializes its entire left volume into a
+    * single task. This wrapper replicates the RIGHT side's rows across
+    * `saltBuckets` salt values and scatters left rows among them, then
+    * runs the ordinary operator with the salt as an extra key — each
+    * left row still sees its key's FULL right timeline (every salt
+    * bucket holds a complete copy), so direction, tolerance, tiebreak
+    * and null-group semantics are exactly [[join]]'s (the randomized
+    * sweep in AsOfJoinSpec runs this path against the same brute-force
+    * reference), while the hot key's left rows now fan out over
+    * `saltBuckets` tasks.
+    *
+    * Costs and scatter: the right side pays ×`saltBuckets` rows through
+    * its exchange — the usual skew trade, cheap when right is the
+    * dimension side (and if the RIGHT side is itself too big to
+    * replicate, the broadcast path was never an option either — split
+    * the job by key range instead). Left scatter is `hash(leftTime [,
+    * saltOn...]) pmod saltBuckets`: deterministic (retry-safe, no rng),
+    * and time-spread by construction — a hot key's facts span many
+    * timestamps. When left times repeat heavily (coarse-grained
+    * clocks), pass high-cardinality `saltOn` columns (an id) to keep
+    * the scatter uniform. Forces the merge path: the broadcast exec has
+    * no per-key task serialization to fix, so salting it would only
+    * inflate the build.
+    */
+  def joinSalted(
+      direction: AsOfDirection,
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftTime: Column,
+      rightTime: Column,
+      rightTiebreak: Seq[Column] = Nil,
+      toleranceMs: Option[Long] = None,
+      saltBuckets: Int = 8,
+      saltOn: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod}
+    require(saltBuckets >= 2,
+      s"saltBuckets must be >= 2 (1 is just the unsalted merge), got $saltBuckets")
+    require(leftKeys.nonEmpty,
+      "keyless as-of always broadcasts — salting applies to the merge path")
+    val lsCol = "__asof_salt_l"
+    val rsCol = "__asof_salt_r"
+    require(!left.columns.contains(lsCol) && !right.columns.contains(rsCol),
+      s"$lsCol/$rsCol are reserved internal column names")
+    // withColumn preserves the children's attributes, so the caller's
+    // frame-qualified key/time refs keep resolving by exprId
+    val l2 = left.withColumn(lsCol,
+      pmod(hash(leftTime +: saltOn: _*), lit(saltBuckets)))
+    val r2 = right.withColumn(rsCol,
+      explode(lit((0 until saltBuckets).toArray)))
+    join(direction, l2, r2,
+      leftKeys :+ l2(lsCol), rightKeys :+ r2(rsCol),
+      leftTime, rightTime, rightTiebreak, toleranceMs,
+      broadcast = Some(false))
+      .drop(lsCol, rsCol)
+  }
 }

@@ -312,6 +312,35 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** [[asofJoin]] through the SALT-SPLIT merge path
+    * ([[graft.plans.AsOfJoin.joinSalted]]) — the skew posture for the
+    * one plan shape AQE cannot rescue: custom execs sit outside
+    * OptimizeSkewedJoin, so a hot key would serialize the merge into
+    * one task. The right (dimension) side replicates across 4 salt
+    * buckets, the events fact side scatters by time hash, and each left
+    * row still sees its key's full right timeline — so this gate reuses
+    * the q_asof_order oracle verbatim: the salt changes the PLAN (both
+    * exchanges now hash (key, salt)), never the ANSWER. The ledger pins
+    * it at the merge path's 2 exchanges; AsOfJoinSpec additionally
+    * demonstrates the hot key's rows actually spreading across tasks.
+    */
+  def asofJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+    val ord = pq(spark, dir, "orders")
+      .select(col("o_custkey"), tsMillis(col("o_orderdate")).as("odate_ms"),
+        col("o_orderkey"), dec(col("o_totalprice")).cast(DoubleType).as("o_total"))
+    graft.plans.AsOfJoin.joinSalted(
+      graft.plans.AsOfDirection.Backward, ev, ord,
+      leftKeys = Seq(ev("user_id")), rightKeys = Seq(ord("o_custkey")),
+      leftTime = ev("ts_ms"), rightTime = ord("odate_ms"),
+      rightTiebreak = Seq(ord("o_orderkey")),
+      saltBuckets = 4)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("o_orderkey").as("asof_orderkey"), col("o_total").as("asof_total"))
+      .orderBy("event_id")
+  }
+
   /** KEYLESS (global) as-of — pandas `merge_asof` with `by=None`: each
     * event attaches the most recent GLOBAL daily order census at or
     * before its time, within a 30-day tolerance (the calibration-curve

@@ -301,9 +301,11 @@ class AsOfJoinSpec extends SparkSuite {
     for {
       dir <- Seq("backward", "forward", "nearest")
       tol <- Seq(None, Some(3L))
-      // BOTH physical paths must equal the same reference: the
-      // co-partitioned merge exec and the broadcast-index exec
-      bcast <- Seq(Some(false), Some(true))
+      // ALL THREE physical paths must equal the same reference: the
+      // co-partitioned merge exec, the broadcast-index exec, and the
+      // salt-split merge (the skew posture — an extra synthetic key
+      // must never change the answer)
+      path <- Seq("merge", "broadcast", "salted")
       trial <- 1 to 2
     } {
       val lRows = table(50)
@@ -315,15 +317,61 @@ class AsOfJoinSpec extends SparkSuite {
         case "forward"  => graft.plans.AsOfDirection.Forward
         case "nearest"  => graft.plans.AsOfDirection.Nearest
       }
-      val got = AsOfJoin.join(d, l, r, Seq(l("k")), Seq(r("k")), l("t"), r("rt"),
-        Seq(r("rid")), tol, broadcast = bcast)
+      val joined = path match {
+        case "salted" => AsOfJoin.joinSalted(d, l, r,
+          Seq(l("k")), Seq(r("k")), l("t"), r("rt"),
+          Seq(r("rid")), tol, saltBuckets = 4)
+        case p => AsOfJoin.join(d, l, r,
+          Seq(l("k")), Seq(r("k")), l("t"), r("rt"),
+          Seq(r("rid")), tol, broadcast = Some(p == "broadcast"))
+      }
+      val got = joined
         .select(col("lid"), col("rid"))
         .as[(Long, Option[Long])].collect().toMap
       val want = brute(lRows, rRows, dir, tol)
       assert(got == want,
-        s"$dir tol=$tol bcast=$bcast trial=$trial diverged: " +
+        s"$dir tol=$tol path=$path trial=$trial diverged: " +
           (got.toSet -- want.toSet).take(5).toString)
     }
+  }
+
+  test("salted merge: a hot key's facts spread across salt partitions, answer unchanged") {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    // 90% of the facts on one key — the shape that serializes the plain
+    // merge exec into a single task (custom execs sit outside AQE's
+    // OptimizeSkewedJoin)
+    val rnd = new scala.util.Random(12L)
+    val lRows = (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) rnd.nextInt(4) + 2L else 1L
+      (k, rnd.nextInt(5000).toLong, i.toLong)
+    }
+    val rRows = (0 until 300).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong, i.toLong))
+    val l = lRows.toDF("k", "t", "lid")
+    val r = rRows.toDF("k", "rt", "rid")
+    val salted = AsOfJoin.joinSalted(graft.plans.AsOfDirection.Backward,
+      l, r, Seq(l("k")), Seq(r("k")), l("t"), r("rt"), Seq(r("rid")),
+      saltBuckets = 8)
+    // no salt residue in the output schema
+    assert(!salted.columns.exists(_.contains("salt")), salted.columns.mkString(","))
+    // the answer is exactly the unsalted merge's
+    val want = AsOfJoin.backward(l, r, Seq(l("k")), Seq(r("k")),
+      l("t"), r("rt"), Seq(r("rid")), broadcast = Some(false))
+      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+    val got = salted
+      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+    assert(got == want, "salting must never change the answer")
+    // structural mitigation proof: BOTH exchanges hash (key, salt), so
+    // the hot key's rows land across salt-many partitions
+    val plan = salted.queryExecution.executedPlan.toString
+    val exLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exLines.length == 2 && exLines.forall(_.contains("__asof_salt")),
+      s"both merge exchanges must carry the salt:\n${exLines.mkString("\n")}")
+    // data-level proof: the hot key's facts scatter over most buckets
+    val spread = l.filter(col("k") === 1L)
+      .select(pmod(hash(col("t")), lit(8)).as("s")).distinct().count()
+    assert(spread >= 6, s"hot key must scatter across salt buckets, got $spread/8")
   }
 
   test("guards: key type mismatch and shared-lineage inputs fail loudly") {

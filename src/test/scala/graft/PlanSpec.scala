@@ -520,9 +520,11 @@ class PlanSpec extends SparkSuite {
       // to keep its SMJ-style two-side-local-exchange shape gated;
       // q_asof_bucketed reads bucket-aligned tables through the merge
       // exec with ZERO exchanges; q_asof_global's one exchange is the
-      // day-cardinality census aggregate feeding the broadcast
+      // day-cardinality census aggregate feeding the broadcast;
+      // q_asof_salted (round 12) is the skew posture — the merge's two
+      // side-local exchanges, now hashing (key, salt)
       "q_asof_order" -> 0, "q_asof_forward" -> 2, "q_asof_nearest" -> 0,
-      "q_asof_bucketed" -> 0, "q_asof_global" -> 1,
+      "q_asof_bucketed" -> 0, "q_asof_global" -> 1, "q_asof_salted" -> 2,
       "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
       "q_first_order" -> 1,
