@@ -860,55 +860,140 @@ object StreamingAnalytics {
   final case class FunnelCompletion(
       userId: Long, signupMs: Long, purchaseMs: Long, convMs: Long)
 
-  /** Streaming conversion funnel (streaming twin of the batch e_funnel):
-    * a per-user state machine over `flatMapGroupsWithState` advances
-    * signup -> view -> purchase in event order across micro-batches and
-    * emits ONE completion row the moment the last stage lands — the
-    * monotone-stage formulation (each stage keeps its EARLIEST valid
-    * timestamp) makes the result independent of how IN-ORDER events
-    * split across batches (events are sorted within a batch, so intra-
-    * batch disorder is also fine). A late event that crosses a batch
-    * boundary out of order — e.g. a view processed before an earlier-
-    * timestamped signup arrives — can still diverge from the batch
-    * e_funnel, because stages advance monotonically and are never
-    * re-opened; buffering behind an event-time watermark would close
-    * that gap at the cost of emission latency. State is three longs per
-    * user — bounded by the active userbase, the same bound any per-user
-    * personalization store has.
+  /** The funnel's event-time arm ([[OrderedReplay]] logic): stages
+    * advance in replayed event-time order, so each keeps its earliest
+    * valid timestamp by construction. Same-time ties order by STAGE
+    * (signup < view < purchase), matching the batch chained-minima `>=`
+    * semantics — a purchase at the same instant as the view it follows
+    * completes the funnel.
     */
-  def streamingFunnel(events: Dataset[TypedEvent]): Dataset[FunnelCompletion] = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    events
-      .groupByKey(_.userId)
-      .flatMapGroupsWithState[FunnelState, FunnelCompletion](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (userId, batchEvents, state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
-          val out = Seq.newBuilder[FunnelCompletion]
-          batchEvents.toSeq.sortBy(_.tsMs).foreach { e =>
-            if (!s.done) e.eventType match {
-              case "signup" if s.t1 < 0 =>
-                s = s.copy(t1 = e.tsMs)
-              case "view" if s.t1 >= 0 && s.t2 < 0 && e.tsMs >= s.t1 =>
-                s = s.copy(t2 = e.tsMs)
-              case "purchase" if s.t2 >= 0 && e.tsMs >= s.t2 =>
-                out += FunnelCompletion(userId, s.t1, e.tsMs, e.tsMs - s.t1)
-                s = s.copy(done = true)
-              case _ => ()
-            }
-          }
-          state.update(s)
-          out.result().iterator
-      }
+  final case class FunnelLogic()
+      extends OrderedReplay.Logic[Long, TypedEvent, FunnelState, FunnelCompletion] {
+    def eventTime(e: TypedEvent): Long = e.tsMs
+    override def secondary(e: TypedEvent): Long = e.eventType match {
+      case "signup" => 0L
+      case "view" => 1L
+      case "purchase" => 2L
+      case _ => 3L
+    }
+    def fold(userId: Long, st: Option[FunnelState], e: TypedEvent)
+        : (Option[FunnelState], Seq[FunnelCompletion]) = {
+      val s = st.getOrElse(FunnelState(-1L, -1L, done = false))
+      val s2 =
+        if (s.done) s
+        else e.eventType match {
+          // replay order makes e.tsMs >= every already-folded stage time
+          case "signup" if s.t1 < 0 => s.copy(t1 = e.tsMs)
+          case "view" if s.t1 >= 0 && s.t2 < 0 => s.copy(t2 = e.tsMs)
+          case "purchase" if s.t2 >= 0 => s.copy(done = true)
+          case _ => s
+        }
+      val out =
+        if (!s.done && s2.done)
+          Seq(FunnelCompletion(userId, s2.t1, e.tsMs, e.tsMs - s2.t1))
+        else Nil
+      (Some(s2), out)
+    }
+    def onWatermark(userId: Long, st: Option[FunnelState], wm: Long)
+        : (Option[FunnelState], Seq[FunnelCompletion], Option[Long]) =
+      (st, Nil, None) // funnels never expire: per-user state, userbase-bounded
   }
 
-  /** Gap-based sessionization with custom state (streaming twin of the
-    * batch e_sessionize): per user, a session closes after `gapMs` of
-    * event-time inactivity. State is one open session per user;
-    * event-time timeout (watermark-driven) closes sessions for users
-    * that stop sending events — without it, an abandoned session would
-    * pin state forever.
+  /** Streaming conversion funnel (streaming twin of the batch e_funnel):
+    * a per-user state machine advances signup -> view -> purchase across
+    * micro-batches and emits ONE completion row when the last stage
+    * lands. Two arms, the same split as [[streamingAsOfJoinStream]]:
+    *
+    *  - `watermarkDelay = None` (default — the prompt arm): stages
+    *    advance monotonically in arrival order (events sorted within a
+    *    batch), completions emit in the batch their purchase arrives.
+    *    In-order feeds match the batch e_funnel; a stage crossing a
+    *    batch boundary out of time order can diverge, because stages
+    *    never re-open.
+    *  - `watermarkDelay = Some(d)` (the event-time arm, via
+    *    [[OrderedReplay]]): events buffer until the watermark passes
+    *    them and replay in event-time order — equal to the batch funnel
+    *    for ANY arrival order within `d`, at `d` of emission latency
+    *    (events later than `d` behind the stream head are late data,
+    *    dropped).
+    *
+    * State is three longs per user (+ the replay buffer on the
+    * event-time arm) — bounded by the active userbase, the same bound
+    * any per-user personalization store has.
+    */
+  def streamingFunnel(
+      events: Dataset[TypedEvent],
+      watermarkDelay: Option[String] = None): Dataset[FunnelCompletion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    watermarkDelay match {
+      case Some(d) =>
+        OrderedReplay.replay(
+          events
+            .withColumn("event_time", timestamp_millis(col("tsMs")))
+            .withWatermark("event_time", d)
+            .as[TypedEvent],
+          (e: TypedEvent) => e.userId,
+          FunnelLogic())
+      case None =>
+        events
+          .groupByKey(_.userId)
+          .flatMapGroupsWithState[FunnelState, FunnelCompletion](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            case (userId, batchEvents, state: GroupState[FunnelState]) =>
+              var s = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+              val out = Seq.newBuilder[FunnelCompletion]
+              batchEvents.toSeq.sortBy(_.tsMs).foreach { e =>
+                if (!s.done) e.eventType match {
+                  case "signup" if s.t1 < 0 =>
+                    s = s.copy(t1 = e.tsMs)
+                  case "view" if s.t1 >= 0 && s.t2 < 0 && e.tsMs >= s.t1 =>
+                    s = s.copy(t2 = e.tsMs)
+                  case "purchase" if s.t2 >= 0 && e.tsMs >= s.t2 =>
+                    out += FunnelCompletion(userId, s.t1, e.tsMs, e.tsMs - s.t1)
+                    s = s.copy(done = true)
+                  case _ => ()
+                }
+              }
+              state.update(s)
+              out.result().iterator
+          }
+    }
+  }
+
+  /** Gap sessionization as an [[OrderedReplay]] logic: a session closes
+    * when a replayed event arrives past the gap, or when the watermark
+    * passes the gap horizon (no admissible event can extend it). */
+  final case class SessionLogic(gapMs: Long)
+      extends OrderedReplay.Logic[Long, UserEvent, SessionState, ClosedSession] {
+    def eventTime(e: UserEvent): Long = e.tsMs
+    def fold(userId: Long, st: Option[SessionState], e: UserEvent)
+        : (Option[SessionState], Seq[ClosedSession]) = st match {
+      case Some(s) if e.tsMs - s.last > gapMs =>
+        (Some(SessionState(e.tsMs, e.tsMs, 1L)),
+          Seq(ClosedSession(userId, s.start, s.n, s.last - s.start)))
+      case Some(s) => // replay is time-ordered: e.tsMs >= s.last always
+        (Some(SessionState(s.start, e.tsMs, s.n + 1L)), Nil)
+      case None => (Some(SessionState(e.tsMs, e.tsMs, 1L)), Nil)
+    }
+    def onWatermark(userId: Long, st: Option[SessionState], wm: Long)
+        : (Option[SessionState], Seq[ClosedSession], Option[Long]) = st match {
+      case Some(s) if wm > s.last + gapMs =>
+        (None, Seq(ClosedSession(userId, s.start, s.n, s.last - s.start)), None)
+      case Some(s) => (st, Nil, Some(s.last + gapMs))
+      case None => (None, Nil, None)
+    }
+  }
+
+  /** Gap-based sessionization (streaming twin of the batch
+    * e_sessionize): per user, a session closes after `gapMs` of
+    * event-time inactivity. OUT-OF-ORDER-SAFE via [[OrderedReplay]]:
+    * events buffer until the watermark passes them and replay in
+    * event-time order, so closed sessions equal the batch
+    * sessionization for ANY arrival order within `watermarkDelay`
+    * (spec-pinned on shuffled feeds); sessions emit once the watermark
+    * passes `last + gapMs`, and abandoned users' state is reclaimed by
+    * the same horizon — state never pins forever.
     */
   def sessionize(
       events: Dataset[UserEvent],
@@ -917,42 +1002,13 @@ object StreamingAnalytics {
   ): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .withColumn("event_time", timestamp_millis(col("tsMs")))
-      .withWatermark("event_time", watermarkDelay)
-      .as[UserEvent]
-      .groupByKey(_.userId)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, batchEvents, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(userId, s.start, s.n, s.last - s.start))
-          } else {
-            val sorted = batchEvents.toSeq.sortBy(_.tsMs)
-            val closed = Seq.newBuilder[ClosedSession]
-            var open = state.getOption
-            sorted.foreach { e =>
-              open match {
-                case Some(s) if e.tsMs - s.last > gapMs =>
-                  closed += ClosedSession(userId, s.start, s.n, s.last - s.start)
-                  open = Some(SessionState(e.tsMs, e.tsMs, 1L))
-                case Some(s) =>
-                  open = Some(SessionState(s.start, math.max(s.last, e.tsMs), s.n + 1L))
-                case None =>
-                  open = Some(SessionState(e.tsMs, e.tsMs, 1L))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              // close the open session once the watermark passes gap
-              // beyond its last event
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.result().iterator
-          }
-      }
+    OrderedReplay.replay(
+      events
+        .withColumn("event_time", timestamp_millis(col("tsMs")))
+        .withWatermark("event_time", watermarkDelay)
+        .as[UserEvent],
+      (e: UserEvent) => e.userId,
+      SessionLogic(gapMs))
   }
 
   /** Input shape for [[streamingIntervalOverlap]]. */
@@ -970,20 +1026,60 @@ object StreamingAnalytics {
   final case class OverlapState(
       start: Long, last: Long, n: Long, winEnds: List[Long])
 
-  /** Full per-user state for [[streamingIntervalOverlap]]: the
-    * watermark replay buffer (events newer than the watermark, held
-    * until everything earlier has provably arrived) plus the session
-    * state the replayed prefix has produced. `pending` is bounded by
-    * the user's throughput × the watermark delay, never by stream
-    * lifetime.
-    */
-  final case class OverlapReplayState(
-      pending: Seq[(Long, Boolean)], sess: Option[OverlapState])
-
   /** A closed session with its overlap census. `end` is exclusive
     * (`last event + 1`), the batch query's convention. */
   final case class SessionOverlap(
       userId: Long, start: Long, end: Long, nOverlaps: Long)
+
+  /** Interval-overlap sessionization as an [[OrderedReplay]] logic —
+    * [[SessionLogic]] plus the live-window ledger and the windows-only
+    * sentinel (`start == -1`): a window counts toward the open session
+    * at creation (its error event extends the session, so overlap is
+    * certain) and toward a later session at that session's open if
+    * still live; windows outliving a closed session are HELD so a
+    * cross-session overlap is never dropped.
+    */
+  final case class OverlapLogic(gapMs: Long, winMs: Long)
+      extends OrderedReplay.Logic[Long, OverlapEvent, OverlapState, SessionOverlap] {
+    def eventTime(e: OverlapEvent): Long = e.tsMs
+    private def opened(ts: Long, isErr: Boolean, carried: List[Long]): OverlapState = {
+      val live = carried.filter(_ > ts)
+      OverlapState(ts, ts, live.length.toLong + (if (isErr) 1L else 0L),
+        if (isErr) ts + winMs :: live else live)
+    }
+    def fold(userId: Long, st: Option[OverlapState], e: OverlapEvent)
+        : (Option[OverlapState], Seq[SessionOverlap]) = st match {
+      case Some(s) if s.start >= 0 && e.tsMs - s.last > gapMs =>
+        (Some(opened(e.tsMs, e.isError, s.winEnds)),
+          Seq(SessionOverlap(userId, s.start, s.last + 1, s.n)))
+      case Some(s) if s.start >= 0 =>
+        // replay is time-ordered (e.tsMs >= s.last); prune dead ends —
+        // an in-session error overlaps its own session by construction,
+        // counted at creation
+        val live = s.winEnds.filter(_ > e.tsMs)
+        (Some(OverlapState(s.start, e.tsMs,
+          s.n + (if (e.isError) 1L else 0L),
+          if (e.isError) e.tsMs + winMs :: live else live)), Nil)
+      case held => // None, or the windows-only sentinel
+        (Some(opened(e.tsMs, e.isError,
+          held.map(_.winEnds).getOrElse(Nil))), Nil)
+    }
+    def onWatermark(userId: Long, st: Option[OverlapState], wm: Long)
+        : (Option[OverlapState], Seq[SessionOverlap], Option[Long]) = st match {
+      case Some(s) if s.start >= 0 && wm > s.last + gapMs =>
+        // provably finished: any admissible event has t >= wm > last+gap
+        val live = s.winEnds.filter(_ > wm)
+        (if (live.nonEmpty) Some(OverlapState(-1L, -1L, 0L, live)) else None,
+          Seq(SessionOverlap(userId, s.start, s.last + 1, s.n)),
+          if (live.nonEmpty) Some(live.max) else None)
+      case Some(s) if s.start >= 0 => (st, Nil, Some(s.last + gapMs))
+      case Some(s) => // sentinel: prune expired windows, park until the last end
+        val live = s.winEnds.filter(_ > wm)
+        (if (live.nonEmpty) Some(OverlapState(-1L, -1L, 0L, live)) else None,
+          Nil, if (live.nonEmpty) Some(live.max) else None)
+      case None => (None, Nil, None)
+    }
+  }
 
   /** Streaming twin of the batch interval-overlap join
     * ([[graft.queries.AnalyticsQueries.intervalOverlapJoin]]): per user,
@@ -1019,82 +1115,12 @@ object StreamingAnalytics {
       watermarkDelay: String = "30 minutes"): Dataset[SessionOverlap] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .withColumn("event_time", timestamp_millis(col("tsMs")))
-      .withWatermark("event_time", watermarkDelay)
-      .as[OverlapEvent]
-      .groupByKey(_.userId)
-      .flatMapGroupsWithState[OverlapReplayState, SessionOverlap](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, batchEvents, state: GroupState[OverlapReplayState]) =>
-          // one unified body serves data batches AND timeout wakeups (a
-          // timeout delivers an empty iterator): admit new events to the
-          // buffer, replay everything the watermark has passed in
-          // event-time order, then close whatever the watermark proves
-          // finished
-          val wm = state.getCurrentWatermarkMs()
-          val prior = state.getOption.getOrElse(OverlapReplayState(Nil, None))
-          val fresh = batchEvents
-            .map(e => (e.tsMs, e.isError)).filter(_._1 >= wm) // late: dropped
-          val (ready, rest) =
-            (prior.pending ++ fresh).sortBy(_._1).partition(_._1 < wm)
-          val closed = Seq.newBuilder[SessionOverlap]
-          var open = prior.sess
-          ready.foreach { case (ts, isErr) =>
-            open = open match {
-              case Some(s) if s.start >= 0 && ts - s.last > gapMs =>
-                closed += SessionOverlap(userId, s.start, s.last + 1, s.n)
-                // new session: live windows from earlier sessions that
-                // outlast the gap overlap it from its first instant
-                val live = s.winEnds.filter(_ > ts)
-                Some(OverlapState(ts, ts, live.length.toLong +
-                  (if (isErr) 1L else 0L),
-                  if (isErr) ts + winMs :: live else live))
-              case Some(s) if s.start >= 0 =>
-                // replay is time-ordered, so ts >= s.last always; prune
-                // dead ends — an in-session error overlaps its own
-                // session by construction, counted at creation
-                val live = s.winEnds.filter(_ > ts)
-                Some(OverlapState(s.start, ts,
-                  s.n + (if (isErr) 1L else 0L),
-                  if (isErr) ts + winMs :: live else live))
-              case held => // None, or the windows-only sentinel
-                val live = held.map(_.winEnds.filter(_ > ts)).getOrElse(Nil)
-                Some(OverlapState(ts, ts, live.length.toLong +
-                  (if (isErr) 1L else 0L),
-                  if (isErr) ts + winMs :: live else live))
-            }
-          }
-          // watermark close: every admissible future event has
-          // t >= wm > last + gap, so it would open a NEW session — the
-          // open one is provably finished. Windows outliving the
-          // watermark are held (sentinel) for the user's next session;
-          // a sentinel whose windows have all expired is dropped.
-          open = open match {
-            case Some(s) if s.start >= 0 && wm > s.last + gapMs =>
-              closed += SessionOverlap(userId, s.start, s.last + 1, s.n)
-              val live = s.winEnds.filter(_ > wm)
-              if (live.nonEmpty) Some(OverlapState(-1L, -1L, 0L, live)) else None
-            case Some(s) if s.start < 0 =>
-              val live = s.winEnds.filter(_ > wm)
-              if (live.nonEmpty) Some(OverlapState(-1L, -1L, 0L, live)) else None
-            case other => other
-          }
-          if (rest.isEmpty && open.isEmpty) {
-            if (state.exists) state.remove()
-          } else {
-            state.update(OverlapReplayState(rest, open))
-            // wake at the earliest event the replay is waiting on, the
-            // open session's gap horizon, or the last held window's end
-            // — whichever the watermark reaches first (> wm required)
-            val cands =
-              rest.headOption.map(_._1).toList ++
-                open.filter(_.start >= 0).map(s => s.last + gapMs) ++
-                open.filter(s => s.start < 0 && s.winEnds.nonEmpty)
-                  .map(_.winEnds.max)
-            state.setTimeoutTimestamp(math.max(cands.min, wm + 1L))
-          }
-          closed.result().iterator
-      }
+    OrderedReplay.replay(
+      events
+        .withColumn("event_time", timestamp_millis(col("tsMs")))
+        .withWatermark("event_time", watermarkDelay)
+        .as[OverlapEvent],
+      (e: OverlapEvent) => e.userId,
+      OverlapLogic(gapMs, winMs))
   }
 }

@@ -872,6 +872,82 @@ class StreamingAnalyticsSpec extends SparkSuite {
       s"only the in-window same-customer event joins, got $out")
   }
 
+  test("sessionize: arbitrary arrival order equals batch gap sessionization") {
+    // sessionize now rides the OrderedReplay combinator: closed sessions
+    // must equal the batch gaps-and-islands answer for ANY arrival
+    // order within the watermark
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val gap = 200000L
+    val events = (0 until 200).map(i => UserEvent(rnd.nextInt(5) + 1L, h0 + i * 37000L))
+    val want: Set[(Long, Long, Long, Long)] = events.groupBy(_.userId)
+      .flatMap { case (u, es) =>
+        val ts = es.map(_.tsMs).sorted
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head > gap) List(t) :: acc
+          else (t :: acc.head) :: acc.tail
+        }
+        sessions.map(s => (u, s.min, s.length.toLong, s.max - s.min))
+      }.toSet
+    assert(want.size > 30, s"fixture must split into many sessions: ${want.size}")
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingAnalytics.sessionize(mem.toDS(), gapMs = gap,
+        watermarkDelay = "3 hours") // covers the full ~2h span: nothing is late
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    rnd.shuffle(events).grouped(40).foreach { slice =>
+      mem.addData(slice: _*); q.processAllAvailable()
+    }
+    val flushT = h0 + 1000L * 3600000L
+    mem.addData(UserEvent(99L, flushT)); q.processAllAvailable()
+    mem.addData(UserEvent(99L, flushT + 1L)); q.processAllAvailable()
+    val got = spark.table("sess_ooo").as[ClosedSession].collect()
+      .filter(_.userId != 99L)
+      .map(s => (s.userId, s.start, s.n, s.durationMs)).toSet
+    q.stop()
+    assert(got == want,
+      s"shuffled sessionize diverged:\nmissing: ${want -- got}\nextra: ${got -- want}")
+  }
+
+  test("streaming funnel event-time arm: shuffled arrival equals the batch chained-minima") {
+    implicit val ctx = spark.sqlContext
+    import StreamingAnalytics.{TypedEvent, FunnelCompletion}
+    val rnd = new scala.util.Random(41)
+    val types = Seq("signup", "view", "purchase", "click")
+    val events = (0 until 300).map(i =>
+      TypedEvent(rnd.nextInt(6) + 1L, h0 + i * 1000L, types(rnd.nextInt(4))))
+    // the batch semantics: earliest signup, first view at-or-after it,
+    // first purchase at-or-after that
+    val want: Set[(Long, Long, Long, Long)] = events.groupBy(_.userId)
+      .flatMap { case (u, es) =>
+        val sorted = es.sortBy(_.tsMs)
+        for {
+          t1 <- sorted.filter(_.eventType == "signup").map(_.tsMs).minOption
+          t2 <- sorted.filter(e => e.eventType == "view" && e.tsMs >= t1)
+            .map(_.tsMs).minOption
+          tp <- sorted.filter(e => e.eventType == "purchase" && e.tsMs >= t2)
+            .map(_.tsMs).minOption
+        } yield (u, t1, tp, tp - t1)
+      }.toSet
+    assert(want.nonEmpty, "fixture must complete some funnels")
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingAnalytics.streamingFunnel(mem.toDS(),
+        watermarkDelay = Some("10 minutes")) // covers the 5-min span
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode("append").start()
+    rnd.shuffle(events).grouped(60).foreach { slice =>
+      mem.addData(slice: _*); q.processAllAvailable()
+    }
+    val flushT = h0 + 1000L * 3600000L
+    mem.addData(TypedEvent(99L, flushT, "click")); q.processAllAvailable()
+    mem.addData(TypedEvent(99L, flushT + 1L, "click")); q.processAllAvailable()
+    val got = spark.table("funnel_ooo").as[FunnelCompletion].collect()
+      .map(c => (c.userId, c.signupMs, c.purchaseMs, c.convMs)).toSet
+    q.stop()
+    assert(got == want,
+      s"event-time funnel diverged:\nmissing: ${want -- got}\nextra: ${got -- want}")
+  }
+
   test("streaming funnel advances stages across batches, emits completion once") {
     implicit val ctx = spark.sqlContext
     import StreamingAnalytics.{TypedEvent, FunnelCompletion}
