@@ -49,8 +49,29 @@ object OrderedReplay {
     def onWatermark(key: K, state: Option[S], wm: Long): (Option[S], Seq[O], Option[Long])
   }
 
-  /** Replay buffer + the logic's own state, checkpoint-persisted. */
+  /** Replay buffer + the logic's own state, checkpoint-persisted.
+    * `pending` is ALWAYS stored sorted (time, secondary) — each trigger
+    * sorts only its fresh rows and merges, so a wakeup that drains
+    * nothing costs O(B), not O(B log B) over a deep buffer. */
   final case class ReplayState[E, S](pending: Seq[E], st: Option[S])
+
+  /** Stable two-pointer merge of two sorted runs: ties take from `a`
+    * (the older run) first, preserving arrival order at equal keys —
+    * exactly what a stable sort of (a ++ b) would do. */
+  private[streaming] def mergeSorted[T](
+      a: Seq[T], b: Seq[T], lt: (T, T) => Boolean): Seq[T] =
+    if (b.isEmpty) a
+    else if (a.isEmpty) b
+    else {
+      val out = Vector.newBuilder[T]
+      val ai = a.iterator.buffered
+      val bi = b.iterator.buffered
+      while (ai.hasNext && bi.hasNext)
+        out += (if (lt(bi.head, ai.head)) bi.next() else ai.next())
+      ai.foreach(out += _)
+      bi.foreach(out += _)
+      out.result()
+    }
 
   /** `events` MUST already carry an event-time watermark (the caller
     * owns the delay — it is the disorder bound AND the emission lag).
@@ -72,10 +93,15 @@ object OrderedReplay {
           val wm = state.getCurrentWatermarkMs()
           val prior = state.getOption.getOrElse(ReplayState[E, S](Nil, None))
           val fresh = it.filter(e => logic.eventTime(e) >= wm) // late: dropped
+            .toVector.sortBy(e => (logic.eventTime(e), logic.secondary(e)))
+          def lt(x: E, y: E): Boolean = {
+            val (tx, ty) = (logic.eventTime(x), logic.eventTime(y))
+            tx < ty || (tx == ty && logic.secondary(x) < logic.secondary(y))
+          }
           // fresh rows all have t >= wm, so they are never replayed in
-          // the batch they arrive — anything earlier could still come
-          val (ready, rest) = (prior.pending ++ fresh)
-            .sortBy(e => (logic.eventTime(e), logic.secondary(e)))
+          // the batch they arrive — anything earlier could still come;
+          // the stored buffer is already sorted, so merge, don't re-sort
+          val (ready, rest) = mergeSorted(prior.pending, fresh, lt)
             .partition(e => logic.eventTime(e) < wm)
           val out = Seq.newBuilder[O]
           var st = prior.st

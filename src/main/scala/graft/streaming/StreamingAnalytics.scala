@@ -782,11 +782,13 @@ object StreamingAnalytics {
               if (t < wm) None // late beyond the watermark: dropped
               else Some(Row(t, r.getInt(nKeys + 1),
                 r.getStruct(nKeys + 2), r.getStruct(nKeys + 3)))
-            }.toVector
+            }.toVector.sortWith(rowLt(0, 1, 3))
             // fresh rows all have t >= wm, so they are never replayed in
-            // the batch they arrive — anything earlier could still come
-            val (ready, rest) =
-              (priorBuf ++ fresh).sortWith(rowLt(0, 1, 3)).partition(_.getLong(0) < wm)
+            // the batch they arrive — anything earlier could still come;
+            // the stored buffer is already sorted, so merge, don't re-sort
+            val (ready, rest) = OrderedReplay
+              .mergeSorted(priorBuf, fresh, rowLt(0, 1, 3))
+              .partition(_.getLong(0) < wm)
             val out = Seq.newBuilder[Row]
             ready.foreach { p =>
               val t = p.getLong(0)
