@@ -70,15 +70,17 @@ import java.time.temporal.ChronoUnit
   *          arrival order)
   *   interval-join --left <parquet> --right <parquet>
   *             --left-start <col> --left-end <col>
-  *             --right-start <col> --right-end <col> --out <parquet>
+  *             (--right-start <col> --right-end <col> | --right-point <col>)
+  *             --out <parquet>
   *             [--on k[=rk][,...]] [--bucket-ms N] [--count]
   *          (interval × interval overlap join over half-open [start,
-  *          end) intervals, each overlapping pair exactly once; --count
-  *          emits the left-total per-left-row overlap census instead of
-  *          the pairs; --on is optional — keyless joins match on
-  *          overlap alone; --bucket-ms pins the bucket width, otherwise
-  *          it is chosen from interval-length stats; right columns
-  *          clashing with left names come out prefixed right_)
+  *          end) intervals — or point-in-interval with --right-point —
+  *          each matching pair exactly once; --count emits the
+  *          left-total per-left-row census instead of the pairs; --on
+  *          is optional — keyless joins match on overlap/containment
+  *          alone; --bucket-ms pins the bucket width, otherwise it is
+  *          chosen from interval-length stats; right columns clashing
+  *          with left names come out prefixed right_)
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -814,8 +816,6 @@ object Main {
     val out = o.getOrElse("out", die("--out <parquet> is required"))
     val lS = o.getOrElse("left-start", die("--left-start <col> is required"))
     val lE = o.getOrElse("left-end", die("--left-end <col> is required"))
-    val rS = o.getOrElse("right-start", die("--right-start <col> is required"))
-    val rE = o.getOrElse("right-end", die("--right-end <col> is required"))
     val keys = o.get("on").map(_.split(',').toSeq.map(_.split('=') match {
       case Array(a, b) => (a.trim, b.trim)
       case Array(a) => (a.trim, a.trim)
@@ -828,10 +828,22 @@ object Main {
     }
     val l = spark.read.parquet(leftIn)
     val r = spark.read.parquet(rightIn)
-    val joined =
-      if (o.contains("count"))
-        IntervalJoin.overlapCount(l, r, keys, lS, lE, rS, rE, bucket)
-      else IntervalJoin.overlap(l, r, keys, lS, lE, rS, rE, bucket)
+    val joined = o.get("right-point") match {
+      case Some(pc) =>
+        require(!o.contains("right-start") && !o.contains("right-end"),
+          "--right-point and --right-start/--right-end are mutually exclusive")
+        if (o.contains("count"))
+          IntervalJoin.containsCount(l, r, keys, lS, lE, pc, bucket)
+        else IntervalJoin.contains(l, r, keys, lS, lE, pc, bucket)
+      case None =>
+        val rS = o.getOrElse("right-start",
+          die("--right-start <col> (or --right-point) is required"))
+        val rE = o.getOrElse("right-end",
+          die("--right-end <col> (or --right-point) is required"))
+        if (o.contains("count"))
+          IntervalJoin.overlapCount(l, r, keys, lS, lE, rS, rE, bucket)
+        else IntervalJoin.overlap(l, r, keys, lS, lE, rS, rE, bucket)
+    }
     joined.write.mode("overwrite").parquet(out)
     (out, spark.read.parquet(out).count())
   }

@@ -119,6 +119,68 @@ object IntervalJoin {
       .agg(count(col(RB)).as("n_overlaps"))
   }
 
+  /** Point-in-interval join (`start <= p < end`) — the q_range_join
+    * shape generalized: each POINT lands in exactly one bucket, so only
+    * the interval side replicates and no exactly-once residual is
+    * needed. Returns the matched pairs (interval columns + point
+    * columns, clashes `right_`-prefixed). Empty intervals contain
+    * nothing (`p >= s && p < e` is unsatisfiable when `e <= s`).
+    */
+  def contains(
+      intervals: DataFrame, points: DataFrame,
+      keys: Seq[(String, String)],
+      start: String, end: String, pointCol: String,
+      bucketMs: Option[Long] = None): DataFrame = {
+    val (iB, pB, pred) = bucketedContains(
+      intervals, points, keys, start, end, pointCol, bucketMs)
+    iB.join(pB, pred).drop(LB, RB)
+  }
+
+  /** Left-total point census: one row per distinct interval row with
+    * `n_matches` — zero for intervals containing nothing. Same
+    * zero-join-back construction as [[overlapCount]] (LEFT OUTER with
+    * every predicate in ON, aggregate over the interval columns), so a
+    * dimension-sized side keeps the whole census at ONE hash exchange.
+    */
+  def containsCount(
+      intervals: DataFrame, points: DataFrame,
+      keys: Seq[(String, String)],
+      start: String, end: String, pointCol: String,
+      bucketMs: Option[Long] = None): DataFrame = {
+    val (iB, pB, pred) = bucketedContains(
+      intervals, points, keys, start, end, pointCol, bucketMs)
+    iB.join(pB, pred, "left_outer")
+      .groupBy(intervals.columns.toIndexedSeq.map(col): _*)
+      .agg(count(col(RB)).as("n_matches"))
+  }
+
+  private def bucketedContains(
+      intervals: DataFrame, points: DataFrame,
+      keys: Seq[(String, String)],
+      start: String, end: String, pointCol: String,
+      bucketMs: Option[Long]): (DataFrame, DataFrame, Column) = {
+    require(!intervals.columns.contains(LB) && !points.columns.contains(RB),
+      s"$LB/$RB are reserved internal column names")
+    bucketMs.foreach(b => require(b > 0, s"bucketMs must be positive, got $b"))
+    val leftCols = intervals.columns.toSet
+    val clashes = points.columns.filter(leftCols).toSet
+    val p2 = clashes.foldLeft(points)((df, c) => df.withColumnRenamed(c, s"right_$c"))
+    def rn(c: String) = if (clashes(c)) s"right_$c" else c
+    val pc = rn(pointCol)
+    val b = bucketMs.getOrElse(
+      adaptiveBucketMs(intervals, start, end, intervals, start, end))
+    val iB = intervals.withColumn(LB, explode(sequence(
+      expr(s"CAST($start AS LONG) div $b"),
+      greatest(expr(s"CAST($start AS LONG) div $b"),
+        expr(s"(CAST($end AS LONG) - 1) div $b")))))
+    val pB = p2.withColumn(RB, expr(s"CAST($pc AS LONG) div $b"))
+    val keyPred = keys.map { case (lk, rk) => iB(lk) === pB(rn(rk)) }
+      .foldLeft(lit(true))(_ && _)
+    val pred = keyPred && iB(LB) === pB(RB) &&
+      pB(pc) >= iB(start) && pB(pc) < iB(end)
+    (iB, pB, pred)
+  }
+
   /** Shared bucket-explode + join predicate. Empty intervals get a
     * single degenerate bucket row (greatest clamp — `sequence(a, b)`
     * with a > b would otherwise count DOWN) and are excluded from

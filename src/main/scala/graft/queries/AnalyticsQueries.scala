@@ -604,6 +604,13 @@ object AnalyticsQueries {
     * apply the exact range as a post-filter. An event's own day is
     * unique, so bucket replication cannot double-count. Never the
     * inequality-only join, which plans as a nested-loop cross product.
+    *
+    * Round 12: routed through the reusable operator
+    * ([[graft.operators.IntervalJoin.containsCount]]), which also
+    * replaced this gate's original join-back with the zero-join-back
+    * LEFT OUTER + group-over-interval-columns construction — same
+    * oracle, one fewer hash exchange (the counts↔orders re-join is
+    * gone; the ledger pins the tighter plan).
     */
   def rangeJoinOrderEvents(spark: SparkSession, dir: String): DataFrame = {
     val windowMs = 36L * 3600 * 1000
@@ -611,21 +618,14 @@ object AnalyticsQueries {
     val ord = pq(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         tsMillis(col("o_orderdate")).as("odate_ms"))
+      .withColumn("oend_ms", col("odate_ms") + lit(windowMs))
     val ev = pq(spark, dir, "events")
       .select(col("user_id"), expr("ts div 1000000").as("ts_ms"))
-      .withColumn("day", expr(s"ts_ms div $dayMs"))
-    val ordBuckets = ord.withColumn("day",
-      explode(sequence(
-        expr(s"odate_ms div $dayMs"),
-        expr(s"(odate_ms + ${windowMs - 1}) div $dayMs"))))
-    val counts = ordBuckets.join(ev,
-        ordBuckets("o_custkey") === ev("user_id") && ordBuckets("day") === ev("day") &&
-          ev("ts_ms") >= ordBuckets("odate_ms") &&
-          ev("ts_ms") < ordBuckets("odate_ms") + lit(windowMs))
-      .groupBy("o_orderkey").agg(count(lit(1)).as("n_events"))
-    ord.join(counts, Seq("o_orderkey"), "left")
+    graft.operators.IntervalJoin.containsCount(
+        ord, ev, keys = Seq("o_custkey" -> "user_id"),
+        "odate_ms", "oend_ms", "ts_ms", bucketMs = Some(dayMs))
       .select(col("o_orderkey"), col("o_custkey"), col("odate_ms"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"))
+        col("n_matches").as("n_events"))
       .orderBy("o_orderkey")
   }
 

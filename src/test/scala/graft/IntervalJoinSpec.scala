@@ -108,6 +108,53 @@ class IntervalJoinSpec extends SparkSuite {
     assert(a == p && a.nonEmpty)
   }
 
+  // point-in-interval fixture: random points against the left intervals
+  private val pointRows = (0 until 200).map { i =>
+    (rnd.nextInt(4) + 1L, rnd.nextInt(1100) - 550L, i.toLong)
+  }
+  private def pDF = pointRows.toDF("pk", "p", "pid")
+
+  private def bruteContains: Set[(Long, Long)] =
+    (for {
+      (lk, ls, le, lid) <- leftRows
+      (pk, p, pid) <- pointRows
+      if lk == pk && p >= ls && p < le
+    } yield (lid, pid)).toSet
+
+  test("contains equals brute force for any bucket width; empty intervals contain nothing") {
+    val want = bruteContains
+    assert(want.size > 100, s"fixture too sparse: ${want.size}")
+    for (bucket <- Seq(Some(1L), Some(13L), Some(100000L), None)) {
+      val got = IntervalJoin.contains(lDF, pDF, Seq("k" -> "pk"),
+          "ls", "le", "p", bucket)
+        .select("lid", "pid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"bucket=$bucket duplicated a pair")
+      assert(got.toSet == want, s"bucket=$bucket diverged from brute force")
+    }
+    // left-total census with zero-count (and empty) intervals kept
+    val counts = IntervalJoin.containsCount(lDF, pDF, Seq("k" -> "pk"),
+        "ls", "le", "p", bucketMs = Some(16L))
+      .select("lid", "n_matches").as[(Long, Long)].collect()
+    assert(counts.length == leftRows.size)
+    val bruteCounts = want.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    counts.foreach { case (lid, n) =>
+      assert(n == bruteCounts.getOrElse(lid, 0L), s"lid $lid census diverged")
+    }
+  }
+
+  test("containsCount census has NO join-back: one hash exchange end-to-end under broadcast") {
+    // the q_range_join shape: zero-count intervals come from the LEFT
+    // OUTER itself + a group over the interval columns — never a
+    // second join against the intervals frame (which would re-shuffle
+    // it and recompute its subtree)
+    val plan = IntervalJoin.containsCount(lDF, pDF, Seq("k" -> "pk"),
+        "ls", "le", "p", bucketMs = Some(16L))
+      .queryExecution.executedPlan.toString
+    val joins = plan.linesIterator.count(_.contains("Join"))
+    assert(joins == 1, s"census must contain exactly ONE join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
+
   test("plan shape: equi-join with residual — a hash/merge join, never a cross product") {
     val plan = IntervalJoin.overlap(lDF, rDF, Seq("k" -> "rk"),
       "ls", "le", "rs", "re", bucketMs = Some(16L))

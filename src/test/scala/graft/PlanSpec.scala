@@ -525,7 +525,9 @@ class PlanSpec extends SparkSuite {
       // side-local exchanges, now hashing (key, salt)
       "q_asof_order" -> 0, "q_asof_forward" -> 2, "q_asof_nearest" -> 0,
       "q_asof_bucketed" -> 0, "q_asof_global" -> 1, "q_asof_salted" -> 2,
-      "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 2,
+      // q_range_join (round 12): routed through IntervalJoin.containsCount
+      // — the counts↔orders join-back is gone, one exchange remains
+      "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 1,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
       "q_first_order" -> 1,
       "q_top_orders_per_customer" -> 1, "q_topk_partial" -> 1,

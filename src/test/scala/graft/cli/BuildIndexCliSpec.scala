@@ -621,6 +621,26 @@ class BuildIndexCliSpec extends SparkSuite {
         base ++ Map("bucket-ms" -> "soon", "out" -> s"$dir/x"))
     }
     assert(bad.getMessage.contains("millisecond"))
+    // point-in-interval mode: --right-point against a points table
+    Seq((1L, 7L, 20L), (1L, 25L, 21L), (2L, 55L, 22L), (2L, 99L, 23L))
+      .toDF("k", "p", "pid").write.mode("overwrite").parquet(s"$dir/points")
+    val (_, nCt) = Main.intervalJoinCmd(spark, Map(
+      "left" -> s"$dir/left", "right" -> s"$dir/points", "on" -> "k",
+      "left-start" -> "s", "left-end" -> "e", "right-point" -> "p",
+      "count" -> "true", "out" -> s"$dir/pcounts"))
+    assert(nCt == 3)
+    val pCounts = spark.read.parquet(s"$dir/pcounts")
+      .select("lid", "n_matches").as[(Long, Long)].collect().toMap
+    // lid0 [0,10) holds p=7; lid1 [20,30) holds p=25; lid2 (k=2) [0,10)
+    // holds neither k=2 point (55, 99)
+    assert(pCounts == Map(0L -> 1L, 1L -> 1L, 2L -> 0L), s"$pCounts")
+    val conflicted = intercept[IllegalArgumentException] {
+      Main.intervalJoinCmd(spark, Map(
+        "left" -> s"$dir/left", "right" -> s"$dir/points",
+        "left-start" -> "s", "left-end" -> "e", "right-point" -> "p",
+        "right-start" -> "p", "out" -> s"$dir/x2"))
+    }
+    assert(conflicted.getMessage.contains("mutually exclusive"))
   }
 
   test("every kind lands on the shared IndexArtifact layout") {
