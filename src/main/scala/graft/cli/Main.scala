@@ -81,6 +81,15 @@ import java.time.temporal.ChronoUnit
   *          alone; --bucket-ms pins the bucket width, otherwise it is
   *          chosen from interval-length stats; right columns clashing
   *          with left names come out prefixed right_)
+  *   sessionize --in <events parquet> --out <parquet> [--gap-ms N]
+  *             [--user-col c] [--time-col c]
+  *             [--stream --checkpoint <dir> [--watermark 30minutes]]
+  *          (gap sessionization -> one (user_id, start, end, n_events)
+  *          row per session, end exclusive; --stream consumes the input
+  *          dir incrementally through the OrderedReplay combinator —
+  *          out-of-order-safe within the watermark, sessions emit once
+  *          the watermark passes their gap horizon, re-running with the
+  *          same checkpoint resumes)
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -471,6 +480,20 @@ object Main {
       println(s"join-asof: $n rows written to $out")
       spark.stop()
 
+    case "sessionize" :: rest =>
+      // Gap sessionization as a job: batch gaps-and-islands over an
+      // events parquet, or — with --stream — the OrderedReplay
+      // streaming form (out-of-order-safe within the watermark,
+      // checkpoint-resumable); both arms emit the same session rows.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, n) =
+        try sessionizeCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"sessionize: $n sessions written to $out")
+      spark.stop()
+
     case "interval-join" :: rest =>
       // Interval-overlap join as a job: the distributed bucketed form
       // (equi-join Catalyst can plan; exact predicate as a residual;
@@ -800,6 +823,85 @@ object Main {
         l(lTime), r(rTime), tiebreak.map(r(_)), tol)
       prefixClashes(joined).write.mode("overwrite").parquet(out)
       (out, l.count())
+    }
+  }
+
+  /** `sessionize` body, session-injected for specs. Both arms emit
+    * `(user_id, start, end, n_events)` with the half-open `[start,
+    * last + 1)` end convention shared with the interval-overlap gate:
+    *
+    *  - batch (default): the lag/sum gaps-and-islands composition —
+    *    one shuffle on the user, two windows and the session aggregate
+    *    riding it;
+    *  - `--stream --checkpoint <dir>`: [[graft.streaming.OrderedReplay]]
+    *    sessionization over the input directory as a file stream
+    *    (AvailableNow — process what's there, checkpoint, exit;
+    *    re-running resumes). Out-of-order-safe within `--watermark`;
+    *    a session emits once the watermark passes its gap horizon, so
+    *    the tail of a run stays in the checkpoint until newer data
+    *    arrives — the same drain contract as join-asof's event-time
+    *    mode.
+    */
+  private[cli] def sessionizeCmd(
+      spark: SparkSession, o: Map[String, String]): (String, Long) = {
+    import org.apache.spark.sql.functions._
+    val in = o.getOrElse("in", die("--in <events parquet> is required"))
+    val out = o.getOrElse("out", die("--out <parquet> is required"))
+    val gap = o.get("gap-ms").map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"--gap-ms needs a millisecond count, got '$v'"))
+    }.getOrElse(30L * 60 * 1000)
+    val userCol = o.getOrElse("user-col", "user_id")
+    val timeCol = o.getOrElse("time-col", "ts_ms")
+    if (o.contains("stream")) {
+      val ckpt = o.getOrElse("checkpoint", throw new IllegalArgumentException(
+        "--checkpoint <dir> is required with --stream"))
+      import spark.implicits._
+      val schema = spark.read.parquet(in).schema
+      val raw = spark.readStream.schema(schema).parquet(in)
+      // TIMESTAMP/DATE time columns normalize exactly like the as-of
+      // API: unix_millis, not a bare long cast (epoch SECONDS)
+      val events = raw
+        .select(raw(userCol).cast("long").as("userId"),
+          graft.plans.AsOfJoin.toEpochMs(raw(timeCol)).as("tsMs"))
+        .as[graft.streaming.StreamingAnalytics.UserEvent]
+      val sessions = graft.streaming.StreamingAnalytics.sessionize(
+          events, gap,
+          watermarkDelay = o.getOrElse("watermark", "30 minutes")
+            .replaceAll("(?<=\\d)(?=[a-zA-Z])", " "))
+        .select(col("userId").as("user_id"), col("start"),
+          (col("start") + col("durationMs") + 1L).as("end"),
+          col("n").as("n_events"))
+      val before = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+      val q = sessions.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val after = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+      (out, after - before)
+    } else {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ms")
+      val raw = spark.read.parquet(in)
+      val sessions = raw
+        .select(raw(userCol).cast("long").as("user_id"),
+          graft.plans.AsOfJoin.toEpochMs(raw(timeCol)).as("ts_ms"))
+        .withColumn("prev_ts", lag("ts_ms", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gap, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_session").over(byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min("ts_ms").as("start"), (max("ts_ms") + 1L).as("end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "start", "end", "n_events")
+      sessions.write.mode("overwrite").parquet(out)
+      (out, spark.read.parquet(out).count())
     }
   }
 

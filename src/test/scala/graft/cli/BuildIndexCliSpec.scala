@@ -643,6 +643,47 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(conflicted.getMessage.contains("mutually exclusive"))
   }
 
+  test("sessionize verb: batch and streaming arms agree; stream resumes from checkpoint") {
+    val dir = tmpDir("cli-sess")
+    val gap = 60000L
+    val h0 = 1700000000000L
+    // two users, sessions split by >60s gaps; fed to the stream arm in
+    // TWO runs (restart), shuffled within each run's file
+    val phase1 = Seq((1L, h0 + 5000L), (1L, h0), (2L, h0 + 2000L))
+    val phase2 = Seq((1L, h0 + 200000L), (2L, h0 + 3000L + 0L),
+      (2L, h0 + 400000L))
+    (phase1 ++ phase2).toDF("user_id", "ts_ms")
+      .write.mode("overwrite").parquet(s"$dir/all")
+    val (_, nB) = Main.sessionizeCmd(spark, Map(
+      "in" -> s"$dir/all", "out" -> s"$dir/batch", "gap-ms" -> gap.toString))
+    val batch = spark.read.parquet(s"$dir/batch")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(nB == 4 && batch == Set(
+      (1L, h0, h0 + 5001L, 2L), (1L, h0 + 200000L, h0 + 200001L, 1L),
+      (2L, h0 + 2000L, h0 + 3001L, 2L), (2L, h0 + 400000L, h0 + 400001L, 1L)),
+      s"batch sessions diverged: $batch")
+    // stream arm: phase 1, then phase 2 + a flush user far enough ahead
+    // that the watermark closes every real session
+    phase1.toDF("user_id", "ts_ms").write.mode("overwrite").parquet(s"$dir/feed")
+    val args = Map("in" -> s"$dir/feed", "out" -> s"$dir/stream",
+      "gap-ms" -> gap.toString, "stream" -> "true",
+      "watermark" -> "5minutes", "checkpoint" -> s"$dir/ckpt")
+    Main.sessionizeCmd(spark, args)
+    phase2.toDF("user_id", "ts_ms").write.mode("append").parquet(s"$dir/feed")
+    Main.sessionizeCmd(spark, args)
+    Seq((99L, h0 + 100L * 3600000L)).toDF("user_id", "ts_ms")
+      .write.mode("append").parquet(s"$dir/feed")
+    Main.sessionizeCmd(spark, args)
+    Seq((99L, h0 + 100L * 3600000L + 1L)).toDF("user_id", "ts_ms")
+      .write.mode("append").parquet(s"$dir/feed")
+    Main.sessionizeCmd(spark, args)
+    val streamed = spark.read.parquet(s"$dir/stream")
+      .as[(Long, Long, Long, Long)].collect().toSet
+      .filter(_._1 != 99L)
+    assert(streamed == batch,
+      s"stream arm diverged from batch: $streamed vs $batch")
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
