@@ -721,6 +721,18 @@ object TextQueries {
     * recall at the <=6 threshold is exact). Token hash = md5-derived
     * int64 (md5Hash64) so the WHOLE pipeline — hash, bit counts, band
     * join, hamming — replays bit-for-bit in the DuckDB oracle.
+    *
+    * SCALE CONTRACT (documented quadratic bucket term): an 8-bit band
+    * has only 256 possible values, so bucket population grows LINEARLY
+    * with the corpus and the per-bucket pair expansion quadratically —
+    * ~12-18x for 10x data in the sf1 sweeps (window-dependent), the
+    * same class as d_ngram_jaccard. The band geometry is forced by the
+    * contract (64 bits / <=6 hamming needs 7+ bands; 64/8 = 8-bit
+    * bands), so past ~1M docs either widen the signature (128-bit ->
+    * 16-bit bands, 65k bucket values) or screen with the
+    * prefix-filtered gram join and keep simhash for the survivors;
+    * the oversized-bucket fallback below keeps the expansion
+    * distributed either way.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashImpl(spark, dir, 10000)
