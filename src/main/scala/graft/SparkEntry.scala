@@ -105,6 +105,7 @@ object SparkEntry {
     "d_jaccard_prefix" -> (TextQueries.jaccardPrefixFiltered _),
     "d_dup_clusters" -> (TextQueries.dupClusters _),
     "d_simhash" -> (TextQueries.simhash _),
+    "d_simhash_wide" -> (TextQueries.simhashWide _),
     "t_top_terms" -> (TextQueries.topTerms _),
     "t_vocab_growth" -> (TextQueries.vocabGrowth _),
     "d_dup_by_source" -> (TextQueries.dupStatsBySource _),
@@ -1395,6 +1396,63 @@ object SparkEntry {
           |  FROM banded x JOIN banded y
           |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
           |SELECT id1, id2, hamming FROM cand WHERE hamming <= 6 ORDER BY id1, id2""".stripMargin,
+      // Wide (128-bit) SimHash: md5's FULL digest per token as two
+      // signed int64 halves, 8x16-bit bands (k<4 slice the low half,
+      // k>=4 the high), two-half hamming, threshold <= 7. Same
+      // HUGEINT->BIGINT signed-cast and shift-mask tricks as d_simhash.
+      "d_simhash_wide" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+          |u AS (
+          |  SELECT doc_id,
+          |         list_reduce(
+          |           list_transform(range(1, 17),
+          |             i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::HUGEINT),
+          |           (a, b) -> a * 16 + b) AS uhi,
+          |         list_reduce(
+          |           list_transform(range(17, 33),
+          |             i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::HUGEINT),
+          |           (a, b) -> a * 16 + b) AS ulo
+          |  FROM toks),
+          |hv AS (
+          |  SELECT doc_id,
+          |         CAST(uhi - (CASE WHEN uhi >= 9223372036854775808::HUGEINT
+          |                          THEN 18446744073709551616::HUGEINT
+          |                          ELSE 0::HUGEINT END) AS BIGINT) AS hhi,
+          |         CAST(ulo - (CASE WHEN ulo >= 9223372036854775808::HUGEINT
+          |                          THEN 18446744073709551616::HUGEINT
+          |                          ELSE 0::HUGEINT END) AS BIGINT) AS hlo
+          |  FROM u),
+          |bits AS (
+          |  SELECT doc_id, b,
+          |         sum(CASE WHEN (hlo >> b) & 1 = 1 THEN 1 ELSE -1 END) AS clo,
+          |         sum(CASE WHEN (hhi >> b) & 1 = 1 THEN 1 ELSE -1 END) AS chi
+          |  FROM hv, UNNEST(range(0, 64)) AS t(b) GROUP BY 1, 2),
+          |sig AS (
+          |  SELECT doc_id,
+          |         CAST(sum(CASE WHEN clo > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+          |              - (CASE WHEN sum(CASE WHEN clo > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+          |                           >= 9223372036854775808::HUGEINT
+          |                      THEN 18446744073709551616::HUGEINT
+          |                      ELSE 0::HUGEINT END) AS BIGINT) AS slo,
+          |         CAST(sum(CASE WHEN chi > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+          |              - (CASE WHEN sum(CASE WHEN chi > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)
+          |                           >= 9223372036854775808::HUGEINT
+          |                      THEN 18446744073709551616::HUGEINT
+          |                      ELSE 0::HUGEINT END) AS BIGINT) AS shi
+          |  FROM bits GROUP BY 1),
+          |banded AS (
+          |  SELECT doc_id, shi, slo, k AS band,
+          |         CASE WHEN k < 4 THEN (slo >> (k * 16)) & 65535
+          |              ELSE (shi >> ((k - 4) * 16)) & 65535 END AS bh
+          |  FROM sig, UNNEST(range(0, 8)) AS t(k)),
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+          |         CAST(bit_count(xor(x.shi, y.shi))
+          |              + bit_count(xor(x.slo, y.slo)) AS INT) AS hamming
+          |  FROM banded x JOIN banded y
+          |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+          |SELECT id1, id2, hamming FROM cand WHERE hamming <= 7 ORDER BY id1, id2""".stripMargin,
       "t_tokens" ->
         """SELECT doc_id,
           |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,

