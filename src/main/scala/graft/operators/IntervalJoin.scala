@@ -58,6 +58,21 @@ object IntervalJoin {
   private val LB = "__ij_bucket_l"
   private val RB = "__ij_bucket_r"
 
+  /** Interval endpoints must be NUMERIC epoch values: a TIMESTAMP
+    * would silently cast to epoch SECONDS inside the bucket math —
+    * still CORRECT (bucket width never changes the answer) but sized
+    * 1000× off against a millisecond `bucketMs`. Fail loudly instead;
+    * normalize upstream with `unix_millis`.
+    */
+  private def requireNumeric(df: org.apache.spark.sql.DataFrame,
+      c: String, what: String): Unit = {
+    require(df.columns.contains(c), s"$what column '$c' not in ${df.columns.mkString(",")}")
+    val dt = df.schema(c).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$what column '$c' must be a numeric epoch value, got ${dt.simpleString} " +
+        "— cast TIMESTAMP/DATE via unix_millis upstream")
+  }
+
   /** Power of two at or above `max(p95 interval length, maxLen/1024,
     * 1)` over BOTH sides — one small aggregate job (two scans reduced
     * to one row; lengths only, payloads never move). Public so callers
@@ -161,6 +176,15 @@ object IntervalJoin {
       bucketMs: Option[Long]): (DataFrame, DataFrame, Column) = {
     require(!intervals.columns.contains(LB) && !points.columns.contains(RB),
       s"$LB/$RB are reserved internal column names")
+    keys.foreach { case (lk, rk) =>
+      require(intervals.columns.contains(lk),
+        s"interval key '$lk' not in ${intervals.columns.mkString(",")}")
+      require(points.columns.contains(rk),
+        s"point key '$rk' not in ${points.columns.mkString(",")}")
+    }
+    requireNumeric(intervals, start, "interval start")
+    requireNumeric(intervals, end, "interval end")
+    requireNumeric(points, pointCol, "point")
     bucketMs.foreach(b => require(b > 0, s"bucketMs must be positive, got $b"))
     val leftCols = intervals.columns.toSet
     val clashes = points.columns.filter(leftCols).toSet
@@ -198,6 +222,10 @@ object IntervalJoin {
       require(left.columns.contains(lk), s"left key '$lk' not in ${left.columns.mkString(",")}")
       require(right.columns.contains(rk), s"right key '$rk' not in ${right.columns.mkString(",")}")
     }
+    requireNumeric(left, leftStart, "left start")
+    requireNumeric(left, leftEnd, "left end")
+    requireNumeric(right, rightStart, "right start")
+    requireNumeric(right, rightEnd, "right end")
     bucketMs.foreach(b => require(b > 0, s"bucketMs must be positive, got $b"))
     // clash prefix BEFORE composing: predicates then bind by plain name
     // on the joined frame with no ambiguity

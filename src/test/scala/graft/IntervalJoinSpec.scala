@@ -73,6 +73,21 @@ class IntervalJoinSpec extends SparkSuite {
       "an empty [s, s) interval overlaps nothing")
   }
 
+  test("TIMESTAMP endpoints are rejected loudly, not silently cast to seconds") {
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 0L))
+      .toDF("k", "s", "e", "lid")
+    val err = intercept[IllegalArgumentException] {
+      IntervalJoin.overlap(ts, rDF, Seq("k" -> "rk"), "s", "e", "rs", "re",
+        bucketMs = Some(1000L))
+    }
+    assert(err.getMessage.contains("unix_millis"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException] {
+      IntervalJoin.containsCount(ts, pDF, Seq("k" -> "pk"), "s", "e", "p")
+    }
+    assert(err2.getMessage.contains("unix_millis"), err2.getMessage)
+  }
+
   test("right columns clashing with left names come out right_-prefixed") {
     val l = Seq((1L, 0L, 10L)).toDF("k", "start", "end")
     val r = Seq((1L, 5L, 20L)).toDF("k", "start", "end")
