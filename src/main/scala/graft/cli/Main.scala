@@ -74,7 +74,9 @@ import java.time.temporal.ChronoUnit
   *             --out <parquet>
   *             [--on k[=rk][,...]] [--bucket-ms N] [--count]
   *          (interval × interval overlap join over half-open [start,
-  *          end) intervals — or point-in-interval with --right-point —
+  *          end) NUMERIC-epoch intervals (TIMESTAMP columns are
+  *          rejected — cast via unix_millis upstream) — or
+  *          point-in-interval with --right-point —
   *          each matching pair exactly once; --count emits the
   *          left-total per-left-row census instead of the pairs; --on
   *          is optional — keyless joins match on overlap/containment
