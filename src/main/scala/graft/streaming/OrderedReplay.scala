@@ -58,7 +58,7 @@ object OrderedReplay {
   /** Stable two-pointer merge of two sorted runs: ties take from `a`
     * (the older run) first, preserving arrival order at equal keys —
     * exactly what a stable sort of (a ++ b) would do. */
-  private[streaming] def mergeSorted[T](
+  private[graft] def mergeSorted[T](
       a: Seq[T], b: Seq[T], lt: (T, T) => Boolean): Seq[T] =
     if (b.isEmpty) a
     else if (a.isEmpty) b
