@@ -167,6 +167,7 @@ object SparkEntry {
     "m_media_dedup" -> (TextQueries.mediaDedup _),
     "d_winnow_overlap" -> (TextQueries.winnowOverlap _),
     "m_phash_neardup" -> (TextQueries.phashNearDup _),
+    "m_phash_wide" -> (TextQueries.phashWide _),
     "t_kl_drift" -> (TextQueries.klDrift _),
     "t_quality_lr" -> (TextQueries.qualityLr _),
     "t_bm25" -> (TextQueries.bm25 _),
@@ -2222,6 +2223,38 @@ object SparkEntry {
           |                CASE WHEN segsum * seg.n >= tot.tot * seglen THEN 1 ELSE 0 END AS bit
           |         FROM seg JOIN tot ON seg.doc_id = tot.doc_id),
           |bands AS (SELECT doc_id, s // 8 AS band_idx, CAST(sum(bit << CAST(s % 8 AS INT)) AS INT) AS band_val
+          |          FROM bits GROUP BY 1, 2),
+          |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          |         FROM bands a JOIN bands b
+          |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          |          AND a.doc_id < b.doc_id),
+          |ham AS (SELECT c.id1, c.id2,
+          |               CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS INT) AS hamming
+          |        FROM cand c
+          |        JOIN bands x ON x.doc_id = c.id1
+          |        JOIN bands y ON y.doc_id = c.id2 AND y.band_idx = x.band_idx
+          |        GROUP BY 1, 2)
+          |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin,
+      // Wide-band scale path: SAME integer-mean kernel at 64 segments,
+      // 4x16-bit bands (65,536 values vs the narrow form's 256 — the
+      // quadratic in-bucket term drops ~256x). Full kernel replay, byte
+      // stream from hex(encode(text)) as in the narrow twin.
+      "m_phash_wide" ->
+        """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+          |           FROM documents WHERE octet_length(encode(text)) >= 64),
+          |b AS (SELECT doc_id, n, i,
+          |             16*(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)
+          |               + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1) AS byte
+          |      FROM d, UNNEST(range(0, n)) AS t(i)),
+          |tot AS (SELECT doc_id, sum(byte) AS tot FROM b GROUP BY 1),
+          |seg AS (SELECT doc_id, (i * 64) // n AS s, sum(byte) AS segsum,
+          |               count(*) AS seglen, any_value(n) AS n
+          |        FROM b GROUP BY 1, 2),
+          |bits AS (SELECT seg.doc_id, s,
+          |                CASE WHEN segsum * seg.n >= tot.tot * seglen THEN 1 ELSE 0 END AS bit
+          |         FROM seg JOIN tot ON seg.doc_id = tot.doc_id),
+          |bands AS (SELECT doc_id, s // 16 AS band_idx,
+          |                 CAST(sum(bit << CAST(s % 16 AS INT)) AS INT) AS band_val
           |          FROM bits GROUP BY 1, 2),
           |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           |         FROM bands a JOIN bands b

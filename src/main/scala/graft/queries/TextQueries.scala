@@ -2359,6 +2359,96 @@ object TextQueries {
       .orderBy("id1", "id2")
   }
 
+  /** Wide-band perceptual near-dup — [[phashNearDup]]'s SCALE PATH, the
+    * same cure [[simhashWide]] applied to the text simhash. The narrow
+    * gate's defect is the band SPACE: 4×8-bit bands admit only 256
+    * bucket values per band, so at corpus scale every bucket holds
+    * ~n/1024 docs and the in-bucket pair expansion is O(n²/256) —
+    * measured 15.2× per 10× data at sf1.
+    *
+    * SHIPPED: a 64-bit fingerprint — the SAME exact integer-mean kernel
+    * (segment mean >= payload mean, decided by integer cross-
+    * multiplication so both engines agree bit-for-bit), just 64
+    * segments instead of 32 — banded as 4×16-bit bands. Band COUNT
+    * stays 4 so the τ=3 recall contract keeps its pigeonhole
+    * completeness (hamming <= 3 over 4 bands forces at least one equal
+    * band); band VALUES widen 256 → 65,536, cutting expected bucket
+    * population — and the quadratic pair term — by ~256× at equal
+    * corpus size. Plan shape follows [[simhashWideImpl]]: fingerprint
+    * in one Dataset.map pass (payload bytes never leave the task), ONE
+    * (band, bh) exchange, in-task pair expansion for normal buckets,
+    * and oversize buckets (true giant near-identical clusters) route
+    * through a distributed self-join instead of a single-task array —
+    * no silent cap. Length floor rises to 64 octets so every segment
+    * is non-empty; the narrow form stays registered as the documented
+    * oracle twin, exactly like d_simhash / d_simhash_wide.
+    */
+  def phashWide(spark: SparkSession, dir: String): DataFrame =
+    phashWideImpl(spark, dir, 10000)
+
+  private[graft] def phashWideImpl(
+      spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+    import spark.implicits._
+    val banded = docs(spark, dir)
+      .filter(octet_length(col("text")) >= 64)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = bytes.length.toLong
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var tot = 0L
+          var k = 0
+          while (k < bytes.length) {
+            val b = bytes(k).toLong & 0xffL
+            val s = ((k * 64L) / n).toInt // byte k -> segment (k*64) div n
+            sums(s) += b; cnts(s) += 1; tot += b
+            k += 1
+          }
+          var fp = 0L
+          var s = 0
+          while (s < 64) {
+            // segment mean >= payload mean, decided exactly in integers
+            if (sums(s) * n >= tot * cnts(s)) fp |= 1L << s
+            s += 1
+          }
+          (0 until 4).iterator.map { band =>
+            (id, fp, band, (fp >>> (band * 16)) & 0xffffL)
+          }
+        }
+      }.toDF("doc_id", "fp", "band", "bh")
+    val grouped = banded
+      .groupBy("band", "bh")
+      .agg(collect_list(struct(col("doc_id"), col("fp"))).as("xs"))
+    val smallPairs = grouped
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(col("xs")).as[Seq[(Long, Long)]]
+      .flatMap { xs =>
+        val sorted = xs.toArray.sortBy(_._1)
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i)._1, sorted(j)._1,
+          java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2))
+      }
+      .toDF("id1", "id2", "hamming")
+    val bigRows = grouped
+      .filter(size(col("xs")) > maxBucket)
+      .select(col("band"), col("bh"), explode(col("xs")).as("m"))
+      .select(col("band"), col("bh"),
+        col("m.doc_id").as("doc_id"), col("m.fp").as("fp"))
+    val bigPairs = bigRows.as("x").join(bigRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+    smallPairs.unionByName(bigPairs)
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("id1", "id2")
+  }
+
   /** Distribution drift census: per-source unigram KL divergence
     * against the whole-corpus unigram distribution — the standard
     * "did this crawl snapshot / new source shift the token mix" check

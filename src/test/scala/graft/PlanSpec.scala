@@ -435,7 +435,8 @@ class PlanSpec extends SparkSuite {
       // one more exchange here, strictly fewer at corpus scale
       "d_ngram_jaccard" -> 4, "d_simhash" -> 4, "d_simhash_wide" -> 4,
       "e_anomaly_zscore" -> 2,
-      "m_phash_neardup" -> 2, "t_kl_drift" -> 7, "t_quality_lr" -> 0,
+      "m_phash_neardup" -> 2, "m_phash_wide" -> 4,
+      "t_kl_drift" -> 7, "t_quality_lr" -> 0,
       "t_bm25" -> 6,
       // training passes run at construction; the returned plan is
       // scan -> project -> sort, zero hash exchanges

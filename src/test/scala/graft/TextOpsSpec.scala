@@ -543,6 +543,57 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  /** Independent 64-segment aHash reimplementation for the wide-phash oracle. */
+  private def refAHash64(text: String): Long = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length.toLong
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    var tot = 0L
+    bytes.indices.foreach { k =>
+      val s = ((k * 64L) / n).toInt
+      sums(s) += bytes(k).toLong & 0xffL; cnts(s) += 1; tot += bytes(k).toLong & 0xffL
+    }
+    (0 until 64).foldLeft(0L) { (v, s) =>
+      if (sums(s) * n >= tot * cnts(s)) v | (1L << s) else v
+    }
+  }
+
+  test("wide phash equals brute-force hamming<=3 and the big-bucket arm agrees") {
+    // payloads must clear the 64-octet floor (one byte per segment)
+    val base = "the quick brown fox jumps over the lazy dog again and again, " +
+      "then once more for good measure ok"
+    val texts = Seq(
+      base,                             // 0: anchor
+      base,                             // 1: byte-identical -> hamming 0
+      base.replace("quick", "quack"),   // 2: tiny perturbation
+      "zzzz " * 14 + "yy",              // 3: different distribution
+      ("ab" * 34) + "Q",                // 4: another shape
+      "tiny, below the 64-byte floor")  // 5: must be excluded entirely
+    withDocs(texts) { dir =>
+      val got = TextQueries.phashWide(spark, dir)
+        .as[(Long, Long, Int)].collect().toSet
+      // brute force over the same 64-bit fingerprints: every pair at
+      // hamming<=3 MUST surface (4x16-bit bands, pigeonhole over 4 bands
+      // is complete for tau=3) and nothing else may
+      val eligible = texts.indices.filter(i =>
+        texts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8).length >= 64)
+      val fp = texts.map(refAHash64)
+      val expect = (for {
+        i <- eligible; j <- eligible if i < j
+        h = java.lang.Long.bitCount(fp(i) ^ fp(j))
+        if h <= 3
+      } yield (i.toLong, j.toLong, h)).toSet
+      assert(got == expect, s"got $got expect $expect")
+      assert(expect.contains((0L, 1L, 0)), "identical payloads must pair at hamming 0")
+      assert(!got.exists(p => p._1 == 5L || p._2 == 5L), "sub-floor doc must be excluded")
+      // oversized-bucket fallback: maxBucket=1 forces EVERY bucket through
+      // the distributed self-join arm; results must be identical
+      val viaJoin = TextQueries.phashWideImpl(spark, dir, 1)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(viaJoin == got, "big-bucket self-join arm must agree with in-task expansion")
+    }
+  }
+
   test("kl drift matches a hand-computed two-source reference and is non-negative") {
     val dir = java.nio.file.Files.createTempDirectory("graft-kl-").toString
     try {
