@@ -790,8 +790,16 @@ object Main {
       // mix root-level files with partition dirs and break partition
       // discovery — reject it with a migration hint instead of
       // producing a half-readable table
-      val legacyFlat = Option(new java.io.File(out).listFiles()).toSeq.flatten
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      // resolved through the Hadoop FS API, not java.io.File — --out may
+      // be any supported filesystem URI (hdfs://, s3a://), where a local
+      // listFiles() returns null and the guard would silently no-op
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val legacyFlat =
+        if (outFs.exists(outPath))
+          outFs.listStatus(outPath).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        else Seq.empty
       require(legacyFlat.isEmpty,
         s"join-asof --stream: '$out' holds ${legacyFlat.length} flat parquet " +
           "file(s) from the pre-batch_id layout; epochs now overwrite " +
@@ -930,9 +938,21 @@ object Main {
       v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"--bucket-ms needs a millisecond count, got '$v'"))
     }
-    val l = spark.read.parquet(leftIn)
+    val rawL = spark.read.parquet(leftIn)
     val r = spark.read.parquet(rightIn)
-    val joined = o.get("right-point") match {
+    // the count APIs group by every left column, so fully-duplicate left
+    // rows would merge into one census row with summed counts and the
+    // output row count would silently differ from the input; a synthetic
+    // per-row id (dropped on output) keeps the census truly one row per
+    // input left row
+    val uid = "__ij_cli_rowid"
+    require(!rawL.columns.contains(uid), s"'$uid' is a reserved column name")
+    val l =
+      if (o.contains("count"))
+        rawL.withColumn(uid,
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+      else rawL
+    val joined = (o.get("right-point") match {
       case Some(pc) =>
         require(!o.contains("right-start") && !o.contains("right-end"),
           "--right-point and --right-start/--right-end are mutually exclusive")
@@ -947,7 +967,7 @@ object Main {
         if (o.contains("count"))
           IntervalJoin.overlapCount(l, r, keys, lS, lE, rS, rE, bucket)
         else IntervalJoin.overlap(l, r, keys, lS, lE, rS, rE, bucket)
-    }
+    }).drop(uid)
     joined.write.mode("overwrite").parquet(out)
     (out, spark.read.parquet(out).count())
   }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * no joins at all; this is part of the additive analytics surface).
   *
   * Semantics: both sides carry half-open `[start, end)` intervals in
-  * the same (numeric, typically epoch-ms) unit; a pair matches iff the
+  * the same (integral, typically epoch-ms) unit; a pair matches iff the
   * intervals share a key AND genuinely overlap (`lStart < rEnd && rStart
   * < lEnd`, both nonempty). Spark has no native interval join and the
   * inequality-only formulation plans as a nested-loop cross product —
@@ -58,19 +58,31 @@ object IntervalJoin {
   private val LB = "__ij_bucket_l"
   private val RB = "__ij_bucket_r"
 
-  /** Interval endpoints must be NUMERIC epoch values: a TIMESTAMP
+  /** Interval endpoints must be INTEGRAL epoch values. A TIMESTAMP
     * would silently cast to epoch SECONDS inside the bucket math —
     * still CORRECT (bucket width never changes the answer) but sized
-    * 1000× off against a millisecond `bucketMs`. Fail loudly instead;
-    * normalize upstream with `unix_millis`.
+    * 1000× off against a millisecond `bucketMs`. Fractional numerics
+    * (Double/Float/Decimal) are worse than a sizing hazard: every
+    * bucket expression truncates via `CAST(... AS LONG)`, so a left
+    * interval [5.5, 6.5) replicates only bucket {5} while the
+    * overlapping right [6.2, 7.0) lands in {6} — the pair is silently
+    * DROPPED and the bucket-width-independence invariant breaks (the
+    * `end - 1` last-bucket rule and the exactly-once start-bucket rule
+    * are integer-grid arguments; truncation also rounds negative
+    * values the wrong way). Fail loudly on both; normalize upstream
+    * with `unix_millis` / by scaling to an integer grid.
     */
   private def requireNumeric(df: org.apache.spark.sql.DataFrame,
       c: String, what: String): Unit = {
     require(df.columns.contains(c), s"$what column '$c' not in ${df.columns.mkString(",")}")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(c).dataType
-    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$what column '$c' must be a numeric epoch value, got ${dt.simpleString} " +
-        "— cast TIMESTAMP/DATE via unix_millis upstream")
+    val integral = dt == ByteType || dt == ShortType ||
+      dt == IntegerType || dt == LongType
+    require(integral,
+      s"$what column '$c' must be an integral epoch value, got ${dt.simpleString} " +
+        "— cast TIMESTAMP/DATE via unix_millis, scale fractional values " +
+        "to an integer grid upstream")
   }
 
   /** Power of two at or above `max(p95 interval length, maxLen/1024,

@@ -88,6 +88,31 @@ class IntervalJoinSpec extends SparkSuite {
     assert(err2.getMessage.contains("unix_millis"), err2.getMessage)
   }
 
+  test("fractional endpoints are rejected loudly, not silently truncated") {
+    // with DOUBLE endpoints the bucket CAST(... AS LONG) truncates:
+    // left [5.5, 6.5) replicates bucket {5}, right [6.2, 7.0) lands in
+    // {6}, and a genuinely overlapping pair would be silently dropped —
+    // so the operator must refuse the column type outright
+    val dl = Seq((1L, 5.5, 6.5, 0L)).toDF("k", "s", "e", "lid")
+    val err = intercept[IllegalArgumentException] {
+      IntervalJoin.overlap(dl, rDF, Seq("k" -> "rk"), "s", "e", "rs", "re",
+        bucketMs = Some(1L))
+    }
+    assert(err.getMessage.contains("integral"), err.getMessage)
+    // fractional POINT column on the contains shape: same refusal
+    val dp = Seq((1L, 6.1)).toDF("pk", "p")
+    val err2 = intercept[IllegalArgumentException] {
+      IntervalJoin.containsCount(lDF.withColumnRenamed("ls", "s")
+        .withColumnRenamed("le", "e"), dp, Seq("k" -> "pk"), "s", "e", "p")
+    }
+    assert(err2.getMessage.contains("integral"), err2.getMessage)
+    // integral widths other than LONG still work (no over-rejection)
+    val il = Seq((1, 0, 10, 0)).toDF("k", "s", "e", "lid")
+    val ir = Seq((1, 5, 20, 0)).toDF("rk", "rs", "re", "rid")
+    assert(IntervalJoin.overlap(il, ir, Seq("k" -> "rk"), "s", "e", "rs", "re",
+      bucketMs = Some(8L)).count() == 1L)
+  }
+
   test("right columns clashing with left names come out right_-prefixed") {
     val l = Seq((1L, 0L, 10L)).toDF("k", "start", "end")
     val r = Seq((1L, 5L, 20L)).toDF("k", "start", "end")

@@ -641,6 +641,20 @@ class BuildIndexCliSpec extends SparkSuite {
         "right-start" -> "p", "out" -> s"$dir/x2"))
     }
     assert(conflicted.getMessage.contains("mutually exclusive"))
+    // fully-duplicate left rows must NOT merge in the --count census:
+    // the verb injects a per-row uniquifier (dropped on output), so the
+    // census stays one row per input left row
+    Seq((1L, 0L, 10L, 0L), (1L, 0L, 10L, 0L), (1L, 20L, 30L, 1L))
+      .toDF("k", "s", "e", "lid").write.mode("overwrite").parquet(s"$dir/dupleft")
+    val (_, nDup) = Main.intervalJoinCmd(spark, base ++ Map(
+      "left" -> s"$dir/dupleft", "count" -> "true",
+      "bucket-ms" -> "8", "out" -> s"$dir/dupcounts"))
+    assert(nDup == 3, s"duplicate left rows must each keep a census row, got $nDup")
+    val dupOut = spark.read.parquet(s"$dir/dupcounts")
+    assert(!dupOut.columns.contains("__ij_cli_rowid"), "uniquifier must be dropped")
+    val dupCounts = dupOut
+      .select("lid", "n_overlaps").as[(Long, Long)].collect().sorted.toSeq
+    assert(dupCounts == Seq((0L, 2L), (0L, 2L), (1L, 1L)), s"$dupCounts")
   }
 
   test("sessionize verb: batch and streaming arms agree; stream resumes from checkpoint") {
