@@ -325,8 +325,13 @@ object TextQueries {
     * 50.4s (25.7x for 10x data — the quadratic term, on schedule) vs
     * prefix 31.5s (11.6x, near-linear). The crossover sits BEFORE sf1;
     * beyond it the prefix path is the only affordable exact path,
-    * where bucket sizes, not scan constants, dominate. Full table in
-    * the README's "Current numbers" section.
+    * where bucket sizes, not scan constants, dominate. Round 13's
+    * decomposition (tools/SimJoinProbe) showed the residual sf1 cost
+    * was CANDIDATE-bound (118,826 -> 17.0M candidates for 10x data vs
+    * FLAT output) and added the length + positional residuals below:
+    * candidates drop 9.3x at sf0.1 / 7.9x at sf1, wall-clock at sf1
+    * 8.9s, 10x ratio 3.8x. Full table in the README's "Current
+    * numbers" section.
     */
   def jaccardPrefixFiltered(spark: SparkSession, dir: String): DataFrame = {
     val (grams, _) = gramTables(spark, dir)
@@ -343,10 +348,10 @@ object TextQueries {
     val pref = grams.join(dfreq, "g")
       .groupBy("doc_id")
       .agg(collect_list(struct(col("df"), col("g"))).as("pairs"))
-      .select(col("doc_id"),
-        explode(expr(
+      .select(col("doc_id"), size(col("pairs")).cast(LongType).as("n"),
+        posexplode(expr(
           "slice(array_sort(pairs), 1, cast(floor(size(pairs) * 0.2) as int) + 1).g"))
-          .as("g"))
+          .as(Seq("i", "g"))) // i = 0-based rank in the canonical order
     // candidate pairs: BOTH sides are prefixes (the classic both-prefix
     // theorem: the smallest shared gram in canonical order must sit
     // inside each doc's prefix — if it were outside A's prefix, A's
@@ -354,8 +359,26 @@ object TextQueries {
     // |prefix| + |A∩B| > |A| overflows A; symmetrically for B). The
     // inverted index shrinks ~5x on both sides and the join's quadratic
     // bucket term shrinks ~25x, all provably lossless at the threshold.
+    //
+    // Two further PPJoin residuals, both lossless at J >= 0.8 = 4/5
+    // (which forces overlap o >= t/(1+t)·(n1+n2) = 4/9·(n1+n2)):
+    //  - LENGTH: o <= min(n1,n2), so 4·n2 <= 5·n1 and 4·n1 <= 5·n2 —
+    //    docs whose distinct-gram counts differ >1.25x can never pair.
+    //  - POSITIONAL (Xiao et al. 2008): a match at 0-based canonical
+    //    ranks (i1, i2) bounds the overlap by ub = min(n1-i1, n2-i2)
+    //    (every shared gram sits at or after the FIRST shared gram's
+    //    rank on each side); require 9·ub >= 4·(n1+n2). A true pair's
+    //    first-shared-gram row satisfies this by construction, so the
+    //    pair survives the distinct even when its later-rank rows are
+    //    pruned. The r12 sf1 decomposition (tools/SimJoinProbe) showed
+    //    candidates growing 143x for 10x data against FLAT output —
+    //    these residuals are evaluated in-join (no extra exchange) and
+    //    cut exactly that term.
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5 &&
+          least(col("a.n") - col("a.i"), col("b.n") - col("b.i")) * 9 >=
+            (col("a.n") + col("b.n")) * 4)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     // exact verification per candidate PAIR, not per shared gram: each
@@ -2848,6 +2871,13 @@ object TextQueries {
     * the full gram table [[ngramJaccard]] joins on. The downstream
     * exact verify (array_intersect on candidates) composes exactly as
     * in the prefix/LSH paths.
+    *
+    * Scale adjudication (r13, tools/SimJoinProbe): this query is
+    * OUTPUT-bound — its answer (every pair sharing >= 1 fingerprint)
+    * is 98% of its expanded pair rows at both sf0.1 and sf1 and itself
+    * grows 91x for 10x data on the fixed-vocabulary test corpus. The
+    * growth is the contract, not the plan; bounded consumers use
+    * count/top-k shapes instead of the full pair listing.
     */
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
     winnowOverlapFrom(WinnowIndex(winnowFrame(spark, dir)))
@@ -3574,10 +3604,26 @@ object TextQueries {
         }
       }.toDF("doc_id", "i", "bit")
     val pairs = jaccardPrefixFiltered(spark, dir)
-    pairs
-      .join(bits.select(col("doc_id").as("id1"), col("i"), col("bit").as("b1")), "id1")
-      .join(bits.select(col("doc_id").as("id2"), col("i"), col("bit").as("b2")),
-        Seq("id2", "i"))
+    // Calibration join, pair-side BROADCAST: `bits` is corpus-scale
+    // (docs × 64) — left to its own stats Catalyst broadcast-built it
+    // TWICE (the r13 sf1 plan audit: two BroadcastExchanges over the
+    // 3.2M-row signature table, two full signature computations), which
+    // inverts at 100 TB. The pair set is output-scale (bounded by the
+    // J >= 0.8 near-dup rate), so each pair explodes into its two
+    // (doc, side) probes, that probe set broadcasts, and the signature
+    // table is scanned ONCE, distributed, never shuffled — the join
+    // prunes it map-side to the pair docs. The per-(pair, i) pivot and
+    // the agreement count aggregate over pairs×64 rows only.
+    val sides = pairs.select(col("id1"), col("id2"), col("jaccard"),
+        explode(array(
+          struct(col("id1").as("doc_id"), lit(1).as("side")),
+          struct(col("id2").as("doc_id"), lit(2).as("side")))).as("s"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        col("s.doc_id").as("doc_id"), col("s.side").as("side"))
+    bits.join(broadcast(sides), "doc_id")
+      .groupBy("id1", "id2", "jaccard", "i")
+      .agg(max(when(col("side") === 1, col("bit"))).as("b1"),
+        max(when(col("side") === 2, col("bit"))).as("b2"))
       .groupBy("id1", "id2", "jaccard")
       .agg(sum((col("b1") === col("b2")).cast(LongType)).as("n_agree"))
       .select(col("id1"), col("id2"), col("n_agree"),

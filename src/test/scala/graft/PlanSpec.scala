@@ -454,7 +454,10 @@ class PlanSpec extends SparkSuite {
       // b-bit calibration: the prefix-bounded jaccard pair plan (3) +
       // the two pair-side joins over the in-row signature pass (the
       // double-hashed minima fold needs no exchange of its own)
-      "d_bbit_minhash" -> 5,
+      // 5 -> 6 in r13: the calibration pivot adds one hash exchange over
+      // pairs x 64 rows (output-scale) in return for removing TWO
+      // broadcast builds of the corpus-scale docs x 64 signature table
+      "d_bbit_minhash" -> 6,
       // ohlc: ONE (user, hour) hash aggregate, min_by/max_by carry the
       // bars — no window, no sort; twap: the lead window and the
       // per-user aggregate share one user exchange; interval_union:
