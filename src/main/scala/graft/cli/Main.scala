@@ -43,7 +43,10 @@ import java.time.temporal.ChronoUnit
   *   join-asof --left <parquet> --right <parquet> --on k[=rk][,...]
   *             --left-time <col> --right-time <col> --out <parquet>
   *             [--direction backward|forward|nearest] [--tolerance-ms N]
-  *             [--tiebreak c,...]
+  *             [--tiebreak c,...] [--salt auto|N]
+  *             (--salt auto sketches the left key histogram and routes
+  *             through the salted merge when one key holds >= 20% of
+  *             the rows; --salt N forces N salt buckets; batch only)
   *             [--stream --checkpoint <dir>
   *               [--right-stream [--watermark 10minutes]
   *                               [--mode event-time|arrival]]]
@@ -828,9 +831,28 @@ object Main {
       val after = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
       (out, after - before)
     } else {
-      val joined = AsOfJoin.join(dir, l, r,
-        keys.map(k => l(k._1)), keys.map(k => r(k._2)),
-        l(lTime), r(rTime), tiebreak.map(r(_)), tol)
+      // --salt auto = detect-and-route (sampled left key histogram,
+      // salted merge when one key crosses the hot-share threshold);
+      // --salt <N> = force the salted merge with N buckets; absent =
+      // the plain operator (broadcast-vs-merge chosen by stats)
+      val joined = o.get("salt") match {
+        case Some("auto") =>
+          AsOfJoin.joinSkewAware(dir, l, r,
+            keys.map(k => l(k._1)), keys.map(k => r(k._2)),
+            l(lTime), r(rTime), tiebreak.map(r(_)), tol)
+        case Some(n) =>
+          val buckets = n.toIntOption.filter(_ >= 2).getOrElse(
+            throw new IllegalArgumentException(
+              s"--salt expects 'auto' or a bucket count >= 2, got '$n'"))
+          AsOfJoin.joinSalted(dir, l, r,
+            keys.map(k => l(k._1)), keys.map(k => r(k._2)),
+            l(lTime), r(rTime), tiebreak.map(r(_)), tol,
+            saltBuckets = buckets)
+        case None =>
+          AsOfJoin.join(dir, l, r,
+            keys.map(k => l(k._1)), keys.map(k => r(k._2)),
+            l(lTime), r(rTime), tiebreak.map(r(_)), tol)
+      }
       prefixClashes(joined).write.mode("overwrite").parquet(out)
       (out, l.count())
     }

@@ -497,4 +497,147 @@ object AsOfJoin {
       broadcast = Some(false))
       .drop(lsCol, rsCol)
   }
+
+  /** What [[detectSkew]] saw: the hottest key's share of the sampled
+    * left rows, whether that crosses the salting threshold, and the
+    * bucket count [[joinSkewAware]] would use. `sampledRows` is the
+    * evidence size — a recommendation from under [[minSampleRows]]
+    * rows is never made (`recommendSalting` stays false).
+    */
+  final case class SkewReport(
+      sampledRows: Long,
+      topKeyShare: Double,
+      recommendSalting: Boolean,
+      recommendedBuckets: Int)
+
+  /** Below this many sampled rows the histogram is noise, not
+    * evidence — no recommendation either way. */
+  val minSampleRows = 100L
+
+  /** Default hottest-key share above which the merge path's per-key
+    * task serialization is worth the salted form's ×buckets right-side
+    * replication. 0.2 is deliberately far above any uniform
+    * distribution's top share at realistic key cardinality (1/keys)
+    * and far below the shares where the serialization is ruinous
+    * (the A/B fixture's 0.9) — between them the salted plan is already
+    * measurably ahead whenever one task would carry ≥ 20% of the left
+    * volume against 32+ available slots.
+    */
+  val defaultHotShareThreshold = 0.2
+
+  /** Cheap left-side key-skew sketch: ONE aggregate over a SAMPLE of
+    * the left keys (payload columns never move; at `sampleFraction =
+    * 0.01` a 100 TB fact table contributes ~1% of one projected column
+    * set, and the per-key partial aggregation collapses it map-side).
+    * The merge exec sits outside AQE's OptimizeSkewedJoin, so a user
+    * who doesn't know they have a bot key silently serializes that
+    * key's whole left volume into one task — this is the detect half
+    * that makes [[joinSalted]] discoverable: call it directly for the
+    * report, or let [[joinSkewAware]] route on it.
+    *
+    * The sample is seeded (retry-deterministic for a fixed partition
+    * layout); `sampleFraction = 1.0` skips sampling entirely (exact
+    * histogram — what the specs use).
+    */
+  def detectSkew(
+      left: DataFrame,
+      leftKeys: Seq[Column],
+      sampleFraction: Double = 0.01,
+      hotShareThreshold: Double = defaultHotShareThreshold): SkewReport = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    require(leftKeys.nonEmpty, "skew detection needs at least one key")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    require(hotShareThreshold > 0.0 && hotShareThreshold < 1.0,
+      s"hotShareThreshold must be in (0, 1), got $hotShareThreshold")
+    val keyed = left.select(
+      leftKeys.zipWithIndex.map { case (c, i) => c.as(s"__asof_skew_k$i") }: _*)
+    val sampled =
+      if (sampleFraction >= 1.0) keyed
+      else keyed.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val row = sampled
+      .groupBy(leftKeys.indices.map(i => col(s"__asof_skew_k$i")): _*)
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"), max(col("c")).as("mx"))
+      .head()
+    if (row.isNullAt(0)) SkewReport(0L, 0.0, recommendSalting = false, 1)
+    else {
+      val n = row.getLong(0)
+      val mx = row.getLong(1)
+      val share = if (n == 0L) 0.0 else mx.toDouble / n.toDouble
+      val hot = n >= minSampleRows && share >= hotShareThreshold
+      // enough buckets that the hot key's per-task slice shrinks to a
+      // uniform key's: share × parallelism, next power of two, floor 8
+      // (the measured-win floor), capped at the shuffle width — more
+      // buckets than tasks only replicates the right side for nothing
+      val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+      val want = math.max(8L, math.ceil(share * parts).toLong)
+      val pow2 =
+        if (want <= 1L) 1L else java.lang.Long.highestOneBit(want - 1L) << 1
+      SkewReport(n, share, hot, math.min(pow2, math.max(8L, parts.toLong)).toInt)
+    }
+  }
+
+  /** [[join]] with the skew DETECT half wired in: sketches the left
+    * key histogram ([[detectSkew]]), routes through [[joinSalted]]
+    * with the recommended bucket count when one key crosses
+    * `hotShareThreshold`, and logs the decision loudly either way.
+    * Semantics are exactly [[join]]'s in both routes (the salted form
+    * preserves each key's full right timeline). Explicit
+    * `broadcast = Some(true)` is honored without detection — the
+    * broadcast exec has no per-key task serialization to fix.
+    */
+  def joinSkewAware(
+      direction: AsOfDirection,
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftTime: Column,
+      rightTime: Column,
+      rightTiebreak: Seq[Column] = Nil,
+      toleranceMs: Option[Long] = None,
+      sampleFraction: Double = 0.01,
+      hotShareThreshold: Double = defaultHotShareThreshold,
+      saltOn: Seq[Column] = Nil): DataFrame =
+    joinSkewAwareWithReport(direction, left, right, leftKeys, rightKeys,
+      leftTime, rightTime, rightTiebreak, toleranceMs, sampleFraction,
+      hotShareThreshold, saltOn)._1
+
+  private[graft] def joinSkewAwareWithReport(
+      direction: AsOfDirection,
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftTime: Column,
+      rightTime: Column,
+      rightTiebreak: Seq[Column],
+      toleranceMs: Option[Long],
+      sampleFraction: Double,
+      hotShareThreshold: Double,
+      saltOn: Seq[Column]): (DataFrame, SkewReport) = {
+    require(leftKeys.nonEmpty,
+      "keyless as-of always broadcasts — skew routing applies to the merge path")
+    val report = detectSkew(left, leftKeys, sampleFraction, hotShareThreshold)
+    if (report.recommendSalting) {
+      log.warn(
+        f"as-of join: hottest left key holds ${report.topKeyShare * 100}%.1f%% " +
+          f"of ${report.sampledRows} sampled rows (threshold " +
+          f"${hotShareThreshold * 100}%.0f%%) — routing through the salted " +
+          f"merge with ${report.recommendedBuckets} buckets to break per-key " +
+          "task serialization")
+      (joinSalted(direction, left, right, leftKeys, rightKeys, leftTime,
+        rightTime, rightTiebreak, toleranceMs,
+        saltBuckets = report.recommendedBuckets, saltOn = saltOn), report)
+    } else {
+      log.info(
+        f"as-of join: hottest left key holds ${report.topKeyShare * 100}%.1f%% " +
+          f"of ${report.sampledRows} sampled rows — no skew routing needed")
+      (join(direction, left, right, leftKeys, rightKeys, leftTime, rightTime,
+        rightTiebreak, toleranceMs), report)
+    }
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

@@ -374,6 +374,77 @@ class AsOfJoinSpec extends SparkSuite {
     assert(spread >= 6, s"hot key must scatter across salt buckets, got $spread/8")
   }
 
+  test("skew detection fires on the hot-key fixture, stays silent on uniform keys") {
+    val rnd = new scala.util.Random(12L)
+    // the AsOfSkewAb shape at spec scale: 90% of facts on key 1
+    val hotRows = (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) rnd.nextInt(4) + 2L else 1L
+      (k, rnd.nextInt(5000).toLong, i.toLong)
+    }
+    val hot = hotRows.toDF("k", "t", "lid")
+    val hotReport = AsOfJoin.detectSkew(hot, Seq(hot("k")), sampleFraction = 1.0)
+    assert(hotReport.recommendSalting, s"90%-hot key must fire: $hotReport")
+    assert(hotReport.topKeyShare > 0.8 && hotReport.topKeyShare < 0.95, s"$hotReport")
+    assert(hotReport.sampledRows == 2000L)
+    assert(hotReport.recommendedBuckets >= 8,
+      s"buckets must be at least the measured-win floor: $hotReport")
+    // uniform keys: top share ~1/50 — far under the threshold
+    val uni = (0 until 2000).map(i => (i % 50L, rnd.nextInt(5000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val uniReport = AsOfJoin.detectSkew(uni, Seq(uni("k")), sampleFraction = 1.0)
+    assert(!uniReport.recommendSalting, s"uniform keys must not fire: $uniReport")
+    assert(uniReport.topKeyShare < 0.1, s"$uniReport")
+    // under the evidence floor: even a 100%-hot key makes no recommendation
+    val tiny = Seq((1L, 5L, 0L), (1L, 6L, 1L)).toDF("k", "t", "lid")
+    val tinyReport = AsOfJoin.detectSkew(tiny, Seq(tiny("k")), sampleFraction = 1.0)
+    assert(!tinyReport.recommendSalting,
+      s"${AsOfJoin.minSampleRows}-row evidence floor must hold: $tinyReport")
+    // empty left: report degrades gracefully
+    val empty = AsOfJoin.detectSkew(hot.filter(col("k") === -1L),
+      Seq(col("k")), sampleFraction = 1.0)
+    assert(empty.sampledRows == 0L && !empty.recommendSalting)
+  }
+
+  test("joinSkewAware routes the hot fixture through the salted merge, answer unchanged") {
+    val rnd = new scala.util.Random(12L)
+    val lRows = (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) rnd.nextInt(4) + 2L else 1L
+      (k, rnd.nextInt(5000).toLong, i.toLong)
+    }
+    val rRows = (0 until 300).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong, i.toLong))
+    val l = lRows.toDF("k", "t", "lid")
+    val r = rRows.toDF("k", "rt", "rid")
+    val (routed, report) = AsOfJoin.joinSkewAwareWithReport(
+      graft.plans.AsOfDirection.Backward, l, r,
+      Seq(l("k")), Seq(r("k")), l("t"), r("rt"), Seq(r("rid")),
+      toleranceMs = None, sampleFraction = 1.0,
+      hotShareThreshold = AsOfJoin.defaultHotShareThreshold, saltOn = Nil)
+    assert(report.recommendSalting, s"hot fixture must route salted: $report")
+    // structural proof the salted plan was actually taken
+    val exLines = routed.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exLines.length == 2 && exLines.forall(_.contains("__asof_salt")),
+      s"skew route must salt both exchanges:\n${exLines.mkString("\n")}")
+    val want = AsOfJoin.backward(l, r, Seq(l("k")), Seq(r("k")),
+      l("t"), r("rt"), Seq(r("rid")), broadcast = Some(false))
+      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+    val got = routed
+      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+    assert(got == want, "skew routing must never change the answer")
+    // uniform keys take the plain merge: no salt columns anywhere
+    val uniL = (0 until 2000).map(i => (i % 50L, rnd.nextInt(5000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val (plain, uniReport) = AsOfJoin.joinSkewAwareWithReport(
+      graft.plans.AsOfDirection.Backward, uniL, r,
+      Seq(uniL("k")), Seq(r("k")), uniL("t"), r("rt"), Seq(r("rid")),
+      toleranceMs = None, sampleFraction = 1.0,
+      hotShareThreshold = AsOfJoin.defaultHotShareThreshold, saltOn = Nil)
+    assert(!uniReport.recommendSalting)
+    assert(!plain.queryExecution.executedPlan.toString.contains("__asof_salt"),
+      "uniform route must not pay the salted replication")
+  }
+
   test("guards: key type mismatch and shared-lineage inputs fail loudly") {
     val l = leftDf
     // int vs long keys: the merge would generate its ordering from the

@@ -470,6 +470,29 @@ class BuildIndexCliSpec extends SparkSuite {
         "direction" -> "sideways", "out" -> s"$dir/out3"))
     }
     assert(bad.getMessage.contains("backward|forward|nearest"))
+    // --salt N forces the salted merge, --salt auto detects (and on this
+    // tiny uniform fixture routes plain); both answers match the default
+    val base = Map(
+      "left" -> s"$dir/left", "right" -> s"$dir/right",
+      "on" -> "k", "left-time" -> "t", "right-time" -> "rt",
+      "tiebreak" -> "rid")
+    val (_, nS) = Main.joinAsofCmd(spark,
+      base ++ Map("salt" -> "4", "out" -> s"$dir/outS"))
+    assert(nS == 3)
+    val saltGot = spark.read.parquet(s"$dir/outS").select("tag", "rid")
+      .as[(String, Option[Long])].collect().toMap
+    assert(saltGot == back, s"--salt must never change the answer: $saltGot")
+    assert(!spark.read.parquet(s"$dir/outS").columns.exists(_.contains("salt")))
+    val (_, nA) = Main.joinAsofCmd(spark,
+      base ++ Map("salt" -> "auto", "out" -> s"$dir/outA"))
+    assert(nA == 3)
+    val autoGot = spark.read.parquet(s"$dir/outA").select("tag", "rid")
+      .as[(String, Option[Long])].collect().toMap
+    assert(autoGot == back, s"--salt auto must never change the answer: $autoGot")
+    val badSalt = intercept[IllegalArgumentException] {
+      Main.joinAsofCmd(spark, base ++ Map("salt" -> "1", "out" -> s"$dir/outB"))
+    }
+    assert(badSalt.getMessage.contains("auto"), badSalt.getMessage)
   }
 
   test("join-asof --stream: checkpointed left joins only new files on restart") {
