@@ -13,13 +13,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermark at arrival are late data and are dropped — the standard
   * admission contract every watermarked Spark aggregation shares.
   *
-  * This is the pattern [[StreamingAnalytics.streamingAsOfJoinStream]]
-  * hand-rolls at the Row level (it needs a two-sided union and
-  * per-mode branching); [[StreamingAnalytics.sessionize]],
+  * [[StreamingAnalytics.sessionize]],
   * [[StreamingAnalytics.streamingIntervalOverlap]] and the funnel's
-  * event-time mode route through THIS combinator, so the
-  * buffer/drain/timeout machinery — the part that is easy to get
-  * subtly wrong — exists once.
+  * event-time mode route through the typed [[replay]] entry point;
+  * [[StreamingAnalytics.streamingAsOfJoinStream]]'s event-time arm —
+  * which needs a two-sided union with runtime Row schemas, so the
+  * typed `ReplayState` encoder cannot serve it — calls the same
+  * [[drain]] core directly with its own Row-packed state. Either way
+  * the buffer/merge/partition/fold/timeout machinery — the part that
+  * is easy to get subtly wrong — exists ONCE, in [[drain]].
   *
   * Scale shape: per-key state = the pending buffer (bounded by that
   * key's throughput × the watermark delay, never by stream lifetime)
@@ -73,6 +75,65 @@ object OrderedReplay {
       out.result()
     }
 
+  /** Park distance for a key with state but no wakeup horizon: far
+    * enough ahead that it never fires on its own (any future data
+    * re-arms it; leaving a PASSED timestamp would re-fire every batch). */
+  private[streaming] val parkAheadMs = 10L * 365 * 86400000L
+
+  /** One trigger's worth of drained work: output rows, the still-pending
+    * (sorted) buffer, the logic state to persist, and the event-time
+    * timeout to arm — `None` meaning "nothing left, remove the state". */
+  private[streaming] final case class Drained[E, S, O](
+      out: Seq[O], rest: Seq[E], st: Option[S], timeoutAt: Option[Long])
+
+  /** THE drain machinery, exactly once: admit fresh rows (drop those
+    * already behind the watermark — late data), merge them into the
+    * sorted pending buffer, replay everything the watermark has passed
+    * through `fold` in event-time order, run the close hook, and
+    * compute the next wakeup. Both [[replay]] (typed, case-class
+    * state) and [[StreamingAnalytics.streamingAsOfJoinStream]]'s
+    * event-time arm (Row-typed two-sided union, Row-packed state) call
+    * this; only the GroupState packing differs per caller.
+    *
+    * Fresh rows all have `t >= wm`, so they are never replayed in the
+    * batch they arrive — anything earlier could still come; the stored
+    * buffer arrives already sorted, so a wakeup that drains nothing
+    * costs O(B), not O(B log B).
+    */
+  private[streaming] def drain[E, S, O](
+      wm: Long,
+      fresh0: Iterator[E],
+      pending: Seq[E],
+      st0: Option[S],
+      eventTime: E => Long,
+      lt: (E, E) => Boolean,
+      fold: (Option[S], E) => (Option[S], Seq[O]),
+      onWatermark: (Option[S], Long) => (Option[S], Seq[O], Option[Long]))
+      : Drained[E, S, O] = {
+    val fresh = fresh0.filter(e => eventTime(e) >= wm) // late: dropped
+      .toVector.sortWith(lt)
+    val (ready, rest) = mergeSorted(pending, fresh, lt)
+      .partition(e => eventTime(e) < wm)
+    val out = Seq.newBuilder[O]
+    var st = st0
+    ready.foreach { e =>
+      val (s2, os) = fold(st, e)
+      st = s2
+      out ++= os
+    }
+    val (closedSt, closedOut, horizon) = onWatermark(st, wm)
+    out ++= closedOut
+    val timeoutAt =
+      if (rest.isEmpty && closedSt.isEmpty) None
+      else {
+        val cands = rest.iterator.map(eventTime).toSeq ++ horizon
+        Some(
+          if (cands.nonEmpty) math.max(cands.min, wm + 1L)
+          else wm + parkAheadMs)
+      }
+    Drained(out.result(), rest, closedSt, timeoutAt)
+  }
+
   /** `events` MUST already carry an event-time watermark (the caller
     * owns the delay — it is the disorder bound AND the emission lag).
     */
@@ -92,35 +153,21 @@ object OrderedReplay {
           // timeout delivers an empty iterator)
           val wm = state.getCurrentWatermarkMs()
           val prior = state.getOption.getOrElse(ReplayState[E, S](Nil, None))
-          val fresh = it.filter(e => logic.eventTime(e) >= wm) // late: dropped
-            .toVector.sortBy(e => (logic.eventTime(e), logic.secondary(e)))
           def lt(x: E, y: E): Boolean = {
             val (tx, ty) = (logic.eventTime(x), logic.eventTime(y))
             tx < ty || (tx == ty && logic.secondary(x) < logic.secondary(y))
           }
-          // fresh rows all have t >= wm, so they are never replayed in
-          // the batch they arrive — anything earlier could still come;
-          // the stored buffer is already sorted, so merge, don't re-sort
-          val (ready, rest) = mergeSorted(prior.pending, fresh, lt)
-            .partition(e => logic.eventTime(e) < wm)
-          val out = Seq.newBuilder[O]
-          var st = prior.st
-          ready.foreach { e =>
-            val (s2, os) = logic.fold(k, st, e)
-            st = s2
-            out ++= os
+          val d = drain[E, S, O](wm, it, prior.pending, prior.st,
+            logic.eventTime, lt,
+            (s, e) => logic.fold(k, s, e),
+            (s, w) => logic.onWatermark(k, s, w))
+          d.timeoutAt match {
+            case None =>
+              if (state.exists) state.remove()
+            case Some(ts) =>
+              state.update(ReplayState(d.rest, d.st))
+              state.setTimeoutTimestamp(ts)
           }
-          val (closedSt, closedOut, horizon) = logic.onWatermark(k, st, wm)
-          out ++= closedOut
-          if (rest.isEmpty && closedSt.isEmpty) {
-            if (state.exists) state.remove()
-          } else {
-            state.update(ReplayState(rest, closedSt))
-            val cands = rest.iterator.map(logic.eventTime).toSeq ++ horizon
-            state.setTimeoutTimestamp(
-              if (cands.nonEmpty) math.max(cands.min, wm + 1L)
-              else wm + 10L * 365 * 86400000L) // parked; any data re-arms
-          }
-          out.result().iterator
+          d.out.iterator
       }
 }

@@ -768,49 +768,49 @@ object StreamingAnalytics {
         grouped.flatMapGroupsWithState[Row, Row](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
           (_: Row, it: Iterator[Row], state: GroupState[Row]) =>
-            // one unified body serves data batches AND timeout wakeups
-            // (a timeout delivers an empty iterator): admit new rows to
-            // the buffer, then replay everything the watermark has
-            // passed in event-time order
+            // the drain machinery lives ONCE in OrderedReplay.drain —
+            // this arm only supplies the two-sided fold (rights advance
+            // the held dimension row, lefts emit a joined row) and the
+            // Row packing of its state; pending row = (t, side, l, r),
+            // logic state = the held (curT, curR) dimension row
             val wm = state.getCurrentWatermarkMs()
             val prior = state.getOption
-            var curT = prior.map(_.getLong(0)).getOrElse(Long.MinValue)
-            var curR = prior.map(_.get(1).asInstanceOf[Row]).orNull
+            val priorSt: Option[(Long, Row)] = prior.flatMap { p =>
+              val r = p.get(1).asInstanceOf[Row]
+              if (r == null) None else Some((p.getLong(0), r))
+            }
             val priorBuf = prior.map(_.getSeq[Row](2)).getOrElse(Seq.empty)
-            val fresh = it.flatMap { r =>
-              val t = r.getLong(nKeys)
-              if (t < wm) None // late beyond the watermark: dropped
-              else Some(Row(t, r.getInt(nKeys + 1),
-                r.getStruct(nKeys + 2), r.getStruct(nKeys + 3)))
-            }.toVector.sortWith(rowLt(0, 1, 3))
-            // fresh rows all have t >= wm, so they are never replayed in
-            // the batch they arrive — anything earlier could still come;
-            // the stored buffer is already sorted, so merge, don't re-sort
-            val (ready, rest) = OrderedReplay
-              .mergeSorted(priorBuf, fresh, rowLt(0, 1, 3))
-              .partition(_.getLong(0) < wm)
-            val out = Seq.newBuilder[Row]
-            ready.foreach { p =>
-              val t = p.getLong(0)
-              if (p.getInt(1) == 0) {
-                // rights replay in time order: curT is monotone, last
-                // tiebreak at equal time wins — exactly the batch merge
-                curT = t; curR = p.getStruct(3)
-              } else out += joinedRow(p.getStruct(2), curR, curT, t)
+            val projected = it.map(r => Row(r.getLong(nKeys),
+              r.getInt(nKeys + 1), r.getStruct(nKeys + 2), r.getStruct(nKeys + 3)))
+            val d = OrderedReplay.drain[Row, (Long, Row), Row](
+              wm, projected, priorBuf, priorSt,
+              eventTime = _.getLong(0),
+              lt = rowLt(0, 1, 3),
+              fold = (st, p) => {
+                val t = p.getLong(0)
+                if (p.getInt(1) == 0)
+                  // rights replay in time order: the held time is
+                  // monotone, last tiebreak at equal time wins —
+                  // exactly the batch merge
+                  (Some((t, p.getStruct(3))), Nil)
+                else {
+                  val (curT, curR) =
+                    st.getOrElse((Long.MinValue, null: Row))
+                  (st, Seq(joinedRow(p.getStruct(2), curR, curT, t)))
+                }
+              },
+              // the as-of holds its dimension row forever (any future
+              // fact may still match it) and has no close horizon
+              onWatermark = (st, _) => (st, Nil, None))
+            d.timeoutAt match {
+              case None =>
+                if (state.exists) state.remove()
+              case Some(ts) =>
+                val (curT, curR) = d.st.getOrElse((Long.MinValue, null: Row))
+                state.update(Row(curT, curR, d.rest))
+                state.setTimeoutTimestamp(ts)
             }
-            if (curR == null && rest.isEmpty) {
-              if (state.exists) state.remove()
-            } else {
-              state.update(Row(curT, curR, rest))
-              // wake when the watermark passes the earliest pending row
-              // (> wm required by the API); with nothing pending, park
-              // the timeout far ahead — any future data re-arms it, and
-              // leaving a PASSED timestamp would re-fire every batch
-              state.setTimeoutTimestamp(
-                if (rest.nonEmpty) math.max(rest.map(_.getLong(0)).min, wm + 1L)
-                else wm + 10L * 365 * 86400000L)
-            }
-            out.result().iterator
+            d.out.iterator
         }(stateEnc, outEnc).toDF()
     }
   }
