@@ -76,16 +76,27 @@ import java.time.temporal.ChronoUnit
   *             (--right-start <col> --right-end <col> | --right-point <col>)
   *             --out <parquet>
   *             [--on k[=rk][,...]] [--bucket-ms N] [--count]
+  *             [--stream --checkpoint <dir> [--watermark 10minutes]]
   *          (interval × interval overlap join over half-open [start,
-  *          end) NUMERIC-epoch intervals (TIMESTAMP columns are
-  *          rejected — cast via unix_millis upstream) — or
+  *          end) INTEGRAL-epoch intervals (TIMESTAMP and fractional
+  *          columns are rejected — cast via unix_millis / scale to an
+  *          integer grid upstream) — or
   *          point-in-interval with --right-point —
   *          each matching pair exactly once; --count emits the
-  *          left-total per-left-row census instead of the pairs; --on
+  *          left-total per-left-row census instead of the pairs (note
+  *          fully-duplicate left rows each keep a census row via an
+  *          internal uniquifier); --on
   *          is optional — keyless joins match on overlap/containment
   *          alone; --bucket-ms pins the bucket width, otherwise it is
   *          chosen from interval-length stats; right columns clashing
-  *          with left names come out prefixed right_)
+  *          with left names come out prefixed right_. --stream (point
+  *          shape only, epoch-ms) consumes BOTH dirs as live file
+  *          streams — interval writes watermarked on interval START,
+  *          points buffered and replayed in event-time order, output
+  *          equal to the batch API for any arrival order within the
+  *          watermark; exactly-once parquet file sink, AvailableNow,
+  *          and a run's tail stays buffered in the checkpoint until
+  *          newer data advances the watermark)
   *   sessionize --in <events parquet> --out <parquet> [--gap-ms N]
   *             [--user-col c] [--time-col c]
   *             [--stream --checkpoint <dir> [--watermark 30minutes]]
@@ -962,6 +973,39 @@ object Main {
     }
     val rawL = spark.read.parquet(leftIn)
     val r = spark.read.parquet(rightIn)
+    if (o.contains("stream")) {
+      // streaming shape: BOTH sides live — interval dimension writes
+      // (watermarked on interval START) and point facts consumed as
+      // file streams, routed through the OrderedReplay-backed
+      // streamingIntervalContains twin; exactly-once parquet FILE sink,
+      // AvailableNow (process what's there, checkpoint, exit — rerun
+      // with the same checkpoint to pick up only new files). Note the
+      // event-time drain contract: a run's tail stays buffered in the
+      // checkpoint until newer data advances the watermark.
+      val pc = o.getOrElse("right-point", throw new IllegalArgumentException(
+        "--stream interval-join supports the point-in-interval shape: " +
+          "pass --right-point <col>"))
+      require(!o.contains("count"),
+        "--stream emits matched pairs; the census (--count) is a batch shape")
+      val ckpt = o.getOrElse("checkpoint", throw new IllegalArgumentException(
+        "--checkpoint <dir> is required with --stream"))
+      val wm = o.getOrElse("watermark", "10 minutes")
+        .replaceAll("(?<=\\d)(?=[a-zA-Z])", " ")
+      val ivStream = spark.readStream.schema(rawL.schema).parquet(leftIn)
+      val ptStream = spark.readStream.schema(r.schema).parquet(rightIn)
+      val joined = graft.streaming.StreamingAnalytics
+        .streamingIntervalContains(ivStream, ptStream, keys, lS, lE, pc, wm)
+      val before = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val after = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+      return (out, after - before)
+    }
     // the count APIs group by every left column, so fully-duplicate left
     // rows would merge into one census row with summed counts and the
     // output row count would silently differ from the input; a synthetic

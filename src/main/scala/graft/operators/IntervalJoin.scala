@@ -72,6 +72,9 @@ object IntervalJoin {
     * values the wrong way). Fail loudly on both; normalize upstream
     * with `unix_millis` / by scaling to an integer grid.
     */
+  private[graft] def requireIntegral(df: org.apache.spark.sql.DataFrame,
+      c: String, what: String): Unit = requireNumeric(df, c, what)
+
   private def requireNumeric(df: org.apache.spark.sql.DataFrame,
       c: String, what: String): Unit = {
     require(df.columns.contains(c), s"$what column '$c' not in ${df.columns.mkString(",")}")

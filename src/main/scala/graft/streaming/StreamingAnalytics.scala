@@ -1125,4 +1125,176 @@ object StreamingAnalytics {
       (e: OverlapEvent) => e.userId,
       OverlapLogic(gapMs, winMs))
   }
+
+  /** Streaming twin of the generic point-in-interval join
+    * ([[graft.operators.IntervalJoin.contains]]): a live POINT stream
+    * (facts) enriched against a slowly-changing INTERVAL dimension
+    * stream (feature windows, campaign intervals) — both sides live,
+    * out-of-order-safe, output equal to the batch API on any arrival
+    * order within the watermark (spec-pinned on shuffled feeds).
+    *
+    * Event-time contract: the interval stream is watermarked on its
+    * START — writers publish an interval at-or-before it opens (within
+    * the watermark delay), the natural shape for campaign/feature
+    * windows. That bound is what makes points emittable: once the
+    * watermark passes a point's time `t`, any future-admissible
+    * interval has `start >= wm > t` and cannot contain it, so the
+    * point's match set is complete. Intervals and points both buffer
+    * through [[OrderedReplay.drain]] (the single drain machinery) and
+    * replay in event-time order, intervals-before-points at equal time
+    * (the inclusive `start <= p` bound). Rows behind the watermark at
+    * arrival are late data and are dropped — the standard admission
+    * contract every twin here shares.
+    *
+    * Scale shape: per-key state = LIVE intervals only (an interval
+    * with `end <= wm` can never contain a future-replayable point and
+    * is pruned; the wakeup horizon re-arms at the earliest live end so
+    * idle keys drain to zero state) plus the pending buffer bounded by
+    * throughput × watermark. Empty intervals (`end <= start`) never
+    * enter state. Output is INNER (matched pairs), interval columns
+    * then point columns, clashes `right_`-prefixed — the batch API's
+    * convention. Endpoints must be integral epoch-MILLISECONDS here
+    * (the watermark needs a real timestamp; the batch operator is
+    * unit-agnostic, this twin is not).
+    */
+  def streamingIntervalContains(
+      intervals: DataFrame,
+      points: DataFrame,
+      keys: Seq[(String, String)],
+      start: String,
+      end: String,
+      pointCol: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val iSchema = intervals.schema
+    val pSchema = points.schema
+    graft.operators.IntervalJoin.requireIntegral(intervals, start, "interval start")
+    graft.operators.IntervalJoin.requireIntegral(intervals, end, "interval end")
+    graft.operators.IntervalJoin.requireIntegral(points, pointCol, "point")
+    keys.zipWithIndex.foreach { case ((ik, pk), i) =>
+      val it = iSchema(ik).dataType; val pt = pSchema(pk).dataType
+      require(it == pt,
+        s"key $i type mismatch: interval $ik ${it.simpleString} vs " +
+          s"point $pk ${pt.simpleString} — cast one side explicitly")
+    }
+    val keyless = keys.isEmpty
+    val nKeys = if (keyless) 1 else keys.length
+    val keySchema = StructType(
+      if (keyless) Seq(StructField("k0", IntegerType, nullable = false))
+      else keys.zipWithIndex.map { case ((ik, _), i) =>
+        StructField(s"k$i", iSchema(ik).dataType, nullable = true)
+      })
+    val iKeyCols =
+      if (keyless) Seq(lit(0).as("_k0"))
+      else keys.zipWithIndex.map { case ((ik, _), i) => col(ik).as(s"_k$i") }
+    val pKeyCols =
+      if (keyless) Seq(lit(0).as("_k0"))
+      else keys.zipWithIndex.map { case ((_, pk), i) => col(pk).as(s"_k$i") }
+    // union row: key fields, event time (interval -> START, point -> p),
+    // side (0 = interval sorts before 1 = point at equal time: the
+    // inclusive start <= p bound), normalized (s, e) for intervals, and
+    // each side's payload struct
+    val i2 = intervals.select(iKeyCols ++ Seq(
+      col(start).cast(LongType).as("_t"),
+      lit(0).as("_side"),
+      col(start).cast(LongType).as("_s"),
+      col(end).cast(LongType).as("_e"),
+      struct(intervals.columns.map(col).toIndexedSeq: _*).as("_i"),
+      lit(null).cast(pSchema).as("_p")): _*)
+    val p2 = points.select(pKeyCols ++ Seq(
+      col(pointCol).cast(LongType).as("_t"),
+      lit(1).as("_side"),
+      lit(0L).as("_s"),
+      lit(0L).as("_e"),
+      lit(null).cast(iSchema).as("_i"),
+      struct(points.columns.map(col).toIndexedSeq: _*).as("_p")): _*)
+    val unioned = i2.unionByName(p2)
+      .withColumn("_et", timestamp_millis(col("_t")))
+      .withWatermark("_et", watermark)
+    val outSchema = StructType(
+      iSchema.fields.toIndexedSeq ++ pSchema.fields.map { f =>
+        val name =
+          if (iSchema.fieldNames.contains(f.name)) s"right_${f.name}" else f.name
+        StructField(name, f.dataType, nullable = true)
+      })
+    val pendingSchema = StructType(Seq(
+      StructField("t", LongType, nullable = false),
+      StructField("side", IntegerType, nullable = false),
+      StructField("s", LongType, nullable = false),
+      StructField("e", LongType, nullable = false),
+      StructField("i", iSchema, nullable = true),
+      StructField("p", pSchema, nullable = true)))
+    val liveSchema = StructType(Seq(
+      StructField("s", LongType, nullable = false),
+      StructField("e", LongType, nullable = false),
+      StructField("i", iSchema, nullable = false)))
+    val stateSchema = StructType(Seq(
+      StructField("live", ArrayType(liveSchema, containsNull = false),
+        nullable = false),
+      StructField("buf", ArrayType(pendingSchema, containsNull = false),
+        nullable = false)))
+    implicit val keyEnc = Encoders.row(keySchema)
+    implicit val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.row(stateSchema)
+    val nI = iSchema.length
+    val nP = pSchema.length
+    def lt(a: Row, b: Row): Boolean = {
+      val ta = a.getLong(0); val tb = b.getLong(0)
+      ta < tb || (ta == tb && a.getInt(1) < b.getInt(1))
+    }
+    unioned
+      .groupByKey(r => Row.fromSeq((0 until nKeys).map(r.get)))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Row, it: Iterator[Row], state: GroupState[Row]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption
+          val priorLive: Option[Seq[Row]] =
+            prior.map(_.getSeq[Row](0)).filter(_.nonEmpty)
+          val priorBuf = prior.map(_.getSeq[Row](1)).getOrElse(Seq.empty)
+          val projected = it.map(r => Row(r.getLong(nKeys),
+            r.getInt(nKeys + 1), r.getLong(nKeys + 2), r.getLong(nKeys + 3),
+            r.getStruct(nKeys + 4), r.getStruct(nKeys + 5)))
+          val d = OrderedReplay.drain[Row, Seq[Row], Row](
+            wm, projected, priorBuf, priorLive,
+            eventTime = _.getLong(0),
+            lt = lt,
+            fold = (st, row) => {
+              if (row.getInt(1) == 0) {
+                val s = row.getLong(2); val e = row.getLong(3)
+                // empty intervals contain nothing — never enter state
+                if (e <= s) (st, Nil)
+                else (Some(Row(s, e, row.getStruct(4)) +: st.getOrElse(Nil)), Nil)
+              } else {
+                val t = row.getLong(0)
+                val p = row.getStruct(5)
+                val hits = st.getOrElse(Nil).collect {
+                  case el if el.getLong(0) <= t && t < el.getLong(1) =>
+                    val iv = el.getStruct(2)
+                    Row.fromSeq((0 until nI).map(iv.get) ++ (0 until nP).map(p.get))
+                }
+                (st, hits)
+              }
+            },
+            // prune dead intervals (end <= wm can't contain any
+            // future-replayable point: pending ones all have t >= wm);
+            // horizon = earliest live end, so idle keys prune — and
+            // eventually remove — their state on their own
+            onWatermark = (st, w) => {
+              val live = st.getOrElse(Nil).filter(_.getLong(1) > w)
+              (if (live.isEmpty) None else Some(live),
+                Nil,
+                if (live.isEmpty) None else Some(live.map(_.getLong(1)).min))
+            })
+          d.timeoutAt match {
+            case None =>
+              if (state.exists) state.remove()
+            case Some(ts) =>
+              state.update(Row(d.st.getOrElse(Nil), d.rest))
+              state.setTimeoutTimestamp(ts)
+          }
+          d.out.iterator
+      }(stateEnc, outEnc).toDF()
+  }
 }

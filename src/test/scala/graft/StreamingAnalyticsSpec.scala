@@ -1121,4 +1121,96 @@ class StreamingAnalyticsSpec extends SparkSuite {
       ("srcB", 10L, 7L, 0L, false)), // a doc larger than the budget never fits
       got.toString)
   }
+
+  test("streaming interval-contains: shuffled two-sided arrival equals the batch API") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    // interval dimension: per key, windows of varied width, some
+    // overlapping (a point may land in several), some empty
+    val ivRows = (0 until 60).map { i =>
+      val k = i % 4 + 1L
+      val s = h0 + rnd.nextInt(400) * 10000L
+      val w = rnd.nextInt(8) match {
+        case 0 => 0L // empty interval: contains nothing
+        case n => n * 30000L
+      }
+      (k, s, s + w, i.toLong)
+    }
+    // point facts, same span plus strays outside every window
+    val ptRows = (0 until 300).map { i =>
+      (i % 5 + 1L, h0 + rnd.nextInt(4200) * 1000L, i.toLong)
+    }
+    val ivDF = ivRows.toDF("k", "s", "e", "iid")
+    val ptDF = ptRows.toDF("pk", "p", "pid")
+    val want = graft.operators.IntervalJoin.contains(
+        ivDF, ptDF, Seq("k" -> "pk"), "s", "e", "p", bucketMs = Some(60000L))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(want.size > 50, s"fixture too sparse: ${want.size} matches")
+    val ivMem = MemoryStream[(Long, Long, Long, Long)]
+    val ptMem = MemoryStream[(Long, Long, Long)]
+    val joined = StreamingAnalytics.streamingIntervalContains(
+      ivMem.toDF().toDF("k", "s", "e", "iid"),
+      ptMem.toDF().toDF("pk", "p", "pid"),
+      Seq("k" -> "pk"), "s", "e", "p",
+      watermark = "3 hours") // covers the fixture span: nothing is late
+    val q = joined.writeStream.format("memory").queryName("sic")
+      .outputMode("append").start()
+    // both sides shuffled independently and interleaved across batches
+    val ivSlices = rnd.shuffle(ivRows).grouped(15).toSeq
+    val ptSlices = rnd.shuffle(ptRows).grouped(60).toSeq
+    (0 until math.max(ivSlices.length, ptSlices.length)).foreach { i =>
+      ivSlices.lift(i).foreach(s => ivMem.addData(s: _*))
+      ptSlices.lift(i).foreach(s => ptMem.addData(s: _*))
+      q.processAllAvailable()
+    }
+    // flush: far-future rows on both sides advance the watermark past
+    // every buffered event (twice so the new watermark takes effect)
+    val flushT = h0 + 1000L * 3600000L
+    (0 until 2).foreach { j =>
+      ivMem.addData((99L, flushT + j, flushT + j, 9990L + j))
+      ptMem.addData((99L, flushT + j, 9990L + j))
+      q.processAllAvailable()
+    }
+    val got = spark.table("sic").select("iid", "pid")
+      .as[(Long, Long)].collect().filter(_._1 < 9990L).toSet
+    q.stop()
+    assert(got == want,
+      s"shuffled interval-contains diverged:\nmissing: ${want -- got}\nextra: ${got -- want}")
+    // column contract matches the batch API: interval cols then point
+    // cols, clashes right_-prefixed (none here)
+    assert(joined.columns.toSeq == Seq("k", "s", "e", "iid", "pk", "p", "pid"))
+  }
+
+  test("streaming interval-contains: dead intervals prune, state drains to zero") {
+    implicit val ctx = spark.sqlContext
+    val ivMem = MemoryStream[(Long, Long, Long, Long)]
+    val ptMem = MemoryStream[(Long, Long, Long)]
+    val joined = StreamingAnalytics.streamingIntervalContains(
+      ivMem.toDF().toDF("k", "s", "e", "iid"),
+      ptMem.toDF().toDF("pk", "p", "pid"),
+      Seq("k" -> "pk"), "s", "e", "p", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sic_prune")
+      .outputMode("append").start()
+    ivMem.addData((1L, h0, h0 + 60000L, 0L))
+    ptMem.addData((1L, h0 + 30000L, 0L)) // inside
+    q.processAllAvailable()
+    // advance the watermark far past the interval's end: the point
+    // replays (matched), then the interval dies and key-1 state drops
+    ptMem.addData((1L, h0 + 3600000L, 1L))
+    q.processAllAvailable()
+    ptMem.addData((1L, h0 + 7200000L, 2L))
+    q.processAllAvailable()
+    val got = spark.table("sic_prune").select("iid", "pid")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L)), s"only the in-window point matches: $got")
+    // a later point far past the window: no state resurrection, no match
+    ptMem.addData((1L, h0 + 10800000L, 3L))
+    q.processAllAvailable()
+    val progress = q.lastProgress
+    q.stop()
+    val rows = progress.stateOperators.map(_.numRowsTotal).sum
+    // key 1's live set and buffer drained; only the newest pending
+    // point rows may remain buffered
+    assert(rows <= 2, s"state must drain to the pending tail, got $rows rows")
+  }
 }

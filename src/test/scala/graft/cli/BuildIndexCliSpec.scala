@@ -664,6 +664,12 @@ class BuildIndexCliSpec extends SparkSuite {
         "right-start" -> "p", "out" -> s"$dir/x2"))
     }
     assert(conflicted.getMessage.contains("mutually exclusive"))
+    // --stream rejects the overlap shape and the census loudly
+    val needPoint = intercept[IllegalArgumentException] {
+      Main.intervalJoinCmd(spark, base ++ Map(
+        "stream" -> "true", "checkpoint" -> s"$dir/ck0", "out" -> s"$dir/x3"))
+    }
+    assert(needPoint.getMessage.contains("right-point"), needPoint.getMessage)
     // fully-duplicate left rows must NOT merge in the --count census:
     // the verb injects a per-row uniquifier (dropped on output), so the
     // census stays one row per input left row
@@ -678,6 +684,43 @@ class BuildIndexCliSpec extends SparkSuite {
     val dupCounts = dupOut
       .select("lid", "n_overlaps").as[(Long, Long)].collect().sorted.toSeq
     assert(dupCounts == Seq((0L, 2L), (0L, 2L), (1L, 1L)), s"$dupCounts")
+  }
+
+  test("interval-join --stream: live intervals + points, checkpointed, batch-equal") {
+    val dir = tmpDir("cli-ij-stream")
+    val h0 = 1700000000000L - (1700000000000L % 3600000L)
+    val H = 3600000L
+    // epoch-ms intervals (the streaming arm's unit contract); the far-
+    // future flush point (pid 12, +10h) advances the watermark (2h
+    // delay) past every real event so the buffered matches drain
+    Seq((1L, h0, h0 + 600000L, 0L), (2L, h0 + 60000L, h0 + 120000L, 1L))
+      .toDF("k", "s", "e", "iid").write.mode("overwrite").parquet(s"$dir/iv")
+    Seq((1L, h0 + 300000L, 10L), (2L, h0 + 90000L, 11L), (9L, h0 + 10 * H, 12L))
+      .toDF("pk", "p", "pid").write.mode("overwrite").parquet(s"$dir/pt")
+    val args = Map(
+      "left" -> s"$dir/iv", "right" -> s"$dir/pt", "on" -> "k=pk",
+      "left-start" -> "s", "left-end" -> "e", "right-point" -> "p",
+      "stream" -> "true", "checkpoint" -> s"$dir/ck",
+      "watermark" -> "2hours", "out" -> s"$dir/out")
+    val (_, n1) = Main.intervalJoinCmd(spark, args)
+    assert(n1 == 2, s"first run must emit the two passed matches, got $n1")
+    val got = spark.read.parquet(s"$dir/out").select("iid", "pid")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 10L), (1L, 11L)), s"$got")
+    // restart with the same checkpoint: only NEW files are consumed —
+    // a fresh interval + in-window point BEYOND the persisted watermark
+    // (~h0+8h), plus a new flush row to drain them
+    Seq((3L, h0 + 9 * H, h0 + 9 * H + 600000L, 2L))
+      .toDF("k", "s", "e", "iid").coalesce(1)
+      .write.mode("append").parquet(s"$dir/iv")
+    Seq((3L, h0 + 9 * H + 60000L, 13L), (9L, h0 + 20 * H, 14L))
+      .toDF("pk", "p", "pid").coalesce(1)
+      .write.mode("append").parquet(s"$dir/pt")
+    val (_, n2) = Main.intervalJoinCmd(spark, args)
+    assert(n2 == 1, s"restart must emit only the new match, got $n2")
+    val got2 = spark.read.parquet(s"$dir/out").select("iid", "pid")
+      .as[(Long, Long)].collect().toSet
+    assert(got2 == Set((0L, 10L), (1L, 11L), (2L, 13L)), s"$got2")
   }
 
   test("sessionize verb: batch and streaming arms agree; stream resumes from checkpoint") {
