@@ -166,6 +166,7 @@ object SparkEntry {
     "d_semdedup_incr" -> (SimilarityQueries.semDedupIncremental _),
     "m_media_dedup" -> (TextQueries.mediaDedup _),
     "d_winnow_overlap" -> (TextQueries.winnowOverlap _),
+    "d_winnow_topk" -> (TextQueries.winnowTopOverlaps _),
     "m_phash_neardup" -> (TextQueries.phashNearDup _),
     "m_phash_wide" -> (TextQueries.phashWide _),
     "t_kl_drift" -> (TextQueries.klDrift _),
@@ -1565,6 +1566,35 @@ object SparkEntry {
           |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
           |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // Bounded winnow consumer: per-doc top-3 partners by shared
+      // fingerprints, tie on lower partner id — the exact comparator
+      // TopKAggregator uses, so the rank cut is engine-deterministic.
+      "d_winnow_topk" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT doc_id, i AS pos, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+          |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+          |wins AS (
+          |  SELECT doc_id, pos AS j,
+          |         min(h) OVER win AS minh,
+          |         count(*) OVER win AS cnt
+          |  FROM grams
+          |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+          |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+          |sel AS (SELECT DISTINCT doc_id, minh AS h FROM wins WHERE cnt = 4),
+          |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+          |          FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+          |          GROUP BY 1, 2),
+          |sym AS (SELECT id1 AS doc_id, id2 AS partner_id, n_shared FROM pairs
+          |        UNION ALL
+          |        SELECT id2 AS doc_id, id1 AS partner_id, n_shared FROM pairs),
+          |ranked AS (SELECT doc_id, partner_id, n_shared,
+          |                  row_number() OVER (PARTITION BY doc_id
+          |                    ORDER BY n_shared DESC, partner_id) AS rnk
+          |           FROM sym)
+          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, partner_id,
+          |       CAST(n_shared AS BIGINT) AS n_shared
+          |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
       "t_quality" ->
         """WITH q AS (
           |  SELECT doc_id, n_chars,

@@ -2882,9 +2882,47 @@ object TextQueries {
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
     winnowOverlapFrom(WinnowIndex(winnowFrame(spark, dir)))
 
+  /** The BOUNDED consumer of the winnow overlap signal — what a triage
+    * pipeline actually reads: per document, its top-3 overlap partners
+    * by shared-fingerprint count (ties: lower partner id), i.e. "the
+    * most likely plagiarism/boilerplate source for each doc". Where
+    * [[winnowOverlap]]'s full pair listing is output-bound by contract
+    * (measured 91× for 10× data on the fixed-vocabulary corpus — the
+    * r13 adjudication), this census is ≤ 3 rows per document no matter
+    * the duplicate structure, and the ranking runs through the bounded
+    * [[graft.functions.TopKAggregator]]: partial states are k-sized
+    * arrays merged map-side, so the per-doc shuffle carries at most
+    * k rows per map partition — never a hot doc's full partner list
+    * through one task's sort. The in-bucket pair expansion feeding it
+    * is the same fingerprint census as the listing (that term is the
+    * signal itself); what this shape fixes at 100 TB is the OUTPUT and
+    * the rank stage.
+    */
+  def winnowTopOverlaps(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = winnowOverlapCore(WinnowIndex(winnowFrame(spark, dir)))
+    val sym = pairs.select(col("id1").as("doc_id"),
+        col("id2").as("partner_id"), col("n_shared"))
+      .unionAll(pairs.select(col("id2").as("doc_id"),
+        col("id1").as("partner_id"), col("n_shared")))
+    val topk = udaf(graft.functions.TopKAggregator(3))
+    sym.groupBy("doc_id")
+      .agg(topk(col("n_shared").cast(DoubleType), col("partner_id")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("p._2").as("partner_id"),
+        col("p._1").cast(LongType).as("n_shared"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** [[winnowOverlap]] against a prebuilt [[WinnowIndex]] — the probe a
     * nightly job runs against the saved artifact. */
-  def winnowOverlapFrom(index: WinnowIndex): DataFrame = {
+  def winnowOverlapFrom(index: WinnowIndex): DataFrame =
+    winnowOverlapCore(index).orderBy("id1", "id2")
+
+  /** Unsorted pair-count core — [[winnowTopOverlaps]] consumes it under
+    * an aggregate, where the listing's global sort is dead work. */
+  private def winnowOverlapCore(index: WinnowIndex): DataFrame = {
     val fps = index.fps
       .select(col("doc_id"), explode(expr("array_distinct(sel.h)")).as("h"))
     // Bucket-grouped pair expansion instead of a hash self-join: the
@@ -2905,7 +2943,6 @@ object TextQueries {
         explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy("id1", "id2")
   }
 
   /** Duplicate-substring scrub — the span-REMOVAL half of exact

@@ -575,6 +575,8 @@ class PlanSpec extends SparkSuite {
       // winnowed inverted-index self-join: ~2.5x smaller index than the
       // full gram join; h-keyed join + pair aggregate
       "d_winnow_overlap" -> 3,
+      // pair core + symmetrize union + bounded TopK aggregate + output sort
+      "d_winnow_topk" -> 5,
       // the LSH pipeline's exchanges unchanged: split membership is
       // column algebra of the pair ids, zero added joins
       "d_split_leak" -> 3,

@@ -394,6 +394,40 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("winnow top-k census equals the brute-force top-3 of the pair listing, bounded") {
+    // shared runs engineered so doc 0 overlaps 1, 2 AND 3 with distinct
+    // counts (ranking is exercised), doc 4 overlaps nothing
+    val runA = "zq xv wk jm pt br"   // doc 0 & 1 (6 tokens: 1 shared fp)
+    val runB = "ky ld nw os qe rt"   // doc 0 & 2
+    val runC = "ua vb wc xd ye zf"   // doc 0 & 3
+    val texts = Seq(
+      s"alpha $runA beta $runB gamma $runC delta",
+      s"one two $runA three four five",
+      s"six seven $runB $runB eight nine",   // runB twice: distinct fps still
+      s"ten eleven $runC twelve thirteen",
+      "entirely different words in this document stream here")
+    withDocs(texts) { dir =>
+      val pairs = TextQueries.winnowOverlap(spark, dir)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(pairs.map(p => (p._1, p._2)).toSet.size >= 3, s"fixture too sparse: $pairs")
+      // brute-force: symmetrize, rank (n_shared desc, partner asc), top-3
+      val want = pairs.flatMap { case (a, b, n) => Seq((a, b, n), (b, a, n)) }
+        .groupBy(_._1).flatMap { case (d, ps) =>
+          ps.sortBy(p => (-p._3, p._2)).take(3).zipWithIndex
+            .map { case ((_, partner, n), i) => (d, i + 1L, partner, n) }
+        }.toSet
+      val got = TextQueries.winnowTopOverlaps(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"missing: ${want -- got}\nextra: ${got -- want}")
+      // bounded: never more than 3 rows per doc, ranks are 1..k dense
+      got.groupBy(_._1).foreach { case (d, rows) =>
+        assert(rows.size <= 3 && rows.map(_._2).toSeq.sorted == (1L to rows.size).toSeq,
+          s"doc $d rank structure: $rows")
+      }
+      assert(!got.exists(_._1 == 4L), "the no-overlap doc must be absent")
+    }
+  }
+
   test("bpe trainer learns the hand-computed merge sequence; encode replays it") {
     import graft.operators.BpeTrainer
     // Sennrich et al.'s worked vocabulary (sans the </w> marker — a
