@@ -89,14 +89,19 @@ import java.time.temporal.ChronoUnit
   *          is optional — keyless joins match on overlap/containment
   *          alone; --bucket-ms pins the bucket width, otherwise it is
   *          chosen from interval-length stats; right columns clashing
-  *          with left names come out prefixed right_. --stream (point
-  *          shape only, epoch-ms) consumes BOTH dirs as live file
-  *          streams — interval writes watermarked on interval START,
-  *          points buffered and replayed in event-time order, output
-  *          equal to the batch API for any arrival order within the
-  *          watermark; exactly-once parquet file sink, AvailableNow,
-  *          and a run's tail stays buffered in the checkpoint until
-  *          newer data advances the watermark)
+  *          with left names come out prefixed right_. --stream
+  *          (epoch-ms) consumes BOTH dirs as live file streams:
+  *          with --right-point, interval writes are watermarked on
+  *          interval START and points buffer/replay in event-time
+  *          order (a run's tail stays in the checkpoint until newer
+  *          data advances the watermark); with --right-start/end it
+  *          is the interval × interval overlap through Spark's
+  *          stream-stream range join — pairs emit as soon as both
+  *          rows arrive, and --max-len-ms <N> is REQUIRED (bounds the
+  *          join state; intervals longer than it raise per row).
+  *          Output equals the batch API for any arrival order within
+  *          the watermark; exactly-once parquet file sink,
+  *          AvailableNow)
   *   sessionize --in <events parquet> --out <parquet> [--gap-ms N]
   *             [--user-col c] [--time-col c]
   *             [--stream --checkpoint <dir> [--watermark 30minutes]]
@@ -982,9 +987,6 @@ object Main {
       // with the same checkpoint to pick up only new files). Note the
       // event-time drain contract: a run's tail stays buffered in the
       // checkpoint until newer data advances the watermark.
-      val pc = o.getOrElse("right-point", throw new IllegalArgumentException(
-        "--stream interval-join supports the point-in-interval shape: " +
-          "pass --right-point <col>"))
       require(!o.contains("count"),
         "--stream emits matched pairs; the census (--count) is a batch shape")
       val ckpt = o.getOrElse("checkpoint", throw new IllegalArgumentException(
@@ -993,8 +995,28 @@ object Main {
         .replaceAll("(?<=\\d)(?=[a-zA-Z])", " ")
       val ivStream = spark.readStream.schema(rawL.schema).parquet(leftIn)
       val ptStream = spark.readStream.schema(r.schema).parquet(rightIn)
-      val joined = graft.streaming.StreamingAnalytics
-        .streamingIntervalContains(ivStream, ptStream, keys, lS, lE, pc, wm)
+      val joined = o.get("right-point") match {
+        case Some(pc) =>
+          graft.streaming.StreamingAnalytics
+            .streamingIntervalContains(ivStream, ptStream, keys, lS, lE, pc, wm)
+        case None =>
+          // interval × interval overlap between two live streams: the
+          // built-in stream-stream join with range conditions; the
+          // state-eviction bound needs an explicit max interval length
+          val rS = o.getOrElse("right-start", throw new IllegalArgumentException(
+            "--stream interval-join needs --right-point <col> (contains) or " +
+              "--right-start/--right-end (overlap)"))
+          val rE = o.getOrElse("right-end", throw new IllegalArgumentException(
+            "--right-end <col> is required with --right-start"))
+          val maxLen = o.getOrElse("max-len-ms", throw new IllegalArgumentException(
+            "--max-len-ms <N> is required for the streaming overlap shape " +
+              "(bounds join state; the batch API derives widths from stats, " +
+              "a stream cannot)")).toLongOption.filter(_ > 0).getOrElse(
+            throw new IllegalArgumentException(
+              s"--max-len-ms needs a positive millisecond count, got '${o("max-len-ms")}'"))
+          graft.streaming.StreamingAnalytics.streamingIntervalOverlapJoin(
+            ivStream, ptStream, keys, lS, lE, rS, rE, maxLen, wm)
+      }
       val before = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
       val q = joined.writeStream
         .format("parquet")

@@ -1126,6 +1126,77 @@ object StreamingAnalytics {
       OverlapLogic(gapMs, winMs))
   }
 
+  /** Streaming twin of the generic interval × interval OVERLAP join
+    * ([[graft.operators.IntervalJoin.overlap]]) — and deliberately NOT
+    * a custom operator: keyed interval overlap between two live
+    * streams is exactly what Spark's built-in stream-stream join with
+    * time-range conditions exists for, so this routes through it (the
+    * symmetric hash join with watermark-driven state eviction — custom
+    * code would re-implement that machinery worse). The batch
+    * operator's bucket-explode trick is a BATCH device to make a
+    * range predicate hash-joinable; in streaming the state store IS
+    * the index, no replication, no exactly-once residual needed.
+    *
+    * The one honest cost: state eviction needs the two WATERMARKED
+    * columns (the starts) bounded against each other, and `rStart <
+    * lEnd` only implies `rStart < lStart + maxLen` when interval
+    * length is bounded — so `maxLenMs` is a required parameter (the
+    * batch API derives widths from a stats pass; a stream cannot).
+    * Rows with `end - start > maxLenMs` raise per row rather than
+    * silently dropping matches. State per side = rows younger than
+    * watermark + maxLen; emission is the inner-join contract (a pair
+    * appears once both rows have arrived — no ordering semantics, so
+    * arrival order never changes the result set within the
+    * watermark). Endpoints are integral epoch-MILLISECONDS, as in the
+    * other streaming twins. Output = left columns then right columns,
+    * clashes `right_`-prefixed (the batch convention).
+    */
+  def streamingIntervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      maxLenMs: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(maxLenMs > 0, s"maxLenMs must be positive, got $maxLenMs")
+    graft.operators.IntervalJoin.requireIntegral(left, leftStart, "left start")
+    graft.operators.IntervalJoin.requireIntegral(left, leftEnd, "left end")
+    graft.operators.IntervalJoin.requireIntegral(right, rightStart, "right start")
+    graft.operators.IntervalJoin.requireIntegral(right, rightEnd, "right end")
+    // loud per-row guard: an interval longer than maxLenMs would break
+    // the state-eviction bound and silently lose matches
+    def guardLen(df: DataFrame, s: String, e: String, side: String): DataFrame =
+      df.withColumn(s, when(col(e).cast("long") - col(s).cast("long") <= maxLenMs, col(s))
+        .otherwise(raise_error(concat(
+          lit(s"$side interval longer than maxLenMs=$maxLenMs: start="),
+          col(s).cast("string"), lit(" end="), col(e).cast("string")))))
+    val leftCols = left.columns.toSet
+    val clashes = right.columns.filter(leftCols).toSet
+    val r2 = clashes.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"right_$c"))
+    def rn(c: String) = if (clashes(c)) s"right_$c" else c
+    val (rS, rE) = (rn(rightStart), rn(rightEnd))
+    val l = guardLen(left, leftStart, leftEnd, "left")
+      .withColumn("__l_time", timestamp_millis(col(leftStart).cast("long")))
+      .withWatermark("__l_time", watermark)
+    val r = guardLen(r2, rS, rE, "right")
+      .withColumn("__r_time", timestamp_millis(col(rS).cast("long")))
+      .withWatermark("__r_time", watermark)
+    val keyPred = keys.map { case (lk, rk) => l(lk) === r(rn(rk)) }
+      .foldLeft(lit(true))(_ && _)
+    val pred = keyPred &&
+      // watermark-column bounds — what lets the state store evict:
+      // rStart < lEnd <= lStart + maxLen and symmetrically
+      col("__r_time") <= col("__l_time") + expr(s"INTERVAL $maxLenMs MILLISECONDS") &&
+      col("__l_time") <= col("__r_time") + expr(s"INTERVAL $maxLenMs MILLISECONDS") &&
+      // the exact overlap of NONEMPTY half-open intervals
+      l(leftStart).cast("long") < r(rE).cast("long") &&
+      r(rS).cast("long") < l(leftEnd).cast("long") &&
+      l(leftStart).cast("long") < l(leftEnd).cast("long") &&
+      r(rS).cast("long") < r(rE).cast("long")
+    l.join(r, pred).drop("__l_time", "__r_time")
+  }
+
   /** Streaming twin of the generic point-in-interval join
     * ([[graft.operators.IntervalJoin.contains]]): a live POINT stream
     * (facts) enriched against a slowly-changing INTERVAL dimension

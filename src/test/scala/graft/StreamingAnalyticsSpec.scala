@@ -1181,6 +1181,79 @@ class StreamingAnalyticsSpec extends SparkSuite {
     assert(joined.columns.toSeq == Seq("k", "s", "e", "iid", "pk", "p", "pid"))
   }
 
+  test("streaming interval-overlap join: shuffled two-sided arrival equals the batch API") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(43)
+    val maxLen = 240000L
+    def mkIv(n: Int, keyMod: Int) = (0 until n).map { i =>
+      val s = h0 + rnd.nextInt(400) * 10000L
+      (i % keyMod + 1L, s, s + (rnd.nextInt(8) * 30000L), i.toLong) // some empty
+    }
+    val lRows = mkIv(80, 4)
+    val rRows = mkIv(120, 5)
+    val lDF = lRows.toDF("k", "s", "e", "lid")
+    val rDF = rRows.toDF("rk", "rs", "re", "rid")
+    val want = graft.operators.IntervalJoin.overlap(
+        lDF, rDF, Seq("k" -> "rk"), "s", "e", "rs", "re", bucketMs = Some(60000L))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(want.size > 40, s"fixture too sparse: ${want.size}")
+    val lMem = MemoryStream[(Long, Long, Long, Long)]
+    val rMem = MemoryStream[(Long, Long, Long, Long)]
+    val joined = StreamingAnalytics.streamingIntervalOverlapJoin(
+      lMem.toDF().toDF("k", "s", "e", "lid"),
+      rMem.toDF().toDF("rk", "rs", "re", "rid"),
+      Seq("k" -> "rk"), "s", "e", "rs", "re",
+      maxLenMs = maxLen, watermark = "3 hours")
+    // batch-API column contract: left cols then right cols (no clashes here)
+    assert(joined.columns.toSeq == Seq("k", "s", "e", "lid", "rk", "rs", "re", "rid"))
+    val q = joined.writeStream.format("memory").queryName("siov")
+      .outputMode("append").start()
+    val lSlices = rnd.shuffle(lRows).grouped(25).toSeq
+    val rSlices = rnd.shuffle(rRows).grouped(35).toSeq
+    (0 until math.max(lSlices.length, rSlices.length)).foreach { i =>
+      lSlices.lift(i).foreach(s => lMem.addData(s: _*))
+      rSlices.lift(i).foreach(s => rMem.addData(s: _*))
+      q.processAllAvailable()
+    }
+    // inner stream-stream join emits as both sides arrive — no flush
+    // needed for matches, but run one empty trigger for completeness
+    q.processAllAvailable()
+    val got = spark.table("siov").select("lid", "rid")
+      .as[(Long, Long)].collect()
+    q.stop()
+    assert(got.length == got.toSet.size, "a pair must emit exactly once")
+    assert(got.toSet == want,
+      s"missing: ${want -- got.toSet}\nextra: ${got.toSet -- want}")
+  }
+
+  test("streaming interval-overlap join: over-long intervals raise, zero maxLen rejected") {
+    implicit val ctx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Long, Long, Long)]
+    val rMem = MemoryStream[(Long, Long, Long, Long)]
+    intercept[IllegalArgumentException] {
+      StreamingAnalytics.streamingIntervalOverlapJoin(
+        lMem.toDF().toDF("k", "s", "e", "lid"),
+        rMem.toDF().toDF("rk", "rs", "re", "rid"),
+        Seq("k" -> "rk"), "s", "e", "rs", "re", maxLenMs = 0L)
+    }
+    val joined = StreamingAnalytics.streamingIntervalOverlapJoin(
+      lMem.toDF().toDF("k", "s", "e", "lid"),
+      rMem.toDF().toDF("rk", "rs", "re", "rid"),
+      Seq("k" -> "rk"), "s", "e", "rs", "re", maxLenMs = 60000L)
+    val q = joined.writeStream.format("memory").queryName("siov_guard")
+      .outputMode("append").start()
+    // an interval longer than maxLenMs must fail the query loudly, not
+    // silently lose its far matches
+    lMem.addData((1L, h0, h0 + 120000L, 0L))
+    rMem.addData((1L, h0 + 1000L, h0 + 2000L, 0L))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(err.getMessage.contains("maxLenMs") ||
+      Option(err.getCause).exists(_.getMessage.contains("maxLenMs")), err.getMessage)
+  }
+
   test("streaming interval-contains: dead intervals prune, state drains to zero") {
     implicit val ctx = spark.sqlContext
     val ivMem = MemoryStream[(Long, Long, Long, Long)]

@@ -664,12 +664,12 @@ class BuildIndexCliSpec extends SparkSuite {
         "right-start" -> "p", "out" -> s"$dir/x2"))
     }
     assert(conflicted.getMessage.contains("mutually exclusive"))
-    // --stream rejects the overlap shape and the census loudly
-    val needPoint = intercept[IllegalArgumentException] {
+    // the streaming overlap shape demands an explicit state bound
+    val needMaxLen = intercept[IllegalArgumentException] {
       Main.intervalJoinCmd(spark, base ++ Map(
         "stream" -> "true", "checkpoint" -> s"$dir/ck0", "out" -> s"$dir/x3"))
     }
-    assert(needPoint.getMessage.contains("right-point"), needPoint.getMessage)
+    assert(needMaxLen.getMessage.contains("max-len-ms"), needMaxLen.getMessage)
     // fully-duplicate left rows must NOT merge in the --count census:
     // the verb injects a per-row uniquifier (dropped on output), so the
     // census stays one row per input left row
@@ -721,6 +721,33 @@ class BuildIndexCliSpec extends SparkSuite {
     val got2 = spark.read.parquet(s"$dir/out").select("iid", "pid")
       .as[(Long, Long)].collect().toSet
     assert(got2 == Set((0L, 10L), (1L, 11L), (2L, 13L)), s"$got2")
+  }
+
+  test("interval-join --stream overlap shape: stream-stream range join, batch-equal") {
+    val dir = tmpDir("cli-ij-sso")
+    val h0 = 1700000000000L - (1700000000000L % 3600000L)
+    Seq((1L, h0, h0 + 60000L, 0L), (1L, h0 + 120000L, h0 + 180000L, 1L),
+        (2L, h0, h0 + 30000L, 2L))
+      .toDF("k", "s", "e", "lid").write.mode("overwrite").parquet(s"$dir/l")
+    Seq((1L, h0 + 30000L, h0 + 90000L, 10L), (1L, h0 + 170000L, h0 + 200000L, 11L),
+        (2L, h0 + 40000L, h0 + 50000L, 12L))
+      .toDF("rk", "rs", "re", "rid").write.mode("overwrite").parquet(s"$dir/r")
+    val want = graft.operators.IntervalJoin.overlap(
+        spark.read.parquet(s"$dir/l"), spark.read.parquet(s"$dir/r"),
+        Seq("k" -> "rk"), "s", "e", "rs", "re", bucketMs = Some(30000L))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(want == Set((0L, 10L), (1L, 11L)), s"batch reference: $want")
+    val (_, n) = Main.intervalJoinCmd(spark, Map(
+      "left" -> s"$dir/l", "right" -> s"$dir/r", "on" -> "k=rk",
+      "left-start" -> "s", "left-end" -> "e",
+      "right-start" -> "rs", "right-end" -> "re",
+      "stream" -> "true", "checkpoint" -> s"$dir/ck",
+      "max-len-ms" -> "120000", "out" -> s"$dir/out"))
+    // inner stream-stream join: pairs emit in the run both sides arrive
+    assert(n == 2, s"overlap pairs must emit without a flush, got $n")
+    val got = spark.read.parquet(s"$dir/out").select("lid", "rid")
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"$got")
   }
 
   test("sessionize verb: batch and streaming arms agree; stream resumes from checkpoint") {
