@@ -75,8 +75,12 @@ import java.time.temporal.ChronoUnit
   *             --left-start <col> --left-end <col>
   *             (--right-start <col> --right-end <col> | --right-point <col>)
   *             --out <parquet>
-  *             [--on k[=rk][,...]] [--bucket-ms N] [--count]
+  *             [--on k[=rk][,...]] [--bucket-ms N] [--count] [--report]
   *             [--stream --checkpoint <dir> [--watermark 10minutes]]
+  *          (--report prices a width without running the join: one
+  *          metadata-scale pass prints replication per side, the exact
+  *          candidate-pair count, and whether the adaptive width looks
+  *          >=8x better)
   *          (interval × interval overlap join over half-open [start,
   *          end) INTEGRAL-epoch intervals (TIMESTAMP and fractional
   *          columns are rejected — cast via unix_millis / scale to an
@@ -1027,6 +1031,22 @@ object Main {
       q.awaitTermination()
       val after = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
       return (out, after - before)
+    }
+    if (o.contains("report")) {
+      // price a width WITHOUT running the join: one metadata-scale pass
+      require(!o.contains("right-point"),
+        "--report prices the interval x interval overlap shape")
+      val repS = o.getOrElse("right-start", throw new IllegalArgumentException(
+        "--report needs --right-start/--right-end"))
+      val repE = o.getOrElse("right-end", throw new IllegalArgumentException(
+        "--report needs --right-start/--right-end"))
+      val rep = IntervalJoin.bucketReport(rawL, r, keys, lS, lE, repS, repE, bucket)
+      println(f"""{"bucket_ms":${rep.bucketMs},"adaptive_ms":${rep.adaptiveMs},""" +
+        f""""left_replication":${rep.leftReplication}%.2f,""" +
+        f""""right_replication":${rep.rightReplication}%.2f,""" +
+        f""""candidate_pairs":${rep.candidatePairs},""" +
+        f""""recommend_adaptive":${rep.recommendAdaptive}}""")
+      return ("(report)", rep.candidatePairs)
     }
     // the count APIs group by every left column, so fully-duplicate left
     // rows would merge into one census row with summed counts and the

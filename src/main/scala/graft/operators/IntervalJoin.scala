@@ -58,6 +58,8 @@ object IntervalJoin {
   private val LB = "__ij_bucket_l"
   private val RB = "__ij_bucket_r"
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Interval endpoints must be INTEGRAL epoch values. A TIMESTAMP
     * would silently cast to epoch SECONDS inside the bucket math —
     * still CORRECT (bucket width never changes the answer) but sized
@@ -109,6 +111,89 @@ object IntervalJoin {
       val want = math.max(1L, math.max(row.getLong(0), row.getLong(1) / 1024L))
       if (want <= 1L) 1L else java.lang.Long.highestOneBit(want - 1L) << 1
     }
+  }
+
+  /** What [[bucketReport]] measured for a candidate bucket width: the
+    * per-side replication factors (rows each interval explodes into),
+    * the exact candidate-pair count the equi-join would hash-match at
+    * this width (the quadratic-pressure term the residual then
+    * filters), and whether the adaptive width looks materially better.
+    */
+  final case class BucketReport(
+      bucketMs: Long,
+      adaptiveMs: Long,
+      leftRows: Long,
+      rightRows: Long,
+      leftReplication: Double,
+      rightReplication: Double,
+      candidatePairs: Long,
+      recommendAdaptive: Boolean)
+
+  /** Diagnostic twin of the width heuristic — the detect half that
+    * makes a PINNED `bucketMs` auditable before a 100 TB run: one
+    * metadata-scale pass (keys + endpoints only, payloads never move)
+    * prices a width as (replication per side, exact candidate-pair
+    * count). Too-small buckets inflate replication; too-large buckets
+    * collapse a key's intervals into few buckets and the candidate
+    * count degenerates toward the per-key cartesian — the all-day-
+    * sessions-in-one-day-bucket failure. `recommendAdaptive` fires
+    * when the probed width sits ≥ 8× off the adaptive choice on
+    * either side of the tradeoff; the join APIs stay silent — call
+    * this explicitly (or just pass `bucketMs = None` and let the
+    * adaptive path choose).
+    */
+  def bucketReport(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketMs: Option[Long] = None): BucketReport = {
+    requireNumeric(left, leftStart, "left start")
+    requireNumeric(left, leftEnd, "left end")
+    requireNumeric(right, rightStart, "right start")
+    requireNumeric(right, rightEnd, "right end")
+    val adaptive = adaptiveBucketMs(
+      left, leftStart, leftEnd, right, rightStart, rightEnd)
+    val b = bucketMs.getOrElse(adaptive)
+    require(b > 0, s"bucketMs must be positive, got $b")
+    def slots(df: DataFrame, ks: Seq[String], s: String, e: String) = df
+      .select((ks.map(col) :+ explode(sequence(
+        expr(s"CAST($s AS LONG) div $b"),
+        greatest(expr(s"CAST($s AS LONG) div $b"),
+          expr(s"(CAST($e AS LONG) - 1) div $b")))).as("__ij_b")): _*)
+      .groupBy((ks.map(col) :+ col("__ij_b")): _*)
+      .agg(count(lit(1)).as("n"))
+    val lSlots = slots(left, keys.map(_._1), leftStart, leftEnd)
+    val rSlots = slots(right, keys.map(_._2), rightStart, rightEnd)
+    val lAgg = lSlots.agg(sum("n").as("rows")).head()
+    val rAgg = rSlots.agg(sum("n").as("rows")).head()
+    val lRows = if (lAgg.isNullAt(0)) 0L else lAgg.getLong(0)
+    val rRows = if (rAgg.isNullAt(0)) 0L else rAgg.getLong(0)
+    val nLeft = left.count()
+    val nRight = right.count()
+    // exact candidate pressure: sum over shared (keys, bucket) slots of
+    // |L_slot| x |R_slot| — what the equi-join hash-matches pre-residual
+    val joinCond = keys.map { case (lk, rk) => lSlots(lk) === rSlots(rk) }
+      .foldLeft(lSlots("__ij_b") === rSlots("__ij_b"))(_ && _)
+    val candRow = lSlots.as("ls").join(rSlots.as("rs"), joinCond)
+      .agg(sum(col("ls.n") * col("rs.n")).as("cand")).head()
+    val cand = if (candRow.isNullAt(0)) 0L else candRow.getLong(0)
+    val report = BucketReport(
+      bucketMs = b,
+      adaptiveMs = adaptive,
+      leftRows = lRows,
+      rightRows = rRows,
+      leftReplication = if (nLeft == 0) 0.0 else lRows.toDouble / nLeft,
+      rightReplication = if (nRight == 0) 0.0 else rRows.toDouble / nRight,
+      candidatePairs = cand,
+      recommendAdaptive =
+        bucketMs.exists(w => w >= adaptive * 8 || w * 8 <= adaptive))
+    if (report.recommendAdaptive)
+      log.warn(s"interval-join bucket width $b ms sits >=8x off the " +
+        s"adaptive choice $adaptive ms: replication " +
+        f"${report.leftReplication}%.1fx/${report.rightReplication}%.1fx, " +
+        s"$cand candidate pairs — consider bucketMs = None")
+    report
   }
 
   /** The matched PAIRS, each exactly once: all left columns plus all

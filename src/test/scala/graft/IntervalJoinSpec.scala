@@ -148,6 +148,44 @@ class IntervalJoinSpec extends SparkSuite {
     assert(a == p && a.nonEmpty)
   }
 
+  test("bucketReport prices a width: day-pinned on minute data fires, adaptive stays quiet") {
+    val minuteL = (0 until 200).map { i =>
+      val s = i * 60000L
+      (1L + i % 3, s, s + (60000L * (1 + rnd.nextInt(8))), i.toLong)
+    }
+    val l = minuteL.toDF("k", "ls", "le", "lid")
+    val r = minuteL.map { case (k, s, e, id) => (k, s + 30000L, e + 30000L, id) }
+      .toDF("rk", "rs", "re", "rid")
+    // the degenerate width: a day bucket holds every interval of a key,
+    // so candidates collapse toward the per-key cartesian (~200²/3)
+    val day = IntervalJoin.bucketReport(l, r, Seq("k" -> "rk"),
+      "ls", "le", "rs", "re", bucketMs = Some(86400000L))
+    assert(day.recommendAdaptive, s"day-pinned on minute data must fire: $day")
+    assert(day.leftReplication >= 1.0 && day.leftReplication < 1.05,
+      s"huge buckets mean ~1 slot per interval: $day")
+    // exact cartesian check: all of a key's intervals share bucket 0
+    val perKey = minuteL.groupBy(_._1).view.mapValues(_.size.toLong)
+    val wantCand = perKey.values.map(n => n * n).sum
+    assert(day.candidatePairs == wantCand, s"got ${day.candidatePairs}, want $wantCand")
+    // the adaptive width: candidates collapse, replication stays small,
+    // and no recommendation fires (the choice IS the adaptive one)
+    val auto = IntervalJoin.bucketReport(l, r, Seq("k" -> "rk"),
+      "ls", "le", "rs", "re", bucketMs = None)
+    assert(!auto.recommendAdaptive && auto.bucketMs == auto.adaptiveMs)
+    assert(auto.candidatePairs < day.candidatePairs / 4,
+      s"adaptive width must slash candidate pressure: $auto vs $day")
+    assert(auto.leftReplication < 3.0, s"replication stays bounded: $auto")
+    // a pinned width equal to the adaptive one is also quiet
+    val pinnedOk = IntervalJoin.bucketReport(l, r, Seq("k" -> "rk"),
+      "ls", "le", "rs", "re", bucketMs = Some(auto.adaptiveMs))
+    assert(!pinnedOk.recommendAdaptive)
+    // too-SMALL widths fire the other side of the tradeoff
+    val tiny = IntervalJoin.bucketReport(l, r, Seq("k" -> "rk"),
+      "ls", "le", "rs", "re", bucketMs = Some(1000L))
+    assert(tiny.recommendAdaptive && tiny.leftReplication > 50.0,
+      s"1s buckets on minute intervals replicate heavily: $tiny")
+  }
+
   // point-in-interval fixture: random points against the left intervals
   private val pointRows = (0 until 200).map { i =>
     (rnd.nextInt(4) + 1L, rnd.nextInt(1100) - 550L, i.toLong)

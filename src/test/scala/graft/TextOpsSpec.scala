@@ -602,7 +602,8 @@ class TextOpsSpec extends SparkSuite {
       base.replace("quick", "quack"),   // 2: tiny perturbation
       "zzzz " * 14 + "yy",              // 3: different distribution
       ("ab" * 34) + "Q",                // 4: another shape
-      "tiny, below the 64-byte floor")  // 5: must be excluded entirely
+      "tiny, below the 64-byte floor",  // 5: must be excluded entirely
+      "héllo wörld — ünïcode payload £ " * 3) // 6: multi-byte UTF-8 octets
     withDocs(texts) { dir =>
       val got = TextQueries.phashWide(spark, dir)
         .as[(Long, Long, Int)].collect().toSet

@@ -664,6 +664,13 @@ class BuildIndexCliSpec extends SparkSuite {
         "right-start" -> "p", "out" -> s"$dir/x2"))
     }
     assert(conflicted.getMessage.contains("mutually exclusive"))
+    // --report prices a width without running the join
+    val (repOut, repCand) = Main.intervalJoinCmd(spark, base ++ Map(
+      "bucket-ms" -> "8", "report" -> "true", "out" -> s"$dir/unused"))
+    assert(repOut == "(report)")
+    // slots at width 8 for the fixture: candidates = sum |L|x|R| per slot
+    assert(repCand > 0, s"report must count candidate pressure, got $repCand")
+    assert(!new java.io.File(s"$dir/unused").exists, "--report must not write output")
     // the streaming overlap shape demands an explicit state bound
     val needMaxLen = intercept[IllegalArgumentException] {
       Main.intervalJoinCmd(spark, base ++ Map(
