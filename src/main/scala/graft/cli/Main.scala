@@ -25,7 +25,7 @@ import java.time.temporal.ChronoUnit
   *                  [--slice ...] [--gzip] [--topic <name>]
   *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
-  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf --in <documents|embeddings parquet>
+  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf|phash --in <documents|embeddings parquet>
   *               --out <dir>
   *   update-index --kind <same kinds> --in <NEW batch parquet> --index <existing dir>
   *                --out <new dir>   (incremental refresh; batch ids must be new)
@@ -1135,12 +1135,13 @@ object Main {
   private[cli] def buildIndexCmd(
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.TextQueries
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash is required"))
     val in = o.getOrElse("in", die("--in <documents parquet> is required"))
     val out = o.getOrElse("out", die("--out <dir> is required"))
     val corpus = spark.read.parquet(in)
     kind match {
       case "neardup" => TextQueries.buildNearDupIndex(corpus).save(out)
+      case "phash" => TextQueries.buildPhashIndex(corpus).save(out)
       case "chunk" => TextQueries.buildChunkIndex(corpus).save(out)
       case "drift" => TextQueries.buildTermDistribution(corpus).save(out)
       case "winnow" => TextQueries.buildWinnowIndex(corpus).save(out)
@@ -1149,7 +1150,7 @@ object Main {
       // vectors frame lands hive-partitioned by cell so probes prune files
       case "ivf" => graft.queries.SimilarityQueries.buildIvfIndex(corpus).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash)")
     }
     (kind, out, corpus.count())
   }
@@ -1170,7 +1171,7 @@ object Main {
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.{IndexArtifact, SimilarityQueries, TextQueries}
     import org.apache.spark.sql.functions.col
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash is required"))
     val in = o.getOrElse("in", die("--in <batch parquet> is required"))
     val idx = o.getOrElse("index", die("--index <existing artifact dir> is required"))
     val out = o.getOrElse("out", die("--out <new artifact dir> is required"))
@@ -1196,6 +1197,9 @@ object Main {
       case "neardup" =>
         requireDisjoint("bands", "doc_id")
         TextQueries.NearDupIndex.load(spark, idx).updated(batch).save(out)
+      case "phash" =>
+        requireDisjoint("fps", "doc_id")
+        TextQueries.PhashIndex.load(spark, idx).updated(batch).save(out)
       case "chunk" =>
         requireDisjoint("fps", "doc_id")
         TextQueries.ChunkIndex.load(spark, idx).updated(batch).save(out)
@@ -1210,7 +1214,7 @@ object Main {
         requireDisjoint("vectors", "vec_id")
         SimilarityQueries.IvfIndex.load(spark, idx).updated(batch).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash)")
     }
     // the ivf path drops zero-norm batch vectors during frozen-centroid
     // assignment, so "grew by n" must report the index's actual vectors

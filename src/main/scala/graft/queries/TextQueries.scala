@@ -2409,14 +2409,19 @@ object TextQueries {
   def phashWide(spark: SparkSession, dir: String): DataFrame =
     phashWideImpl(spark, dir, 10000)
 
-  private[graft] def phashWideImpl(
-      spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+  /** The 64-segment integer-mean fingerprint kernel over the UTF-8
+    * byte stream — one (doc_id, fp) row per payload clearing the
+    * 64-octet floor. Shared by the [[phashWide]] gate and the
+    * [[PhashIndex]] nightly artifact, so the two can never drift.
+    */
+  private[graft] def phashFingerprints(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val banded = docs(spark, dir)
+    corpus
       .filter(octet_length(col("text")) >= 64)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
+        it.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val n = bytes.length.toLong
           val sums = new Array[Long](64)
@@ -2436,11 +2441,25 @@ object TextQueries {
             if (sums(s) * n >= tot * cnts(s)) fp |= 1L << s
             s += 1
           }
-          (0 until 4).iterator.map { band =>
-            (id, fp, band, (fp >>> (band * 16)) & 0xffffL)
-          }
+          (id, fp)
         }
-      }.toDF("doc_id", "fp", "band", "bh")
+      }.toDF("doc_id", "fp")
+  }
+
+  /** 4×16-bit band rows derived declaratively from a fingerprint frame
+    * — banding is pure bit algebra on `fp`, so indexes store only the
+    * narrow (doc_id, fp) rows and band at probe time. */
+  private[graft] def phashBands(fps: DataFrame): DataFrame =
+    fps.select(col("doc_id"), col("fp"),
+      explode(expr(
+        "transform(sequence(0, 3), k -> named_struct('band', k, 'bh', (fp >> (k * 16)) & 65535))"))
+        .as("b"))
+      .select(col("doc_id"), col("fp"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+  private[graft] def phashWideImpl(
+      spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+    import spark.implicits._
+    val banded = phashBands(phashFingerprints(docs(spark, dir)))
     val grouped = banded
       .groupBy("band", "bh")
       .agg(collect_list(struct(col("doc_id"), col("fp"))).as("xs"))
@@ -2470,6 +2489,60 @@ object TextQueries {
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy("id1", "id2")
+  }
+
+  /** The media-fingerprint nightly artifact — [[NearDupIndex]]'s
+    * convention applied to [[phashWide]]'s kernel: the corpus
+    * fingerprint table as narrow (doc_id, fp) rows (8 bytes of
+    * signature per payload; banding is bit algebra re-derived at probe
+    * time, so nothing band-shaped is stored). The ingest job that
+    * fingerprints the media corpus saves it; a nightly batch probes
+    * its NEW payloads against the artifact without re-fingerprinting
+    * the corpus — the incremental media-dedup story.
+    */
+  final case class PhashIndex(fps: DataFrame) {
+    def persist(): PhashIndex = { fps.persist(); this }
+    def unpersist(): Unit = fps.unpersist()
+    def save(path: String): Unit =
+      IndexArtifact.save(path, Map("fps" -> fps))
+
+    /** Fold a NEW batch in: fingerprints are per-doc, so the merged
+      * index is a frame union — bit-identical to a full rebuild over
+      * old ∪ batch. Precondition (CLI-enforced): disjoint doc_ids. */
+    def updated(batch: DataFrame): PhashIndex =
+      PhashIndex(fps.union(phashFingerprints(batch)))
+  }
+
+  object PhashIndex {
+    def load(spark: SparkSession, path: String): PhashIndex =
+      PhashIndex(IndexArtifact.frame(spark, path, "fps"))
+  }
+
+  def buildPhashIndex(corpus: DataFrame): PhashIndex =
+    PhashIndex(phashFingerprints(corpus))
+
+  /** Probe a batch's payloads against the fingerprint artifact: one
+    * (new_id, old_id, hamming) row per batch payload within hamming 3
+    * of an indexed one — the τ=3 pigeonhole over 4×16-bit bands, the
+    * same recall contract as the [[phashWide]] gate. Scale shape: the
+    * batch side fingerprints in one pass, BOTH sides band to 4 narrow
+    * rows each, and the candidate join is the usual (band, bh)
+    * equi-join — batch-sized × corpus-bucket-sized, never
+    * corpus × corpus. The index side scans only (doc_id, fp).
+    */
+  def probePhash(index: PhashIndex, batch: DataFrame): DataFrame = {
+    val b = phashBands(phashFingerprints(batch))
+      .select(col("doc_id").as("new_id"), col("fp").as("new_fp"),
+        col("band"), col("bh"))
+    val i = phashBands(index.fps)
+      .select(col("doc_id").as("old_id"), col("fp").as("old_fp"),
+        col("band"), col("bh"))
+    b.join(i, Seq("band", "bh"))
+      .select(col("new_id"), col("old_id"),
+        bit_count(col("new_fp").bitwiseXOR(col("old_fp"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("new_id", "old_id")
   }
 
   /** Distribution drift census: per-source unigram KL divergence

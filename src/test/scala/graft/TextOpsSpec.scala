@@ -629,6 +629,38 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("phash index: probe finds cross near-dups, updated() equals a full rebuild") {
+    val base = "the quick brown fox jumps over the lazy dog again and again, " +
+      "then once more for good measure ok"
+    // corpus = docs 0-2 (anchor + two shapes); batch = docs 3-5 (a clone
+    // of the anchor, a perturbation, an unrelated payload)
+    val corpusTexts = Seq(base, "zzzz " * 14 + "yy", ("ab" * 34) + "Q")
+    val batchTexts = Seq(base, base.replace("quick", "quack"), "mnop " * 16 + "w")
+    withDocs(corpusTexts ++ batchTexts) { dir =>
+      val all = spark.read.parquet(s"$dir/documents.parquet")
+      val corpus = all.filter(col("doc_id") < 3)
+      val batch = all.filter(col("doc_id") >= 3)
+      val idx = TextQueries.buildPhashIndex(corpus)
+      val got = TextQueries.probePhash(idx, batch)
+        .as[(Long, Long, Int)].collect().toSet
+      // brute-force reference: every (batch, corpus) pair at hamming<=3
+      val fps = (corpusTexts ++ batchTexts).map(refAHash64)
+      val want = (for {
+        b <- 3 to 5; c <- 0 to 2
+        h = java.lang.Long.bitCount(fps(b) ^ fps(c))
+        if h <= 3
+      } yield (b.toLong, c.toLong, h)).toSet
+      assert(got == want, s"got $got want $want")
+      assert(want.exists(_._3 == 0), "the byte-identical clone must surface at hamming 0")
+      // incremental fold equals a rebuild over old ∪ batch
+      val merged = idx.updated(batch).fps
+        .as[(Long, Long)].collect().toSet
+      val rebuilt = TextQueries.buildPhashIndex(all).fps
+        .as[(Long, Long)].collect().toSet
+      assert(merged == rebuilt, "updated() must be bit-identical to a full rebuild")
+    }
+  }
+
   test("kl drift matches a hand-computed two-source reference and is non-negative") {
     val dir = java.nio.file.Files.createTempDirectory("graft-kl-").toString
     try {

@@ -42,6 +42,40 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(fresh.nonEmpty && viaCli == fresh)
   }
 
+  test("build-index phash: probe against the CLI artifact matches a fresh build; update folds") {
+    val out = tmpDir("cli-phash-index")
+    val base = "the quick brown fox jumps over the lazy dog again and again, " +
+      "then once more for good measure ok"
+    Seq((0L, base, "en", "srcA", base.length.toLong),
+        (1L, "zzzz " * 14 + "yy", "en", "srcA", 72L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out-corpus")
+    Seq((2L, base, "en", "srcB", base.length.toLong), // clone: hamming 0
+        (3L, "mnop " * 16 + "w", "en", "srcB", 81L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out-batch")
+    Main.buildIndexCmd(spark,
+      Map("kind" -> "phash", "in" -> s"$out-corpus", "out" -> out))
+    val loaded = TextQueries.PhashIndex.load(spark, out)
+    val batch = spark.read.parquet(s"$out-batch")
+    val viaCli = TextQueries.probePhash(loaded, batch)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaCli.contains((2L, 0L, 0)), s"clone must probe at hamming 0: $viaCli")
+    // update-index folds the batch; the merged artifact then knows it
+    val out2 = tmpDir("cli-phash-index2")
+    Main.updateIndexCmd(spark, Map("kind" -> "phash",
+      "in" -> s"$out-batch", "index" -> out, "out" -> out2))
+    val merged = TextQueries.PhashIndex.load(spark, out2).fps
+      .as[(Long, Long)].collect().toMap
+    assert(merged.keySet == Set(0L, 1L, 2L, 3L))
+    // re-folding the SAME batch must be rejected (ids already indexed)
+    val dup = intercept[IllegalArgumentException] {
+      Main.updateIndexCmd(spark, Map("kind" -> "phash",
+        "in" -> s"$out-batch", "index" -> out2, "out" -> tmpDir("cli-phash-x")))
+    }
+    assert(dup.getMessage.contains("already indexed"), dup.getMessage)
+  }
+
   test("build-index chunk: probe against the CLI artifact matches a fresh build") {
     val out = tmpDir("cli-chunk-index")
     corpus.write.mode("overwrite").parquet(s"$out-corpus")
