@@ -221,8 +221,21 @@ object SparkEntry {
     "e_trend_types" -> (AnalyticsQueries.trendTypes _),
     "e_type_transitions" -> (AnalyticsQueries.typeTransitions _),
     "s_hybrid_rrf" -> (SimilarityQueries.hybridRrf _),
-    "s_ann_filtered" -> (SimilarityQueries.annFiltered _)
+    "s_ann_filtered" -> (SimilarityQueries.annFiltered _),
+    "q_zorder_cells" -> (AnalyticsQueries.zorderCells _),
+    "q_zorder_prune" -> (AnalyticsQueries.zorderPrune _)
   )
+
+  /** Morton-interleave bit algebra as SQL: bit `k` of rank column
+    * `cols(i)` lands at z-bit `k * n + i`. The oracle replays the
+    * operator's contract ([[graft.operators.ZOrder.interleave]]) term
+    * by term — plain BIGINT shifts/masks DuckDB evaluates natively.
+    */
+  private def zInterleaveSql(cols: Seq[String], bits: Int): String =
+    (for {
+      (c, i) <- cols.zipWithIndex
+      k <- 0 until bits
+    } yield s"((($c >> $k) & 1) << ${k * cols.size + i})").mkString(" | ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3802,7 +3815,49 @@ object SparkEntry {
           |             CAST(row_number() OVER (PARTITION BY query_id
           |                                     ORDER BY cs DESC, neighbor_id) AS INT) AS rnk
           |      FROM s)
-          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      // Z-order census: the oracle replays the operator's whole bit
+      // algebra — linear 8-bit rank (same double-division shape, same
+      // least/floor/CAST order) and the Morton interleave term list —
+      // then checks the per-cell census at the 4+4-bit prefix level.
+      "q_zorder_cells" ->
+        s"""WITH st AS (
+           |  SELECT CAST(min(l_partkey) AS DOUBLE) AS plo, CAST(max(l_partkey) AS DOUBLE) AS phi,
+           |         CAST(min(l_suppkey) AS DOUBLE) AS slo, CAST(max(l_suppkey) AS DOUBLE) AS shi
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT l_partkey, l_suppkey, l_extendedprice,
+           |    CASE WHEN phi <= plo THEN 0 ELSE CAST(least(floor((CAST(l_partkey AS DOUBLE) - plo) / (phi - plo) * 256.0), 255.0) AS BIGINT) END AS ra,
+           |    CASE WHEN shi <= slo THEN 0 ELSE CAST(least(floor((CAST(l_suppkey AS DOUBLE) - slo) / (shi - slo) * 256.0), 255.0) AS BIGINT) END AS rb
+           |  FROM lineitem, st)
+           |SELECT (${zInterleaveSql(Seq("ra", "rb"), 8)}) >> 8 AS cell,
+           |       count(*) AS n,
+           |       min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+           |       min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Z-order prune losslessness: the oracle states ONLY the exact
+      // box predicate (no cell filter) — a hash match proves the
+      // Spark side's coarse cell prune dropped no qualifying row.
+      "q_zorder_prune" ->
+        s"""WITH st AS (
+           |  SELECT CAST(min(l_partkey) AS DOUBLE) AS plo, CAST(max(l_partkey) AS DOUBLE) AS phi,
+           |         CAST(min(l_suppkey) AS DOUBLE) AS slo, CAST(max(l_suppkey) AS DOUBLE) AS shi
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT l_partkey, l_suppkey, l_extendedprice,
+           |    CASE WHEN phi <= plo THEN 0 ELSE CAST(least(floor((CAST(l_partkey AS DOUBLE) - plo) / (phi - plo) * 256.0), 255.0) AS BIGINT) END AS ra,
+           |    CASE WHEN shi <= slo THEN 0 ELSE CAST(least(floor((CAST(l_suppkey AS DOUBLE) - slo) / (shi - slo) * 256.0), 255.0) AS BIGINT) END AS rb,
+           |    CAST(l_partkey AS DOUBLE) AS pv, CAST(l_suppkey AS DOUBLE) AS sv,
+           |    plo + (phi - plo) * 0.25 AS bplo, plo + (phi - plo) * 0.5 AS bphi,
+           |    slo + (shi - slo) * 0.25 AS bslo, slo + (shi - slo) * 0.5 AS bshi
+           |  FROM lineitem, st)
+           |SELECT (${zInterleaveSql(Seq("ra", "rb"), 8)}) >> 8 AS cell,
+           |       count(*) AS n,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM r
+           |WHERE pv >= bplo AND pv < bphi AND sv >= bslo AND sv < bshi
+           |GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -25,10 +25,18 @@ import java.time.temporal.ChronoUnit
   *                  [--slice ...] [--gzip] [--topic <name>]
   *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
-  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf|phash --in <documents|embeddings parquet>
-  *               --out <dir>
+  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax
+  *               --in <documents|embeddings parquet; any flat parquet dir for minmax>
+  *               --out <dir> [--cols a,b  (minmax only: numeric columns to box)]
   *   update-index --kind <same kinds> --in <NEW batch parquet> --index <existing dir>
-  *                --out <new dir>   (incremental refresh; batch ids must be new)
+  *                --out <new dir>   (incremental refresh; batch ids must be new;
+  *                minmax: --in is the GROWN data dir, only unindexed files fold in)
+  *   scan --in <data dir> --index <minmax artifact> --where col:lo:hi[,col2:lo:hi]
+  *        --out <parquet>
+  *        (pruned exact range scan: reads only files whose minmax box
+  *        intersects the predicate, residual-filters the rest; refuses a
+  *        stale index — new/removed files — loudly. Pair with `layout`
+  *        to make the boxes tight on every queried dimension)
   *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
   *         [--stream --checkpoint <dir>]   (probe new files only; resumes)
   *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]
@@ -115,6 +123,16 @@ import java.time.temporal.ChronoUnit
   *          out-of-order-safe within the watermark, sessions emit once
   *          the watermark passes their gap horizon, re-running with the
   *          same checkpoint resumes)
+  *   layout --in <parquet> --out <dir> --cols a,b[,...] [--bits N]
+  *          [--partitions N] [--keep-z]
+  *          (z-order rewrite: cluster files on the Morton interleave of
+  *          the listed NUMERIC columns so footer min/max stats prune on
+  *          every listed dimension; --bits is bits per dimension
+  *          (default min(16, 63/n)); ranks are linear min/max scaling —
+  *          for heavy-tailed keys pre-rank with ntile and lay out on
+  *          that column instead. Prints the per-dimension mean file-span
+  *          fraction: ~1/files^(1/n) is healthy, ~1.0 on a dimension
+  *          means files cannot be skipped on it)
   *
   * Every command also accepts `--config <file>`: a HOCON config file
   * using the reference's key names (`backup.time-configuration.{type,
@@ -475,7 +493,8 @@ object Main {
       val (kind, out, n) =
         try updateIndexCmd(spark, o)
         catch { case e: IllegalArgumentException => die(e.getMessage) }
-      println(s"update-index: $kind index grew by $n docs into $out")
+      val unit = if (kind == "minmax") "files" else "docs"
+      println(s"update-index: $kind index grew by $n $unit into $out")
       spark.stop()
 
     case "export" :: rest =>
@@ -530,6 +549,33 @@ object Main {
         try intervalJoinCmd(spark, o)
         catch { case e: IllegalArgumentException => die(e.getMessage) }
       println(s"interval-join: $n rows written to $out")
+      spark.stop()
+
+    case "scan" :: rest =>
+      // Pruned range scan as a job: consult the minmax stats artifact,
+      // read ONLY the files whose box intersects the predicate, exact
+      // residual on top — data skipping over plain parquet dirs.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, report) =
+        try scanCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"scan: $report -> $out")
+      spark.stop()
+
+    case "layout" :: rest =>
+      // Z-order layout as a job: rewrite a parquet table clustered on
+      // the Morton interleave of N numeric columns, so footer min/max
+      // stats prune files on EVERY listed dimension — the multi-axis
+      // OPTIMIZE pass for fact tables queried along more than one key.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, report) =
+        try layoutCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"layout: wrote $out $report")
       spark.stop()
 
     case "scrub" :: rest =>
@@ -894,6 +940,88 @@ object Main {
     *    arrives — the same drain contract as join-asof's event-time
     *    mode.
     */
+  /** `scan`: pruned range scan through a minmax artifact. Returns
+    * (outPath, "read X of Y files (N rows)").
+    */
+  private[cli] def scanCmd(
+      spark: SparkSession, o: Map[String, String]): (String, String) = {
+    val in = o.getOrElse("in", die("--in <data dir> is required"))
+    val idx = o.getOrElse("index", die("--index <minmax artifact dir> is required"))
+    val out = o.getOrElse("out", die("--out <parquet> is required"))
+    val ranges = o.getOrElse("where", die("--where col:lo:hi[,col2:lo:hi] is required"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { clause =>
+        clause.split(":") match {
+          case Array(c, lo, hi) =>
+            (c,
+              lo.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+                s"--where: '$lo' is not a number in '$clause'")),
+              hi.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+                s"--where: '$hi' is not a number in '$clause'")))
+          case _ => throw new IllegalArgumentException(
+            s"--where clause '$clause' must be col:lo:hi")
+        }
+      }
+    if (ranges.isEmpty) die("--where col:lo:hi[,col2:lo:hi] is required")
+    val index = graft.operators.DataSkipping.MinMaxIndex.load(spark, idx)
+    val total = index.stats.count()
+    val read = index.prunedFiles(ranges).size
+    val result = index.scan(spark, in, ranges)
+    result.write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    (out, s"read $read of $total files ($n rows)")
+  }
+
+  /** `layout`: z-order rewrite. Returns (outPath, one-line report with
+    * file count and the per-dimension mean file-span fraction — the
+    * footer-stats tightness a pruning reader will see; 1.0 on a
+    * dimension means no file can ever be skipped on it).
+    */
+  private[cli] def layoutCmd(
+      spark: SparkSession, o: Map[String, String]): (String, String) = {
+    import org.apache.spark.sql.functions._
+    val in = o.getOrElse("in", die("--in <parquet> is required"))
+    val out = o.getOrElse("out", die("--out <dir> is required"))
+    val cols = o.getOrElse("cols", die("--cols a,b[,...] is required"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (cols.isEmpty) die("--cols a,b[,...] is required")
+    val bits = o.get("bits").map { v =>
+      v.toIntOption.filter(b => b >= 1 && b * cols.size <= 63).getOrElse(
+        throw new IllegalArgumentException(
+          s"--bits must be in [1, ${63 / cols.size}] for ${cols.size} columns, got '$v'"))
+    }.getOrElse(math.min(16, 63 / cols.size))
+    val partitions = o.get("partitions").map { v =>
+      v.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"--partitions needs a positive count, got '$v'"))
+    }.getOrElse(0)
+    val df = spark.read.parquet(in)
+    cols.foreach { c =>
+      if (!df.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"--cols column '$c' not in ${in} (has: ${df.columns.mkString(", ")})")
+    }
+    graft.operators.ZOrder.layout(df, cols, out, bits, partitions,
+      keepZ = o.contains("keep-z"))
+    // footer tightness report: mean fraction of each dimension's global
+    // range a single file spans (what stats pruning gets to work with)
+    val back = spark.read.parquet(out)
+    val spanAggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"_lo_$c"),
+      max(col(c)).cast("double").as(s"_hi_$c")))
+    val perFile = back.groupBy(input_file_name().as("_f"))
+      .agg(spanAggs.head, spanAggs.tail: _*)
+    val g = back.agg(spanAggs.head, spanAggs.tail: _*).head()
+    val spans = perFile.agg(
+      count(lit(1)).as("files"),
+      cols.map(c => avg(col(s"_hi_$c") - col(s"_lo_$c")).as(s"_span_$c")): _*).head()
+    val fracs = cols.map { c =>
+      val range = g.getAs[Double](s"_hi_$c") - g.getAs[Double](s"_lo_$c")
+      val f = if (range <= 0) 0.0 else spans.getAs[Double](s"_span_$c") / range
+      f"$c=${f}%.3f"
+    }
+    (out, s"(${spans.getAs[Long]("files")} files, mean file-span fraction ${fracs.mkString(" ")})")
+  }
+
   private[cli] def sessionizeCmd(
       spark: SparkSession, o: Map[String, String]): (String, Long) = {
     import org.apache.spark.sql.functions._
@@ -1135,7 +1263,7 @@ object Main {
   private[cli] def buildIndexCmd(
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.TextQueries
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax is required"))
     val in = o.getOrElse("in", die("--in <documents parquet> is required"))
     val out = o.getOrElse("out", die("--out <dir> is required"))
     val corpus = spark.read.parquet(in)
@@ -1149,8 +1277,16 @@ object Main {
       // --in points at an embeddings parquet (vec_id, embedding); the
       // vectors frame lands hive-partitioned by cell so probes prune files
       case "ivf" => graft.queries.SimilarityQueries.buildIvfIndex(corpus).save(out)
+      // --in is any flat parquet DIRECTORY; per-FILE min/max boxes over
+      // --cols feed the `scan` verb's file pruning
+      case "minmax" =>
+        val cols = o.getOrElse("cols",
+            throw new IllegalArgumentException(
+              "--cols a,b[,...] is required for --kind minmax"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.operators.DataSkipping.buildMinMaxIndex(spark, in, cols).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax)")
     }
     (kind, out, corpus.count())
   }
@@ -1213,17 +1349,28 @@ object Main {
       case "ivf" =>
         requireDisjoint("vectors", "vec_id")
         SimilarityQueries.IvfIndex.load(spark, idx).updated(batch).save(out)
+      // --in is the (grown) data DIRECTORY; files are their own ids, so
+      // disjointness holds by construction — only unindexed files fold in
+      case "minmax" =>
+        graft.operators.DataSkipping.MinMaxIndex.load(spark, idx)
+          .updated(spark, in).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax)")
     }
     // the ivf path drops zero-norm batch vectors during frozen-centroid
     // assignment, so "grew by n" must report the index's actual vectors
-    // delta (two parquet footer counts), not the raw batch size
-    val grown =
-      if (kind == "ivf")
+    // delta (two parquet footer counts), not the raw batch size; minmax
+    // folds FILES, and --in is the whole grown dir, so report the stats
+    // row (= file) delta rather than a data row count
+    val grown = kind match {
+      case "ivf" =>
         IndexArtifact.frame(spark, out, "vectors").count() -
           IndexArtifact.frame(spark, idx, "vectors").count()
-      else batch.count()
+      case "minmax" =>
+        IndexArtifact.frame(spark, out, "stats").count() -
+          IndexArtifact.frame(spark, idx, "stats").count()
+      case _ => batch.count()
+    }
     (kind, out, grown)
   }
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.IndexArtifact
+
+/** File-stats skipping index over a plain parquet directory: one scan
+  * computes each FILE's (rows, min, max) box over the indexed numeric
+  * columns; a later range query consults the stats frame (files-scale
+  * metadata), reads ONLY the files whose box intersects the predicate,
+  * and applies the exact predicate as a residual. This is the external
+  * form of the footer-stats pruning lakehouse formats keep in their
+  * transaction log — for plain directories Spark must otherwise LIST
+  * and OPEN every file even when the predicate excludes it, and at
+  * 100 TB the open/footer round-trips are the scan bill. Pairs with
+  * [[ZOrder.layout]]: z-ordering makes the per-file boxes tight on
+  * every interleaved dimension, the index makes the skipping happen
+  * without a table format.
+  *
+  * Staleness is the classic trap of external stats, so [[MinMaxIndex.scan]]
+  * REFUSES to serve a directory whose file set drifted from the
+  * indexed one (new files would be silently skipped — a wrong answer,
+  * not a slow one; deleted files mean a rewrite the stats no longer
+  * describe). Fold new files in with [[MinMaxIndex.updated]] (the
+  * `update-index --kind minmax` path); rewrites rebuild.
+  *
+  * Flat directories only (the [[ZOrder.layout]] / plain `write.parquet`
+  * shape): reading a pruned file subset bypasses partition-column
+  * discovery, so hive-partitioned layouts should index each leaf or
+  * use their partition values directly.
+  */
+object DataSkipping {
+
+  /** `stats`: one row per data file — `file`, `rows`, and `lo_<c>` /
+    * `hi_<c>` (double) per indexed column.
+    */
+  final case class MinMaxIndex(stats: DataFrame) {
+    /** Indexed column names, recovered from the stats schema. */
+    def cols: Seq[String] =
+      stats.columns.filter(_.startsWith("lo_")).map(_.stripPrefix("lo_")).toSeq
+
+    def save(path: String): Unit =
+      IndexArtifact.save(path, Map("stats" -> stats))
+
+    /** Stats for files present in `dataPath` but not yet indexed,
+      * unioned in — the nightly-append refresh. Touches only the new
+      * files' rows; rewrites/deletions need a rebuild (and [[scan]]
+      * refuses to serve them either way).
+      */
+    def updated(spark: SparkSession, dataPath: String): MinMaxIndex = {
+      val have = indexedFiles(stats).map(normalize)
+      val fresh = listDataFiles(spark, dataPath).filterNot(f => have(normalize(f)))
+      if (fresh.isEmpty) this
+      else MinMaxIndex(stats.unionByName(
+        statsOf(spark.read.parquet(fresh: _*), cols)).localCheckpoint(true))
+    }
+
+    /** Files whose stats box intersects every `(col, lo, hi)` range
+      * (inclusive bounds). Metadata-scale: the collect is one row per
+      * file, never data rows.
+      */
+    def prunedFiles(ranges: Seq[(String, Double, Double)]): Seq[String] = {
+      val known = cols.toSet
+      ranges.foreach { case (c, _, _) =>
+        require(known(c),
+          s"column '$c' is not indexed (has: ${known.mkString(", ")}) — " +
+            "a range on an unindexed column cannot prune and would scan everything")
+      }
+      val kept = ranges.foldLeft(stats) { case (df, (c, lo, hi)) =>
+        df.where(col(s"lo_$c") <= hi && col(s"hi_$c") >= lo)
+      }
+      kept.select("file").collect().map(_.getString(0)).toSeq
+    }
+
+    /** Pruned exact range scan of `dataPath`: read only intersecting
+      * files, apply the exact predicate as the residual. Refuses a
+      * stale index loudly (see object scaladoc). Returns the data
+      * schema even when every file prunes away.
+      */
+    def scan(spark: SparkSession, dataPath: String,
+             ranges: Seq[(String, Double, Double)]): DataFrame = {
+      val onDisk = listDataFiles(spark, dataPath).map(normalize).toSet
+      val indexed = indexedFiles(stats).map(normalize)
+      val missing = onDisk -- indexed
+      val gone = indexed -- onDisk
+      require(missing.isEmpty && gone.isEmpty,
+        s"minmax index is stale for $dataPath: ${missing.size} unindexed " +
+          s"file(s), ${gone.size} indexed file(s) no longer present — " +
+          "fold appends in with update-index --kind minmax, rebuild after rewrites")
+      val files = prunedFiles(ranges)
+      val base =
+        if (files.isEmpty) // keep the schema without reading data rows
+          spark.read.parquet(dataPath).where(lit(false))
+        else spark.read.parquet(files: _*)
+      ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
+        df.where(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
+      }
+    }
+  }
+
+  object MinMaxIndex {
+    def load(spark: SparkSession, path: String): MinMaxIndex =
+      MinMaxIndex(IndexArtifact.frame(spark, path, "stats"))
+  }
+
+  /** Build the index in one distributed scan of `dataPath`. */
+  def buildMinMaxIndex(spark: SparkSession, dataPath: String,
+                       cols: Seq[String]): MinMaxIndex = {
+    require(cols.nonEmpty, "--cols: minmax needs at least one column")
+    val df = spark.read.parquet(dataPath)
+    cols.foreach { c =>
+      require(df.columns.contains(c),
+        s"column '$c' not in $dataPath (has: ${df.columns.mkString(", ")})")
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"minmax column '$c' must be numeric, got ${df.schema(c).dataType}")
+    }
+    // eager: a lazy stats plan would re-list the directory on every
+    // action, silently absorbing files appended AFTER the build — the
+    // stats must describe the file set as of build time (that is what
+    // the staleness check verifies against), so pin them now
+    MinMaxIndex(statsOf(df, cols).localCheckpoint(true))
+  }
+
+  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("rows") +:
+      cols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c")))
+    // input_file_name() spells local files `file:///x` when the dir was
+    // read whole but `file:/x` when files were listed explicitly (the
+    // updated() fold path) — same URI, different text. Store ONE
+    // spelling so an incremental fold is byte-equal to a rebuild.
+    df.groupBy(regexp_replace(input_file_name(), "^file:///", "file:/").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def indexedFiles(stats: DataFrame): Set[String] =
+    stats.select("file").collect().map(_.getString(0)).toSet
+
+  /** `input_file_name()` emits `file:///x` where the Hadoop listing
+    * gives `file:/x` — equivalent URIs, different text. Compare on the
+    * scheme-normalized path component.
+    */
+  private def normalize(uri: String): String =
+    new org.apache.hadoop.fs.Path(uri).toUri.getPath
+
+  /** Data files under `dataPath` in `input_file_name()` form (URI),
+    * resolved through the Hadoop FS API so any supported filesystem
+    * works — not just local paths.
+    */
+  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getLen > 0)
+      .map(_.getPath.toUri.toString)
+      .filterNot { n =>
+        val base = n.substring(n.lastIndexOf('/') + 1)
+        base.startsWith("_") || base.startsWith(".")
+      }
+  }
+}

@@ -1941,4 +1941,93 @@ object AnalyticsQueries {
         max(col("i_end") - col("i_start")).as("longest_ms"))
       .orderBy("user_id")
   }
+
+  /** Z-order layout algebra, census arm: rank (l_partkey, l_suppkey)
+    * linearly to 8 bits each, interleave to a 16-bit Morton value
+    * ([[graft.operators.ZOrder]] — pure bit-algebra columns, codegen,
+    * stats computed in-plan and broadcast back, nothing on the
+    * driver), and report the per-cell census at the 4+4-bit prefix
+    * level (256 cells): row count, the min/max box each cell owns in
+    * ORIGINAL coordinates, and the revenue it carries. The min/max box
+    * is the point: after `ZOrder.layout` each FILE owns a contiguous
+    * z-range, so this census is exactly the footer-stats tightness a
+    * pruning reader sees — each cell spans ~1/16 of EACH dimension,
+    * where a linear sort gives 1/256 of one dimension and 100% of the
+    * other. The DuckDB oracle replays the full rank + interleave bit
+    * algebra, pinning it exactly.
+    */
+  def zorderCells(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val li = pq(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    ZOrder.withZValue(li, Seq("l_partkey", "l_suppkey"), bits = 8)
+      .withColumn("cell", shiftright(col("_z"), 8))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
+        min("l_suppkey").as("sk_lo"), max("l_suppkey").as("sk_hi"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .orderBy("cell")
+  }
+
+  /** Z-order layout algebra, pruning arm: a two-dimensional box
+    * predicate (the middle [25%, 50%) of BOTH key ranges) evaluated
+    * the way a z-ordered reader evaluates it — first a coarse CELL
+    * filter (deinterleave the 8-bit cell id back to per-dimension
+    * 4-bit coordinates and bound each against the box corners' cell
+    * coordinates; monotonicity of the linear rank makes this lossless)
+    * and only then the exact value residual. The oracle applies the
+    * exact predicate DIRECTLY, so a hash match proves the prune drops
+    * no qualifying row — the losslessness contract file-level skipping
+    * rests on. Box bounds derive from the in-plan stats (25%/50% of
+    * [lo, hi]), so the gate is scale-free across SFs. Effectiveness
+    * (the cell filter alone passes ~10% of rows, and `ZOrder.layout`
+    * files are skipped on BOTH dimensions) is measured in ZOrderSpec
+    * and tools/ZOrderAb, not here.
+    */
+  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val li = pq(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val stats = li.agg(
+      min(col("l_partkey")).cast(DoubleType).as("plo"),
+      max(col("l_partkey")).cast(DoubleType).as("phi"),
+      min(col("l_suppkey")).cast(DoubleType).as("slo"),
+      max(col("l_suppkey")).cast(DoubleType).as("shi"))
+    val j = li.crossJoin(broadcast(stats))
+    val pv = col("l_partkey").cast(DoubleType)
+    val sv = col("l_suppkey").cast(DoubleType)
+    // box corners in value space — same arithmetic shape as the oracle
+    val bplo = col("plo") + (col("phi") - col("plo")) * lit(0.25)
+    val bphi = col("plo") + (col("phi") - col("plo")) * lit(0.5)
+    val bslo = col("slo") + (col("shi") - col("slo")) * lit(0.25)
+    val bshi = col("slo") + (col("shi") - col("slo")) * lit(0.5)
+    // Ranks materialize as columns before the interleave (janino
+    // method-size: see ZOrder.withZValue). The coarse prune bounds each
+    // dimension's 4-bit cell COORDINATE against the box corners' cells.
+    // `deinterleave(cell, i, 2, 4) == rank_i >> 4` by construction
+    // (pinned in ZOrderSpec), and the rank-prefix form keeps the
+    // pushed-down predicate tiny — predicate pushdown substitutes alias
+    // trees wholesale, so routing the filter through the interleaved
+    // cell would inline the full Morton tree once per bound and blow
+    // the generated method past janino's limit (interpreted fallback).
+    val pruned = j
+      .withColumn("_ra", ZOrder.linearRank(pv, col("plo"), col("phi"), 8))
+      .withColumn("_rb", ZOrder.linearRank(sv, col("slo"), col("shi"), 8))
+      .where(shiftright(col("_ra"), 4).between(
+          shiftright(ZOrder.linearRank(bplo, col("plo"), col("phi"), 8), 4),
+          shiftright(ZOrder.linearRank(bphi, col("plo"), col("phi"), 8), 4))
+        && shiftright(col("_rb"), 4).between(
+          shiftright(ZOrder.linearRank(bslo, col("slo"), col("shi"), 8), 4),
+          shiftright(ZOrder.linearRank(bshi, col("slo"), col("shi"), 8), 4)))
+      .withColumn("cell",
+        shiftright(ZOrder.interleave(Seq(col("_ra"), col("_rb")), 8), 8))
+    // exact residual — the oracle states ONLY this predicate
+    pruned
+      .where(pv >= bplo && pv < bphi && sv >= bslo && sv < bshi)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .orderBy("cell")
+  }
 }

@@ -279,9 +279,12 @@ class PlanSpec extends SparkSuite {
     // weight normalizer) over the collected source-scale LocalRelation
     // e_trend_types: the global (min, max) time-bounds 1-row aggregate
     // broadcast into the event scan — same class as the W1 anchor
+    // q_zorder_cells / q_zorder_prune: the per-column (min, max) rank
+    // stats — ONE row broadcast into the lineitem scan, same class
     val allowed = Set("q_semi_anti", "g_window_period_from_first", "s_cosine_expr",
       "t_ngram_lm", "t_lm_probe", "p_dsir_sample", "q11_value_stock", "q22_dormant",
-      "t_kl_drift", "t_bm25", "t_ppl_bucket", "p_doremi_weights", "e_trend_types")
+      "t_kl_drift", "t_bm25", "t_ppl_bucket", "p_doremi_weights", "e_trend_types",
+      "q_zorder_cells", "q_zorder_prune")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -533,6 +536,9 @@ class PlanSpec extends SparkSuite {
       // q_range_join (round 12): routed through IntervalJoin.containsCount
       // — the counts↔orders join-back is gone, one exchange remains
       "q_order_ranks" -> 1, "q_price_deciles" -> 1, "q_range_join" -> 1,
+      // z-order gates: the 1-row stats broadcast adds no hash exchange;
+      // one aggregate exchange on the cell census each
+      "q_zorder_cells" -> 1, "q_zorder_prune" -> 1,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
       "q_first_order" -> 1,
       "q_top_orders_per_customer" -> 1, "q_topk_partial" -> 1,

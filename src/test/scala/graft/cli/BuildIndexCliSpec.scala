@@ -847,5 +847,16 @@ class BuildIndexCliSpec extends SparkSuite {
     Main.buildIndexCmd(spark, Map("kind" -> "ivf",
       "in" -> s"${graft.SparkSuite.sf0001}/embeddings.parquet", "out" -> ivfOut))
     assert(frames(ivfOut) == Set("centroids", "vectors"))
+    // minmax builds from any flat parquet dir and needs --cols
+    val mmOut = tmpDir("cli-minmax-index")
+    Main.buildIndexCmd(spark, Map("kind" -> "minmax",
+      "in" -> s"${graft.SparkSuite.sf0001}/lineitem.parquet", "out" -> mmOut,
+      "cols" -> "l_partkey"))
+    assert(frames(mmOut) == Set("stats"))
+    intercept[IllegalArgumentException] { // --cols is mandatory
+      Main.buildIndexCmd(spark, Map("kind" -> "minmax",
+        "in" -> s"${graft.SparkSuite.sf0001}/lineitem.parquet",
+        "out" -> tmpDir("cli-minmax-bad")))
+    }
   }
 }
