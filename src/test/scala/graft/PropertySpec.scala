@@ -112,4 +112,46 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("ZOrder interleave/deinterleave: reference equality, inversion, prefix identity over random widths") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.ZOrder
+    import spark.implicits._
+    def ref(ranks: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (i <- ranks.indices; k <- 0 until bits)
+        z |= ((ranks(i) >> k) & 1L) << (k * ranks.size + i)
+      z
+    }
+    (1 to 30).foreach { trial =>
+      val n = 1 + rnd.nextInt(4)            // 1..4 dimensions
+      val bits = 1 + rnd.nextInt(63 / n)    // any width that fits a long
+      val drop = rnd.nextInt(bits)          // prefix-cell coarsening
+      val rows = Seq.fill(80)(Seq.fill(n)(
+        // & MaxValue, not abs: abs(MinValue) is negative
+        if (bits == 63) rnd.nextLong() & Long.MaxValue
+        else (rnd.nextLong() & Long.MaxValue) % (1L << bits)))
+      val df = rows.map(r => (r.head, r.lift(1).getOrElse(0L),
+          r.lift(2).getOrElse(0L), r.lift(3).getOrElse(0L)))
+        .toDF("a", "b", "c", "d")
+      val ranks = Seq("a", "b", "c", "d").take(n).map(col)
+      val out = df.withColumn("z", ZOrder.interleave(ranks, bits))
+      val checked = (0 until n).foldLeft(out) { (d, i) =>
+        d.withColumn(s"back_$i", ZOrder.deinterleave(col("z"), i, n, bits))
+          .withColumn(s"cell_$i",
+            ZOrder.deinterleave(shiftright(col("z"), n * drop), i, n, bits - drop))
+      }.collect()
+      checked.zip(rows).foreach { case (row, in) =>
+        assert(row.getAs[Long]("z") == ref(in, bits),
+          s"trial $trial n=$n bits=$bits: interleave != reference")
+        (0 until n).foreach { i =>
+          assert(row.getAs[Long](s"back_$i") == in(i),
+            s"trial $trial n=$n bits=$bits dim $i: deinterleave not inverse")
+          // the identity q_zorder_prune's rank-prefix filter rests on
+          assert(row.getAs[Long](s"cell_$i") == (in(i) >> drop),
+            s"trial $trial n=$n bits=$bits drop=$drop dim $i: prefix identity broken")
+        }
+      }
+    }
+  }
 }

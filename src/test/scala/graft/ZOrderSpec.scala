@@ -157,6 +157,43 @@ class ZOrderSpec extends SparkSuite {
       s"a suppkey-only band must skip files too (touched $bandTouched/${boxes.length})")
   }
 
+  test("z-order gates execute without codegen fallback") {
+    // The trap this whole file designs around: Catalyst inlines alias
+    // trees into every reference (CollapseProject for cheap producers,
+    // predicate pushdown unconditionally), so a Morton tree referenced
+    // per-term blows janino's method limit and Spark silently falls
+    // back to interpreted evaluation — correct answers, ~10x slower.
+    // Guard: run both gates with an appender on the codegen logger and
+    // require zero compile failures.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender(
+        "zorder-codegen-guard", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLoggerName.endsWith("CodeGenerator")
+            && e.getLevel.isMoreSpecificThan(Level.ERROR))
+          captured.add(e.getMessage.getFormattedMessage.take(120))
+    }
+    app.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(app, Level.ERROR, null)
+    ctx.updateLoggers()
+    try {
+      AnalyticsQueries.zorderCells(spark, sf).count()
+      AnalyticsQueries.zorderPrune(spark, sf).count()
+    } finally {
+      root.removeAppender("zorder-codegen-guard")
+      ctx.updateLoggers()
+      app.stop()
+    }
+    assert(captured.isEmpty,
+      s"codegen fell back to interpreted: ${captured.peek()}")
+  }
+
   test("non-numeric and over-wide configurations are rejected loudly") {
     val df = Seq(("a", 1L)).toDF("s", "v")
     intercept[IllegalArgumentException] {
