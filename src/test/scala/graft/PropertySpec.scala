@@ -117,12 +117,7 @@ class PropertySpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     import graft.operators.ZOrder
     import spark.implicits._
-    def ref(ranks: Seq[Long], bits: Int): Long = {
-      var z = 0L
-      for (i <- ranks.indices; k <- 0 until bits)
-        z |= ((ranks(i) >> k) & 1L) << (k * ranks.size + i)
-      z
-    }
+    def ref(ranks: Seq[Long], bits: Int): Long = MortonRef.interleave(ranks, bits)
     (1 to 30).foreach { trial =>
       val n = 1 + rnd.nextInt(4)            // 1..4 dimensions
       val bits = 1 + rnd.nextInt(63 / n)    // any width that fits a long

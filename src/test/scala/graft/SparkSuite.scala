@@ -36,3 +36,16 @@ abstract class SparkSuite extends AnyFunSuite {
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 }
+
+/** Driver-side reference for the Morton bit mapping (z-bit `k * n + i`
+  * carries bit `k` of rank `i`) — the single oracle both ZOrderSpec and
+  * PropertySpec assert [[graft.operators.ZOrder.interleave]] against.
+  */
+object MortonRef {
+  def interleave(ranks: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    for (i <- ranks.indices; k <- 0 until bits)
+      z |= ((ranks(i) >> k) & 1L) << (k * ranks.size + i)
+    z
+  }
+}
