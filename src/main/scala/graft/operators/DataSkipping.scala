@@ -61,10 +61,13 @@ object DataSkipping {
       */
     def prunedFiles(ranges: Seq[(String, Double, Double)]): Seq[String] = {
       val known = cols.toSet
-      ranges.foreach { case (c, _, _) =>
+      ranges.foreach { case (c, lo, hi) =>
         require(known(c),
           s"column '$c' is not indexed (has: ${known.mkString(", ")}) — " +
             "a range on an unindexed column cannot prune and would scan everything")
+        require(lo <= hi,
+          s"range on '$c' is inverted ($lo > $hi) — it matches nothing; " +
+            "swap the bounds if a window was meant")
       }
       val kept = ranges.foldLeft(stats) { case (df, (c, lo, hi)) =>
         df.where(col(s"lo_$c") <= hi && col(s"hi_$c") >= lo)

@@ -57,6 +57,9 @@ class DataSkippingSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       index.prunedFiles(Seq(("l_orderkey", 0.0, 1.0)))
     }
+    intercept[IllegalArgumentException] { // inverted bounds match nothing
+      index.prunedFiles(Seq(("l_partkey", 10.0, 5.0)))
+    }
     intercept[IllegalArgumentException] {
       DataSkipping.buildMinMaxIndex(spark, dataDir, Seq("l_returnflag"))
     }
