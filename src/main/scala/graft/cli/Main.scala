@@ -1017,7 +1017,8 @@ object Main {
     val fracs = cols.map { c =>
       val range = g.getAs[Double](s"_hi_$c") - g.getAs[Double](s"_lo_$c")
       val f = if (range <= 0) 0.0 else spans.getAs[Double](s"_span_$c") / range
-      f"$c=${f}%.3f"
+      // Locale.ROOT so the parsed report stays dot-decimal everywhere
+      s"$c=${String.format(java.util.Locale.ROOT, "%.3f", Double.box(f))}"
     }
     (out, s"(${spans.getAs[Long]("files")} files, mean file-span fraction ${fracs.mkString(" ")})")
   }
@@ -1110,6 +1111,12 @@ object Main {
     }
     val rawL = spark.read.parquet(leftIn)
     val r = spark.read.parquet(rightIn)
+    // --report is a DRY RUN (price a width, run nothing); letting the
+    // --stream branch win would consume input files and advance the
+    // checkpoint — exactly what the user asked not to do
+    require(!(o.contains("report") && o.contains("stream")),
+      "--report prices a bucket width without running the join; " +
+        "--stream runs it — drop one of the two flags")
     if (o.contains("stream")) {
       // streaming shape: BOTH sides live — interval dimension writes
       // (watermarked on interval START) and point facts consumed as
@@ -1169,11 +1176,15 @@ object Main {
       val repE = o.getOrElse("right-end", throw new IllegalArgumentException(
         "--report needs --right-start/--right-end"))
       val rep = IntervalJoin.bucketReport(rawL, r, keys, lS, lE, repS, repE, bucket)
-      println(f"""{"bucket_ms":${rep.bucketMs},"adaptive_ms":${rep.adaptiveMs},""" +
-        f""""left_replication":${rep.leftReplication}%.2f,""" +
-        f""""right_replication":${rep.rightReplication}%.2f,""" +
-        f""""candidate_pairs":${rep.candidatePairs},""" +
-        f""""recommend_adaptive":${rep.recommendAdaptive}}""")
+      // Locale.ROOT: the f-interpolator formats %.2f with the JVM
+      // default locale, and a comma-decimal locale (de_DE, tr_TR)
+      // would make the report line invalid JSON
+      def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      println(s"""{"bucket_ms":${rep.bucketMs},"adaptive_ms":${rep.adaptiveMs},""" +
+        s""""left_replication":${d2(rep.leftReplication)},""" +
+        s""""right_replication":${d2(rep.rightReplication)},""" +
+        s""""candidate_pairs":${rep.candidatePairs},""" +
+        s""""recommend_adaptive":${rep.recommendAdaptive}}""")
       return ("(report)", rep.candidatePairs)
     }
     // the count APIs group by every left column, so fully-duplicate left

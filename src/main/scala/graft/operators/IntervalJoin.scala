@@ -80,10 +80,14 @@ object IntervalJoin {
   private def requireNumeric(df: org.apache.spark.sql.DataFrame,
       c: String, what: String): Unit = {
     require(df.columns.contains(c), s"$what column '$c' not in ${df.columns.mkString(",")}")
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
     val dt = df.schema(c).dataType
+    // DECIMAL(p, 0) is integer-valued — CAST AS LONG is exact, so the
+    // bucket-grid argument against fractional types does not apply;
+    // rejecting it would break valid DB/Hive-ingested epoch columns
     val integral = dt == ByteType || dt == ShortType ||
-      dt == IntegerType || dt == LongType
+      dt == IntegerType || dt == LongType ||
+      (dt match { case d: DecimalType => d.scale == 0; case _ => false })
     require(integral,
       s"$what column '$c' must be an integral epoch value, got ${dt.simpleString} " +
         "— cast TIMESTAMP/DATE via unix_millis, scale fractional values " +
@@ -130,10 +134,13 @@ object IntervalJoin {
       recommendAdaptive: Boolean)
 
   /** Diagnostic twin of the width heuristic — the detect half that
-    * makes a PINNED `bucketMs` auditable before a 100 TB run: one
-    * metadata-scale pass (keys + endpoints only, payloads never move)
-    * prices a width as (replication per side, exact candidate-pair
-    * count). Too-small buckets inflate replication; too-large buckets
+    * makes a PINNED `bucketMs` auditable before a 100 TB run. Cost:
+    * payloads never move — each side is scanned for its persisted
+    * (keys, bucket, count) slot frame plus once for its row count, and
+    * the width stats pass scans the endpoint columns; everything after
+    * that (totals, the candidate join) runs over the slot-scale
+    * frames. The report prices a width as (replication per side,
+    * exact candidate-pair count). Too-small buckets inflate replication; too-large buckets
     * collapse a key's intervals into few buckets and the candidate
     * count degenerates toward the per-key cartesian — the all-day-
     * sessions-in-one-day-bucket failure. `recommendAdaptive` fires
@@ -152,6 +159,14 @@ object IntervalJoin {
     requireNumeric(left, leftEnd, "left end")
     requireNumeric(right, rightStart, "right start")
     requireNumeric(right, rightEnd, "right end")
+    // same reserved-namespace rule as the operator itself: the slot
+    // frames introduce __ij_b and __ij_n, and a key column shadowing
+    // either would mis-bind the aggregates below
+    (keys.flatMap(k => Seq(k._1, k._2)) ++
+        Seq(leftStart, leftEnd, rightStart, rightEnd)).foreach { c =>
+      require(c != "__ij_b" && c != "__ij_n",
+        "__ij_b/__ij_n are reserved internal column names")
+    }
     val adaptive = adaptiveBucketMs(
       left, leftStart, leftEnd, right, rightStart, rightEnd)
     val b = bucketMs.getOrElse(adaptive)
@@ -162,11 +177,18 @@ object IntervalJoin {
         greatest(expr(s"CAST($s AS LONG) div $b"),
           expr(s"(CAST($e AS LONG) - 1) div $b")))).as("__ij_b")): _*)
       .groupBy((ks.map(col) :+ col("__ij_b")): _*)
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("__ij_n"))
+    // each slot frame feeds TWO consumers (its rows total and the
+    // candidate join), and its lineage rescans the raw input — persist
+    // so the report costs one pass per side plus the slot-scale join,
+    // not a fresh input scan per consumer
     val lSlots = slots(left, keys.map(_._1), leftStart, leftEnd)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rSlots = slots(right, keys.map(_._2), rightStart, rightEnd)
-    val lAgg = lSlots.agg(sum("n").as("rows")).head()
-    val rAgg = rSlots.agg(sum("n").as("rows")).head()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val lAgg = lSlots.agg(sum("__ij_n").as("rows")).head()
+    val rAgg = rSlots.agg(sum("__ij_n").as("rows")).head()
     val lRows = if (lAgg.isNullAt(0)) 0L else lAgg.getLong(0)
     val rRows = if (rAgg.isNullAt(0)) 0L else rAgg.getLong(0)
     val nLeft = left.count()
@@ -176,7 +198,7 @@ object IntervalJoin {
     val joinCond = keys.map { case (lk, rk) => lSlots(lk) === rSlots(rk) }
       .foldLeft(lSlots("__ij_b") === rSlots("__ij_b"))(_ && _)
     val candRow = lSlots.as("ls").join(rSlots.as("rs"), joinCond)
-      .agg(sum(col("ls.n") * col("rs.n")).as("cand")).head()
+      .agg(sum(col("ls.__ij_n") * col("rs.__ij_n")).as("cand")).head()
     val cand = if (candRow.isNullAt(0)) 0L else candRow.getLong(0)
     val report = BucketReport(
       bucketMs = b,
@@ -194,6 +216,7 @@ object IntervalJoin {
         f"${report.leftReplication}%.1fx/${report.rightReplication}%.1fx, " +
         s"$cand candidate pairs — consider bucketMs = None")
     report
+    } finally { lSlots.unpersist(); rSlots.unpersist() }
   }
 
   /** The matched PAIRS, each exactly once: all left columns plus all

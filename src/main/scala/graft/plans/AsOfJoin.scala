@@ -583,9 +583,11 @@ object AsOfJoin {
     * with the recommended bucket count when one key crosses
     * `hotShareThreshold`, and logs the decision loudly either way.
     * Semantics are exactly [[join]]'s in both routes (the salted form
-    * preserves each key's full right timeline). Explicit
-    * `broadcast = Some(true)` is honored without detection — the
-    * broadcast exec has no per-key task serialization to fix.
+    * preserves each key's full right timeline). There is no broadcast
+    * override here: a right side under the broadcast threshold plans
+    * the broadcast exec through [[join]] regardless, and that exec has
+    * no per-key task serialization for salting to fix — detection only
+    * ever redirects the merge path.
     */
   def joinSkewAware(
       direction: AsOfDirection,
@@ -619,6 +621,21 @@ object AsOfJoin {
       saltOn: Seq[Column]): (DataFrame, SkewReport) = {
     require(leftKeys.nonEmpty,
       "keyless as-of always broadcasts — skew routing applies to the merge path")
+    // a broadcast-eligible right side never reaches the merge exec
+    // (join() plans the broadcast-index path, whose left pays no
+    // exchange and no sort), so a hot LEFT key is a non-problem there —
+    // salting it would force the strictly worse merge shape. Route
+    // straight to join() without paying the detection sample.
+    val bcThresh =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    if (bcThresh > 0 &&
+        right.queryExecution.optimizedPlan.stats.sizeInBytes <= bcThresh) {
+      log.info("as-of join: right side under the broadcast threshold — " +
+        "broadcast path, skew detection skipped (nothing to salt)")
+      return (join(direction, left, right, leftKeys, rightKeys, leftTime,
+        rightTime, rightTiebreak, toleranceMs),
+        SkewReport(0L, 0.0, recommendSalting = false, recommendedBuckets = 1))
+    }
     val report = detectSkew(left, leftKeys, sampleFraction, hotShareThreshold)
     if (report.recommendSalting) {
       log.warn(

@@ -3730,7 +3730,22 @@ object TextQueries {
           struct(col("id2").as("doc_id"), lit(2).as("side")))).as("s"))
       .select(col("id1"), col("id2"), col("jaccard"),
         col("s.doc_id").as("doc_id"), col("s.side").as("side"))
-    bits.join(broadcast(sides), "doc_id")
+      // localCheckpoint: materialize the probe set ONCE and cut its
+      // lineage, so the count below and the join read the same blocks
+      // without recomputing the prefix-filtered pair pipeline (and the
+      // gate's plan stays the 6-exchange shape the ledger pins — a
+      // persist would print the cached build plan inside the tree)
+      .localCheckpoint(true)
+    // The broadcast hint is mandatory only while the "pairs are
+    // output-scale" premise holds; a pathological un-pre-deduped corpus
+    // (the same scenario maxDriverPairs guards in the collect paths)
+    // makes the probe set corpus-scale, and a forced broadcast would
+    // then hit the size cap or the driver instead of degrading. Count
+    // the materialized frame (metadata-cheap) and fall back to the
+    // stats-driven join above the family's cap.
+    val sidesJoin =
+      if (sides.count() <= maxDriverPairs) broadcast(sides) else sides
+    bits.join(sidesJoin, "doc_id")
       .groupBy("id1", "id2", "jaccard", "i")
       .agg(max(when(col("side") === 1, col("bit"))).as("b1"),
         max(when(col("side") === 2, col("bit"))).as("b2"))

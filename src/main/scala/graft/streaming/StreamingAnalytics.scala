@@ -1165,9 +1165,14 @@ object StreamingAnalytics {
     graft.operators.IntervalJoin.requireIntegral(right, rightStart, "right start")
     graft.operators.IntervalJoin.requireIntegral(right, rightEnd, "right end")
     // loud per-row guard: an interval longer than maxLenMs would break
-    // the state-eviction bound and silently lose matches
+    // the state-eviction bound and silently lose matches. NULL
+    // endpoints are DROPPED first, matching the batch operator (whose
+    // bucket explode discards them) — routing a null into the guard's
+    // otherwise-branch would raise instead, and in a stream that is a
+    // poison pill: the uncommitted batch replays the same file forever.
     def guardLen(df: DataFrame, s: String, e: String, side: String): DataFrame =
-      df.withColumn(s, when(col(e).cast("long") - col(s).cast("long") <= maxLenMs, col(s))
+      df.where(col(s).isNotNull && col(e).isNotNull)
+        .withColumn(s, when(col(e).cast("long") - col(s).cast("long") <= maxLenMs, col(s))
         .otherwise(raise_error(concat(
           lit(s"$side interval longer than maxLenMs=$maxLenMs: start="),
           col(s).cast("string"), lit(" end="), col(e).cast("string")))))
@@ -1176,14 +1181,23 @@ object StreamingAnalytics {
     val r2 = clashes.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"right_$c"))
     def rn(c: String) = if (clashes(c)) s"right_$c" else c
     val (rS, rE) = (rn(rightStart), rn(rightEnd))
-    val l = guardLen(left, leftStart, leftEnd, "left")
+    // keyless: Spark rejects a stream-stream join with no equality
+    // predicate, so match on a synthesized constant key (the same
+    // device streamingIntervalContains and the keyless streaming as-of
+    // use) — the range conditions still bound the state
+    val keyless = keys.isEmpty
+    val l0 = if (keyless) left.withColumn("__ij_lk", lit(0)) else left
+    val r0 = if (keyless) r2.withColumn("__ij_rk", lit(0)) else r2
+    val l = guardLen(l0, leftStart, leftEnd, "left")
       .withColumn("__l_time", timestamp_millis(col(leftStart).cast("long")))
       .withWatermark("__l_time", watermark)
-    val r = guardLen(r2, rS, rE, "right")
+    val r = guardLen(r0, rS, rE, "right")
       .withColumn("__r_time", timestamp_millis(col(rS).cast("long")))
       .withWatermark("__r_time", watermark)
-    val keyPred = keys.map { case (lk, rk) => l(lk) === r(rn(rk)) }
-      .foldLeft(lit(true))(_ && _)
+    val keyPred =
+      if (keyless) l("__ij_lk") === r("__ij_rk")
+      else keys.map { case (lk, rk) => l(lk) === r(rn(rk)) }
+        .reduce(_ && _)
     val pred = keyPred &&
       // watermark-column bounds — what lets the state store evict:
       // rStart < lEnd <= lStart + maxLen and symmetrically
@@ -1194,7 +1208,7 @@ object StreamingAnalytics {
       r(rS).cast("long") < l(leftEnd).cast("long") &&
       l(leftStart).cast("long") < l(leftEnd).cast("long") &&
       r(rS).cast("long") < r(rE).cast("long")
-    l.join(r, pred).drop("__l_time", "__r_time")
+    l.join(r, pred).drop("__l_time", "__r_time", "__ij_lk", "__ij_rk")
   }
 
   /** Streaming twin of the generic point-in-interval join
@@ -1265,15 +1279,20 @@ object StreamingAnalytics {
     // union row: key fields, event time (interval -> START, point -> p),
     // side (0 = interval sorts before 1 = point at equal time: the
     // inclusive start <= p bound), normalized (s, e) for intervals, and
-    // each side's payload struct
-    val i2 = intervals.select(iKeyCols ++ Seq(
+    // each side's payload struct. NULL endpoints/points are dropped
+    // first — the batch operator discards them, and here they would
+    // reach the stateful op's primitive getters as nulls (NPE, which
+    // in a stream is a poison pill, not one bad row)
+    val intervalsNn = intervals.where(col(start).isNotNull && col(end).isNotNull)
+    val pointsNn = points.where(col(pointCol).isNotNull)
+    val i2 = intervalsNn.select(iKeyCols ++ Seq(
       col(start).cast(LongType).as("_t"),
       lit(0).as("_side"),
       col(start).cast(LongType).as("_s"),
       col(end).cast(LongType).as("_e"),
       struct(intervals.columns.map(col).toIndexedSeq: _*).as("_i"),
       lit(null).cast(pSchema).as("_p")): _*)
-    val p2 = points.select(pKeyCols ++ Seq(
+    val p2 = pointsNn.select(pKeyCols ++ Seq(
       col(pointCol).cast(LongType).as("_t"),
       lit(1).as("_side"),
       lit(0L).as("_s"),

@@ -84,13 +84,19 @@ object ReplayBufferAb {
       spark.stop()
       val name = provider.map(_ => "rocksdb").getOrElse("hdfs-default")
       val depths = (1 to batches).map(_ * rowsPerBatch)
-      f""""$name":{"per_batch_s":[${perBatch.map(t => f"$t%.3f").mkString(",")}],
+      // Locale.ROOT: comma-decimal JVM locales would break the JSON
+      def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      s""""$name":{"per_batch_s":[${perBatch.map(d3).mkString(",")}],
          |"depths":[${depths.mkString(",")}],
-         |"drain_s":$drain%.3f}""".stripMargin.replaceAll("\n", "")
+         |"drain_s":${d3(drain)}}""".stripMargin.replaceAll("\n", "")
     }
 
-    val lines = (1 to reps).flatMap { _ =>
-      Seq(run(None), run(Some(RocksDB)))
+    // rep index in the key: reps > 1 would otherwise emit duplicate
+    // "hdfs-default"/"rocksdb" keys in one object, and standard JSON
+    // parsers silently keep only the LAST rep
+    val lines = (1 to reps).flatMap { rep =>
+      val tag = if (reps == 1) "" else s"_rep$rep"
+      Seq(run(None), run(Some(RocksDB))).map(_.replaceFirst("\":", s"$tag\":"))
     }
     println(lines.mkString("{", ",",
       s""","batches":$batches,"rows_per_batch":$rowsPerBatch}"""))

@@ -415,34 +415,51 @@ class AsOfJoinSpec extends SparkSuite {
       (rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong, i.toLong))
     val l = lRows.toDF("k", "t", "lid")
     val r = rRows.toDF("k", "rt", "rid")
-    val (routed, report) = AsOfJoin.joinSkewAwareWithReport(
+    // a broadcast-eligible right short-circuits skew routing entirely —
+    // the broadcast exec has no per-key serialization for salting to
+    // fix, so a small dimension must NEVER be salted (that would force
+    // the strictly worse merge shape)
+    val (bcRouted, bcReport) = AsOfJoin.joinSkewAwareWithReport(
       graft.plans.AsOfDirection.Backward, l, r,
       Seq(l("k")), Seq(r("k")), l("t"), r("rt"), Seq(r("rid")),
       toleranceMs = None, sampleFraction = 1.0,
       hotShareThreshold = AsOfJoin.defaultHotShareThreshold, saltOn = Nil)
-    assert(report.recommendSalting, s"hot fixture must route salted: $report")
-    // structural proof the salted plan was actually taken
-    val exLines = routed.queryExecution.executedPlan.toString.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exLines.length == 2 && exLines.forall(_.contains("__asof_salt")),
-      s"skew route must salt both exchanges:\n${exLines.mkString("\n")}")
-    val want = AsOfJoin.backward(l, r, Seq(l("k")), Seq(r("k")),
-      l("t"), r("rt"), Seq(r("rid")), broadcast = Some(false))
-      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
-    val got = routed
-      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
-    assert(got == want, "skew routing must never change the answer")
-    // uniform keys take the plain merge: no salt columns anywhere
-    val uniL = (0 until 2000).map(i => (i % 50L, rnd.nextInt(5000).toLong, i.toLong))
-      .toDF("k", "t", "lid")
-    val (plain, uniReport) = AsOfJoin.joinSkewAwareWithReport(
-      graft.plans.AsOfDirection.Backward, uniL, r,
-      Seq(uniL("k")), Seq(r("k")), uniL("t"), r("rt"), Seq(r("rid")),
-      toleranceMs = None, sampleFraction = 1.0,
-      hotShareThreshold = AsOfJoin.defaultHotShareThreshold, saltOn = Nil)
-    assert(!uniReport.recommendSalting)
-    assert(!plain.queryExecution.executedPlan.toString.contains("__asof_salt"),
-      "uniform route must not pay the salted replication")
+    assert(!bcReport.recommendSalting && bcReport.sampledRows == 0L,
+      s"broadcast-eligible right must skip detection: $bcReport")
+    assert(!bcRouted.queryExecution.executedPlan.toString.contains("__asof_salt"))
+    // the merge-path routing itself, exercised with broadcast disabled
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (routed, report) = AsOfJoin.joinSkewAwareWithReport(
+        graft.plans.AsOfDirection.Backward, l, r,
+        Seq(l("k")), Seq(r("k")), l("t"), r("rt"), Seq(r("rid")),
+        toleranceMs = None, sampleFraction = 1.0,
+        hotShareThreshold = AsOfJoin.defaultHotShareThreshold, saltOn = Nil)
+      assert(report.recommendSalting, s"hot fixture must route salted: $report")
+      // structural proof the salted plan was actually taken
+      val exLines = routed.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exLines.length == 2 && exLines.forall(_.contains("__asof_salt")),
+        s"skew route must salt both exchanges:\n${exLines.mkString("\n")}")
+      val want = AsOfJoin.backward(l, r, Seq(l("k")), Seq(r("k")),
+        l("t"), r("rt"), Seq(r("rid")), broadcast = Some(false))
+        .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+      val got = routed
+        .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+      assert(got == want, "skew routing must never change the answer")
+      // uniform keys take the plain merge: no salt columns anywhere
+      val uniL = (0 until 2000).map(i => (i % 50L, rnd.nextInt(5000).toLong, i.toLong))
+        .toDF("k", "t", "lid")
+      val (plain, uniReport) = AsOfJoin.joinSkewAwareWithReport(
+        graft.plans.AsOfDirection.Backward, uniL, r,
+        Seq(uniL("k")), Seq(r("k")), uniL("t"), r("rt"), Seq(r("rid")),
+        toleranceMs = None, sampleFraction = 1.0,
+        hotShareThreshold = AsOfJoin.defaultHotShareThreshold, saltOn = Nil)
+      assert(!uniReport.recommendSalting)
+      assert(!plain.queryExecution.executedPlan.toString.contains("__asof_salt"),
+        "uniform route must not pay the salted replication")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
   test("guards: key type mismatch and shared-lineage inputs fail loudly") {

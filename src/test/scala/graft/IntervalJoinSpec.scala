@@ -233,6 +233,37 @@ class IntervalJoinSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
 
+  test("DECIMAL(p,0) epochs are integral (accepted); fractional decimals stay rejected") {
+    // CAST(decimal(p,0) AS LONG) is exact, so the bucket-grid argument
+    // against fractional endpoints does not apply at scale 0 — DB/Hive
+    // ingest commonly lands epoch columns as DECIMAL(18,0)
+    val lDec = lDF.select(col("k"),
+      col("ls").cast("decimal(18,0)").as("ls"),
+      col("le").cast("decimal(18,0)").as("le"), col("lid"))
+    val got = IntervalJoin.overlap(lDec, rDF, Seq("k" -> "rk"),
+        "ls", "le", "rs", "re", bucketMs = Some(16L))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == brutePairs(keyed = true),
+      "decimal(18,0) endpoints must join identically to longs")
+    val lFrac = lDF.select(col("k"),
+      col("ls").cast("decimal(18,2)").as("ls"), col("le"), col("lid"))
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.overlap(lFrac, rDF, Seq("k" -> "rk"),
+        "ls", "le", "rs", "re", bucketMs = Some(16L))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("bucketReport guards its reserved names like the operator does") {
+    val lN = lDF.withColumnRenamed("k", "__ij_n")
+    val rN = rDF.withColumnRenamed("rk", "__ij_n")
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.bucketReport(lN, rN, Seq("__ij_n" -> "__ij_n"),
+        "ls", "le", "rs", "re", bucketMs = Some(16L))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("plan shape: equi-join with residual — a hash/merge join, never a cross product") {
     val plan = IntervalJoin.overlap(lDF, rDF, Seq("k" -> "rk"),
       "ls", "le", "rs", "re", bucketMs = Some(16L))

@@ -1226,6 +1226,83 @@ class StreamingAnalyticsSpec extends SparkSuite {
       s"missing: ${want -- got.toSet}\nextra: ${got.toSet -- want}")
   }
 
+  test("streaming interval-overlap: null endpoints drop (batch parity), keyless matches on overlap alone") {
+    implicit val ctx = spark.sqlContext
+    // null endpoints must be DROPPED like the batch operator drops
+    // them — routed into the length guard they would raise, and in a
+    // stream that is a poison pill (the uncommitted batch replays the
+    // same rows forever)
+    val lMem = MemoryStream[(Long, Option[Long], Option[Long], Long)]
+    val rMem = MemoryStream[(Long, Option[Long], Option[Long], Long)]
+    val joined = StreamingAnalytics.streamingIntervalOverlapJoin(
+      lMem.toDF().toDF("k", "s", "e", "lid"),
+      rMem.toDF().toDF("rk", "rs", "re", "rid"),
+      Seq("k" -> "rk"), "s", "e", "rs", "re", maxLenMs = 60000L)
+    val q = joined.writeStream.format("memory").queryName("siov_null")
+      .outputMode("append").start()
+    lMem.addData(
+      (1L, Some(h0), Some(h0 + 30000L), 1L),
+      (1L, None, Some(h0 + 30000L), 2L),     // null start
+      (1L, Some(h0), None, 3L))              // null end
+    rMem.addData(
+      (1L, Some(h0 + 1000L), Some(h0 + 2000L), 10L),
+      (1L, None, None, 11L))
+    q.processAllAvailable()                  // must not throw
+    val got = spark.table("siov_null").select("lid", "rid")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, 10L)),
+      s"only the non-null pair may match, got $got")
+    // keyless: Spark rejects stream-stream joins with no equality
+    // predicate, so the twin synthesizes a constant key — overlap
+    // must match ACROSS what would otherwise be different keys
+    val l2 = MemoryStream[(Long, Long, Long)]
+    val r2 = MemoryStream[(Long, Long, Long)]
+    val j2 = StreamingAnalytics.streamingIntervalOverlapJoin(
+      l2.toDF().toDF("s", "e", "lid"),
+      r2.toDF().toDF("rs", "re", "rid"),
+      keys = Nil, "s", "e", "rs", "re", maxLenMs = 60000L)
+    assert(j2.columns.toSeq == Seq("s", "e", "lid", "rs", "re", "rid"))
+    val q2 = j2.writeStream.format("memory").queryName("siov_keyless")
+      .outputMode("append").start()
+    l2.addData((h0, h0 + 30000L, 1L), (h0 + 50000L, h0 + 55000L, 2L))
+    r2.addData((h0 + 10000L, h0 + 20000L, 10L), (h0 + 200000L, h0 + 210000L, 11L))
+    q2.processAllAvailable()
+    val got2 = spark.table("siov_keyless").select("lid", "rid")
+      .as[(Long, Long)].collect().toSet
+    q2.stop()
+    assert(got2 == Set((1L, 10L)), s"keyless overlap diverged: $got2")
+  }
+
+  test("streaming interval-contains: null interval endpoints and null points drop, not NPE") {
+    implicit val ctx = spark.sqlContext
+    val ivMem = MemoryStream[(Long, Option[Long], Option[Long], Long)]
+    val ptMem = MemoryStream[(Long, Option[Long], Long)]
+    val joined = StreamingAnalytics.streamingIntervalContains(
+      ivMem.toDF().toDF("k", "s", "e", "iid"),
+      ptMem.toDF().toDF("pk", "p", "pid"),
+      Seq("k" -> "pk"), "s", "e", "p", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("sic_null")
+      .outputMode("append").start()
+    ivMem.addData(
+      (1L, Some(h0), Some(h0 + 60000L), 1L),
+      (1L, None, Some(h0 + 60000L), 2L),
+      (1L, Some(h0), None, 3L))
+    ptMem.addData((1L, Some(h0 + 1000L), 10L), (1L, None, 11L))
+    q.processAllAvailable()                  // must not throw (NPE poison)
+    // flush the watermark so the buffered point emits
+    val flushT = h0 + 1000L * 3600000L
+    (0 until 2).foreach { j =>
+      ivMem.addData((99L, Some(flushT + j), Some(flushT + j + 1), 999L))
+      ptMem.addData((99L, Some(flushT + j), 999L))
+      q.processAllAvailable()
+    }
+    val got = spark.table("sic_null").select("iid", "pid")
+      .as[(Long, Long)].collect().filter(_._1 != 999L).toSet
+    q.stop()
+    assert(got == Set((1L, 10L)), s"only the non-null pair may match: $got")
+  }
+
   test("streaming interval-overlap join: over-long intervals raise, zero maxLen rejected") {
     implicit val ctx = spark.sqlContext
     val lMem = MemoryStream[(Long, Long, Long, Long)]

@@ -705,6 +705,14 @@ class BuildIndexCliSpec extends SparkSuite {
     // slots at width 8 for the fixture: candidates = sum |L|x|R| per slot
     assert(repCand > 0, s"report must count candidate pressure, got $repCand")
     assert(!new java.io.File(s"$dir/unused").exists, "--report must not write output")
+    // --report + --stream: the dry-run flag must never lose to the
+    // branch that consumes files and advances a checkpoint
+    val dryVsRun = intercept[IllegalArgumentException] {
+      Main.intervalJoinCmd(spark, base ++ Map(
+        "bucket-ms" -> "8", "report" -> "true", "stream" -> "true",
+        "checkpoint" -> s"$dir/ck-dry", "out" -> s"$dir/unused2"))
+    }
+    assert(dryVsRun.getMessage.contains("drop one of the two flags"))
     // the streaming overlap shape demands an explicit state bound
     val needMaxLen = intercept[IllegalArgumentException] {
       Main.intervalJoinCmd(spark, base ++ Map(
