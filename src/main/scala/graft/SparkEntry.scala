@@ -223,7 +223,9 @@ object SparkEntry {
     "s_hybrid_rrf" -> (SimilarityQueries.hybridRrf _),
     "s_ann_filtered" -> (SimilarityQueries.annFiltered _),
     "q_zorder_cells" -> (AnalyticsQueries.zorderCells _),
-    "q_zorder_prune" -> (AnalyticsQueries.zorderPrune _)
+    "q_zorder_prune" -> (AnalyticsQueries.zorderPrune _),
+    "e_rolling_distinct" -> (SketchQueries.rollingDistinct _),
+    "t_overlap_sketch" -> (SketchQueries.sourceOverlapSketch _)
   )
 
   /** Morton-interleave bit algebra as SQL: bit `k` of rank column
@@ -967,6 +969,23 @@ object SparkEntry {
           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
           |       CAST(1 AS BIGINT) AS within_5pct
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      // e_rolling_distinct: same verdict-gate shape — the oracle
+      // replays the EXACT trailing-7-day distinct (windows anchored on
+      // days present in the data) and pins the sketch-vs-exact verdict
+      // as a literal 1; the per-day-HLL-union estimate itself is
+      // engine-specific and stays spec-gated in SketchSpec.
+      "e_rolling_distinct" ->
+        """WITH du AS (
+          |  SELECT DISTINCT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+          |         user_id
+          |  FROM events),
+          |days AS (SELECT DISTINCT day_ms FROM du)
+          |SELECT d.day_ms,
+          |       CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact,
+          |       CAST(1 AS BIGINT) AS within_5pct
+          |FROM days d
+          |JOIN du u ON u.day_ms BETWEEN d.day_ms - 6 * 86400000 AND d.day_ms
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "e_approx_quantiles" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           |       CAST(1 AS BIGINT) AS p50_ok,
@@ -3471,6 +3490,26 @@ object SparkEntry {
           |SELECT src_a, src_b, n_shared, pa.n AS n_grams_a, pb.n AS n_grams_b,
           |       round(CAST(n_shared AS DOUBLE) /
           |             CAST(pa.n + pb.n - n_shared AS DOUBLE), 6) AS jaccard
+          |FROM iv JOIN ps pa ON pa.source = iv.src_a
+          |        JOIN ps pb ON pb.source = iv.src_b
+          |ORDER BY src_a, src_b""".stripMargin,
+      // t_overlap_sketch: the exact pair/count replay of
+      // t_source_overlap (same gram definition, same omit-zero-shared
+      // contract) with the HLL inclusion–exclusion verdict pinned as a
+      // literal 1 — a red row means the sketch intersection left its
+      // 5%-of-union envelope, not hash noise. Raw IE accuracy on
+      // planted-overlap fixtures is asserted in SketchSpec.
+      "t_overlap_sketch" ->
+        """WITH toks AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
+          |g AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |      FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+          |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+          |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+          |              CAST(count(*) AS BIGINT) AS n_shared
+          |       FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+          |       GROUP BY 1, 2)
+          |SELECT src_a, src_b, n_shared, pa.n AS n_grams_a, pb.n AS n_grams_b,
+          |       CAST(1 AS BIGINT) AS within_env
           |FROM iv JOIN ps pa ON pa.source = iv.src_a
           |        JOIN ps pb ON pb.source = iv.src_b
           |ORDER BY src_a, src_b""".stripMargin,

@@ -25,12 +25,22 @@ import java.time.temporal.ChronoUnit
   *                  [--slice ...] [--gzip] [--topic <name>]
   *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
-  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax
+  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll
   *               --in <documents|embeddings parquet; any flat parquet dir for minmax>
   *               --out <dir> [--cols a,b  (minmax only: numeric columns to box)]
+  *               (hll: per-source HyperLogLog gram sketches — kilobytes
+  *               per source, mergeable, feeds the `overlap` verb)
   *   update-index --kind <same kinds> --in <NEW batch parquet> --index <existing dir>
   *                --out <new dir>   (incremental refresh; batch ids must be new;
-  *                minmax: --in is the GROWN data dir, only unindexed files fold in)
+  *                minmax: --in is the GROWN data dir, only unindexed files fold in;
+  *                hll: sketches union per source WITHOUT re-scanning the
+  *                indexed corpus — gram sketches are set-semantics but
+  *                n_docs is additive, so do not re-ingest the same docs)
+  *   overlap --in <batch documents parquet> --index <hll artifact> --out <parquet>
+  *           (per indexed source: inclusion–exclusion estimate of how many
+  *           of the batch's distinct word-3-grams that source already
+  *           holds — contamination triage from kilobyte sketches, the
+  *           indexed corpus is never read)
   *   scan --in <data dir> --index <minmax artifact> --where col:lo:hi[,col2:lo:hi]
   *        --out <parquet>
   *        (pruned exact range scan: reads only files whose minmax box
@@ -592,6 +602,21 @@ object Main {
       val spark = session(cfg)
       val (out, n, removed) = scrubCmd(spark, o)
       println(s"scrub: $n docs written to $out, $removed tokens removed")
+      spark.stop()
+
+    case "overlap" :: rest =>
+      // The ingest-side consumer of the hll artifact: estimate how much
+      // of a new batch's content each indexed source already holds —
+      // inclusion–exclusion over kilobyte sketches, the indexed corpus
+      // is never read. Batch-scale work only (one sketch pass over the
+      // batch), source-count-scale output.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, n) =
+        try overlapCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"overlap: $n sources probed -> $out")
       spark.stop()
 
     case cmd :: _ => die(s"unknown command '$cmd'")
@@ -1274,7 +1299,7 @@ object Main {
   private[cli] def buildIndexCmd(
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.TextQueries
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll is required"))
     val in = o.getOrElse("in", die("--in <documents parquet> is required"))
     val out = o.getOrElse("out", die("--out <dir> is required"))
     val corpus = spark.read.parquet(in)
@@ -1285,6 +1310,8 @@ object Main {
       case "drift" => TextQueries.buildTermDistribution(corpus).save(out)
       case "winnow" => TextQueries.buildWinnowIndex(corpus).save(out)
       case "scrub" => TextQueries.buildScrubIndex(corpus).save(out)
+      // per-source HLL gram sketches: kilobytes per source, mergeable
+      case "hll" => graft.queries.SketchQueries.buildHllIndex(corpus).save(out)
       // --in points at an embeddings parquet (vec_id, embedding); the
       // vectors frame lands hive-partitioned by cell so probes prune files
       case "ivf" => graft.queries.SimilarityQueries.buildIvfIndex(corpus).save(out)
@@ -1297,9 +1324,27 @@ object Main {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         graft.operators.DataSkipping.buildMinMaxIndex(spark, in, cols).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll)")
     }
     (kind, out, corpus.count())
+  }
+
+  /** `overlap` body, session-injected so specs drive it: sketch the
+    * incoming batch once, estimate `|batch ∩ source|` per indexed
+    * source by inclusion–exclusion against the stored kilobyte
+    * sketches. The contamination-triage question ("how much of today's
+    * crawl is already in which slice?") answered without reading the
+    * indexed corpus. */
+  private[cli] def overlapCmd(
+      spark: SparkSession, o: Map[String, String]): (String, Long) = {
+    val in = o.getOrElse("in", die("--in <batch documents parquet> is required"))
+    val idx = o.getOrElse("index", die("--index <hll artifact dir> is required"))
+    val out = o.getOrElse("out", die("--out <parquet> is required"))
+    val res = graft.queries.SketchQueries.HllIndex.load(spark, idx)
+      .probe(spark.read.parquet(in))
+    // source-count-scale rows — one file reads back fastest
+    res.coalesce(1).write.mode("overwrite").parquet(out)
+    (out, spark.read.parquet(out).count())
   }
 
   /** `update-index` body: fold a NEW batch into an existing artifact
@@ -1318,7 +1363,7 @@ object Main {
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.{IndexArtifact, SimilarityQueries, TextQueries}
     import org.apache.spark.sql.functions.col
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|hll is required"))
     val in = o.getOrElse("in", die("--in <batch parquet> is required"))
     val idx = o.getOrElse("index", die("--index <existing artifact dir> is required"))
     val out = o.getOrElse("out", die("--out <new artifact dir> is required"))
@@ -1357,6 +1402,13 @@ object Main {
         TextQueries.WinnowIndex.load(spark, idx).updated(batch).save(out)
       case "scrub" =>
         TextQueries.ScrubIndex.load(spark, idx).updated(batch).save(out)
+      // like drift, count-grain: the artifact keeps no doc ids to check
+      // disjointness against — gram sketches are set-semantics (safe to
+      // re-add), but n_docs is additive, so the no-re-ingest
+      // precondition is on the CALLER here
+      case "hll" =>
+        graft.queries.SketchQueries.HllIndex.load(spark, idx)
+          .updated(batch).save(out)
       case "ivf" =>
         requireDisjoint("vectors", "vec_id")
         SimilarityQueries.IvfIndex.load(spark, idx).updated(batch).save(out)
@@ -1366,7 +1418,7 @@ object Main {
         graft.operators.DataSkipping.MinMaxIndex.load(spark, idx)
           .updated(spark, in).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll)")
     }
     // the ivf path drops zero-norm batch vectors during frozen-centroid
     // assignment, so "grew by n" must report the index's actual vectors

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Mergeable-sketch surface: HyperLogLog (DataSketches HLL via Spark's
+  * native `hll_sketch_agg` / `hll_union` family) as a FIRST-CLASS
+  * artifact rather than a per-query convenience.
+  *
+  * Why this is its own family: at 100 TB the expensive thing about
+  * `count(DISTINCT x)` is not the counting, it is the re-scanning.
+  * Every rolling window, every source pair, every "and how many after
+  * today's batch?" re-shuffles the raw keys. A mergeable sketch inverts
+  * the cost: ONE corpus-scale pass builds kilobyte summaries at some
+  * grain (day, source, shard), and every downstream question — rolling
+  * distinct, pairwise overlap, incremental refresh — is algebra over
+  * those summaries, touching data proportional to the GRAIN COUNT, not
+  * the corpus. Sketch union is closed and lossless at the register
+  * level, so summaries can be persisted and re-merged across days
+  * ([[HllIndex]]).
+  *
+  * Determinism contract — WEAKER than Spark's own
+  * `approx_count_distinct` (order-free dense HLL++): DataSketches HLL
+  * estimates through the HIP (Historical Inverse Probability)
+  * accumulator, which is insertion- and merge-ORDER SENSITIVE, so the
+  * same multiset can estimate sub-percent differently under different
+  * partitionings (SketchSpec measures ~0.7% spread at 50k and BOUNDS
+  * it). That is why every driver-facing gate here outputs the group
+  * keys, the EXACT anchors, and integer accuracy verdicts the oracle
+  * pins as literal 1s — a 5% envelope over sub-percent wobble keeps
+  * the hash stable while still catching real register corruption; raw
+  * estimates stay spec-gated.
+  */
+object SketchQueries {
+
+  /** lgConfigK for every sketch this module builds: 2^14 registers ≈
+    * 0.8% relative standard error, 16 KiB worst-case per sketch — small
+    * enough that a year of daily sketches broadcasts, accurate enough
+    * that inclusion–exclusion intersections stay inside a 5%-of-union
+    * envelope. One constant everywhere: `hll_union` rejects mixed-lgK
+    * inputs unless told otherwise, and silent precision downgrades are
+    * exactly the kind of drift an index that lives across nightly runs
+    * must not have. */
+  val LgK = 14
+
+  private val DayMs = 86400000L
+
+  private def pq(spark: SparkSession, dir: String, t: String): DataFrame =
+    graft.model.Tables.pq(spark, dir, t)
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** `|approx − exact| · 20 ≤ max(exact, slack)` — the integer
+    * cross-multiplied 5%-of-`rel` envelope (±`slack`/20 absolute slack
+    * on tiny groups), the same shape `e_approx_distinct` gates with. */
+  private def within5pct(approx: Column, exact: Column, rel: Column,
+      slack: Long = 20L): Column =
+    (abs(approx - exact) * 20 <= greatest(rel, lit(slack))).cast(LongType)
+
+  /** Trailing 7-day distinct users per day, the sketch way: one
+    * corpus-scale aggregate folds events into PER-DAY HLL sketches
+    * (map-side partials carry registers, never user ids), then each
+    * day's sketch is replicated to the ≤ 7 windows it serves — a
+    * day-count-scale explode of kilobyte rows — and `hll_union_agg`
+    * merges each window's ≤ 7 sketches. Total post-scan work is
+    * O(days × 7 × 16 KiB) whatever the event count; the exact
+    * formulation re-shuffles the (day, user) universe once per window
+    * width and must hold each window's full user set to count it.
+    *
+    * The exact anchor below exists to make the gate checkable (the
+    * driver hashes exact counts + verdicts, estimates are
+    * engine-specific); production runs the sketch branch alone.
+    * Windows are anchored on days that EXIST in the data (join back to
+    * the day table), so a silent empty day shows up as a smaller
+    * rolling count, never as a phantom row.
+    */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(expr(s"((ts div 1000000) div $DayMs) * $DayMs").as("day_ms"),
+        col("user_id"))
+    // sketch branch: the corpus touches this ONE aggregate; the result
+    // is day-count-scale kilobytes, persisted so the day anchor, the
+    // window estimates, and the final join all reuse it instead of
+    // re-scanning events (column pruning would otherwise rewrite each
+    // derived frame into its own scan)
+    val perDay = ev.groupBy("day_ms")
+      .agg(hll_sketch_agg(col("user_id"), lit(LgK)).as("sk"))
+      .persist()
+    val days = perDay.select(col("day_ms").as("target_day"))
+    def toWindows(df: DataFrame): DataFrame = df
+      .withColumn("target_day",
+        explode(sequence(col("day_ms"), col("day_ms") + lit(6 * DayMs),
+          lit(DayMs))))
+      .drop("day_ms")
+      .join(broadcast(days), "target_day")
+    val est = toWindows(perDay)
+      .groupBy("target_day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+    // exact anchor (gate-only): distinct (day, user) pairs, re-keyed to
+    // the windows they serve — the cost the sketch branch avoids
+    val exact = toWindows(ev.distinct())
+      .groupBy("target_day")
+      .agg(countDistinct("user_id").as("n_exact"))
+    graft.operators.CacheRelease.afterConsumer(perDay)
+    exact.join(broadcast(est), "target_day")
+      .select(col("target_day").as("day_ms"), col("n_exact"),
+        within5pct(col("n_est"), col("n_exact"), col("n_exact"))
+          .as("within_5pct"))
+      .orderBy("day_ms")
+  }
+
+  /** Per-source distinct word-3-gram sketches over `documents` — the
+    * reusable half of [[sourceOverlapSketch]] and the build step of the
+    * `hll` index kind. One distinct (source, gram) pass (the SAME first
+    * aggregate the exact [[TextQueries.sourceOverlap]] pays), folded to
+    * one 16 KiB sketch + one exact gram count per source. */
+  def sourceGramSketches(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("source"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+      .distinct()
+      .groupBy("source")
+      .agg(hll_sketch_agg(col("g"), lit(LgK)).as("sk"),
+        count(lit(1)).as("n_grams"))
+
+  /** Inter-source content overlap via sketch inclusion–exclusion:
+    * `|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)`, with the union estimated
+    * by `hll_union` of the two PER-SOURCE sketches. The exact
+    * [[TextQueries.sourceOverlap]] must carry every gram's source set
+    * across an exchange; this variant's pair stage touches only
+    * |sources|² sketch rows — per-source sketches broadcast onto the
+    * pair list twice, and the vocabulary never crosses an exchange a
+    * second time. At 100 TB the pair list itself comes from the
+    * metadata-scale source catalog; here it rides the exact pair table
+    * because the gate needs exact `n_shared` anyway (pairs sharing zero
+    * grams stay omitted, matching the exact operator's contract).
+    *
+    * IE intersections are differences of three estimates, so their
+    * error scales with the UNION, not the intersection — the verdict
+    * envelope is 5% of the exact union (`na + nb − n_shared`), which at
+    * lgK=14 (≈0.8% rsd per estimate) leaves ≥ 2× headroom while still
+    * catching any real register corruption. SketchSpec asserts the
+    * tighter raw accuracy on planted-overlap fixtures.
+    */
+  def sourceOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    // ONE distinct (source, gram) pass feeds both the exact pair anchor
+    // and the per-source sketches — persisted so the corpus scans once
+    // (vocab-scale rows, the same exchange output both aggregates need).
+    // Column order (g, source) is deliberately NOT the exact operator's
+    // (source, g): a sameResult fragment would let the cache manager
+    // substitute this persisted-but-unmaterialized frame into
+    // t_source_overlap's plan when both queries are PLANNED in one
+    // session (the PlanSpec sweeps), silently changing that query's
+    // recorded shape
+    val g = docs(spark, dir)
+      .select(
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"),
+        col("source"))
+      .distinct()
+      .persist()
+    // exact pair table (gate anchor): per-gram source sets exploded to
+    // strict upper-triangle pair increments — pairs with zero shared
+    // grams omitted, matching the exact operator's contract
+    val pairs = g
+      .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(col("ss")).as("src_a"), col("ss"))
+      .select(col("src_a"), explode(col("ss")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("cnt"))
+    // per-source totals AND sketches from ONE aggregate over the shared
+    // gram table (the exact operator needs its diagonal trick because it
+    // has no second per-source pass; here the sketch build IS that pass)
+    val perSrc = g.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_agg(col("g"), lit(LgK)).as("sk"))
+    graft.operators.CacheRelease.afterConsumer(g)
+    pairs
+      .join(broadcast(perSrc.select(col("source").as("src_a"),
+        col("n").as("na"), col("sk").as("sk_a"))), "src_a")
+      .join(broadcast(perSrc.select(col("source").as("src_b"),
+        col("n").as("nb"), col("sk").as("sk_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("cnt").as("n_shared"),
+        col("na").as("n_grams_a"), col("nb").as("n_grams_b"),
+        within5pct(
+          hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+            - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))),
+          col("cnt"),
+          col("na") + col("nb") - col("cnt")).as("within_env"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Durable per-source HLL sketch artifact — the `hll` index kind.
+    * One row per source: the gram sketch, the exact-at-build gram
+    * count, and the doc count. Nightly lifecycle like every other
+    * [[IndexArtifact]]: the build job pays one corpus pass, ingest-side
+    * probes answer cardinality and batch-vs-corpus overlap questions
+    * from kilobytes. [[updated]] is the whole point of choosing a
+    * mergeable sketch: folding a batch in unions registers per source —
+    * the indexed corpus is NEVER re-scanned, and estimates agree with a
+    * full rebuild's to within the sketch's merge-order wobble
+    * (sub-percent HIP drift; SketchSpec bounds it at 1% + 2).
+    *
+    * `n_grams` after [[updated]] becomes the sketch ESTIMATE for
+    * sources the batch touched (the exact count would need the old
+    * corpus back); `exact_grams` flags which rows still carry exact
+    * counts so a probe can tell anchor from estimate.
+    */
+  final case class HllIndex(sketches: DataFrame) {
+    def save(path: String): Unit =
+      IndexArtifact.save(path, Map("sketches" -> sketches))
+
+    /** Fold a new batch in: union batch rows per source, re-estimate
+      * counts for touched sources. Old-corpus rows pass through the
+      * same aggregate (union of one sketch is itself), so the merged
+      * frame stays one row per source. */
+    def updated(batch: DataFrame): HllIndex = {
+      val b = buildHllIndex(batch)
+      val merged = sketches.unionByName(b.sketches)
+        .groupBy("source")
+        .agg(hll_union_agg(col("sk")).as("sk"),
+          max("n_grams").as("n_grams_in"),
+          sum("n_docs").as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          min("exact_grams").as("exact_in"))
+        .select(col("source"), col("sk"),
+          // untouched sources (one input row) keep their stored count —
+          // exact rows stay exact; touched sources re-estimate from the
+          // merged registers (the exact merged count would need the old
+          // corpus back)
+          when(col("n_rows") === 1, col("n_grams_in"))
+            .otherwise(hll_sketch_estimate(col("sk")).cast(LongType))
+            .as("n_grams"),
+          col("n_docs"),
+          (col("n_rows") === 1 && col("exact_in") === 1L)
+            .cast(LongType).as("exact_grams"))
+      HllIndex(merged)
+    }
+
+    /** Batch-vs-corpus overlap probe: sketch the incoming batch once,
+      * then estimate per indexed source `|batch ∩ source|` by
+      * inclusion–exclusion — the ingest-time "how much of today's crawl
+      * is already in which slice?" question, answered without touching
+      * the indexed corpus. Output is source-count-scale. */
+    def probe(batch: DataFrame): DataFrame = {
+      val bs = sourceGramSketches(batch.withColumn("source", lit("__batch")))
+        .select(col("sk").as("sk_b"), col("n_grams").as("n_batch"))
+      sketches
+        .crossJoin(broadcast(bs))
+        .select(col("source"), col("n_grams"), col("n_docs"), col("n_batch"),
+          greatest(lit(0L),
+            (hll_sketch_estimate(col("sk")) + hll_sketch_estimate(col("sk_b"))
+              - hll_sketch_estimate(hll_union(col("sk"), col("sk_b"))))
+              .cast(LongType)).as("n_shared_est"))
+        .orderBy("source")
+    }
+  }
+
+  object HllIndex {
+    def load(spark: SparkSession, path: String): HllIndex =
+      HllIndex(IndexArtifact.frame(spark, path, "sketches"))
+  }
+
+  def buildHllIndex(corpus: DataFrame): HllIndex = {
+    val nDocs = corpus.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    HllIndex(sourceGramSketches(corpus)
+      .join(nDocs, "source")
+      .select(col("source"), col("sk"), col("n_grams"), col("n_docs"),
+        lit(1L).as("exact_grams")))
+  }
+}

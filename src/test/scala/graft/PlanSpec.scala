@@ -699,7 +699,17 @@ class PlanSpec extends SparkSuite {
       // fusion join, and the fused top-5 window
       "s_hybrid_rrf" -> 5,
       // broadcast-query label-filtered scoring pass + one top-5 window
-      "s_ann_filtered" -> 1)
+      "s_ann_filtered" -> 1,
+      // static count; at runtime the persisted day-scale sketch frame
+      // computes once, so the executed exchanges are 5: per-day sketch
+      // agg, (day,user) distinct, countDistinct's two phases, window
+      // union agg — the day-anchor broadcasts re-print its lineage here
+      "e_rolling_distinct" -> 7,
+      // static count over the persisted gram table's re-printed lineage;
+      // at runtime 4: gram distinct, per-gram source sets, pair agg,
+      // per-source (count, sketch) agg — both per-source broadcasts
+      // reuse the cache
+      "t_overlap_sketch" -> 7)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -840,6 +840,46 @@ class BuildIndexCliSpec extends SparkSuite {
       s"stream arm diverged from batch: $streamed vs $batch")
   }
 
+  test("hll kind: build, incremental update, and the overlap verb round-trip") {
+    import graft.queries.SketchQueries
+    val out = tmpDir("cli-hll-index")
+    corpus.write.mode("overwrite").parquet(s"$out-corpus")
+    batch.write.mode("overwrite").parquet(s"$out-batch")
+    Main.buildIndexCmd(spark,
+      Map("kind" -> "hll", "in" -> s"$out-corpus", "out" -> out))
+    // incremental update through the verb ≈ full rebuild (HIP
+    // merge-order wobble bounded at 1% + 2 — see SketchSpec)
+    val (_, upd, grown) = Main.updateIndexCmd(spark, Map("kind" -> "hll",
+      "in" -> s"$out-batch", "index" -> out, "out" -> s"$out-upd"))
+    assert(grown == batch.count())
+    def ests(ix: SketchQueries.HllIndex): Map[String, Long] = ix.sketches
+      .select(col("source"),
+        org.apache.spark.sql.functions.hll_sketch_estimate(col("sk")).cast("long"))
+      .as[(String, Long)].collect().toMap
+    val full = ests(SketchQueries.buildHllIndex(d))
+    val incr = ests(SketchQueries.HllIndex.load(spark, upd))
+    assert(full.keySet == incr.keySet)
+    full.foreach { case (s, fe) =>
+      assert(math.abs(fe - incr(s)) <= fe / 100 + 2, s"$s: $fe vs ${incr(s)}")
+    }
+    // the overlap verb: the src12 batch probed against the corpus-only
+    // index — src12 shares content with the corpus (the fixture's
+    // planted cross-source dups) but nothing should exceed the batch
+    // plus sketch noise
+    val probeOut = tmpDir("cli-hll-probe")
+    val (_, nProbed) = Main.overlapCmd(spark,
+      Map("in" -> s"$out-batch", "index" -> out, "out" -> probeOut))
+    val rows = spark.read.parquet(probeOut)
+      .select("source", "n_batch", "n_shared_est")
+      .as[(String, Long, Long)].collect()
+    assert(nProbed == rows.length && rows.nonEmpty)
+    assert(!rows.exists(_._1 == "src12"), "index was built without src12")
+    rows.foreach { case (s, nb, sh) =>
+      assert(sh >= 0 && sh <= (nb * 21) / 20 + 20,
+        s"$s: shared $sh outside [0, batch + noise] for batch $nb")
+    }
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
@@ -850,6 +890,7 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(frames(cmd("chunk")) == Set("fps"))
     assert(frames(cmd("winnow")) == Set("fps"))
     assert(frames(cmd("drift")) == Set("counts", "_meta"))
+    assert(frames(cmd("hll")) == Set("sketches"))
     // ivf builds from embeddings, not documents
     val ivfOut = tmpDir("cli-ivf-index")
     Main.buildIndexCmd(spark, Map("kind" -> "ivf",
