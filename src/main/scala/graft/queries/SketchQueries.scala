@@ -215,9 +215,23 @@ object SketchQueries {
       * counts for touched sources. Old-corpus rows pass through the
       * same aggregate (union of one sketch is itself), so the merged
       * frame stays one row per source. */
-    def updated(batch: DataFrame): HllIndex = {
-      val b = buildHllIndex(batch)
-      val merged = sketches.unionByName(b.sketches)
+    def updated(batch: DataFrame): HllIndex =
+      mergeRows(buildHllIndex(batch).sketches)
+
+    /** Fold already-built sketch rows (source, sk, n_docs) in — the
+      * lambda seam: a streaming job emits closed-window sketch rows
+      * ([[graft.streaming.StreamingAnalytics.streamingDistinctSketches]])
+      * and the nightly fold unions them here, so the live path and the
+      * durable artifact meet WITHOUT either side re-reading raw data.
+      * Counts arriving as sketches are estimates by construction
+      * (`exact_grams` = 0). */
+    def updatedFromSketches(rows: DataFrame): HllIndex =
+      mergeRows(rows.select(col("source"), col("sk"),
+        hll_sketch_estimate(col("sk")).cast(LongType).as("n_grams"),
+        col("n_docs"), lit(0L).as("exact_grams")))
+
+    private def mergeRows(rows: DataFrame): HllIndex = {
+      val merged = sketches.unionByName(rows)
         .groupBy("source")
         .agg(hll_union_agg(col("sk")).as("sk"),
           max("n_grams").as("n_grams_in"),

@@ -419,6 +419,48 @@ object StreamingAnalytics {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
 
+  /** Streaming twin of the mergeable-HLL family
+    * ([[graft.queries.SketchQueries]]): watermarked per-window
+    * cardinality sketches. Each (event-time window, key) group folds
+    * its ids into ONE HLL buffer held in the state store — fixed-size
+    * state per open window × key whatever the throughput, the property
+    * that makes streaming distinct-counting viable at all (exact
+    * distinct state grows with the id universe). Rows emit in APPEND
+    * mode once the watermark closes the window, carrying both the
+    * estimate (the live dashboard read) and the SKETCH ITSELF — closed
+    * windows are final, so the emitted rows are mergeable facts:
+    * roll 24 hourly rows into a daily cardinality with `hll_union_agg`
+    * without re-reading events, or fold them into the durable artifact
+    * via [[graft.queries.SketchQueries.HllIndex.updatedFromSketches]]
+    * (the lambda seam: live path and nightly index meet without either
+    * side touching raw data again).
+    *
+    * Out-of-order arrival within the watermark cannot change the SET a
+    * window sees, so the estimate matches the batch sketch over the
+    * same rows up to DataSketches' sub-percent HIP merge-order wobble
+    * (SketchSpec bounds it); the gate-style exact anchor lives in the
+    * spec, which pins shuffled-arrival estimates against batch exact
+    * counts.
+    */
+  def streamingDistinctSketches(
+      events: DataFrame,
+      idCol: String = "user_id",
+      keyCol: String = "event_type",
+      tsMsCol: String = "ts_ms",
+      windowDur: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("__ev_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("__ev_time", watermark)
+      .groupBy(window(col("__ev_time"), windowDur).as("w"), col(keyCol))
+      .agg(hll_sketch_agg(col(idCol),
+        lit(graft.queries.SketchQueries.LgK)).as("sk"))
+      .select(
+        unix_millis(col("w.start")).as("win_start_ms"),
+        col(keyCol),
+        hll_sketch_estimate(col("sk")).as("n_est"),
+        col("sk"))
+
   final case class ShardAssign(
       source: String, docId: Long, nb: Long, shardId: Long, shardOff: Long)
 

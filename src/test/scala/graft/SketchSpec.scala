@@ -174,6 +174,85 @@ class SketchSpec extends SparkSuite {
     assert(after(touched)._2 == 0L, "touched source must be flagged estimated")
   }
 
+  test("streaming distinct sketches: shuffled arrival matches batch exact; closed rows merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val hour = 3600000L
+    // 3 hourly windows × 2 keys; per-(window,key) id sets overlap across
+    // windows (rolling ids) so window unions are a real test of merging
+    val rows = for {
+      w <- 0 until 3; k <- Seq("click", "view"); i <- 0 until 500
+    } yield (w * hour + (i % 60) * 60000L,
+      (w * 150 + i % (200 + 50 * w) + (if (k == "click") 0 else 100000)).toLong,
+      k)
+    val shuffled = new scala.util.Random(42).shuffle(rows)
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamingAnalytics.streamingDistinctSketches(
+        mem.toDF().toDF("ts_ms", "user_id", "event_type"),
+        watermark = "6 hours")
+      .writeStream.format("memory").queryName("sds_sketch")
+      .outputMode("append").start()
+    // interleaved micro-batch slices of a globally shuffled feed — the
+    // window's SET is arrival-order free, so estimates must match the
+    // ordered batch build up to HIP wobble
+    shuffled.grouped(300).foreach { s => mem.addData(s); q.processAllAvailable() }
+    mem.addData((20L * hour, 1L, "click")) // far-future: closes all windows
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sds_sketch")
+      .select("win_start_ms", "event_type", "n_est", "sk")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Array[Byte]](3))).toMap
+    val exact = rows.groupBy(r => (r._1 / hour * hour, r._3))
+      .view.mapValues(_.map(_._2).toSet.size.toLong).toMap
+    assert(got.keySet.intersect(exact.keySet) == exact.keySet,
+      s"missing closed windows: ${exact.keySet -- got.keySet}")
+    exact.foreach { case (k, n) =>
+      val (est, _) = got(k)
+      assert(math.abs(est - n) * 20 <= math.max(n, 20),
+        s"$k: streaming estimate $est outside 5% of exact $n")
+    }
+    // closed rows are mergeable facts: roll the 3 hourly windows per key
+    // into a "daily" cardinality by sketch union, no event re-read
+    val daily = spark.table("sds_sketch")
+      .filter(col("win_start_ms") < 10L * hour)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    val dailyExact = rows.groupBy(_._3)
+      .view.mapValues(_.map(_._2).toSet.size.toLong).toMap
+    dailyExact.foreach { case (k, n) =>
+      assert(math.abs(daily(k) - n) * 20 <= math.max(n, 20),
+        s"$k: rolled-up estimate ${daily(k)} outside 5% of exact $n")
+    }
+  }
+
+  test("updatedFromSketches folds sketch rows like updated folds the raw batch") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val old = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val viaRaw = SketchQueries.buildHllIndex(old).updated(batch)
+    // the lambda seam: the same batch arriving as already-built sketch
+    // rows (what a streaming job emits) must fold to the same index,
+    // up to HIP wobble
+    val skRows = SketchQueries.sourceGramSketches(batch)
+      .join(batch.groupBy("source").count().withColumnRenamed("count", "n_docs"),
+        "source")
+      .select("source", "sk", "n_docs")
+    val viaSketches = SketchQueries.buildHllIndex(old).updatedFromSketches(skRows)
+    def snap(ix: SketchQueries.HllIndex): Map[String, (Long, Long)] = ix.sketches
+      .select(col("source"), hll_sketch_estimate(col("sk")).cast("long"),
+        col("n_docs"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (a, b) = (snap(viaRaw), snap(viaSketches))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (s, (ae, ad)) =>
+      val (be, bd) = b(s)
+      assert(math.abs(ae - be) <= ae / 100 + 2, s"$s: $ae vs $be")
+      assert(ad == bd, s"$s: doc counts diverge")
+    }
+  }
+
   test("hll index probe: a batch drawn from one source shows near-total containment there") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     val src = corpus.groupBy("source").count().orderBy(col("count").desc)
