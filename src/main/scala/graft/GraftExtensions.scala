@@ -81,5 +81,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "word_ngrams(text, n) requires a string column and an integer literal n")
       }))
+    // theta-sketch family: set-operation sketches (direct intersection
+    // estimates — the operation HLL inclusion–exclusion cannot do
+    // without union-scale error)
+    ext.injectFunction((
+      FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSketchAgg].getName,
+        "theta_sketch_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => graft.functions.ThetaSketchAgg(c)
+        case Seq(c, Literal(lgK: Int, IntegerType)) =>
+          graft.functions.ThetaSketchAgg(c, lgK)
+        case _ => throw new IllegalArgumentException(
+          "theta_sketch_agg(col[, lgK]) takes a column and an optional integer literal lgK")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[graft.functions.ThetaEstimate].getName,
+        "theta_estimate"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk) => graft.functions.ThetaEstimate(sk)
+        case _ => throw new IllegalArgumentException(
+          "theta_estimate(sketch) takes exactly 1 argument")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("theta_intersect_estimate"),
+      new ExpressionInfo(classOf[graft.functions.ThetaIntersectEstimate].getName,
+        "theta_intersect_estimate"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => graft.functions.ThetaIntersectEstimate(a, b)
+        case _ => throw new IllegalArgumentException(
+          "theta_intersect_estimate(a, b) takes exactly 2 arguments")
+      }))
   }
 }

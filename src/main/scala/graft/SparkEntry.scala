@@ -225,7 +225,8 @@ object SparkEntry {
     "q_zorder_cells" -> (AnalyticsQueries.zorderCells _),
     "q_zorder_prune" -> (AnalyticsQueries.zorderPrune _),
     "e_rolling_distinct" -> (SketchQueries.rollingDistinct _),
-    "t_overlap_sketch" -> (SketchQueries.sourceOverlapSketch _)
+    "t_overlap_sketch" -> (SketchQueries.sourceOverlapSketch _),
+    "t_overlap_theta" -> (SketchQueries.sourceOverlapTheta _)
   )
 
   /** Morton-interleave bit algebra as SQL: bit `k` of rank column
@@ -3499,6 +3500,24 @@ object SparkEntry {
       // literal 1 — a red row means the sketch intersection left its
       // 5%-of-union envelope, not hash noise. Raw IE accuracy on
       // planted-overlap fixtures is asserted in SketchSpec.
+      // t_overlap_theta: the same shape over word 4-GRAMS with theta
+      // sketches (direct Intersection, not inclusion–exclusion); its
+      // own exact 4-gram replay, verdict pinned as literal 1.
+      "t_overlap_theta" ->
+        """WITH toks AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
+          |g AS (SELECT DISTINCT source,
+          |             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+          |      FROM toks, UNNEST(generate_series(1, len(w)-3)) AS t(i)),
+          |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+          |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+          |              CAST(count(*) AS BIGINT) AS n_shared
+          |       FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+          |       GROUP BY 1, 2)
+          |SELECT src_a, src_b, n_shared, pa.n AS n_grams_a, pb.n AS n_grams_b,
+          |       CAST(1 AS BIGINT) AS within_env
+          |FROM iv JOIN ps pa ON pa.source = iv.src_a
+          |        JOIN ps pb ON pb.source = iv.src_b
+          |ORDER BY src_a, src_b""".stripMargin,
       "t_overlap_sketch" ->
         """WITH toks AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
           |g AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g

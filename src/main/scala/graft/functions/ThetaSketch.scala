@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{SetOperation, Sketch, Union}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Theta sketches (DataSketches KMV-style) as native Catalyst
+  * aggregates/expressions — the SET-OPERATION complement to the HLL
+  * family ([[graft.queries.SketchQueries]]).
+  *
+  * Why a second sketch kind: HLL answers |A| and |A ∪ B|, so an
+  * intersection can only be derived by inclusion–exclusion, whose error
+  * scales with the UNION — a small overlap between two large sources
+  * drowns in it (est(A)+est(B)−est(A∪B) is a difference of three
+  * union-scale numbers). A theta sketch keeps an actual uniform SAMPLE
+  * of the keys below its θ threshold, so Intersection produces a
+  * direct, unbiased estimate whose error scales with the intersection's
+  * own retained sample — the standard tool when the question is
+  * "how much do A and B share?" rather than "how big is A?".
+  * SketchSpec measures the difference on planted fixtures where IE is
+  * hopeless (1% overlap between 1M-key sides).
+  *
+  * Trade: ~16 bytes per retained key (vs HLL's 6 bits/register), so
+  * per-grain summaries are ~64 KiB at lgK=12 instead of 16 KiB. Both
+  * families stay: HLL for pure cardinality (cheapest), theta where set
+  * algebra is the point.
+  *
+  * Determinism: the retained-key set is a pure function of the input
+  * SET (min-hash keys under θ), so unlike HLL's HIP estimator the
+  * estimate does not wobble with merge order at fixed final θ; θ itself
+  * can differ when partial unions downsample in different orders, so
+  * the gates still hash exact anchors + envelope verdicts, never raw
+  * estimates (same contract as the HLL gates).
+  */
+object ThetaSketch {
+  /** lgK for every theta sketch this library builds: 2^12 retained
+    * keys ≈ 1.6% relative standard error per estimate, 64 KiB max. */
+  val LgK = 12
+
+  import org.apache.spark.sql.{Column, GraftExprBridge}
+
+  /** `theta_sketch_agg(c)` as a Column aggregate. */
+  def sketchAgg(c: Column): Column = GraftExprBridge.toColumn(
+    ThetaSketchAgg(GraftExprBridge.toExpression(c))
+      .toAggregateExpression())
+
+  /** `theta_estimate(sk)` as a Column. */
+  def estimate(sk: Column): Column = GraftExprBridge.toColumn(
+    ThetaEstimate(GraftExprBridge.toExpression(sk)))
+
+  /** `theta_intersect_estimate(a, b)` as a Column. */
+  def intersectEstimate(a: Column, b: Column): Column = GraftExprBridge.toColumn(
+    ThetaIntersectEstimate(
+      GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))
+
+  private[functions] def heapify(bytes: Array[Byte]): Sketch =
+    Sketch.heapify(Memory.wrap(bytes))
+}
+
+/** Aggregate a column of longs/ints/strings/binary into one compact
+  * theta sketch (binary). Partials are Union gadgets merged map-side —
+  * the exchange carries ≤ 2^lgK retained keys per partition, never the
+  * input. Null inputs are skipped (SQL aggregate convention). */
+case class ThetaSketchAgg(
+    child: Expression,
+    lgK: Int = ThetaSketch.LgK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def prettyName: String = "theta_sketch_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | StringType | BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"theta_sketch_agg supports bigint/int/string/binary input, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case LongType => buf.update(v.asInstanceOf[Long])
+      case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
+      // hash the UTF-8 BYTES: stable across engines/JVMs, and the same
+      // key domain a binary-typed column of the same content would use
+      case StringType => buf.update(v.asInstanceOf[UTF8String].getBytes)
+      case BinaryType => buf.update(v.asInstanceOf[Array[Byte]])
+      case _ => ()
+    }
+    buf
+  }
+
+  override def merge(a: Union, b: Union): Union = {
+    a.union(b.getResult)
+    a
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union =
+    SetOperation.heapify(Memory.wrap(bytes)).asInstanceOf[Union]
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaSketchAgg =
+    copy(child = newChild)
+}
+
+/** `theta_estimate(sk)`: distinct-count estimate of a serialized theta
+  * sketch. Scalar over sketch-grain rows — never the hot path, so
+  * CodegenFallback is free. */
+case class ThetaEstimate(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "theta_estimate"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"theta_estimate requires a binary sketch, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(sk: Any): Any =
+    ThetaSketch.heapify(sk.asInstanceOf[Array[Byte]]).getEstimate
+
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimate =
+    copy(child = newChild)
+}
+
+/** `theta_intersect_estimate(a, b)`: direct |A ∩ B| estimate from two
+  * serialized theta sketches — the operation HLL cannot do without
+  * union-scale inclusion–exclusion error. */
+case class ThetaIntersectEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "theta_intersect_estimate"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"theta_intersect_estimate requires two binary sketches, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val inter = SetOperation.builder().buildIntersection()
+    inter.intersect(ThetaSketch.heapify(a.asInstanceOf[Array[Byte]]))
+    inter.intersect(ThetaSketch.heapify(b.asInstanceOf[Array[Byte]]))
+    inter.getResult.getEstimate
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaIntersectEstimate =
+    copy(left = newLeft, right = newRight)
+}

@@ -191,6 +191,53 @@ object SketchQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Source overlap through THETA sketches — the set-operation
+    * complement of [[sourceOverlapSketch]]: theta's Intersection gives
+    * a DIRECT |A ∩ B| estimate (error scaling with the intersection's
+    * retained sample), where HLL can only difference three union-scale
+    * estimates. Same plan skeleton (one distinct gram pass persisted,
+    * pair anchor + per-source sketch aggregate from it, sketches
+    * broadcast onto the sources²-scale pair list), run over word
+    * 4-GRAMS: a deliberately different fragment from both the exact
+    * 3-gram matrix and the HLL gate, so no persisted-but-unmaterialized
+    * frame from one query can cache-substitute into another's plan
+    * when the sweeps plan the whole board in one session — and the
+    * board gets a second gram width exercised end-to-end for free.
+    * SketchSpec measures the theta-vs-IE gap on a planted 1%-overlap
+    * fixture where IE drowns in union-scale error.
+    */
+  def sourceOverlapTheta(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir)
+      .select(
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 4)).as("g"),
+        col("source"))
+      .distinct()
+      .persist()
+    val pairs = g
+      .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(col("ss")).as("src_a"), col("ss"))
+      .select(col("src_a"), explode(col("ss")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("cnt"))
+    val perSrc = g.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ThetaSketch.sketchAgg(col("g")).as("sk"))
+    graft.operators.CacheRelease.afterConsumer(g)
+    pairs
+      .join(broadcast(perSrc.select(col("source").as("src_a"),
+        col("n").as("na"), col("sk").as("sk_a"))), "src_a")
+      .join(broadcast(perSrc.select(col("source").as("src_b"),
+        col("n").as("nb"), col("sk").as("sk_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("cnt").as("n_shared"),
+        col("na").as("n_grams_a"), col("nb").as("n_grams_b"),
+        within5pct(
+          graft.functions.ThetaSketch
+            .intersectEstimate(col("sk_a"), col("sk_b")).cast(LongType),
+          col("cnt"),
+          col("na") + col("nb") - col("cnt")).as("within_env"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Durable per-source HLL sketch artifact — the `hll` index kind.
     * One row per source: the gram sketch, the exact-at-build gram
     * count, and the doc count. Nightly lifecycle like every other

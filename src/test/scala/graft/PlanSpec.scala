@@ -709,7 +709,9 @@ class PlanSpec extends SparkSuite {
       // at runtime 4: gram distinct, per-gram source sets, pair agg,
       // per-source (count, sketch) agg — both per-source broadcasts
       // reuse the cache
-      "t_overlap_sketch" -> 7)
+      "t_overlap_sketch" -> 7,
+      // same skeleton over 4-grams with theta sketches — same ledger
+      "t_overlap_theta" -> 7)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

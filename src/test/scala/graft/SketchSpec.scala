@@ -76,6 +76,77 @@ class SketchSpec extends SparkSuite {
       s"IE intersection $est outside 1500 of true 10000 (union 50000)")
   }
 
+  test("theta sketch: estimate accurate at 50k, SQL-callable, order spread bounded") {
+    val ids = (1L to 50000L).toDF("id")
+    ids.createOrReplaceTempView("theta_ids")
+    // registered through GraftExtensions — the pure-SQL surface
+    val est = spark.sql(
+      "SELECT CAST(theta_estimate(theta_sketch_agg(id)) AS BIGINT) FROM theta_ids")
+      .head().getLong(0)
+    assert(math.abs(est - 50000L) <= 2500,
+      s"theta estimate $est outside 5% of 50000 at lgK=${graft.functions.ThetaSketch.LgK}")
+    // unlike HLL's HIP estimator, the retained-key set is a function of
+    // the input set at fixed θ; θ itself can shift with downsample
+    // order, so bound the spread rather than assert equality
+    def estOf(df: org.apache.spark.sql.DataFrame): Long = df
+      .agg(graft.functions.ThetaSketch.estimate(
+        graft.functions.ThetaSketch.sketchAgg(col("id"))).cast("long"))
+      .head().getLong(0)
+    val ests = Seq(
+      estOf(ids.repartition(1)),
+      estOf(ids.repartition(13, pmod(hash(col("id")), lit(13)))),
+      estOf(ids.orderBy(col("id").desc)))
+    assert(ests.max - ests.min <= 1500, s"theta order spread too wide: $ests")
+  }
+
+  test("theta intersection beats HLL inclusion-exclusion on a small planted overlap") {
+    // |A| = |B| = 300k, true ∩ = 3k (1% of either side): IE differences
+    // three ~600k-union-scale estimates whose individual errors (~0.8%
+    // rsd at lgK=14 ≈ ±5k) are LARGER than the answer; theta retains a
+    // uniform key sample and intersects it directly. The gate envelopes
+    // stay at 5%-of-union for both; this test pins the reason the theta
+    // family exists.
+    val a = spark.range(1L, 300001L).toDF("id")        // 1..300000
+    val b = spark.range(297001L, 597001L).toDF("id")   // overlap 297001..300000
+    val trueI = 3000.0
+    val hllI = a.agg(hll_sketch_agg(col("id"), lit(SketchQueries.LgK)).as("ska"))
+      .join(b.agg(hll_sketch_agg(col("id"), lit(SketchQueries.LgK)).as("skb")))
+      .select((hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+        - hll_sketch_estimate(hll_union(col("ska"), col("skb")))).cast("double"))
+      .head().getDouble(0)
+    val thetaI = a.agg(graft.functions.ThetaSketch.sketchAgg(col("id")).as("ska"))
+      .join(b.agg(graft.functions.ThetaSketch.sketchAgg(col("id")).as("skb")))
+      .select(graft.functions.ThetaSketch.intersectEstimate(col("ska"), col("skb")))
+      .head().getDouble(0)
+    val (hllErr, thetaErr) = (math.abs(hllI - trueI), math.abs(thetaI - trueI))
+    // theta must land within 35% of the true intersection (≈2σ for
+    // ~3000·4096/600k ≈ 20 retained intersection keys at lgK=12)...
+    assert(thetaErr <= trueI * 0.35,
+      s"theta intersection $thetaI too far from $trueI")
+    // ...and clearly beat IE (typically off by 2-5k here — union-scale)
+    assert(thetaErr * 2 <= hllErr,
+      s"theta err $thetaErr not clearly better than IE err $hllErr (IE $hllI)")
+  }
+
+  test("theta overlap gate: verdicts green, anchors match an exact 4-gram recount") {
+    val got = SketchQueries.sourceOverlapTheta(spark, sf)
+      .select("src_a", "src_b", "n_shared", "within_env")
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, _, ok) =>
+      assert(ok == 1L, s"($a,$b): theta verdict red at sf0.001")
+    }
+    // independent exact recount of one pair via a different plan shape
+    val g = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 4)).as("g"))
+      .distinct()
+    val (pa, pb, n) = (got.head._1, got.head._2, got.head._3)
+    val recount = g.filter(col("source") === pa).select("g")
+      .intersect(g.filter(col("source") === pb).select("g")).count()
+    assert(recount == n, s"($pa,$pb): anchor $n != recount $recount")
+  }
+
   test("rolling distinct gate matches a driver-side brute force, verdicts all green") {
     val got = SketchQueries.rollingDistinct(spark, sf)
       .select("day_ms", "n_exact", "within_5pct")
