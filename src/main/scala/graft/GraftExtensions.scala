@@ -104,6 +104,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "theta_estimate(sketch) takes exactly 1 argument")
       }))
+    // KLL quantile-sketch family: mergeable distribution summaries
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[graft.functions.KllSketchAgg].getName,
+        "kll_sketch_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => graft.functions.KllSketchAgg(c)
+        case Seq(c, Literal(k: Int, IntegerType)) =>
+          graft.functions.KllSketchAgg(c, k)
+        case _ => throw new IllegalArgumentException(
+          "kll_sketch_agg(col[, k]) takes a column and an optional integer literal k")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[graft.functions.KllMergeAgg].getName,
+        "kll_merge_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => graft.functions.KllMergeAgg(c)
+        case _ => throw new IllegalArgumentException(
+          "kll_merge_agg(sketch) takes exactly 1 argument")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantile].getName,
+        "kll_quantile"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk, p) => graft.functions.KllQuantile(sk, p)
+        case _ => throw new IllegalArgumentException(
+          "kll_quantile(sketch, p) takes exactly 2 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_rank"),
+      new ExpressionInfo(classOf[graft.functions.KllRank].getName, "kll_rank"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk, v) => graft.functions.KllRank(sk, v)
+        case _ => throw new IllegalArgumentException(
+          "kll_rank(sketch, v) takes exactly 2 arguments")
+      }))
     ext.injectFunction((
       FunctionIdentifier("theta_intersect_estimate"),
       new ExpressionInfo(classOf[graft.functions.ThetaIntersectEstimate].getName,

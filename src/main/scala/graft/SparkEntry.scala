@@ -226,7 +226,8 @@ object SparkEntry {
     "q_zorder_prune" -> (AnalyticsQueries.zorderPrune _),
     "e_rolling_distinct" -> (SketchQueries.rollingDistinct _),
     "t_overlap_sketch" -> (SketchQueries.sourceOverlapSketch _),
-    "t_overlap_theta" -> (SketchQueries.sourceOverlapTheta _)
+    "t_overlap_theta" -> (SketchQueries.sourceOverlapTheta _),
+    "e_kll_quantiles" -> (SketchQueries.kllQuantilesGate _)
   )
 
   /** Morton-interleave bit algebra as SQL: bit `k` of rank column
@@ -987,6 +988,15 @@ object SparkEntry {
           |FROM days d
           |JOIN du u ON u.day_ms BETWEEN d.day_ms - 6 * 86400000 AND d.day_ms
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // e_kll_quantiles: same rank-verdict shape, but the estimates come
+      // from per-(type, day) KLL sketches folded through kll_merge_agg —
+      // the mergeable-artifact path is what the gate exercises.
+      "e_kll_quantiles" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(1 AS BIGINT) AS p50_ok,
+          |       CAST(1 AS BIGINT) AS p90_ok,
+          |       CAST(1 AS BIGINT) AS p99_ok
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
       "e_approx_quantiles" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           |       CAST(1 AS BIGINT) AS p50_ok,

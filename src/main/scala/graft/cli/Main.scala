@@ -25,11 +25,13 @@ import java.time.temporal.ChronoUnit
   *                  [--slice ...] [--gzip] [--topic <name>]
   *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
-  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll
+  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll
   *               --in <documents|embeddings parquet; any flat parquet dir for minmax>
   *               --out <dir> [--cols a,b  (minmax only: numeric columns to box)]
   *               (hll: per-source HyperLogLog gram sketches — kilobytes
-  *               per source, mergeable, feeds the `overlap` verb)
+  *               per source, mergeable, feeds the `overlap` verb;
+  *               kll: per-source KLL length-distribution sketches —
+  *               quantiles/ranks from kilobytes, merge-refreshed)
   *   update-index --kind <same kinds> --in <NEW batch parquet> --index <existing dir>
   *                --out <new dir>   (incremental refresh; batch ids must be new;
   *                minmax: --in is the GROWN data dir, only unindexed files fold in;
@@ -1299,7 +1301,7 @@ object Main {
   private[cli] def buildIndexCmd(
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.TextQueries
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll is required"))
     val in = o.getOrElse("in", die("--in <documents parquet> is required"))
     val out = o.getOrElse("out", die("--out <dir> is required"))
     val corpus = spark.read.parquet(in)
@@ -1312,6 +1314,8 @@ object Main {
       case "scrub" => TextQueries.buildScrubIndex(corpus).save(out)
       // per-source HLL gram sketches: kilobytes per source, mergeable
       case "hll" => graft.queries.SketchQueries.buildHllIndex(corpus).save(out)
+      // per-source KLL length-distribution sketches (quantiles/ranks)
+      case "kll" => graft.queries.SketchQueries.buildKllIndex(corpus).save(out)
       // --in points at an embeddings parquet (vec_id, embedding); the
       // vectors frame lands hive-partitioned by cell so probes prune files
       case "ivf" => graft.queries.SimilarityQueries.buildIvfIndex(corpus).save(out)
@@ -1324,7 +1328,7 @@ object Main {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         graft.operators.DataSkipping.buildMinMaxIndex(spark, in, cols).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll)")
     }
     (kind, out, corpus.count())
   }
@@ -1363,7 +1367,7 @@ object Main {
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.{IndexArtifact, SimilarityQueries, TextQueries}
     import org.apache.spark.sql.functions.col
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|hll is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|hll|kll is required"))
     val in = o.getOrElse("in", die("--in <batch parquet> is required"))
     val idx = o.getOrElse("index", die("--index <existing artifact dir> is required"))
     val out = o.getOrElse("out", die("--out <new artifact dir> is required"))
@@ -1409,6 +1413,9 @@ object Main {
       case "hll" =>
         graft.queries.SketchQueries.HllIndex.load(spark, idx)
           .updated(batch).save(out)
+      case "kll" =>
+        graft.queries.SketchQueries.KllIndex.load(spark, idx)
+          .updated(batch).save(out)
       case "ivf" =>
         requireDisjoint("vectors", "vec_id")
         SimilarityQueries.IvfIndex.load(spark, idx).updated(batch).save(out)
@@ -1418,7 +1425,7 @@ object Main {
         graft.operators.DataSkipping.MinMaxIndex.load(spark, idx)
           .updated(spark, in).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll)")
     }
     // the ivf path drops zero-norm batch vectors during frozen-centroid
     // assignment, so "grew by n" must report the index's actual vectors

@@ -238,6 +238,106 @@ object SketchQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** KLL quantile gate — and deliberately THROUGH the merge path: the
+    * plan builds per-(type, day) sketches first, then folds each type's
+    * day sketches with `kll_merge_agg`, because mergeability is the
+    * property that justifies storing sketches at all (a week's p99 from
+    * 7 daily rows, never from 7 days of raw values). Quantile estimates
+    * are engine-specific, so the gate outputs the group key, the exact
+    * count, and per-percentile RANK verdicts — est is a valid
+    * p-quantile iff count(value < est) ≤ (p+ε)·n and
+    * count(value ≤ est) ≥ (p−ε)·n, integer cross-multiplied in
+    * thousandths with ε = 0.02 (KLL at k = 200 guarantees ≤ 1.65%
+    * worst-case rank error even across merges) — the
+    * `e_approx_quantiles` verdict shape, one broadcast of the 5-row
+    * estimate table back into the events scan.
+    */
+  def kllQuantilesGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = pq(spark, dir, "events")
+      .select(col("event_type"),
+        expr(s"((ts div 1000000) div $DayMs) * $DayMs").as("day_ms"),
+        col("value"))
+    val fns = graft.functions.KllSketch
+    val est = ev
+      .groupBy("event_type", "day_ms")
+      .agg(fns.sketchAgg(col("value")).as("sk"), count(lit(1)).as("nd"))
+      .groupBy("event_type")
+      .agg(fns.mergeAgg(col("sk")).as("sk"), sum("nd").as("n"))
+      .select(col("event_type"), col("n"),
+        fns.quantile(col("sk"), lit(0.5)).as("p50"),
+        fns.quantile(col("sk"), lit(0.9)).as("p90"),
+        fns.quantile(col("sk"), lit(0.99)).as("p99"))
+    val lt = (p: String) => sum((col("value") < col(p)).cast(LongType))
+    val le = (p: String) => sum((col("value") <= col(p)).cast(LongType))
+    val ok = (ltc: Column, lec: Column, milli: Int) =>
+      (ltc * 1000 <= col("n") * (milli + 20) &&
+        lec * 1000 >= col("n") * (milli - 20)).cast(LongType)
+    ev.select(col("event_type"), col("value"))
+      .join(broadcast(est), "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(lt("p50").as("lt50"), le("p50").as("le50"),
+        lt("p90").as("lt90"), le("p90").as("le90"),
+        lt("p99").as("lt99"), le("p99").as("le99"))
+      .select(col("event_type"), col("n"),
+        ok(col("lt50"), col("le50"), 500).as("p50_ok"),
+        ok(col("lt90"), col("le90"), 900).as("p90_ok"),
+        ok(col("lt99"), col("le99"), 990).as("p99_ok"))
+      .orderBy("event_type")
+  }
+
+  /** Durable per-source KLL sketch artifact — the `kll` index kind:
+    * one row per source holding the length-distribution sketch
+    * (n_chars) and the doc count. Same nightly lifecycle as the `hll`
+    * kind; [[updated]] merges batch sketches per source without
+    * re-reading the indexed corpus, and [[quantiles]] answers
+    * per-source (and, via [[globalQuantiles]], corpus-wide) length
+    * percentiles from kilobytes — the data-card / packing-plan numbers
+    * without a corpus pass. */
+  final case class KllIndex(sketches: DataFrame) {
+    def save(path: String): Unit =
+      IndexArtifact.save(path, Map("sketches" -> sketches))
+
+    def updated(batch: DataFrame): KllIndex = {
+      val fns = graft.functions.KllSketch
+      KllIndex(sketches.unionByName(buildKllIndex(batch).sketches)
+        .groupBy("source")
+        .agg(fns.mergeAgg(col("sk")).as("sk"), sum("n_docs").as("n_docs")))
+    }
+
+    /** Per-source quantiles of the sketched distribution. */
+    def quantiles(ps: Seq[Double]): DataFrame = {
+      val fns = graft.functions.KllSketch
+      sketches.select(
+        col("source") +: col("n_docs") +: ps.map(p =>
+          fns.quantile(col("sk"), lit(p))
+            .as(s"p${(p * 100).round}")): _*)
+        .orderBy("source")
+    }
+
+    /** Corpus-wide quantiles by merging every source's sketch — the
+      * whole point of keeping sketches instead of numbers. */
+    def globalQuantiles(ps: Seq[Double]): DataFrame = {
+      val fns = graft.functions.KllSketch
+      val merged = sketches.agg(fns.mergeAgg(col("sk")).as("sk"),
+        sum("n_docs").as("n_docs"))
+      merged.select(
+        col("n_docs") +: ps.map(p =>
+          fns.quantile(col("sk"), lit(p)).as(s"p${(p * 100).round}")): _*)
+    }
+  }
+
+  object KllIndex {
+    def load(spark: SparkSession, path: String): KllIndex =
+      KllIndex(IndexArtifact.frame(spark, path, "sketches"))
+  }
+
+  def buildKllIndex(corpus: DataFrame): KllIndex =
+    KllIndex(corpus
+      .select(col("source"), col("n_chars").cast("double").as("len"))
+      .groupBy("source")
+      .agg(graft.functions.KllSketch.sketchAgg(col("len")).as("sk"),
+        count(lit(1)).as("n_docs")))
+
   /** Durable per-source HLL sketch artifact — the `hll` index kind.
     * One row per source: the gram sketch, the exact-at-build gram
     * count, and the doc count. Nightly lifecycle like every other

@@ -711,7 +711,10 @@ class PlanSpec extends SparkSuite {
       // reuse the cache
       "t_overlap_sketch" -> 7,
       // same skeleton over 4-grams with theta sketches — same ledger
-      "t_overlap_theta" -> 7)
+      "t_overlap_theta" -> 7,
+      // per-(type, day) sketch agg, per-type merge agg, rank-verdict agg
+      // (the 5-row estimate table broadcasts back into the scan)
+      "e_kll_quantiles" -> 3)
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))

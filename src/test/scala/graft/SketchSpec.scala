@@ -147,6 +147,105 @@ class SketchSpec extends SparkSuite {
     assert(recount == n, s"($pa,$pb): anchor $n != recount $recount")
   }
 
+  test("kll sketch: rank accuracy on a skewed distribution, SQL-callable, empty -> null") {
+    import graft.functions.KllSketch
+    // heavily skewed (id²): quantile VALUES spread over 10 orders, so a
+    // rank-correct sketch is actually being tested, not a uniform grid
+    val vals = spark.range(1L, 100001L)
+      .select((col("id") * col("id")).cast("double").as("v"))
+    val exact = (1L to 100000L).map(i => (i * i).toDouble).toArray // sorted
+    def rankOf(q: Double): Double = {
+      val le = exact.count(_ <= q)
+      le.toDouble / exact.length
+    }
+    val got = vals.agg(
+        KllSketch.quantile(KllSketch.sketchAgg(col("v")), lit(0.5)).as("p50"),
+        KllSketch.quantile(KllSketch.sketchAgg(col("v")), lit(0.9)).as("p90"),
+        KllSketch.quantile(KllSketch.sketchAgg(col("v")), lit(0.99)).as("p99"))
+      .head()
+    Seq(0.5 -> got.getDouble(0), 0.9 -> got.getDouble(1), 0.99 -> got.getDouble(2))
+      .foreach { case (p, est) =>
+        assert(math.abs(rankOf(est) - p) <= 0.02,
+          s"p$p estimate $est has rank ${rankOf(est)} — outside 2%")
+      }
+    // SQL registration through GraftExtensions
+    vals.createOrReplaceTempView("kll_vals")
+    val sqlP50 = spark.sql(
+      "SELECT kll_quantile(kll_sketch_agg(v), 0.5d) FROM kll_vals")
+      .head().getDouble(0)
+    assert(math.abs(rankOf(sqlP50) - 0.5) <= 0.02)
+    // rank function inverts quantile within tolerance
+    val r = vals.agg(KllSketch.rank(
+        KllSketch.sketchAgg(col("v")), lit(2.5e9)).as("r"))
+      .head().getDouble(0)
+    assert(math.abs(r - rankOf(2.5e9)) <= 0.02, s"rank $r vs ${rankOf(2.5e9)}")
+    // a quantile of an empty sketch is null, not an exception
+    val empty = vals.filter(col("v") < 0)
+      .agg(KllSketch.quantile(KllSketch.sketchAgg(col("v")), lit(0.5)).as("q"))
+      .head()
+    assert(empty.isNullAt(0), "empty sketch must yield null quantile")
+  }
+
+  test("kll merge path: per-part sketches folded with kll_merge_agg match the direct build") {
+    import graft.functions.KllSketch
+    val vals = spark.range(1L, 100001L)
+      .select((col("id") * col("id")).cast("double").as("v"),
+        pmod(col("id"), lit(10)).as("part"))
+    val direct = vals.agg(KllSketch.quantile(
+        KllSketch.sketchAgg(col("v")), lit(0.9))).head().getDouble(0)
+    val merged = vals.groupBy("part")
+      .agg(KllSketch.sketchAgg(col("v")).as("sk"))
+      .agg(KllSketch.quantile(KllSketch.mergeAgg(col("sk")), lit(0.9)))
+      .head().getDouble(0)
+    // both are rank-correct within the sketch guarantee; require the
+    // merged read to sit within the same 2% rank envelope of the direct
+    val exact = (1L to 100000L).map(i => (i * i).toDouble).toArray
+    def rankOf(q: Double): Double = exact.count(_ <= q).toDouble / exact.length
+    assert(math.abs(rankOf(merged) - rankOf(direct)) <= 0.03,
+      s"merged p90 $merged (rank ${rankOf(merged)}) drifted from direct " +
+        s"$direct (rank ${rankOf(direct)})")
+  }
+
+  test("kll gate is green at sf0.001; kll index merges and answers quantiles") {
+    val gate = SketchQueries.kllQuantilesGate(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(gate.nonEmpty)
+    gate.foreach { case (t, n, a, b, c) =>
+      assert(n > 0 && a == 1L && b == 1L && c == 1L, s"$t: rank verdict red")
+    }
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val old = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val full = SketchQueries.buildKllIndex(corpus)
+    val incr = SketchQueries.buildKllIndex(old).updated(batch)
+    def q50(ix: SketchQueries.KllIndex): Map[String, (Long, Double)] =
+      ix.quantiles(Seq(0.5)).as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val (f, i) = (q50(full), q50(incr))
+    assert(f.keySet == i.keySet)
+    // n_chars is LongType-exact in the fixture; medians from merged vs
+    // direct sketches must agree within the 2% rank envelope — compare
+    // against the exact per-source median rank
+    f.foreach { case (s, (fn, fq)) =>
+      val (in, iq) = i(s)
+      assert(fn == in, s"$s: doc counts diverge")
+      val lens = corpus.filter(col("source") === s)
+        .select(col("n_chars").cast("double")).as[Double].collect().sorted
+      def rankOf(q: Double): Double = lens.count(_ <= q).toDouble / lens.length
+      assert(math.abs(rankOf(fq) - rankOf(iq)) <= 0.05,
+        s"$s: incremental median $iq vs rebuild $fq")
+    }
+    // global rollup: corpus-wide median from per-source sketches tracks
+    // the exact corpus median
+    val g = full.globalQuantiles(Seq(0.5)).head()
+    val allLens = corpus.select(col("n_chars").cast("double"))
+      .as[Double].collect().sorted
+    val gRank = allLens.count(_ <= g.getDouble(1)).toDouble / allLens.length
+    assert(g.getLong(0) == allLens.length)
+    assert(math.abs(gRank - 0.5) <= 0.05,
+      s"global median ${g.getDouble(1)} has rank $gRank")
+  }
+
   test("rolling distinct gate matches a driver-side brute force, verdicts all green") {
     val got = SketchQueries.rollingDistinct(spark, sf)
       .select("day_ms", "n_exact", "within_5pct")

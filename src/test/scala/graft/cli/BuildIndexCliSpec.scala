@@ -891,6 +891,7 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(frames(cmd("winnow")) == Set("fps"))
     assert(frames(cmd("drift")) == Set("counts", "_meta"))
     assert(frames(cmd("hll")) == Set("sketches"))
+    assert(frames(cmd("kll")) == Set("sketches"))
     // ivf builds from embeddings, not documents
     val ivfOut = tmpDir("cli-ivf-index")
     Main.buildIndexCmd(spark, Map("kind" -> "ivf",
