@@ -405,8 +405,16 @@ object SketchQueries {
       * is already in which slice?" question, answered without touching
       * the indexed corpus. Output is source-count-scale. */
     def probe(batch: DataFrame): DataFrame = {
-      val bs = sourceGramSketches(batch.withColumn("source", lit("__batch")))
-        .select(col("sk").as("sk_b"), col("n_grams").as("n_batch"))
+      // GLOBAL aggregate, not a groupBy: it emits its one row even when
+      // the batch yields zero grams (empty sketch, n_batch = 0), so a
+      // degenerate batch probes to all-zero estimates instead of an
+      // empty frame
+      val bs = batch
+        .select(explode(
+          graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+        .distinct()
+        .agg(hll_sketch_agg(col("g"), lit(LgK)).as("sk_b"),
+          count(lit(1)).as("n_batch"))
       sketches
         .crossJoin(broadcast(bs))
         .select(col("source"), col("n_grams"), col("n_docs"), col("n_batch"),
@@ -423,11 +431,24 @@ object SketchQueries {
       HllIndex(IndexArtifact.frame(spark, path, "sketches"))
   }
 
+  /** A valid EMPTY HLL sketch at [[LgK]] — the default for sources
+    * whose docs yield zero grams (every doc shorter than the gram
+    * width). `hll_union`/estimate accept it like any other sketch, so
+    * such a source stays a first-class index row instead of silently
+    * vanishing (which would also drop its `n_docs` from later folds). */
+  private lazy val emptyHllSketch: Array[Byte] =
+    new org.apache.datasketches.hll.HllSketch(LgK).toCompactByteArray
+
   def buildHllIndex(corpus: DataFrame): HllIndex = {
     val nDocs = corpus.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    HllIndex(sourceGramSketches(corpus)
-      .join(nDocs, "source")
-      .select(col("source"), col("sk"), col("n_grams"), col("n_docs"),
+    // LEFT join from the doc counts: a source is defined by having
+    // docs, not by having grams
+    HllIndex(nDocs
+      .join(sourceGramSketches(corpus), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("sk"), lit(emptyHllSketch)).as("sk"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("n_docs"),
         lit(1L).as("exact_grams")))
   }
 }

@@ -423,6 +423,41 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("hll index: gramless sources and gramless batches stay first-class, not dropped") {
+    // a source whose docs are all shorter than the gram width yields
+    // zero grams — it must still hold an index row (empty sketch,
+    // n_grams 0) or its n_docs silently vanish from later folds
+    val mixed = Seq(
+      (0L, "one two three four five six", "en", "srcFull", 27L),
+      (1L, "tiny doc", "en", "srcTiny", 8L),
+      (2L, "so small", "en", "srcTiny", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ix = SketchQueries.buildHllIndex(mixed)
+    val rows = ix.sketches
+      .select(col("source"), col("n_grams"), col("n_docs"), col("exact_grams"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("srcFull", "srcTiny"))
+    assert(rows("srcTiny") == (("srcTiny", 0L, 2L, 1L)),
+      "gramless source must keep an exact zero-gram row")
+    assert(rows("srcFull")._2 > 0)
+    // the empty sketch is a VALID sketch: it unions and probes cleanly
+    val upd = ix.updated(Seq((3L, "third tiny", "en", "srcTiny", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val tiny = upd.sketches.filter(col("source") === "srcTiny")
+      .select("n_docs").as[Long].head()
+    assert(tiny == 3L, "gramless source's doc count must keep folding")
+    // a gramless BATCH probes to one row per source with zero estimates,
+    // not an empty frame
+    val probe = ix.probe(Seq((9L, "zz", "en", "srcX", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("source", "n_batch", "n_shared_est")
+      .as[(String, Long, Long)].collect()
+    assert(probe.length == 2)
+    probe.foreach { case (s, nb, sh) =>
+      assert(nb == 0L && sh == 0L, s"$s: gramless batch must probe to zeros")
+    }
+  }
+
   test("hll index probe: a batch drawn from one source shows near-total containment there") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     val src = corpus.groupBy("source").count().orderBy(col("count").desc)
