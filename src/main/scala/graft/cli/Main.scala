@@ -43,6 +43,10 @@ import java.time.temporal.ChronoUnit
   *           of the batch's distinct word-3-grams that source already
   *           holds — contamination triage from kilobyte sketches, the
   *           indexed corpus is never read)
+  *   quantiles --index <kll artifact> --out <parquet> [--ps 0.5,0.9,0.99]
+  *             [--global]
+  *           (per-source — or corpus-wide with --global, merged from the
+  *           per-source sketches — length percentiles from kilobytes)
   *   scan --in <data dir> --index <minmax artifact> --where col:lo:hi[,col2:lo:hi]
   *        --out <parquet>
   *        (pruned exact range scan: reads only files whose minmax box
@@ -604,6 +608,20 @@ object Main {
       val spark = session(cfg)
       val (out, n, removed) = scrubCmd(spark, o)
       println(s"scrub: $n docs written to $out, $removed tokens removed")
+      spark.stop()
+
+    case "quantiles" :: rest =>
+      // The query side of the kll artifact: per-source (or --global
+      // corpus-wide, merged from the per-source sketches) length
+      // percentiles from kilobytes — the data-card numbers without a
+      // corpus pass.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, n) =
+        try quantilesCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"quantiles: $n rows -> $out")
       spark.stop()
 
     case "overlap" :: rest =>
@@ -1347,6 +1365,23 @@ object Main {
     val res = graft.queries.SketchQueries.HllIndex.load(spark, idx)
       .probe(spark.read.parquet(in))
     // source-count-scale rows — one file reads back fastest
+    res.coalesce(1).write.mode("overwrite").parquet(out)
+    (out, spark.read.parquet(out).count())
+  }
+
+  /** `quantiles` body, session-injected so specs drive it: answer
+    * per-source (or corpus-wide with `--global`) percentiles from a
+    * `kll` artifact's kilobyte sketches. */
+  private[cli] def quantilesCmd(
+      spark: SparkSession, o: Map[String, String]): (String, Long) = {
+    val idx = o.getOrElse("index", die("--index <kll artifact dir> is required"))
+    val out = o.getOrElse("out", die("--out <parquet> is required"))
+    val ps = o.getOrElse("ps", "0.5,0.9,0.99")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"--ps must be ranks in (0, 1], got '${o.getOrElse("ps", "")}'")
+    val ix = graft.queries.SketchQueries.KllIndex.load(spark, idx)
+    val res = if (o.contains("global")) ix.globalQuantiles(ps) else ix.quantiles(ps)
     res.coalesce(1).write.mode("overwrite").parquet(out)
     (out, spark.read.parquet(out).count())
   }

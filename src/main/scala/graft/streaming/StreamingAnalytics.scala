@@ -461,6 +461,40 @@ object StreamingAnalytics {
         hll_sketch_estimate(col("sk")).as("n_est"),
         col("sk"))
 
+  /** The quantile twin of [[streamingDistinctSketches]]: watermarked
+    * per-window KLL sketches of a value column — live latency/length
+    * percentiles at fixed state per open window × key, closed-window
+    * rows carrying the sketch so they remain mergeable facts (a day's
+    * p99 from 24 hourly rows via `kll_merge_agg`, never from raw
+    * events). The emitted p50/p90/p99 columns are the dashboard read;
+    * a consumer needing other ranks reads the sketch. Same arrival
+    * contract as the distinct twin: the window's value MULTISET is
+    * arrival-order free, so estimates match a batch build up to KLL's
+    * deterministic-compaction rank guarantee (spec-pinned).
+    */
+  def streamingQuantileSketches(
+      events: DataFrame,
+      valueCol: String = "value",
+      keyCol: String = "event_type",
+      tsMsCol: String = "ts_ms",
+      windowDur: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val fns = graft.functions.KllSketch
+    events
+      .withColumn("__ev_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("__ev_time", watermark)
+      .groupBy(window(col("__ev_time"), windowDur).as("w"), col(keyCol))
+      .agg(fns.sketchAgg(col(valueCol).cast("double")).as("sk"),
+        count(col(valueCol)).as("n"))
+      .select(
+        unix_millis(col("w.start")).as("win_start_ms"),
+        col(keyCol), col("n"),
+        fns.quantile(col("sk"), lit(0.5)).as("p50"),
+        fns.quantile(col("sk"), lit(0.9)).as("p90"),
+        fns.quantile(col("sk"), lit(0.99)).as("p99"),
+        col("sk"))
+  }
+
   final case class ShardAssign(
       source: String, docId: Long, nb: Long, shardId: Long, shardOff: Long)
 

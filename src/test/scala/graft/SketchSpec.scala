@@ -397,6 +397,56 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("streaming quantile sketches: shuffled arrival is rank-correct; closed rows merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val hour = 3600000L
+    // 3 hourly windows × 2 keys, per-group value distributions differ
+    // (w shifts the scale) — shuffled feed, interleaved micro-batches
+    val rows = for {
+      w <- 0 until 3; k <- Seq("click", "view"); i <- 1 to 500
+    } yield (w * hour + (i % 60) * 60000L,
+      (i * i).toDouble * (w + 1) + (if (k == "view") 1e7 else 0.0), k)
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    val mem = MemoryStream[(Long, Double, String)]
+    val q = graft.streaming.StreamingAnalytics.streamingQuantileSketches(
+        mem.toDF().toDF("ts_ms", "value", "event_type"),
+        watermark = "6 hours")
+      .writeStream.format("memory").queryName("sqs_sketch")
+      .outputMode("append").start()
+    shuffled.grouped(300).foreach { s => mem.addData(s); q.processAllAvailable() }
+    mem.addData((20L * hour, 0.0, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sqs_sketch")
+      .select("win_start_ms", "event_type", "n", "p50", "p90")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val groups = rows.groupBy(r => (r._1 / hour * hour, r._3))
+      .view.mapValues(_.map(_._2).sorted.toArray).toMap
+    assert(got.keySet.intersect(groups.keySet) == groups.keySet)
+    groups.foreach { case (k, vals) =>
+      val (n, p50, p90) = got(k)
+      assert(n == vals.length, s"$k: n $n != ${vals.length}")
+      def rankOf(v: Double): Double = vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.02, s"$k: p50 $p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p90) - 0.9) <= 0.02, s"$k: p90 $p90 rank ${rankOf(p90)}")
+    }
+    // closed rows merge: all 3 windows per key → the key's full-period
+    // p90, checked against the exact rank over all the key's values
+    val merged = spark.table("sqs_sketch")
+      .filter(col("win_start_ms") < 10L * hour)
+      .groupBy("event_type")
+      .agg(graft.functions.KllSketch.quantile(
+        graft.functions.KllSketch.mergeAgg(col("sk")), lit(0.9)).as("p90"))
+      .as[(String, Double)].collect().toMap
+    rows.groupBy(_._3).foreach { case (k, rs) =>
+      val vals = rs.map(_._2).sorted
+      val r = vals.count(_ <= merged(k)).toDouble / vals.length
+      assert(math.abs(r - 0.9) <= 0.03, s"$k: merged p90 rank $r")
+    }
+  }
+
   test("updatedFromSketches folds sketch rows like updated folds the raw batch") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     val old = corpus.filter(col("doc_id") % 2 === 0)

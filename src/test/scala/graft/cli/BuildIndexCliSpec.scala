@@ -880,6 +880,32 @@ class BuildIndexCliSpec extends SparkSuite {
     }
   }
 
+  test("kll kind: build, update, and the quantiles verb answer rank-correct percentiles") {
+    import graft.queries.SketchQueries
+    val out = tmpDir("cli-kll-index")
+    corpus.write.mode("overwrite").parquet(s"$out-corpus")
+    batch.write.mode("overwrite").parquet(s"$out-batch")
+    Main.buildIndexCmd(spark,
+      Map("kind" -> "kll", "in" -> s"$out-corpus", "out" -> out))
+    Main.updateIndexCmd(spark, Map("kind" -> "kll",
+      "in" -> s"$out-batch", "index" -> out, "out" -> s"$out-upd"))
+    val qOut = tmpDir("cli-kll-q")
+    val (_, nRows) = Main.quantilesCmd(spark, Map(
+      "index" -> s"$out-upd", "out" -> qOut, "ps" -> "0.5,0.9", "global" -> "true"))
+    assert(nRows == 1L)
+    val row = spark.read.parquet(qOut).head()
+    val lens = d.select(col("n_chars").cast("double")).as[Double].collect().sorted
+    assert(row.getLong(0) == lens.length, "global n_docs must cover corpus+batch")
+    Seq(0.5 -> row.getDouble(1), 0.9 -> row.getDouble(2)).foreach { case (p, est) =>
+      val r = lens.count(_ <= est).toDouble / lens.length
+      assert(math.abs(r - p) <= 0.05, s"global p$p=$est has rank $r")
+    }
+    intercept[IllegalArgumentException] { // ranks outside (0,1] rejected
+      Main.quantilesCmd(spark, Map(
+        "index" -> s"$out-upd", "out" -> tmpDir("cli-kll-bad"), "ps" -> "0,1.5"))
+    }
+  }
+
   test("every kind lands on the shared IndexArtifact layout") {
     // one convention across kinds: named frames under <out>/<frame>,
     // scalars (drift only) under <out>/_meta — so any downstream job
