@@ -96,6 +96,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "theta_sketch_agg(col[, lgK]) takes a column and an optional integer literal lgK")
       }))
     ext.injectFunction((
+      FunctionIdentifier("theta_merge_agg"),
+      new ExpressionInfo(classOf[graft.functions.ThetaMergeAgg].getName,
+        "theta_merge_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => graft.functions.ThetaMergeAgg(c)
+        case _ => throw new IllegalArgumentException(
+          "theta_merge_agg(sketch) takes exactly 1 argument")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("theta_estimate"),
       new ExpressionInfo(classOf[graft.functions.ThetaEstimate].getName,
         "theta_estimate"),

@@ -38,11 +38,16 @@ import java.time.temporal.ChronoUnit
   *                hll: sketches union per source WITHOUT re-scanning the
   *                indexed corpus — gram sketches are set-semantics but
   *                n_docs is additive, so do not re-ingest the same docs)
-  *   overlap --in <batch documents parquet> --index <hll artifact> --out <parquet>
-  *           (per indexed source: inclusion–exclusion estimate of how many
-  *           of the batch's distinct word-3-grams that source already
-  *           holds — contamination triage from kilobyte sketches, the
-  *           indexed corpus is never read)
+  *   overlap --in <batch documents parquet> --index <hll|theta artifact>
+  *           --out <parquet>
+  *           (per indexed source: estimate of how many of the batch's
+  *           distinct word-3-grams that source already holds —
+  *           contamination triage from kilobyte sketches, the indexed
+  *           corpus is never read. Routes by the artifact's kind:
+  *           hll probes by inclusion–exclusion, theta by direct
+  *           Intersection — build --kind theta when the batch is small
+  *           against big sources, where IE's union-scale error drowns
+  *           the answer)
   *   quantiles --index <kll artifact> --out <parquet> [--ps 0.5,0.9,0.99]
   *             [--global]
   *           (per-source — or corpus-wide with --global, merged from the
@@ -1319,7 +1324,7 @@ object Main {
   private[cli] def buildIndexCmd(
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.TextQueries
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll|theta is required"))
     val in = o.getOrElse("in", die("--in <documents parquet> is required"))
     val out = o.getOrElse("out", die("--out <dir> is required"))
     val corpus = spark.read.parquet(in)
@@ -1334,6 +1339,8 @@ object Main {
       case "hll" => graft.queries.SketchQueries.buildHllIndex(corpus).save(out)
       // per-source KLL length-distribution sketches (quantiles/ranks)
       case "kll" => graft.queries.SketchQueries.buildKllIndex(corpus).save(out)
+      // theta gram sketches: direct-intersection overlap probes
+      case "theta" => graft.queries.SketchQueries.buildThetaIndex(corpus).save(out)
       // --in points at an embeddings parquet (vec_id, embedding); the
       // vectors frame lands hive-partitioned by cell so probes prune files
       case "ivf" => graft.queries.SimilarityQueries.buildIvfIndex(corpus).save(out)
@@ -1346,7 +1353,7 @@ object Main {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         graft.operators.DataSkipping.buildMinMaxIndex(spark, in, cols).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll|theta)")
     }
     (kind, out, corpus.count())
   }
@@ -1360,10 +1367,23 @@ object Main {
   private[cli] def overlapCmd(
       spark: SparkSession, o: Map[String, String]): (String, Long) = {
     val in = o.getOrElse("in", die("--in <batch documents parquet> is required"))
-    val idx = o.getOrElse("index", die("--index <hll artifact dir> is required"))
+    val idx = o.getOrElse("index", die("--index <hll|theta artifact dir> is required"))
     val out = o.getOrElse("out", die("--out <parquet> is required"))
-    val res = graft.queries.SketchQueries.HllIndex.load(spark, idx)
-      .probe(spark.read.parquet(in))
+    // route by the artifact, not by flag: theta artifacts carry a _meta
+    // marker, hll artifacts carry no _meta at all — resolved through the
+    // Hadoop FS API so non-local URIs route correctly too
+    val metaPath = new org.apache.hadoop.fs.Path(s"$idx/_meta")
+    val isTheta = metaPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaPath) &&
+      graft.queries.IndexArtifact.meta(spark, idx)
+        .contains(graft.queries.SketchQueries.ThetaIndex.MetaKey)
+    val res =
+      if (isTheta)
+        graft.queries.SketchQueries.ThetaIndex.load(spark, idx)
+          .probe(spark.read.parquet(in))
+      else
+        graft.queries.SketchQueries.HllIndex.load(spark, idx)
+          .probe(spark.read.parquet(in))
     // source-count-scale rows — one file reads back fastest
     res.coalesce(1).write.mode("overwrite").parquet(out)
     (out, spark.read.parquet(out).count())
@@ -1402,7 +1422,7 @@ object Main {
       spark: SparkSession, o: Map[String, String]): (String, String, Long) = {
     import graft.queries.{IndexArtifact, SimilarityQueries, TextQueries}
     import org.apache.spark.sql.functions.col
-    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|hll|kll is required"))
+    val kind = o.getOrElse("kind", die("--kind neardup|chunk|drift|winnow|scrub|ivf|phash|hll|kll|theta is required"))
     val in = o.getOrElse("in", die("--in <batch parquet> is required"))
     val idx = o.getOrElse("index", die("--index <existing artifact dir> is required"))
     val out = o.getOrElse("out", die("--out <new artifact dir> is required"))
@@ -1451,6 +1471,9 @@ object Main {
       case "kll" =>
         graft.queries.SketchQueries.KllIndex.load(spark, idx)
           .updated(batch).save(out)
+      case "theta" =>
+        graft.queries.SketchQueries.ThetaIndex.load(spark, idx)
+          .updated(batch).save(out)
       case "ivf" =>
         requireDisjoint("vectors", "vec_id")
         SimilarityQueries.IvfIndex.load(spark, idx).updated(batch).save(out)
@@ -1460,7 +1483,7 @@ object Main {
         graft.operators.DataSkipping.MinMaxIndex.load(spark, idx)
           .updated(spark, in).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll|theta)")
     }
     // the ivf path drops zero-norm batch vectors during frozen-centroid
     // assignment, so "grew by n" must report the index's actual vectors

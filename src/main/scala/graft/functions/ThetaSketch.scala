@@ -51,6 +51,11 @@ object ThetaSketch {
     ThetaSketchAgg(GraftExprBridge.toExpression(c))
       .toAggregateExpression())
 
+  /** `theta_merge_agg(sk)` as a Column aggregate: fold serialized
+    * sketches (the theta twin of `hll_union_agg`). */
+  def mergeAgg(c: Column): Column = GraftExprBridge.toColumn(
+    ThetaMergeAgg(GraftExprBridge.toExpression(c)).toAggregateExpression())
+
   /** `theta_estimate(sk)` as a Column. */
   def estimate(sk: Column): Column = GraftExprBridge.toColumn(
     ThetaEstimate(GraftExprBridge.toExpression(sk)))
@@ -120,6 +125,48 @@ case class ThetaSketchAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): ThetaSketchAgg =
+    copy(child = newChild)
+}
+
+/** Fold a column of serialized theta sketches into one — the rollup /
+  * artifact-merge aggregate (the theta twin of `hll_union_agg`). */
+case class ThetaMergeAgg(
+    child: Expression,
+    lgK: Int = ThetaSketch.LgK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def prettyName: String = "theta_merge_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"theta_merge_agg requires binary sketches, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.union(ThetaSketch.heapify(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(a: Union, b: Union): Union = { a.union(b.getResult); a }
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+  override def serialize(buf: Union): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union =
+    SetOperation.heapify(Memory.wrap(bytes)).asInstanceOf[Union]
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaMergeAgg =
     copy(child = newChild)
 }
 

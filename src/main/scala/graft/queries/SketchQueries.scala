@@ -377,27 +377,9 @@ object SketchQueries {
         hll_sketch_estimate(col("sk")).cast(LongType).as("n_grams"),
         col("n_docs"), lit(0L).as("exact_grams")))
 
-    private def mergeRows(rows: DataFrame): HllIndex = {
-      val merged = sketches.unionByName(rows)
-        .groupBy("source")
-        .agg(hll_union_agg(col("sk")).as("sk"),
-          max("n_grams").as("n_grams_in"),
-          sum("n_docs").as("n_docs"),
-          count(lit(1)).as("n_rows"),
-          min("exact_grams").as("exact_in"))
-        .select(col("source"), col("sk"),
-          // untouched sources (one input row) keep their stored count —
-          // exact rows stay exact; touched sources re-estimate from the
-          // merged registers (the exact merged count would need the old
-          // corpus back)
-          when(col("n_rows") === 1, col("n_grams_in"))
-            .otherwise(hll_sketch_estimate(col("sk")).cast(LongType))
-            .as("n_grams"),
-          col("n_docs"),
-          (col("n_rows") === 1 && col("exact_in") === 1L)
-            .cast(LongType).as("exact_grams"))
-      HllIndex(merged)
-    }
+    private def mergeRows(rows: DataFrame): HllIndex =
+      HllIndex(mergeSketchRows(sketches, rows,
+        sk => hll_union_agg(sk), sk => hll_sketch_estimate(sk)))
 
     /** Batch-vs-corpus overlap probe: sketch the incoming batch once,
       * then estimate per indexed source `|batch ∩ source|` by
@@ -429,6 +411,100 @@ object SketchQueries {
   object HllIndex {
     def load(spark: SparkSession, path: String): HllIndex =
       HllIndex(IndexArtifact.frame(spark, path, "sketches"))
+  }
+
+  /** One-row-per-source merge shared by the hll and theta index kinds:
+    * union the sketches, sum the doc counts, and keep a stored count
+    * EXACT only when its row passed through unmerged (one input row
+    * carrying an exact flag); merged sources re-estimate from the
+    * unioned sketch — the exact merged count would need the old corpus
+    * back. */
+  private def mergeSketchRows(stored: DataFrame, rows: DataFrame,
+      unionAgg: Column => Column, estimate: Column => Column): DataFrame =
+    stored.unionByName(rows)
+      .groupBy("source")
+      .agg(unionAgg(col("sk")).as("sk"),
+        max("n_grams").as("n_grams_in"),
+        sum("n_docs").as("n_docs"),
+        count(lit(1)).as("n_rows"),
+        min("exact_grams").as("exact_in"))
+      .select(col("source"), col("sk"),
+        when(col("n_rows") === 1, col("n_grams_in"))
+          .otherwise(estimate(col("sk")).cast(LongType))
+          .as("n_grams"),
+        col("n_docs"),
+        (col("n_rows") === 1 && col("exact_in") === 1L)
+          .cast(LongType).as("exact_grams"))
+
+  /** The theta twin of [[HllIndex]] — same artifact shape, same
+    * lifecycle, DIRECT-intersection probes: where the hll kind's
+    * [[HllIndex.probe]] estimates batch-vs-source containment by
+    * inclusion–exclusion (error scaling with the union), this probe
+    * intersects retained-key samples, so small overlaps against big
+    * sources stay readable (the 7684-vs-2802 fixture in SketchSpec).
+    * Trade: ~4× bigger rows (~64 KiB/source). Saved with a `_meta`
+    * marker so the `overlap` CLI verb routes by artifact, not by flag.
+    */
+  final case class ThetaIndex(sketches: DataFrame) {
+    def save(path: String): Unit =
+      IndexArtifact.save(path, Map("sketches" -> sketches),
+        meta = Map(ThetaIndex.MetaKey -> 1L))
+
+    def updated(batch: DataFrame): ThetaIndex = {
+      val fns = graft.functions.ThetaSketch
+      ThetaIndex(mergeSketchRows(sketches, buildThetaIndex(batch).sketches,
+        sk => fns.mergeAgg(sk), sk => fns.estimate(sk)))
+    }
+
+    /** Batch-vs-corpus containment via direct theta Intersection. */
+    def probe(batch: DataFrame): DataFrame = {
+      val fns = graft.functions.ThetaSketch
+      val bs = batch
+        .select(explode(
+          graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+        .distinct()
+        .agg(fns.sketchAgg(col("g")).as("sk_b"),
+          count(lit(1)).as("n_batch"))
+      sketches
+        .crossJoin(broadcast(bs))
+        .select(col("source"), col("n_grams"), col("n_docs"), col("n_batch"),
+          greatest(lit(0L),
+            fns.intersectEstimate(col("sk"), col("sk_b")).cast(LongType))
+            .as("n_shared_est"))
+        .orderBy("source")
+    }
+  }
+
+  object ThetaIndex {
+    /** `_meta` marker distinguishing a theta artifact from an hll one
+      * (hll artifacts carry no `_meta`). */
+    val MetaKey = "sketch_kind_theta"
+
+    def load(spark: SparkSession, path: String): ThetaIndex =
+      ThetaIndex(IndexArtifact.frame(spark, path, "sketches"))
+  }
+
+  private lazy val emptyThetaSketch: Array[Byte] =
+    org.apache.datasketches.theta.UpdateSketch.builder()
+      .setLogNominalEntries(graft.functions.ThetaSketch.LgK)
+      .build().compact().toByteArray
+
+  def buildThetaIndex(corpus: DataFrame): ThetaIndex = {
+    val fns = graft.functions.ThetaSketch
+    val nDocs = corpus.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val sk = corpus
+      .select(col("source"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+      .distinct()
+      .groupBy("source")
+      .agg(fns.sketchAgg(col("g")).as("sk"), count(lit(1)).as("n_grams"))
+    ThetaIndex(nDocs
+      .join(sk, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("sk"), lit(emptyThetaSketch)).as("sk"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("n_docs"),
+        lit(1L).as("exact_grams")))
   }
 
   /** A valid EMPTY HLL sketch at [[LgK]] — the default for sources

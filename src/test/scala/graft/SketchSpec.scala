@@ -508,6 +508,37 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("theta index: build/update/probe, direct intersection tracks exact containment") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val old = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val full = SketchQueries.buildThetaIndex(corpus)
+    val incr = SketchQueries.buildThetaIndex(old).updated(batch)
+    def ests(ix: SketchQueries.ThetaIndex): Map[String, (Long, Long)] = ix.sketches
+      .select(col("source"),
+        graft.functions.ThetaSketch.estimate(col("sk")).cast("long"),
+        col("n_docs"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (f, i) = (ests(full), ests(incr))
+    assert(f.keySet == i.keySet)
+    f.foreach { case (s, (fe, fd)) =>
+      val (ie, id) = i(s)
+      // at sf0.001 gram counts sit far below 2^lgK retained keys, so the
+      // sketch is EXACT and union-of-halves must equal the direct build
+      assert(fe == ie, s"$s: incremental $ie != rebuild $fe in exact mode")
+      assert(fd == id, s"$s: doc counts diverge")
+    }
+    // probe: a batch that IS one source reads ~total containment there,
+    // and exact equality in sub-sampling mode
+    val src = corpus.groupBy("source").count().orderBy(col("count").desc)
+      .select("source").as[String].head()
+    val got = full.probe(corpus.filter(col("source") === src))
+      .select("source", "n_batch", "n_shared_est")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (nb, sh) = got(src)
+    assert(nb > 0 && sh * 10 >= nb * 9, s"self-probe $sh / $nb below 90%")
+  }
+
   test("hll index probe: a batch drawn from one source shows near-total containment there") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     val src = corpus.groupBy("source").count().orderBy(col("count").desc)

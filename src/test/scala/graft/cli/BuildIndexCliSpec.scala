@@ -880,6 +880,38 @@ class BuildIndexCliSpec extends SparkSuite {
     }
   }
 
+  test("overlap verb routes by artifact kind: theta artifacts probe by direct intersection") {
+    val out = tmpDir("cli-theta-index")
+    corpus.write.mode("overwrite").parquet(s"$out-corpus")
+    batch.write.mode("overwrite").parquet(s"$out-batch")
+    Main.buildIndexCmd(spark,
+      Map("kind" -> "theta", "in" -> s"$out-corpus", "out" -> out))
+    val probeOut = tmpDir("cli-theta-probe")
+    val (_, n) = Main.overlapCmd(spark,
+      Map("in" -> s"$out-batch", "index" -> out, "out" -> probeOut))
+    assert(n > 0)
+    // exact shared-gram counts per source for the src12 batch
+    val g = d.select(col("source"),
+      org.apache.spark.sql.functions.explode(
+        graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+      .distinct()
+    val bg = g.filter(col("source") === "src12").select("g").distinct()
+    val exact = g.filter(col("source") =!= "src12")
+      .join(bg, "g").groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val got = spark.read.parquet(probeOut)
+      .select("source", "n_shared_est")
+      .as[(String, Long)].collect().toMap
+    // sub-sketch-capacity corpus: theta is exact here — estimates must
+    // EQUAL the exact counts (IE through hll would only be close)
+    exact.foreach { case (s, e) =>
+      assert(got(s) == e, s"$s: theta probe ${got(s)} != exact $e")
+    }
+    got.filterNot { case (s, _) => exact.contains(s) }.foreach { case (s, v) =>
+      assert(v == 0L, s"$s shares nothing with the batch, probe says $v")
+    }
+  }
+
   test("kll kind: build, update, and the quantiles verb answer rank-correct percentiles") {
     import graft.queries.SketchQueries
     val out = tmpDir("cli-kll-index")
@@ -918,6 +950,7 @@ class BuildIndexCliSpec extends SparkSuite {
     assert(frames(cmd("drift")) == Set("counts", "_meta"))
     assert(frames(cmd("hll")) == Set("sketches"))
     assert(frames(cmd("kll")) == Set("sketches"))
+    assert(frames(cmd("theta")) == Set("sketches", "_meta"))
     // ivf builds from embeddings, not documents
     val ivfOut = tmpDir("cli-ivf-index")
     Main.buildIndexCmd(spark, Map("kind" -> "ivf",
