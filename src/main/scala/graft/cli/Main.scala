@@ -135,6 +135,17 @@ import java.time.temporal.ChronoUnit
   *          Output equals the batch API for any arrival order within
   *          the watermark; exactly-once parquet file sink,
   *          AvailableNow)
+  *   join-report --left <parquet> --right <parquet> --on k[=rk][,...]
+  *             --out <parquet> [--sample 0.01] [--top-k 64]
+  *             [--broadcast-bytes N]
+  *          (price an equi-join WITHOUT running it: per-side rows /
+  *          byte / distinct-key evidence, the theta key-set
+  *          intersection, and a sampled multiplicity histogram fold
+  *          into an output-row estimate, the hottest matched pair's
+  *          output share, and a routing verdict — broadcast-left|
+  *          broadcast-right|salted-shuffle|shuffle|insufficient-sample.
+  *          Two column-pruned jobs per side; rows with null key
+  *          components are excluded, as the join itself would)
   *   sessionize --in <events parquet> --out <parquet> [--gap-ms N]
   *             [--user-col c] [--time-col c]
   *             [--stream --checkpoint <dir> [--watermark 30minutes]]
@@ -570,6 +581,19 @@ object Main {
         try intervalJoinCmd(spark, o)
         catch { case e: IllegalArgumentException => die(e.getMessage) }
       println(s"interval-join: $n rows written to $out")
+      spark.stop()
+
+    case "join-report" :: rest =>
+      // Join pre-flight as a job: the "price it first" verb for plain
+      // equi-joins — two column-pruned passes per side, a one-row
+      // verdict frame, the join itself never runs.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (out, verdict) =
+        try joinReportCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"join-report: $verdict -> $out")
       spark.stop()
 
     case "scan" :: rest =>
@@ -1392,6 +1416,45 @@ object Main {
   /** `quantiles` body, session-injected so specs drive it: answer
     * per-source (or corpus-wide with `--global`) percentiles from a
     * `kll` artifact's kilobyte sketches. */
+  private[cli] def joinReportCmd(
+      spark: SparkSession, o: Map[String, String]): (String, String) = {
+    val leftIn = o.getOrElse("left", die("--left <parquet> is required"))
+    val rightIn = o.getOrElse("right", die("--right <parquet> is required"))
+    val out = o.getOrElse("out", die("--out <parquet> is required"))
+    val on = o.getOrElse("on", die("--on k[=rk][,...] is required"))
+    val keys = on.split(',').toSeq.map(_.split('=') match {
+      case Array(a, b) => (a.trim, b.trim)
+      case Array(a) => (a.trim, a.trim)
+      case _ => throw new IllegalArgumentException(
+        s"--on expects k[=rk] pairs, got '$on'")
+    })
+    val sample = o.get("sample").map { s =>
+      try s.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"--sample needs a fraction in (0, 1], got '$s'")
+      }
+    }.getOrElse(0.01)
+    val topK = o.get("top-k").map { s =>
+      try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"--top-k needs an integer, got '$s'")
+      }
+    }.getOrElse(64)
+    val bb = o.get("broadcast-bytes").map { s =>
+      try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"--broadcast-bytes needs a byte count, got '$s'")
+      }
+    }.getOrElse(graft.operators.JoinPreflight.defaultBroadcastBytes)
+    val rep = graft.operators.JoinPreflight.report(
+      spark.read.parquet(leftIn), keys.map(_._1),
+      spark.read.parquet(rightIn), keys.map(_._2),
+      sampleFraction = sample, topK = topK, broadcastBytes = bb)
+    rep.frame(spark).coalesce(1).write.mode("overwrite").parquet(out)
+    (out, f"${rep.recommendation} (est ${rep.estOutputRows} rows out, " +
+      f"${rep.estMatchedKeys} matched keys, hot pair ${rep.hotPairShare}%.2f)")
+  }
+
   private[cli] def quantilesCmd(
       spark: SparkSession, o: Map[String, String]): (String, Long) = {
     val idx = o.getOrElse("index", die("--index <kll artifact dir> is required"))

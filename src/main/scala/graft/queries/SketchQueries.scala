@@ -456,6 +456,23 @@ object SketchQueries {
         sk => fns.mergeAgg(sk), sk => fns.estimate(sk)))
     }
 
+    /** Fold already-built theta sketch rows (source, sk, n_docs) in —
+      * the same lambda seam [[HllIndex.updatedFromSketches]] gives the
+      * hll kind: a streaming job emits closed-window sketch rows
+      * ([[graft.streaming.StreamingAnalytics.streamingThetaSketches]])
+      * and the nightly fold unions them here, so the live path and the
+      * durable direct-intersection artifact meet WITHOUT either side
+      * re-reading raw data. Counts arriving as sketches are estimates
+      * by construction (`exact_grams` = 0). */
+    def updatedFromSketches(rows: DataFrame): ThetaIndex = {
+      val fns = graft.functions.ThetaSketch
+      ThetaIndex(mergeSketchRows(sketches,
+        rows.select(col("source"), col("sk"),
+          fns.estimate(col("sk")).cast(LongType).as("n_grams"),
+          col("n_docs"), lit(0L).as("exact_grams")),
+        sk => fns.mergeAgg(sk), sk => fns.estimate(sk)))
+    }
+
     /** Batch-vs-corpus containment via direct theta Intersection. */
     def probe(batch: DataFrame): DataFrame = {
       val fns = graft.functions.ThetaSketch

@@ -495,6 +495,59 @@ object StreamingAnalytics {
         col("sk"))
   }
 
+  /** The theta twin of [[streamingDistinctSketches]], completing the
+    * streaming sketch triad (HLL cardinality / KLL quantiles / theta
+    * sets): watermarked per-(window, source) theta sketches of the
+    * document gram stream. Theta is the DIRECT-intersection kind —
+    * closed-window rows answer "how much does tonight's crawl window
+    * share with source X?" by set intersection, where an HLL row can
+    * only difference union-scale estimates (the 7684-vs-2802 fixture
+    * in SketchSpec) — so the live rows feed the same probes as the
+    * durable `theta` index kind, and fold into it through
+    * [[graft.queries.SketchQueries.ThetaIndex.updatedFromSketches]]
+    * without either side re-reading raw text.
+    *
+    * Plan shape: grams explode INSIDE the watermarked aggregation
+    * (payload text never sits in state), one update-sketch buffer per
+    * open window × source — fixed-size state whatever the throughput.
+    * `posexplode_outer` keeps gramless docs first-class: the null gram
+    * row skips the sketch (update is null-safe) but still counts the
+    * doc via the pos-0/null-pos marker, so `n_docs` is exact and a
+    * short-doc-only source still emits its (empty-sketch) row — the
+    * same contract the batch builder keeps. Out-of-order arrival
+    * within the watermark cannot change a window's gram SET, so
+    * estimates match a batch build over the same rows exactly (theta
+    * update sketches dedup by key hash; no HIP order wobble —
+    * spec-pinned against exact distinct counts).
+    */
+  def streamingThetaSketches(
+      docs: DataFrame,
+      tsMsCol: String = "ts_ms",
+      sourceCol: String = "source",
+      textCol: String = "text",
+      gramN: Int = 3,
+      windowDur: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val fns = graft.functions.ThetaSketch
+    docs
+      .withColumn("__ev_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("__ev_time", watermark)
+      .select(col("__ev_time"), col(sourceCol).as("source"),
+        posexplode_outer(
+          graft.functions.WordNGrams.word_ngrams(col(textCol), gramN))
+          .as(Seq("__p", "__g")))
+      .groupBy(window(col("__ev_time"), windowDur).as("w"), col("source"))
+      .agg(fns.sketchAgg(col("__g")).as("sk"),
+        sum(when(col("__p").isNull || col("__p") === 0, 1L).otherwise(0L))
+          .as("n_docs"))
+      .select(
+        unix_millis(col("w.start")).as("win_start_ms"),
+        col("source"),
+        col("n_docs"),
+        fns.estimate(col("sk")).cast("long").as("n_grams_est"),
+        col("sk"))
+  }
+
   final case class ShardAssign(
       source: String, docId: Long, nb: Long, shardId: Long, shardOff: Long)
 

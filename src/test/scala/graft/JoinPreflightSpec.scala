@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.JoinPreflight
+import org.apache.spark.sql.functions._
+
+/** The join pre-flight's contract: in exact mode (sampleFraction = 1,
+  * topK ≥ distinct keys, counts below theta's 2^12 retained keys) the
+  * output estimate must EQUAL the join's true row count — every term
+  * of the estimator is exact there, so any drift is a defect, not
+  * noise. Sampled mode gets a band. Routing (broadcast / salted /
+  * shuffle / insufficient) is pinned on planted fixtures, including
+  * the one-sided-hot-key case that must NOT trigger salting.
+  */
+class JoinPreflightSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def exact(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      broadcastBytes: Long = 1L) =
+    JoinPreflight.report(left, Seq("k"), right, Seq("k"),
+      sampleFraction = 1.0, topK = 4000, broadcastBytes = broadcastBytes)
+
+  test("exact mode prices a uniform join exactly; plain shuffle verdict") {
+    val left = (0 until 2000).map(i => (s"key${i % 200}", i)).toDF("k", "v")
+    val right = (0 until 600).map(i => (s"key${i % 300}", i)).toDF("k", "w")
+    val rep = exact(left, right)
+    val actual = left.join(right, "k").count()
+    assert(rep.estOutputRows == actual,
+      s"exact-mode estimate ${rep.estOutputRows} != true count $actual")
+    assert(rep.estMatchedKeys == 200L, s"matched keys ${rep.estMatchedKeys}")
+    assert(rep.left.rows == 2000L && rep.right.rows == 600L)
+    assert(rep.left.estDistinctKeys == 200L && rep.right.estDistinctKeys == 300L)
+    assert(rep.recommendation == "shuffle", rep.recommendation)
+    assert(rep.hotPairShare < JoinPreflight.defaultHotShareThreshold)
+  }
+
+  test("hot key on BOTH sides: salted verdict, hot pair dominates, estimate exact") {
+    val left = (0 until 10000).map { i =>
+      (if (i < 9000) "hot" else s"k${i % 500}", i)
+    }.toDF("k", "v")
+    val right = (0 until 2000).map { i =>
+      (if (i < 1000) "hot" else s"k${i % 500}", i)
+    }.toDF("k", "w")
+    val rep = exact(left, right)
+    val actual = left.join(right, "k").count()
+    assert(rep.estOutputRows == actual,
+      s"exact-mode estimate ${rep.estOutputRows} != true count $actual")
+    assert(rep.recommendation == "salted-shuffle", rep.recommendation)
+    assert(rep.hotPairShare > 0.5, s"hot pair share ${rep.hotPairShare}")
+  }
+
+  test("hot key on ONE side only inflates nothing: plain shuffle verdict") {
+    // "hot" owns 90% of the left but is ABSENT from the right — the
+    // output has no hot pair, and the report must see through it
+    val left = (0 until 10000).map { i =>
+      (if (i < 9000) "hot" else s"k${i % 500}", i)
+    }.toDF("k", "v")
+    val right = (0 until 1500).map(i => (s"k${i % 500}", i)).toDF("k", "w")
+    val rep = exact(left, right)
+    val actual = left.join(right, "k").count()
+    assert(rep.estOutputRows == actual,
+      s"exact-mode estimate ${rep.estOutputRows} != true count $actual")
+    assert(rep.recommendation == "shuffle", rep.recommendation)
+    assert(rep.hotPairShare < JoinPreflight.defaultHotShareThreshold,
+      s"one-sided hot key must not read as a hot pair: ${rep.hotPairShare}")
+  }
+
+  test("small dimension side: broadcast verdict at the default threshold") {
+    val left = (0 until 5000).map(i => (s"k${i % 100}", i)).toDF("k", "v")
+    val right = (0 until 100).map(i => (s"k$i", i)).toDF("k", "w")
+    val rep = JoinPreflight.report(left, Seq("k"), right, Seq("k"),
+      sampleFraction = 1.0, topK = 4000)
+    assert(rep.recommendation == "broadcast-right", rep.recommendation)
+    val flipped = JoinPreflight.report(right, Seq("k"), left, Seq("k"),
+      sampleFraction = 1.0, topK = 4000,
+      broadcastBytes = 10000L) // right(=big) over, left(=small) under
+    assert(flipped.recommendation == "broadcast-left", flipped.recommendation)
+  }
+
+  test("disjoint key domains read ~zero matches, not an NDV worst case") {
+    val left = (0 until 3000).map(i => (s"L$i", i)).toDF("k", "v")
+    val right = (0 until 3000).map(i => (s"R$i", i)).toDF("k", "w")
+    val rep = exact(left, right)
+    assert(rep.estMatchedKeys == 0L, s"matched ${rep.estMatchedKeys}")
+    assert(rep.estOutputRows == 0L, s"output ${rep.estOutputRows}")
+  }
+
+  test("sampled mode: uniform-join estimate lands within a 2x band") {
+    val left = (0 until 40000).map(i => (s"key${i % 400}", i)).toDF("k", "v")
+      .repartition(8)
+    val right = (0 until 12000).map(i => (s"key${i % 400}", i)).toDF("k", "w")
+      .repartition(8)
+    val rep = JoinPreflight.report(left, Seq("k"), right, Seq("k"),
+      sampleFraction = 0.2, topK = 64, broadcastBytes = 1L)
+    val actual = left.join(right, "k").count()
+    assert(rep.estOutputRows >= actual / 2 && rep.estOutputRows <= actual * 2,
+      s"sampled estimate ${rep.estOutputRows} outside 2x of $actual")
+    assert(rep.recommendation == "shuffle", rep.recommendation)
+  }
+
+  test("null keys are excluded everywhere, matching SQL join semantics") {
+    val left = Seq(("a", 1), (null, 2), ("b", 3), (null, 4)).toDF("k", "v")
+    val n = (0 until 200).map(i => (s"x$i", i)) // bulk to clear the floor
+    val right = (Seq(("a", 10), (null, 20)) ++ n).toDF("k", "w")
+    val bulkyLeft = left.unionByName(n.toDF("k", "v"))
+    val rep = exact(bulkyLeft, right)
+    val actual = bulkyLeft.join(right, "k").count()
+    assert(rep.estOutputRows == actual,
+      s"null-key estimate ${rep.estOutputRows} != true count $actual")
+    assert(rep.left.rows == 202L, s"null left rows counted: ${rep.left.rows}")
+  }
+
+  test("composite keys keep their component boundary") {
+    val left = (0 until 300).map(i => (s"a$i", "bc", i)).toDF("k1", "k2", "v")
+    val right = (0 until 300).map(i => (s"a${i}b", "c", i)).toDF("k1", "k2", "w")
+    val rep = JoinPreflight.report(left, Seq("k1", "k2"),
+      right, Seq("k1", "k2"), sampleFraction = 1.0, topK = 4000,
+      broadcastBytes = 1L)
+    assert(rep.estMatchedKeys == 0L,
+      s"(a$$i, bc) collided with (a$${i}b, c): ${rep.estMatchedKeys}")
+    assert(rep.estOutputRows == 0L)
+  }
+
+  test("below the evidence floor the verdict is insufficient-sample") {
+    val left = (0 until 50).map(i => (s"k$i", i)).toDF("k", "v")
+    val right = (0 until 50).map(i => (s"k$i", i)).toDF("k", "w")
+    val rep = exact(left, right)
+    assert(rep.recommendation == "insufficient-sample", rep.recommendation)
+    // the numbers are still reported — only the routing abstains
+    assert(rep.estOutputRows == 50L)
+  }
+
+  test("the report frame round-trips the verdict for the CLI") {
+    val left = (0 until 2000).map(i => (s"key${i % 200}", i)).toDF("k", "v")
+    val right = (0 until 600).map(i => (s"key${i % 300}", i)).toDF("k", "w")
+    val row = exact(left, right).frame(spark).head()
+    assert(row.getAs[String]("recommendation") == "shuffle")
+    assert(row.getAs[Long]("est_matched_keys") == 200L)
+    assert(row.getAs[Long]("left_rows") == 2000L)
+  }
+
+}

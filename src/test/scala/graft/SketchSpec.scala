@@ -539,6 +539,83 @@ class SketchSpec extends SparkSuite {
     assert(nb > 0 && sh * 10 >= nb * 9, s"self-probe $sh / $nb below 90%")
   }
 
+  test("streaming theta sketches: shuffled arrival matches batch exact; rows fold into the index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val hour = 3600000L
+    // 3 hourly windows × 2 sources; token streams overlap across
+    // windows (rolling vocabulary) so gram sets genuinely intersect,
+    // and source "web" window 2 carries ONLY gramless docs (2 tokens)
+    // — the first-class-empty-row contract
+    val rows: Seq[(Long, String, String)] = (for {
+      w <- 0 until 3; s <- Seq("web", "books"); i <- 0 until 40
+      if !(s == "web" && w == 2)
+    } yield {
+      val base = w * 25 + i
+      (w * hour + (i % 60) * 60000L, s,
+        s"${s}tok$base ${s}tok${base + 1} ${s}tok${base + 2} ${s}tok${base + 3}")
+    }) ++ (0 until 7).map(i => (2 * hour + i * 60000L, "web", "too short"))
+    val shuffled = new scala.util.Random(11).shuffle(rows)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingAnalytics.streamingThetaSketches(
+        mem.toDF().toDF("ts_ms", "source", "text"),
+        watermark = "6 hours")
+      .writeStream.format("memory").queryName("sts_sketch")
+      .outputMode("append").start()
+    shuffled.grouped(40).foreach { s => mem.addData(s); q.processAllAvailable() }
+    mem.addData((20L * hour, "web", "a b c")) // far-future: closes all windows
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sts_sketch")
+      .filter(col("win_start_ms") < 10L * hour)
+      .select("win_start_ms", "source", "n_docs", "n_grams_est")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // exact anchors from the same gram function run in batch
+    val batchDf = rows.toDF("ts_ms", "source", "text")
+    val exactGrams = batchDf
+      .select((col("ts_ms") / hour).cast("long") * hour as "win", col("source"),
+        explode(graft.functions.WordNGrams.word_ngrams(col("text"), 3)).as("g"))
+      .groupBy("win", "source").agg(countDistinct("g").as("n"))
+      .as[(Long, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val exactDocs = rows.groupBy(r => (r._1 / hour * hour, r._2))
+      .view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == exactDocs.keySet,
+      s"closed windows ${got.keySet} != expected ${exactDocs.keySet}")
+    exactDocs.foreach { case (k, nd) =>
+      val (gotDocs, gotGrams) = got(k)
+      assert(gotDocs == nd, s"$k: n_docs $gotDocs != exact $nd")
+      // theta update sketches below 2^lgK retained keys are EXACT and
+      // order-free — shuffled streaming arrival must equal batch
+      assert(gotGrams == exactGrams.getOrElse(k, 0L),
+        s"$k: n_grams_est $gotGrams != exact ${exactGrams.getOrElse(k, 0L)}")
+    }
+    // the gramless-window row exists with an empty sketch, not dropped
+    assert(got((2 * hour, "web")) == ((7L, 0L)))
+    // lambda seam: fold the closed rows into a durable theta index built
+    // on an "old" corpus and compare against folding the raw batch
+    val oldCorpus = Seq((1L, "books", "bookstok0 bookstok1 bookstok2 oldonly x"))
+      .toDF("doc_id", "source", "text")
+    val viaSketches = SketchQueries.buildThetaIndex(oldCorpus)
+      .updatedFromSketches(spark.table("sts_sketch")
+        .filter(col("win_start_ms") < 10L * hour)
+        .select("source", "sk", "n_docs"))
+    val viaRaw = SketchQueries.buildThetaIndex(oldCorpus)
+      .updated(batchDf.withColumn("doc_id", col("ts_ms")))
+    def snap(ix: SketchQueries.ThetaIndex): Map[String, (Long, Long)] = ix.sketches
+      .select(col("source"),
+        graft.functions.ThetaSketch.estimate(col("sk")).cast("long"),
+        col("n_docs"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (a, b) = (snap(viaRaw), snap(viaSketches))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (s, (ae, ad)) =>
+      val (be, bd) = b(s)
+      assert(ae == be, s"$s: sketch-row fold $be != raw fold $ae in exact mode")
+      assert(ad == bd, s"$s: doc counts diverge ($bd vs $ad)")
+    }
+  }
+
   test("hll index probe: a batch drawn from one source shows near-total containment there") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     val src = corpus.groupBy("source").count().orderBy(col("count").desc)
