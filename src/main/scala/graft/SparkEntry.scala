@@ -223,6 +223,7 @@ object SparkEntry {
     "s_hybrid_rrf" -> (SimilarityQueries.hybridRrf _),
     "s_ann_filtered" -> (SimilarityQueries.annFiltered _),
     "q_zorder_cells" -> (AnalyticsQueries.zorderCells _),
+    "q_join_preflight" -> (AnalyticsQueries.joinPreflightGate _),
     "q_zorder_prune" -> (AnalyticsQueries.zorderPrune _),
     "e_rolling_distinct" -> (SketchQueries.rollingDistinct _),
     "t_overlap_sketch" -> (SketchQueries.sourceOverlapSketch _),
@@ -3888,6 +3889,15 @@ object SparkEntry {
       // algebra — linear 8-bit rank (same double-division shape, same
       // least/floor/CAST order) and the Morton interleave term list —
       // then checks the per-cell census at the 4+4-bit prefix level.
+      "q_join_preflight" ->
+        s"""SELECT
+           |  (SELECT count(*) FROM lineitem) AS left_rows,
+           |  (SELECT count(*) FROM part WHERE p_partkey % 2 = 0) AS right_rows,
+           |  (SELECT count(DISTINCT l_partkey) FROM lineitem) AS left_est_keys,
+           |  (SELECT count(DISTINCT p_partkey) FROM part WHERE p_partkey % 2 = 0) AS right_est_keys,
+           |  (SELECT count(DISTINCT l_partkey) FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_partkey % 2 = 0) AS est_matched_keys,
+           |  (SELECT count(*) FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_partkey % 2 = 0) AS est_output_rows,
+           |  'broadcast-right' AS recommendation""".stripMargin,
       "q_zorder_cells" ->
         s"""WITH st AS (
            |  SELECT CAST(min(l_partkey) AS DOUBLE) AS plo, CAST(max(l_partkey) AS DOUBLE) AS phi,

@@ -2030,4 +2030,33 @@ object AnalyticsQueries {
         sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
       .orderBy("cell")
   }
+
+  /** Join pre-flight gate: [[graft.operators.JoinPreflight]] run in
+    * EXACT mode (sampleFraction = 1, topK = 4096 = theta's 2^lgK
+    * capacity) over lineitem × the even half of part on partkey — at
+    * the gate's sf0.01 both key sets sit below sketch capacity, so
+    * every reported number is EXACT and the DuckDB oracle replays the
+    * whole report with plain SQL: counts, per-side NDV, the key-set
+    * intersection, and the output-row estimate, which must equal the
+    * true join cardinality (hitters cover every key; the tail term is
+    * zero). The verdict is pinned too: the filtered part side is
+    * kilobytes against lineitem, far under the broadcast threshold.
+    * At larger SFs the key sets outgrow capacity and the report
+    * degrades to estimates by contract — the hash gate runs at sf0.01,
+    * the bigger boards only time it. Returned frame is the one-row
+    * verdict (a LocalRelation — the pre-flight jobs run eagerly, like
+    * every trained/collected gate here).
+    */
+  def joinPreflightGate(spark: SparkSession, dir: String): DataFrame = {
+    val rep = graft.operators.JoinPreflight.report(
+      pq(spark, dir, "lineitem"), Seq("l_partkey"),
+      pq(spark, dir, "part").filter(col("p_partkey") % 2 === 0),
+      Seq("p_partkey"),
+      sampleFraction = 1.0, topK = 4096)
+    rep.frame(spark).select(
+      col("left_rows"), col("right_rows"),
+      col("left_est_keys"), col("right_est_keys"),
+      col("est_matched_keys"), col("est_output_rows"),
+      col("recommendation"))
+  }
 }

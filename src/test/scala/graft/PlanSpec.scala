@@ -539,6 +539,9 @@ class PlanSpec extends SparkSuite {
       // z-order gates: the 1-row stats broadcast adds no hash exchange;
       // one aggregate exchange on the cell census each
       "q_zorder_cells" -> 1, "q_zorder_prune" -> 1,
+      // pre-flight jobs run eagerly; the returned verdict frame is a
+      // one-row LocalRelation
+      "q_join_preflight" -> 0,
       "q_revenue_share" -> 1, "q_semi_anti" -> 0, "q_full_outer" -> 2,
       "q_first_order" -> 1,
       "q_top_orders_per_customer" -> 1, "q_topk_partial" -> 1,
