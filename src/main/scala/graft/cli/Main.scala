@@ -144,8 +144,9 @@ import java.time.temporal.ChronoUnit
   *          into an output-row estimate, the hottest matched pair's
   *          output share, and a routing verdict — broadcast-left|
   *          broadcast-right|salted-shuffle|shuffle|insufficient-sample.
-  *          Two column-pruned jobs per side; rows with null key
-  *          components are excluded, as the join itself would)
+  *          Two column-pruned scans per side; rows with null key
+  *          components are excluded, as the join itself would, and
+  *          numeric key pairs coerce to the join's comparison type)
   *   sessionize --in <events parquet> --out <parquet> [--gap-ms N]
   *             [--user-col c] [--time-col c]
   *             [--stream --checkpoint <dir> [--watermark 30minutes]]
@@ -1413,9 +1414,9 @@ object Main {
     (out, spark.read.parquet(out).count())
   }
 
-  /** `quantiles` body, session-injected so specs drive it: answer
-    * per-source (or corpus-wide with `--global`) percentiles from a
-    * `kll` artifact's kilobyte sketches. */
+  /** `join-report` body, session-injected so specs drive it: price an
+    * equi-join without running it and write the one-row verdict frame
+    * ([[graft.operators.JoinPreflight]]). */
   private[cli] def joinReportCmd(
       spark: SparkSession, o: Map[String, String]): (String, String) = {
     val leftIn = o.getOrElse("left", die("--left <parquet> is required"))
@@ -1455,6 +1456,9 @@ object Main {
       f"${rep.estMatchedKeys} matched keys, hot pair ${rep.hotPairShare}%.2f)")
   }
 
+  /** `quantiles` body, session-injected so specs drive it: answer
+    * per-source (or corpus-wide with `--global`) percentiles from a
+    * `kll` artifact's kilobyte sketches. */
   private[cli] def quantilesCmd(
       spark: SparkSession, o: Map[String, String]): (String, Long) = {
     val idx = o.getOrElse("index", die("--index <kll artifact dir> is required"))

@@ -65,6 +65,18 @@ object ThetaSketch {
     ThetaIntersectEstimate(
       GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))
 
+  /** |A ∩ B| from two serialized sketches, evaluated on the DRIVER —
+    * the one copy of the intersection recipe: the
+    * [[ThetaIntersectEstimate]] expression and driver-side consumers
+    * ([[graft.operators.JoinPreflight]]) both call this, so the two
+    * paths cannot drift. */
+  def intersectEstimateBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val inter = SetOperation.builder().buildIntersection()
+    inter.intersect(heapify(a))
+    inter.intersect(heapify(b))
+    inter.getResult.getEstimate
+  }
+
   private[functions] def heapify(bytes: Array[Byte]): Sketch =
     Sketch.heapify(Memory.wrap(bytes))
 }
@@ -207,12 +219,9 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
           s"${l.catalogString} and ${r.catalogString}")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val inter = SetOperation.builder().buildIntersection()
-    inter.intersect(ThetaSketch.heapify(a.asInstanceOf[Array[Byte]]))
-    inter.intersect(ThetaSketch.heapify(b.asInstanceOf[Array[Byte]]))
-    inter.getResult.getEstimate
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSketch.intersectEstimateBytes(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ThetaIntersectEstimate =

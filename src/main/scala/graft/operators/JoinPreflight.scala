@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
 
 /** Price a shuffle join BEFORE paying for it.
   *
@@ -10,13 +11,15 @@ import org.apache.spark.sql.functions._
   * a key whose hottest value serializes one task, or discovering only
   * at executor-OOM time that the output is 400× the input. Each has a
   * cheap pre-flight tell, and this operator collects all of them in
-  * two column-pruned jobs per side — the same "price it first"
+  * two column-pruned scans per side — the same "price it first"
   * contract as [[IntervalJoin.bucketReport]] (bucket width) and
   * [[graft.plans.AsOfJoin.detectSkew]] (as-of salting), generalized to
   * the plain equi-join:
   *
-  *   - '''per-side volume''': exact row count + a schema-width byte
-  *     estimate → is either side under the broadcast threshold?
+  *   - '''per-side volume''': exact row count + Catalyst's own
+  *     `sizeInBytes` plan statistic (the number Spark itself compares
+  *     against `autoBroadcastJoinThreshold`) → is either side under
+  *     the broadcast threshold?
   *   - '''key overlap''': a theta sketch of each side's key set (map-
   *     side partial aggregation; sketches, never keys, cross the wire;
   *     the intersection evaluates on the driver over two ≤64 KiB
@@ -24,38 +27,52 @@ import org.apache.spark.sql.functions._
   *     match — the term NDV-based optimizers guess worst when the
   *     sides' key domains barely overlap.
   *   - '''multiplicity histogram''': a seeded SAMPLE of each side's
-  *     keys, grouped → top-K heavy hitters + tail averages. The join
-  *     output estimate is the standard decomposition: exact Σ aᵢ·bᵢ
-  *     over hitters matched on BOTH top-K lists (the product term
-  *     sampling gets right, because hitters are exactly the keys a
-  *     sample cannot miss) + matched-tail-keys × (avg tail
-  *     multiplicity)² for the rest.
-  *   - '''skew''': the hottest matched PAIR's share of the estimated
+  *     keys, grouped once and persisted → the PRICED key set is the
+  *     union of both sides' top-K lists, and every priced key reads
+  *     its sampled count from BOTH histograms. That one-sided lookup
+  *     matters: a key that is a hitter on the left but mid-tail on the
+  *     right still prices as (left count × right count), not as two
+  *     tail averages — the exact shape where a skewed join hides from
+  *     naive two-list estimators. Output estimate = Σ aᵢ·bᵢ over
+  *     priced keys seen on both sides + matched-tail-keys × (avg tail
+  *     multiplicity)², with tail KEY counts taken from the full-pass
+  *     NDV so rare keys the sample missed still price in.
+  *   - '''skew''': the hottest priced PAIR's share of the estimated
   *     output — the join-shaped version of the as-of detector's
-  *     left-share test (a key hot on one side but absent from the
-  *     other inflates nothing).
+  *     left-share test (a key hot on one side but ABSENT from the
+  *     other contributes nothing, and must not read as skew).
+  *
+  * Key comparison mirrors the join's own coercion where it can: key
+  * components are compared on a common type (both integral → LONG;
+  * mixed numeric → DOUBLE, exactly the lossy compare SQL itself does
+  * for `bigint = double`), then rendered to a `\u0001`-separated composite
+  * string for sketching. Exotic cross-type pairs (string vs numeric,
+  * decimals beyond double precision) fall back to per-side string
+  * rendering and may under-count matches — the join would coerce;
+  * the report says so here rather than pretending otherwise.
   *
   * Honesty notes, in the report's own fields: `sampledRows` is the
   * evidence size (below [[minSampleRows]] on either side the verdict
   * is explicitly "insufficient-sample"); the tail term assumes tail
   * multiplicities are exchangeable within a side (true for the long
-  * uniform tails real key distributions have, biased when hitters hide
-  * below the sample's resolution — raise `sampleFraction` when the
-  * histogram and `topKeyShare` disagree). Sketch error is theta's
-  * ~1.6% at lgK=12, so `estMatchedKeys` on disjoint key domains reads
-  * ~0 rather than an NDV-style worst case.
+  * uniform tails real key distributions have — raise `sampleFraction`
+  * when the histogram and `topKeyShare` disagree). Sketch error is
+  * theta's ~1.6% at lgK=12, so `estMatchedKeys` on disjoint key
+  * domains reads ~0 rather than an NDV-style worst case.
   *
   * Cost: per side, one full pass over the KEY COLUMNS ONLY (count +
   * sketch, collapsing map-side to one row) and one sampled groupBy at
-  * key-column width. Both plans prune payload columns at the scan —
-  * against parquet the pre-flight reads a fraction of what the join
-  * itself would shuffle.
+  * key-column width, persisted across its top-K / lookup / tail-sum
+  * reads. Both plans prune payload columns at the scan — against
+  * parquet the pre-flight reads a fraction of what the join itself
+  * would shuffle.
   */
 object JoinPreflight {
 
-  /** One side's evidence. `estBytes` = rows × schema default widths
-    * (the CBO-less planner's own arithmetic — good to a small factor,
-    * which is all a broadcast decision needs). */
+  /** One side's evidence. `estBytes` is Catalyst's `sizeInBytes` plan
+    * statistic — the same number Spark's own broadcast decision uses
+    * (file-size based for file sources), so string-heavy tables price
+    * at their real width, not a per-type default. */
   final case class SideStats(
       rows: Long,
       estBytes: Long,
@@ -63,8 +80,8 @@ object JoinPreflight {
       sampledRows: Long,
       topKeyShare: Double)
 
-  /** The pre-flight verdict. `estOutputRows` is hitter-exact +
-    * tail-average; `hotPairShare` is the hottest matched key pair's
+  /** The pre-flight verdict. `estOutputRows` is priced-pair-exact +
+    * tail-average; `hotPairShare` is the hottest priced key pair's
     * share of it; `recommendation` ∈ broadcast-left | broadcast-right
     * | salted-shuffle | shuffle | insufficient-sample. */
   final case class Report(
@@ -115,66 +132,106 @@ object JoinPreflight {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     require(topK > 0, s"topK must be positive, got $topK")
-
-    val lEv = sideEvidence(left, leftKeys, sampleFraction, topK)
-    val rEv = sideEvidence(right, rightKeys, sampleFraction, topK)
-    // distinct keys present on BOTH sides: direct theta intersection of
-    // the two full-pass sketches, on the driver (two ≤64 KiB buffers)
-    val matchedKeys = intersectEstimate(lEv.sketch, rEv.sketch)
-
-    val scale = 1.0 / sampleFraction
-    // hitters matched on both top-K lists: the exact product term
-    val both = lEv.hitters.keySet.intersect(rEv.hitters.keySet)
-    val hitterProducts = both.toSeq.map { k =>
-      (lEv.hitters(k) * scale) * (rEv.hitters(k) * scale)
+    Seq((left, leftKeys), (right, rightKeys)).foreach { case (df, ks) =>
+      ks.foreach(k => require(df.columns.contains(k),
+        s"key column '$k' not in ${df.columns.mkString(",")}"))
     }
-    val hitterOut = hitterProducts.sum
-    // tail: matched keys the hitter term does not cover, at each side's
-    // average tail multiplicity
-    val tailMatched = math.max(0L, matchedKeys - both.size)
-    val tailOut = tailMatched.toDouble * lEv.avgTailMult * rEv.avgTailMult
-    val estOut = math.round(hitterOut + tailOut)
-    val hotShare =
-      if (estOut <= 0L) 0.0
-      else hitterProducts.sorted.lastOption.getOrElse(0.0) / estOut.toDouble
 
-    val enough = lEv.stats.sampledRows >= minSampleRows &&
-      rEv.stats.sampledRows >= minSampleRows
-    val rec =
-      if (!enough) "insufficient-sample"
-      else if (rEv.stats.estBytes <= broadcastBytes &&
-        rEv.stats.estBytes <= lEv.stats.estBytes) "broadcast-right"
-      else if (lEv.stats.estBytes <= broadcastBytes) "broadcast-left"
-      else if (hotShare >= hotShareThreshold) "salted-shuffle"
-      else "shuffle"
-    Report(lEv.stats, rEv.stats, matchedKeys, estOut, hotShare, rec)
+    val (lKey, rKey) = coercedKeyExprs(left, leftKeys, right, rightKeys)
+    val lEv = sideEvidence(left, leftKeys, lKey, sampleFraction)
+    val rEv = sideEvidence(right, rightKeys, rKey, sampleFraction)
+    try {
+      // distinct keys present on BOTH sides: direct theta intersection
+      // of the two full-pass sketches, on the driver
+      val matchedKeys = math.max(0L, math.round(graft.functions.ThetaSketch
+        .intersectEstimateBytes(lEv.sketch, rEv.sketch)))
+
+      // priced key set = union of both top-K lists; every priced key
+      // reads its sampled count from BOTH histograms, so a one-sided
+      // hitter prices by its true sampled count on the other side
+      val priced = (topKeys(lEv, topK) ++ topKeys(rEv, topK)).distinct
+      val lCnt = countsFor(lEv, priced)
+      val rCnt = countsFor(rEv, priced)
+
+      val scale = 1.0 / sampleFraction
+      val pricedBoth = priced.filter(k => lCnt.contains(k) && rCnt.contains(k))
+      val products = pricedBoth.map(k => (lCnt(k) * scale) * (rCnt(k) * scale))
+      val pricedOut = products.sum
+      // tail: matched keys the priced term does not cover, at each
+      // side's average tail multiplicity (tail = everything outside
+      // the priced keys present on that side)
+      val tailMatched = math.max(0L, matchedKeys - pricedBoth.size)
+      val tailOut = tailMatched.toDouble *
+        tailAvg(lEv, lCnt, sampleFraction) * tailAvg(rEv, rCnt, sampleFraction)
+      val estOut = math.round(pricedOut + tailOut)
+      val hotShare =
+        if (estOut <= 0L) 0.0
+        else products.sorted.lastOption.getOrElse(0.0) / estOut.toDouble
+
+      val enough = lEv.stats.sampledRows >= minSampleRows &&
+        rEv.stats.sampledRows >= minSampleRows
+      val rec =
+        if (!enough) "insufficient-sample"
+        else if (rEv.stats.estBytes <= broadcastBytes &&
+          rEv.stats.estBytes <= lEv.stats.estBytes) "broadcast-right"
+        else if (lEv.stats.estBytes <= broadcastBytes) "broadcast-left"
+        else if (hotShare >= hotShareThreshold) "salted-shuffle"
+        else "shuffle"
+      Report(lEv.stats, rEv.stats, matchedKeys, estOut, hotShare, rec)
+    } finally {
+      lEv.hist.unpersist()
+      rEv.hist.unpersist()
+    }
   }
 
   private final case class SideEvidence(
       stats: SideStats,
       sketch: Array[Byte],
-      hitters: Map[String, Long],
-      avgTailMult: Double)
+      hist: DataFrame)
 
-  /** Composite key as one string, ''-separated so ("a","bc") and
-    * ("ab","c") stay distinct. Rows with ANY null key component are
-    * excluded everywhere — SQL equi-joins never match null keys. */
-  private def keyExpr(keys: Seq[String]): Column =
-    concat_ws("", keys.map(c => col(c).cast("string")): _*)
+  /** Composite key on the JOIN's comparison semantics where possible:
+    * per component pair, same type → as-is; both integral → LONG;
+    * mixed numeric → DOUBLE (SQL's own lossy common type for
+    * `bigint = double`); anything else falls back to per-side string
+    * rendering (documented divergence). Components render
+    * `\u0001`-separated so ("a","bc") and ("ab","c") stay distinct. */
+  private def coercedKeyExprs(
+      left: DataFrame, leftKeys: Seq[String],
+      right: DataFrame, rightKeys: Seq[String]): (Column, Column) = {
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+    val pairs = leftKeys.zip(rightKeys).map { case (lk, rk) =>
+      val (lt, rt) = (left.schema(lk).dataType, right.schema(rk).dataType)
+      if (lt == rt) (col(lk), col(rk))
+      else if (integral(lt) && integral(rt))
+        (col(lk).cast("long"), col(rk).cast("long"))
+      else if (lt.isInstanceOf[NumericType] && rt.isInstanceOf[NumericType])
+        (col(lk).cast("double"), col(rk).cast("double"))
+      else (col(lk), col(rk))
+    }
+    (concat_ws("\u0001", pairs.map(_._1.cast("string")): _*),
+      concat_ws("\u0001", pairs.map(_._2.cast("string")): _*))
+  }
 
+  /** SQL equi-joins never match null keys, so rows with any null key
+    * component are excluded from every count, sketch, and histogram. */
   private def keysNotNull(keys: Seq[String]): Column =
     keys.map(c => col(c).isNotNull).reduce(_ && _)
 
-  /** Full-pass count/bytes/sketch + sampled histogram for one side. */
+  /** Full-pass count/bytes/sketch + the persisted sampled histogram
+    * for one side. Scans: one full pass over the key columns, one
+    * sampled pass materializing the histogram (top-K, priced-key
+    * lookups and tail sums all read the persisted frame). */
   private def sideEvidence(
-      df: DataFrame, keys: Seq[String],
-      sampleFraction: Double, topK: Int): SideEvidence = {
-    keys.foreach(k => require(df.columns.contains(k),
-      s"key column '$k' not in ${df.columns.mkString(",")}"))
-    val rowWidth = df.schema.fields.map(_.dataType.defaultSize.toLong).sum
+      df: DataFrame, keys: Seq[String], keyExpr: Column,
+      sampleFraction: Double): SideEvidence = {
+    // Catalyst's own size estimate — what Spark compares against
+    // autoBroadcastJoinThreshold (file-size based for file sources)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
     val keyed = df
       .filter(keysNotNull(keys))
-      .select(keyExpr(keys).as("__jp_key"))
+      .select(keyExpr.as("__jp_key"))
     // ONE global aggregate: map-side partials; a sketch per partition
     // crosses the wire, never the keys
     val fullRow = keyed.agg(
@@ -190,40 +247,41 @@ object JoinPreflight {
     val sampled =
       if (sampleFraction >= 1.0) keyed
       else keyed.sample(withReplacement = false, sampleFraction, seed = 42L)
-    val hist = sampled.groupBy("__jp_key").agg(count(lit(1)).as("c"))
-    // TakeOrdered: distributed top-K, only K rows reach the driver
-    val hitterRows: Array[Row] =
-      hist.orderBy(col("c").desc, col("__jp_key")).limit(topK).collect()
-    val hitters = hitterRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val tailRow = hist
-      .filter(if (hitters.isEmpty) lit(true)
-        else !col("__jp_key").isin(hitters.keys.toSeq: _*))
-      .agg(coalesce(sum("c"), lit(0L)).as("rows")).head()
-    val tailRows = tailRow.getLong(0)
-    // average tail multiplicity in FULL-data terms: sampled tail rows
-    // scale by 1/f; the tail KEY count comes from the full-pass NDV
-    // (sampled distinct undercounts rare keys, the sketch does not)
-    val fullTailKeys = math.max(1L, ndv - hitters.size)
-    val avgTail = (tailRows / sampleFraction) / fullTailKeys.toDouble
-    val sampledN = hitters.values.sum + tailRows
-    val topShare =
-      if (sampledN == 0L) 0.0
-      else hitterRows.headOption
-        .map(_.getLong(1).toDouble / sampledN).getOrElse(0.0)
+    val hist = sampled.groupBy("__jp_key").agg(count(lit(1)).as("c")).persist()
+    val sampledRow = hist
+      .agg(coalesce(sum("c"), lit(0L)).as("n"),
+        coalesce(max("c"), lit(0L)).as("mx"))
+      .head()
+    val (sampledN, maxC) = (sampledRow.getLong(0), sampledRow.getLong(1))
+    val topShare = if (sampledN == 0L) 0.0 else maxC.toDouble / sampledN
     SideEvidence(
-      SideStats(rows, rows * rowWidth, ndv, sampledN, topShare),
-      sketch, hitters, avgTail)
+      SideStats(rows, estBytes, ndv, sampledN, topShare), sketch, hist)
   }
 
-  /** |A ∩ B| from two serialized theta sketches, on the driver. */
-  private def intersectEstimate(a: Array[Byte], b: Array[Byte]): Long = {
-    import org.apache.datasketches.memory.Memory
-    import org.apache.datasketches.theta.{SetOperation, Sketch}
-    val inter = SetOperation.builder()
-      .setLogNominalEntries(graft.functions.ThetaSketch.LgK)
-      .buildIntersection()
-    inter.intersect(Sketch.heapify(Memory.wrap(a)))
-    inter.intersect(Sketch.heapify(Memory.wrap(b)))
-    math.max(0L, math.round(inter.getResult.getEstimate))
+  /** Top-K sampled keys by count (TakeOrdered: K rows to the driver),
+    * count-desc with a key tiebreak for determinism. */
+  private def topKeys(ev: SideEvidence, topK: Int): Seq[String] =
+    ev.hist.orderBy(col("c").desc, col("__jp_key")).limit(topK)
+      .select("__jp_key").collect().map(_.getString(0)).toSeq
+
+  /** Sampled counts for the priced keys, read from the persisted
+    * histogram — keys absent from this side's sample are absent from
+    * the map (and contribute nothing to any product). */
+  private def countsFor(
+      ev: SideEvidence, priced: Seq[String]): Map[String, Long] =
+    if (priced.isEmpty) Map.empty
+    else ev.hist.filter(col("__jp_key").isin(priced: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Average tail multiplicity in FULL-data terms: sampled tail rows
+    * scale by 1/f; the tail KEY count comes from the full-pass NDV
+    * (sampled distinct undercounts rare keys, the sketch does not). */
+  private def tailAvg(
+      ev: SideEvidence, pricedCnt: Map[String, Long],
+      sampleFraction: Double): Double = {
+    val tailRows = ev.stats.sampledRows - pricedCnt.values.sum
+    val tailKeys = math.max(1L, ev.stats.estDistinctKeys - pricedCnt.size)
+    if (tailRows <= 0L) 0.0
+    else (tailRows / sampleFraction) / tailKeys.toDouble
   }
 }

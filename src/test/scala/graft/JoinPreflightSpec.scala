@@ -65,6 +65,46 @@ class JoinPreflightSpec extends SparkSuite {
       s"one-sided hot key must not read as a hot pair: ${rep.hotPairShare}")
   }
 
+  test("a hitter on one side priced from the other side's tail still counts in full") {
+    // 'hot' owns half the left but sits BELOW the right's top-K (5 rows
+    // vs the uniform keys' 20): a two-list estimator that only prices
+    // keys on BOTH top-K lists would charge it two tail averages and
+    // miss the skew entirely. The union-priced set reads its true
+    // sampled count from the right histogram, so the estimate stays
+    // exact and the hot pair crosses the salting threshold.
+    val left = (0 until 10000).map { i =>
+      (if (i < 5000) "hot" else s"k${i % 100}", i)
+    }.toDF("k", "v")
+    val right = ((0 until 2000).map(i => (s"k${i % 100}", i)) ++
+      (0 until 5).map(i => ("hot", i))).toDF("k", "w")
+    val rep = JoinPreflight.report(left, Seq("k"), right, Seq("k"),
+      sampleFraction = 1.0, topK = 8, broadcastBytes = 1L)
+    val actual = left.join(right, "k").count() // 5000*5 + 100*50*20 = 125000
+    assert(rep.estOutputRows == actual,
+      s"one-sided-hitter estimate ${rep.estOutputRows} != true count $actual")
+    assert(rep.recommendation == "salted-shuffle", rep.recommendation)
+    assert(rep.hotPairShare >= 0.2, s"hot pair share ${rep.hotPairShare}")
+  }
+
+  test("cross-width and cross-type numeric keys coerce like the join does") {
+    // INT vs BIGINT keys: the join coerces and matches; the pre-flight
+    // must too (exact mode → exact count)
+    val left = (0 until 1000).map(i => (i % 200, i)).toDF("k", "v")
+    val right = (0 until 400).map(i => (i.toLong % 200, i)).toDF("k", "w")
+    val rep = exact(left, right)
+    val actual = left.join(right, "k").count()
+    assert(rep.estOutputRows == actual,
+      s"int-vs-long estimate ${rep.estOutputRows} != true count $actual")
+    assert(rep.estMatchedKeys == 200L)
+    // BIGINT vs DOUBLE: SQL compares as double — so does the pre-flight
+    val dRight = (0 until 400).map(i => ((i % 200).toDouble, i)).toDF("k", "w")
+    val rep2 = exact(left, dRight)
+    val actual2 = left.join(dRight, "k").count()
+    assert(rep2.estOutputRows == actual2,
+      s"long-vs-double estimate ${rep2.estOutputRows} != true count $actual2")
+    assert(rep2.estMatchedKeys == 200L)
+  }
+
   test("small dimension side: broadcast verdict at the default threshold") {
     val left = (0 until 5000).map(i => (s"k${i % 100}", i)).toDF("k", "v")
     val right = (0 until 100).map(i => (s"k$i", i)).toDF("k", "w")
