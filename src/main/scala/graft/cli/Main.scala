@@ -1446,7 +1446,7 @@ object Main {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"--broadcast-bytes needs a byte count, got '$s'")
       }
-    }.getOrElse(graft.operators.JoinPreflight.defaultBroadcastBytes)
+    }.getOrElse(graft.operators.JoinPreflight.sessionBroadcastBytes)
     val rep = graft.operators.JoinPreflight.report(
       spark.read.parquet(leftIn), keys.map(_._1),
       spark.read.parquet(rightIn), keys.map(_._2),

@@ -111,7 +111,17 @@ object JoinPreflight {
     * verdict is explicitly "insufficient-sample". */
   val minSampleRows = 100L
 
-  /** Spark's own default `autoBroadcastJoinThreshold`. */
+  /** Sentinel default for `broadcastBytes`: resolve the threshold
+    * from the session's own `spark.sql.autoBroadcastJoinThreshold` at
+    * report time, so the verdict compares against the number THIS
+    * session's planner would actually use — including "broadcasting
+    * disabled" (threshold ≤ 0), where a broadcast recommendation
+    * would be advice the session cannot take. */
+  val sessionBroadcastBytes = Long.MinValue
+
+  /** Spark's own default `autoBroadcastJoinThreshold` — the fallback
+    * documentation constant; [[report]] reads the live session value
+    * unless the caller pins one. */
   val defaultBroadcastBytes = 10L * 1024 * 1024
 
   /** Hottest-pair output share above which the report recommends a
@@ -125,7 +135,7 @@ object JoinPreflight {
       right: DataFrame, rightKeys: Seq[String],
       sampleFraction: Double = 0.01,
       topK: Int = 64,
-      broadcastBytes: Long = defaultBroadcastBytes,
+      broadcastBytes: Long = sessionBroadcastBytes,
       hotShareThreshold: Double = defaultHotShareThreshold): Report = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       s"key lists must be non-empty and same length, got $leftKeys / $rightKeys")
@@ -170,11 +180,16 @@ object JoinPreflight {
 
       val enough = lEv.stats.sampledRows >= minSampleRows &&
         rEv.stats.sampledRows >= minSampleRows
+      // the threshold this session's planner would actually apply;
+      // <= 0 means broadcasting is disabled and must not be advised
+      val bb =
+        if (broadcastBytes != sessionBroadcastBytes) broadcastBytes
+        else left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
       val rec =
         if (!enough) "insufficient-sample"
-        else if (rEv.stats.estBytes <= broadcastBytes &&
+        else if (bb > 0 && rEv.stats.estBytes <= bb &&
           rEv.stats.estBytes <= lEv.stats.estBytes) "broadcast-right"
-        else if (lEv.stats.estBytes <= broadcastBytes) "broadcast-left"
+        else if (bb > 0 && lEv.stats.estBytes <= bb) "broadcast-left"
         else if (hotShare >= hotShareThreshold) "salted-shuffle"
         else "shuffle"
       Report(lEv.stats, rEv.stats, matchedKeys, estOut, hotShare, rec)

@@ -117,6 +117,24 @@ class JoinPreflightSpec extends SparkSuite {
     assert(flipped.recommendation == "broadcast-left", flipped.recommendation)
   }
 
+  test("the verdict follows the session's own broadcast threshold, including disabled") {
+    val left = (0 until 5000).map(i => (s"k${i % 100}", i)).toDF("k", "v")
+    val right = (0 until 100).map(i => (s"k$i", i)).toDF("k", "w")
+    // default threshold (10 MB): the 100-row side broadcasts
+    val withDefault = JoinPreflight.report(left, Seq("k"), right, Seq("k"),
+      sampleFraction = 1.0, topK = 4000)
+    assert(withDefault.recommendation == "broadcast-right")
+    // a session that DISABLED broadcasting must never be advised to
+    // broadcast — advice the planner cannot take
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val disabled = JoinPreflight.report(left, Seq("k"), right, Seq("k"),
+        sampleFraction = 1.0, topK = 4000)
+      assert(disabled.recommendation == "shuffle", disabled.recommendation)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("disjoint key domains read ~zero matches, not an NDV worst case") {
     val left = (0 until 3000).map(i => (s"L$i", i)).toDF("k", "v")
     val right = (0 until 3000).map(i => (s"R$i", i)).toDF("k", "w")
