@@ -160,4 +160,44 @@ class RocksDBStateSpec extends SparkSuite {
         s"RocksDB interval-overlap diverged: ${u1.toSeq}")
     }
   }
+
+  test("sketch aggregation state on RocksDB: theta window sketches stay exact") {
+    // the streaming sketch twins hold TypedImperativeAggregate buffers
+    // (serialized theta Union gadgets) in streaming-aggregation state —
+    // a different state path than the flatMapGroupsWithState twins
+    // above; this pins that the buffers round-trip through RocksDB's
+    // value serialization with estimates still EXACT below capacity
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val hour = 3600000L
+      val rows = for {
+        w <- 0 until 2; s <- Seq("web", "books"); i <- 0 until 30
+      } yield (w * hour + (i % 50) * 60000L, s,
+        s"${s}g${w * 20 + i} ${s}g${w * 20 + i + 1} ${s}g${w * 20 + i + 2}")
+      val shuffled = new scala.util.Random(5).shuffle(rows)
+      val mem = MemoryStream[(Long, String, String)]
+      val q = StreamingAnalytics.streamingThetaSketches(
+          mem.toDF().toDF("ts_ms", "source", "text"),
+          watermark = "3 hours")
+        .writeStream.format("memory").queryName("rocks_theta")
+        .outputMode("append").start()
+      shuffled.grouped(30).foreach { s => mem.addData(s); q.processAllAvailable() }
+      mem.addData((10L * hour, "web", "a b c"))
+      q.processAllAvailable()
+      assertRocksDb(q)
+      q.stop()
+      val got = spark.table("rocks_theta")
+        .filter(col("win_start_ms") < 5L * hour)
+        .select("win_start_ms", "source", "n_docs", "n_grams_est")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val exact = rows.groupBy(r => (r._1 / hour * hour, r._2))
+        .map { case (k, rs) =>
+          k -> (rs.size.toLong,
+            rs.flatMap(_._3.split(' ').sliding(3).map(_.mkString(" ")))
+              .toSet.size.toLong)
+        }
+      assert(got == exact, s"RocksDB theta sketches diverged: got $got want $exact")
+    }
+  }
 }
