@@ -167,6 +167,7 @@ object SparkEntry {
     "m_media_dedup" -> (TextQueries.mediaDedup _),
     "d_winnow_overlap" -> (TextQueries.winnowOverlap _),
     "d_winnow_topk" -> (TextQueries.winnowTopOverlaps _),
+    "d_winnow_capped" -> (TextQueries.winnowOverlapCapped _),
     "m_phash_neardup" -> (TextQueries.phashNearDup _),
     "m_phash_wide" -> (TextQueries.phashWide _),
     "t_kl_drift" -> (TextQueries.klDrift _),
@@ -1609,6 +1610,26 @@ object SparkEntry {
           |sel AS (SELECT DISTINCT doc_id, minh AS h FROM wins WHERE cnt = 4)
           |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
           |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // Stop-fingerprint variant: fingerprints shared by > 4 docs are
+      // dropped before the pair census (the MOSS df-cap shape).
+      "d_winnow_capped" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT doc_id, i AS pos, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+          |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+          |wins AS (
+          |  SELECT doc_id, pos AS j,
+          |         min(h) OVER win AS minh,
+          |         count(*) OVER win AS cnt
+          |  FROM grams
+          |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+          |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+          |sel AS (SELECT DISTINCT doc_id, minh AS h FROM wins WHERE cnt = 4),
+          |live AS (SELECT h FROM sel GROUP BY h HAVING count(*) BETWEEN 2 AND 4)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+          |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+          |JOIN live l ON l.h = a.h
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // Bounded winnow consumer: per-doc top-3 partners by shared
       // fingerprints, tie on lower partner id — the exact comparator

@@ -13,6 +13,8 @@ import org.apache.spark.sql.types._
   */
 object TextQueries {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -2993,30 +2995,104 @@ object TextQueries {
   def winnowOverlapFrom(index: WinnowIndex): DataFrame =
     winnowOverlapCore(index).orderBy("id1", "id2")
 
+  /** Oversized-bucket threshold for [[winnowOverlapRouted]]:
+    * fingerprints shared by more docs than this route through the
+    * distributed self-join arm instead of a single `collect_list` row.
+    * Same rationale as the simhash path's 10k default: below it an
+    * in-task sorted bucket expansion is the cheapest plan; above it one
+    * array row would hold a corpus-scale id list (single-task memory). */
+  private[graft] val winnowMaxBucket = 10000
+
   /** Unsorted pair-count core — [[winnowTopOverlaps]] consumes it under
     * an aggregate, where the listing's global sort is dead work. */
-  private def winnowOverlapCore(index: WinnowIndex): DataFrame = {
+  private def winnowOverlapCore(index: WinnowIndex): DataFrame =
+    winnowOverlapRouted(index, winnowMaxBucket, dfCap = None)
+
+  /** [[winnowOverlapCore]] with the bucket routing exposed. Three
+    * defenses against a HOT fingerprint (a boilerplate >= 6-token run —
+    * license header, nav chrome — shared by millions of docs at corpus
+    * scale), mirroring the simhash path's oversized-bucket arm:
+    *
+    *   - fingerprint document frequencies compute first (one hash
+    *     aggregate with map-side partials — a flood of one fingerprint
+    *     is absorbed by combiners, never one task);
+    *   - buckets with df <= `maxBucket` keep the in-task sorted
+    *     expansion (one `collect_list` row per fingerprint, per-row
+    *     memory O(bucket));
+    *   - bigger buckets route through a DISTRIBUTED self-join on the
+    *     fingerprint: the pair expansion streams out of the join
+    *     (sort-merge's duplicate-key buffer is spillable), so no single
+    *     row ever holds a corpus-scale id list. The quadratic pair TERM
+    *     remains — it is the listing contract — but per-task memory is
+    *     bounded.
+    *
+    * `dfCap` is the MOSS-style "stop fingerprint" escape for the
+    * contract's pathological case: fingerprints shared by more than
+    * `dfCap` docs are dropped from the census entirely, with a loud
+    * dropped-fingerprint report (the [[dfPrune]] shape — boilerplate
+    * that common carries no plagiarism signal, only an O(df^2) bill).
+    * The report is one narrow aggregate over the (cached) fingerprint
+    * histogram.
+    *
+    * Shuffle shape: the df tag join keys on `h`, the same partitioning
+    * the histogram aggregate just produced, so the fingerprint table's
+    * exchange is planned once and reused across the histogram, the tag
+    * join, and both arms (the small arm's `groupBy(h)` inherits the
+    * join's h-partitioning; the hot arm's self-join reuses it twice).
+    */
+  private[graft] def winnowOverlapRouted(
+      index: WinnowIndex, maxBucket: Int, dfCap: Option[Long]): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    dfCap.foreach(c => require(c >= 2,
+      s"dfCap must be >= 2 (a 1-cap drops every shared fingerprint), got $c"))
     val fps = index.fps
       .select(col("doc_id"), explode(expr("array_distinct(sel.h)")).as("h"))
-    // Bucket-grouped pair expansion instead of a hash self-join: the
-    // join form computed the md5-heavy winnow projection TWICE (build
-    // and probe side are separate subtrees; no exchange to reuse under
-    // a broadcast). Grouping by fingerprint computes it once behind a
-    // single exchange, and the sorted in-bucket expansion emits each
-    // (id1 < id2) pair directly — the same pair set the join produced,
-    // with the identical quadratic bucket term, minus the double scan.
-    fps.groupBy("h")
+    val hist = fps.groupBy("h").agg(count(lit(1)).as("df"))
+    dfCap.foreach { cap =>
+      val r = hist.filter(col("df") > cap)
+        .agg(count(lit(1)).as("n"),
+          coalesce(max("df"), lit(0L)).as("mx"),
+          coalesce(sum("df"), lit(0L)).as("postings"))
+        .head()
+      if (r.getLong(0) > 0L)
+        logger.warn(s"winnow df-cap $cap: dropping ${r.getLong(0)} stop-" +
+          s"fingerprint(s) (max df ${r.getLong(1)}, ${r.getLong(2)} " +
+          "postings) from the overlap census — pairs sharing ONLY " +
+          "capped fingerprints will not be listed")
+    }
+    // singleton fingerprints pair with nothing; capped ones are dropped
+    val live = dfCap.foldLeft(hist.filter(col("df") > 1)) { (h, cap) =>
+      h.filter(col("df") <= cap)
+    }
+    val tagged = fps.join(live, "h")
+    // Bucket-grouped pair expansion for the common case: the sorted
+    // in-bucket expansion emits each (id1 < id2) pair directly behind
+    // the exchange the df histogram already paid — staged so per-row
+    // memory stays O(bucket), never O(bucket^2).
+    val small = tagged.filter(col("df") <= maxBucket)
+      .groupBy("h")
       .agg(expr("sort_array(collect_list(doc_id))").as("ids"))
-      .filter(size(col("ids")) > 1)
-      // staged expansion: one row per (bucket, position), then the
-      // per-position suffix — per-row memory stays O(bucket), never
-      // O(bucket^2)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
       .select(col("id1"),
         explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id2"))
+    val hotFps = tagged.filter(col("df") > maxBucket)
+    val hot = hotFps.as("a").join(hotFps.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    small.unionAll(hot)
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** [[winnowOverlap]] with the stop-fingerprint cap engaged (df <= 4
+    * here — the gate's corpus is small; production caps sit in the
+    * thousands): the overlap census a triage pipeline runs when the
+    * corpus carries boilerplate, trading pairs that share ONLY
+    * ubiquitous fingerprints for a bill bounded by the cap. */
+  def winnowOverlapCapped(spark: SparkSession, dir: String): DataFrame =
+    winnowOverlapRouted(WinnowIndex(winnowFrame(spark, dir)),
+      winnowMaxBucket, dfCap = Some(4L))
+      .orderBy("id1", "id2")
 
   /** Duplicate-substring scrub — the span-REMOVAL half of exact
     * substring dedup (Lee et al. 2022, "Deduplicating Training Data

@@ -581,11 +581,17 @@ class PlanSpec extends SparkSuite {
       // quantizer training runs at construction
       "p_cluster_sample" -> 1,
       "t_winnow" -> 0, // hash/select/digest all in-row; only the output sort exchanges
-      // winnowed inverted-index self-join: ~2.5x smaller index than the
-      // full gram join; h-keyed join + pair aggregate
-      "d_winnow_overlap" -> 3,
-      // pair core + symmetrize union + bounded TopK aggregate + output sort
-      "d_winnow_topk" -> 5,
+      // winnowed inverted-index census: df histogram agg + tag join on
+      // h (same key — the exchange plans once and reuses; at this static
+      // print the histogram subtree re-prints its h exchange) + small-arm
+      // groupBy(h) + pair aggregate; the hot self-join arm adds one more
+      // printed h exchange that reuses at runtime
+      "d_winnow_overlap" -> 5,
+      // capped variant: same skeleton (the df filter is free)
+      "d_winnow_capped" -> 5,
+      // pair core printed TWICE by the symmetrize union + bounded TopK
+      // aggregate + output sort; runtime reuses the core's exchanges
+      "d_winnow_topk" -> 11,
       // the LSH pipeline's exchanges unchanged: split membership is
       // column algebra of the pair ids, zero added joins
       "d_split_leak" -> 3,

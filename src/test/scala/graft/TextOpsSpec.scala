@@ -428,6 +428,82 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  /** Per-doc winnow fingerprint sets via the validated reference
+    * selection — the brute-force side of the routing/cap tests. */
+  private def refFpSets(texts: Seq[String]): Map[Long, Set[String]] =
+    texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> refWinnow(t).map(_._2).toSet
+    }.toMap
+
+  test("forced-giant-bucket winnow overlap stays distributed and agrees") {
+    // runH is shared by FOUR docs -> its fingerprint has df=4; runP by
+    // two (df=2). With maxBucket=2 the df=4 bucket must route through
+    // the distributed self-join arm while the df=2 one keeps the
+    // in-task expansion — and the union must equal the all-small plan.
+    val runH = "zq xv wk jm pt br"
+    val runP = "ky ld nw os qe rt"
+    val texts = Seq(
+      s"alpha beta $runH gamma $runP delta",
+      s"one two $runH three four",
+      s"five six $runH seven eight",
+      s"nine ten $runH eleven twelve",
+      s"thirteen fourteen $runP fifteen sixteen",
+      "entirely different words in this document stream here")
+    withDocs(texts) { dir =>
+      val idx = TextQueries.buildWinnowIndex(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      val all = TextQueries.winnowOverlapRouted(idx, 10000, None)
+      val routed = TextQueries.winnowOverlapRouted(idx, 2, None)
+      // the hot arm is a real join in the plan, not a collect_list row
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("Join") && plan.contains("doc_id#"),
+        s"forced-hot plan must contain the self-join arm:\n$plan")
+      val want = all.as[(Long, Long, Long)].collect().toSet
+      val got = routed.as[(Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        s"missing: ${want -- got}\nextra: ${got -- want}")
+      // cross-check the hot bucket against the reference selection
+      val fpSets = refFpSets(texts)
+      val hotShared = (0L to 3L).combinations(2).map(_.toSeq).map { p =>
+        (p(0), p(1), (fpSets(p(0)) intersect fpSets(p(1))).size.toLong)
+      }.toSet
+      assert(hotShared.forall(got.contains),
+        s"hot-bucket pairs missing from routed result: $hotShared vs $got")
+    }
+  }
+
+  test("winnow df-cap drops stop fingerprints; census matches brute force") {
+    val runH = "zq xv wk jm pt br" // df=4 -> capped at 3
+    val runP = "ky ld nw os qe rt" // df=2 -> survives
+    val texts = Seq(
+      s"alpha beta $runH gamma $runP delta",
+      s"one two $runH three four",
+      s"five six $runH seven eight",
+      s"nine ten $runH eleven twelve",
+      s"thirteen fourteen $runP fifteen sixteen")
+    withDocs(texts) { dir =>
+      val idx = TextQueries.buildWinnowIndex(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      // brute force with the cap: keep fingerprints with 2 <= df <= 3
+      val fpSets = refFpSets(texts)
+      val df = fpSets.values.flatten.toSeq.groupBy(identity).map { case (h, o) => h -> o.size }
+      val live = df.filter { case (_, n) => n >= 2 && n <= 3 }.keySet
+      val want = (for {
+        a <- texts.indices; b <- texts.indices if a < b
+        n = (fpSets(a.toLong) intersect fpSets(b.toLong) intersect live).size
+        if n > 0
+      } yield (a.toLong, b.toLong, n.toLong)).toSet
+      assert(want.nonEmpty, "fixture must keep at least one uncapped pair")
+      val got = TextQueries.winnowOverlapRouted(idx, 10000, Some(3L))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"missing: ${want -- got}\nextra: ${got -- want}")
+      // the uncapped census must differ (the df=4 fingerprint pairs 4 docs)
+      val uncapped = TextQueries.winnowOverlapRouted(idx, 10000, None)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(uncapped != got, "cap must actually drop the planted hot fingerprint")
+    }
+  }
+
   test("bpe trainer learns the hand-computed merge sequence; encode replays it") {
     import graft.operators.BpeTrainer
     // Sennrich et al.'s worked vocabulary (sans the </w> marker — a
