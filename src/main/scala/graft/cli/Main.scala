@@ -137,7 +137,7 @@ import java.time.temporal.ChronoUnit
   *          AvailableNow)
   *   join-report --left <parquet> --right <parquet> --on k[=rk][,...]
   *             --out <parquet> [--sample 0.01] [--top-k 64]
-  *             [--broadcast-bytes N]
+  *             [--broadcast-bytes N] [--apply]
   *          (price an equi-join WITHOUT running it: per-side rows /
   *          byte / distinct-key evidence, the theta key-set
   *          intersection, and a sampled multiplicity histogram fold
@@ -146,7 +146,10 @@ import java.time.temporal.ChronoUnit
   *          broadcast-right|salted-shuffle|shuffle|insufficient-sample.
   *          Two column-pruned scans per side; rows with null key
   *          components are excluded, as the join itself would, and
-  *          numeric key pairs coerce to the join's comparison type)
+  *          numeric key pairs coerce to the join's comparison type.
+  *          --apply EXECUTES the inner join the verdict prescribes —
+  *          broadcast hint, hot-key salted build, or plain — and
+  *          writes the joined rows instead of the report frame)
   *   sessionize --in <events parquet> --out <parquet> [--gap-ms N]
   *             [--user-col c] [--time-col c]
   *             [--stream --checkpoint <dir> [--watermark 30minutes]]
@@ -1447,13 +1450,26 @@ object Main {
           s"--broadcast-bytes needs a byte count, got '$s'")
       }
     }.getOrElse(graft.operators.JoinPreflight.sessionBroadcastBytes)
-    val rep = graft.operators.JoinPreflight.report(
-      spark.read.parquet(leftIn), keys.map(_._1),
-      spark.read.parquet(rightIn), keys.map(_._2),
-      sampleFraction = sample, topK = topK, broadcastBytes = bb)
-    rep.frame(spark).coalesce(1).write.mode("overwrite").parquet(out)
-    (out, f"${rep.recommendation} (est ${rep.estOutputRows} rows out, " +
-      f"${rep.estMatchedKeys} matched keys, hot pair ${rep.hotPairShare}%.2f)")
+    if (o.contains("apply")) {
+      // --apply: don't just price the join — RUN it the way the
+      // verdict prescribes (broadcast hint / hot-key salted build /
+      // plain), writing the joined rows; the verdict still prints
+      val (joined, rep) = graft.operators.JoinPreflight.joinAdvised(
+        spark.read.parquet(leftIn), keys.map(_._1),
+        spark.read.parquet(rightIn), keys.map(_._2),
+        sampleFraction = sample, topK = topK, broadcastBytes = bb)
+      joined.write.mode("overwrite").parquet(out)
+      (out, f"applied ${rep.recommendation} (est ${rep.estOutputRows} " +
+        f"rows out, hot pair ${rep.hotPairShare}%.2f)")
+    } else {
+      val rep = graft.operators.JoinPreflight.report(
+        spark.read.parquet(leftIn), keys.map(_._1),
+        spark.read.parquet(rightIn), keys.map(_._2),
+        sampleFraction = sample, topK = topK, broadcastBytes = bb)
+      rep.frame(spark).coalesce(1).write.mode("overwrite").parquet(out)
+      (out, f"${rep.recommendation} (est ${rep.estOutputRows} rows out, " +
+        f"${rep.estMatchedKeys} matched keys, hot pair ${rep.hotPairShare}%.2f)")
+    }
   }
 
   /** `quantiles` body, session-injected so specs drive it: answer

@@ -44,12 +44,14 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType,
   *
   * Key comparison mirrors the join's own coercion where it can: key
   * components are compared on a common type (both integral → LONG;
-  * mixed numeric → DOUBLE, exactly the lossy compare SQL itself does
-  * for `bigint = double`), then rendered to a `\u0001`-separated composite
-  * string for sketching. Exotic cross-type pairs (string vs numeric,
-  * decimals beyond double precision) fall back to per-side string
-  * rendering and may under-count matches — the join would coerce;
-  * the report says so here rather than pretending otherwise.
+  * decimal vs decimal/integral → the widened common DECIMAL, the
+  * exact compare SQL itself does there — a DOUBLE rendering would
+  * collide distinct ids beyond 2^53; numeric mixed with FLOAT/DOUBLE
+  * → DOUBLE, the lossy compare SQL does for `bigint = double`), then
+  * rendered to a `\u0001`-separated composite string for sketching.
+  * Exotic cross-type pairs (string vs numeric) fall back to per-side
+  * string rendering and may under-count matches — the join would
+  * coerce; the report says so here rather than pretending otherwise.
   *
   * Honesty notes, in the report's own fields: `sampledRows` is the
   * evidence size (below [[minSampleRows]] on either side the verdict
@@ -83,14 +85,19 @@ object JoinPreflight {
   /** The pre-flight verdict. `estOutputRows` is priced-pair-exact +
     * tail-average; `hotPairShare` is the hottest priced key pair's
     * share of it; `recommendation` ∈ broadcast-left | broadcast-right
-    * | salted-shuffle | shuffle | insufficient-sample. */
+    * | salted-shuffle | shuffle | insufficient-sample. `hotKeys` are
+    * the rendered composite keys whose priced pair individually owns
+    * ≥ the hot-share threshold of the estimated output — the key set
+    * [[joinAdvised]]'s salted arm isolates (bounded by the priced
+    * set, ≤ 2·topK). */
   final case class Report(
       left: SideStats,
       right: SideStats,
       estMatchedKeys: Long,
       estOutputRows: Long,
       hotPairShare: Double,
-      recommendation: String) {
+      recommendation: String,
+      hotKeys: Seq[String] = Nil) {
 
     /** The report as a one-row DataFrame (the CLI's output shape). */
     def frame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -148,9 +155,13 @@ object JoinPreflight {
     }
 
     val (lKey, rKey) = coercedKeyExprs(left, leftKeys, right, rightKeys)
+    // left evidence persists first; the nested try guarantees its
+    // histogram unpersists even when the RIGHT side's construction
+    // throws (bad column data, cancelled job)
     val lEv = sideEvidence(left, leftKeys, lKey, sampleFraction)
-    val rEv = sideEvidence(right, rightKeys, rKey, sampleFraction)
     try {
+      val rEv = sideEvidence(right, rightKeys, rKey, sampleFraction)
+      try {
       // distinct keys present on BOTH sides: direct theta intersection
       // of the two full-pass sketches, on the driver
       val matchedKeys = math.max(0L, math.round(graft.functions.ThetaSketch
@@ -177,9 +188,20 @@ object JoinPreflight {
       val hotShare =
         if (estOut <= 0L) 0.0
         else products.sorted.lastOption.getOrElse(0.0) / estOut.toDouble
+      // the keys the salted arm would isolate: each priced pair that
+      // individually crosses the threshold (bounded by the priced set)
+      val hotKeys =
+        if (estOut <= 0L) Nil
+        else pricedBoth.zip(products)
+          .filter { case (_, p) => p / estOut.toDouble >= hotShareThreshold }
+          .map(_._1)
 
-      val enough = lEv.stats.sampledRows >= minSampleRows &&
-        rEv.stats.sampledRows >= minSampleRows
+      // sampleFraction >= 1.0 IS the full population — a tiny exact
+      // side (a 20-row dimension) is complete evidence, not a thin
+      // sample, so the floor applies only to genuine samples
+      val enough = sampleFraction >= 1.0 ||
+        (lEv.stats.sampledRows >= minSampleRows &&
+          rEv.stats.sampledRows >= minSampleRows)
       // the threshold this session's planner would actually apply;
       // <= 0 means broadcasting is disabled and must not be advised
       val bb =
@@ -192,11 +214,9 @@ object JoinPreflight {
         else if (bb > 0 && lEv.stats.estBytes <= bb) "broadcast-left"
         else if (hotShare >= hotShareThreshold) "salted-shuffle"
         else "shuffle"
-      Report(lEv.stats, rEv.stats, matchedKeys, estOut, hotShare, rec)
-    } finally {
-      lEv.hist.unpersist()
-      rEv.hist.unpersist()
-    }
+      Report(lEv.stats, rEv.stats, matchedKeys, estOut, hotShare, rec, hotKeys)
+      } finally rEv.hist.unpersist()
+    } finally lEv.hist.unpersist()
   }
 
   private final case class SideEvidence(
@@ -206,20 +226,49 @@ object JoinPreflight {
 
   /** Composite key on the JOIN's comparison semantics where possible:
     * per component pair, same type → as-is; both integral → LONG;
-    * mixed numeric → DOUBLE (SQL's own lossy common type for
+    * decimal vs decimal/integral → the WIDENED COMMON DECIMAL (the
+    * join compares exactly there; rendering through double would
+    * collide distinct ids beyond 2^53 and over-count matches); mixed
+    * with FLOAT/DOUBLE → DOUBLE (SQL's own lossy common type for
     * `bigint = double`); anything else falls back to per-side string
-    * rendering (documented divergence). Components render
-    * `\u0001`-separated so ("a","bc") and ("ab","c") stay distinct. */
+    * rendering (documented divergence). Both sides cast to the SAME
+    * decimal type so the string renderings agree on trailing zeros.
+    * Components render `\u0001`-separated so ("a","bc") and ("ab","c")
+    * stay distinct. */
   private def coercedKeyExprs(
       left: DataFrame, leftKeys: Seq[String],
       right: DataFrame, rightKeys: Seq[String]): (Column, Column) = {
-    def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType}
+    def integral(dt: DataType): Boolean =
       dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+    // exact numeric types as (precision, scale); None for float/double
+    def decimalShape(dt: DataType): Option[(Int, Int)] = dt match {
+      case d: DecimalType => Some((d.precision, d.scale))
+      case ByteType       => Some((3, 0))
+      case ShortType      => Some((5, 0))
+      case IntegerType    => Some((10, 0))
+      case LongType       => Some((20, 0))
+      case _              => None
+    }
     val pairs = leftKeys.zip(rightKeys).map { case (lk, rk) =>
       val (lt, rt) = (left.schema(lk).dataType, right.schema(rk).dataType)
       if (lt == rt) (col(lk), col(rk))
       else if (integral(lt) && integral(rt))
         (col(lk).cast("long"), col(rk).cast("long"))
+      else if ((lt.isInstanceOf[DecimalType] || rt.isInstanceOf[DecimalType]) &&
+        decimalShape(lt).isDefined && decimalShape(rt).isDefined) {
+        // widened common decimal: integer digits and scale both cover
+        // each side; at the 38-precision ceiling integer digits win
+        // (key ids live there — losing scale only merges sub-cent
+        // fractions, losing integer digits merges whole id ranges)
+        val (Some((p1, s1)), Some((p2, s2))) = (decimalShape(lt), decimalShape(rt))
+        val intDigits = math.max(p1 - s1, p2 - s2)
+        val scale = math.min(math.max(s1, s2),
+          math.max(0, DecimalType.MAX_PRECISION - intDigits))
+        val common = DecimalType(
+          math.min(DecimalType.MAX_PRECISION, intDigits + scale), scale)
+        (col(lk).cast(common), col(rk).cast(common))
+      }
       else if (lt.isInstanceOf[NumericType] && rt.isInstanceOf[NumericType])
         (col(lk).cast("double"), col(rk).cast("double"))
       else (col(lk), col(rk))
@@ -279,14 +328,32 @@ object JoinPreflight {
     ev.hist.orderBy(col("c").desc, col("__jp_key")).limit(topK)
       .select("__jp_key").collect().map(_.getString(0)).toSeq
 
+  /** Beyond this many priced keys an `isin` literal list stops being
+    * the right plan: a multi-thousand-element In/InSet expression is
+    * slow to construct, stringify, and ship with the plan. Bigger sets
+    * semi-join the histogram against a broadcast literal frame. */
+  private val maxIsinKeys = 256
+
   /** Sampled counts for the priced keys, read from the persisted
     * histogram — keys absent from this side's sample are absent from
-    * the map (and contribute nothing to any product). */
+    * the map (and contribute nothing to any product). Small priced
+    * sets read through an `isin` (pushdown-friendly); large ones
+    * through a broadcast join against a literal key frame, which
+    * keeps the plan tree small at histogram-scale topK. */
   private def countsFor(
-      ev: SideEvidence, priced: Seq[String]): Map[String, Long] =
+      ev: SideEvidence, priced: Seq[String]): Map[String, Long] = {
     if (priced.isEmpty) Map.empty
-    else ev.hist.filter(col("__jp_key").isin(priced: _*))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    else if (priced.size <= maxIsinKeys)
+      ev.hist.filter(col("__jp_key").isin(priced: _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    else {
+      val spark = ev.hist.sparkSession
+      import spark.implicits._
+      val pricedDf = priced.toDF("__jp_key")
+      ev.hist.join(broadcast(pricedDf), "__jp_key")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+  }
 
   /** Average tail multiplicity in FULL-data terms: sampled tail rows
     * scale by 1/f; the tail KEY count comes from the full-pass NDV
@@ -298,5 +365,94 @@ object JoinPreflight {
     val tailKeys = math.max(1L, ev.stats.estDistinctKeys - pricedCnt.size)
     if (tailRows <= 0L) 0.0
     else (tailRows / sampleFraction) / tailKeys.toDouble
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The EXECUTABLE pre-flight: run [[report]], then build the inner
+    * equi-join the verdict prescribes — the same advice-to-plan step
+    * [[graft.plans.AsOfJoin.joinSkewAware]] takes for the as-of join.
+    * Returns the joined frame plus the report it acted on; every
+    * routing decision logs loudly.
+    *
+    *   - `broadcast-left` / `broadcast-right`: a `broadcast()` hint on
+    *     the small side — the plan the session's own threshold says it
+    *     wants, forced so a stale or missing statistic can't shuffle a
+    *     dimension table.
+    *   - `salted-shuffle`: the hot keys (from the report — bounded,
+    *     at most 1/threshold of them) split out of BOTH sides; hot
+    *     left rows pick a random salt in [0, buckets), hot right rows
+    *     replicate once per salt value, and the hot arm joins on
+    *     (keys, salt) so the hottest key spreads over `buckets` tasks
+    *     instead of serializing one. The tail arm joins plain, and
+    *     the union is exactly the inner join's row set: routing is by
+    *     the key VALUE (same rendering on both sides), so both sides
+    *     of any matching pair land in the same arm, and null-keyed
+    *     rows match nothing in either. Replication is hot-keys-only —
+    *     the catastrophic "explode the whole build side" salting is
+    *     never paid.
+    *   - `shuffle` / `insufficient-sample`: the plain join untouched.
+    *
+    * Output columns are the plain join's: left's then right's, both
+    * sides complete (key columns from both sides, like
+    * `left.join(right, cond)`). Inner joins only — the split-arm
+    * union argument above is an inner-join identity; outer variants
+    * need null-extension bookkeeping this does not do.
+    *
+    * `saltBuckets` = 0 derives the bucket count from the session's
+    * shuffle parallelism — the same ceiling the as-of salter uses. */
+  def joinAdvised(
+      left: DataFrame, leftKeys: Seq[String],
+      right: DataFrame, rightKeys: Seq[String],
+      sampleFraction: Double = 0.01,
+      topK: Int = 64,
+      broadcastBytes: Long = sessionBroadcastBytes,
+      hotShareThreshold: Double = defaultHotShareThreshold,
+      saltBuckets: Int = 0): (DataFrame, Report) = {
+    require(saltBuckets >= 0, s"saltBuckets must be >= 0, got $saltBuckets")
+    val rep = report(left, leftKeys, right, rightKeys,
+      sampleFraction, topK, broadcastBytes, hotShareThreshold)
+    def cond(lf: DataFrame, rf: DataFrame): Column =
+      leftKeys.zip(rightKeys).map { case (lk, rk) => lf(lk) === rf(rk) }
+        .reduce(_ && _)
+    val joined = rep.recommendation match {
+      case "broadcast-right" =>
+        log.info(s"join pre-flight: broadcasting right " +
+          s"(${rep.right.estBytes} bytes, ${rep.right.rows} rows)")
+        left.join(broadcast(right), cond(left, right), "inner")
+      case "broadcast-left" =>
+        log.info(s"join pre-flight: broadcasting left " +
+          s"(${rep.left.estBytes} bytes, ${rep.left.rows} rows)")
+        broadcast(left).join(right, cond(left, right), "inner")
+      case "salted-shuffle" if rep.hotKeys.nonEmpty =>
+        val spark = left.sparkSession
+        val buckets =
+          if (saltBuckets > 0) saltBuckets
+          else math.max(2, spark.sessionState.conf.numShufflePartitions)
+        log.info(s"join pre-flight: salting ${rep.hotKeys.size} hot " +
+          s"key(s) over $buckets buckets (hot pair share " +
+          f"${rep.hotPairShare}%.2f of est. ${rep.estOutputRows} rows)")
+        val (lKey, rKey) = coercedKeyExprs(left, leftKeys, right, rightKeys)
+        val hot = rep.hotKeys
+        // routing is by the rendered key value — identical on both
+        // sides, so matching rows always land in the same arm
+        val lHot = left.filter(lKey.isin(hot: _*))
+          .withColumn("__jp_salt",
+            floor(rand(42L) * buckets).cast(IntegerType))
+        val rHot = right.filter(rKey.isin(hot: _*))
+          .withColumn("__jp_salt",
+            explode(sequence(lit(0), lit(buckets - 1))))
+        val hotArm = lHot.join(rHot,
+            cond(lHot, rHot) && lHot("__jp_salt") === rHot("__jp_salt"),
+            "inner")
+          .drop(lHot("__jp_salt")).drop(rHot("__jp_salt"))
+        val lTail = left.filter(!lKey.isin(hot: _*))
+        val rTail = right.filter(!rKey.isin(hot: _*))
+        hotArm.unionAll(lTail.join(rTail, cond(lTail, rTail), "inner"))
+      case other =>
+        log.info(s"join pre-flight: plain shuffle join ($other)")
+        left.join(right, cond(left, right), "inner")
+    }
+    (joined, rep)
   }
 }

@@ -179,13 +179,50 @@ class JoinPreflightSpec extends SparkSuite {
     assert(rep.estOutputRows == 0L)
   }
 
-  test("below the evidence floor the verdict is insufficient-sample") {
+  test("below the evidence floor a SAMPLED verdict abstains; exact mode never does") {
     val left = (0 until 50).map(i => (s"k$i", i)).toDF("k", "v")
     val right = (0 until 50).map(i => (s"k$i", i)).toDF("k", "w")
+    // sampleFraction = 1.0 IS the full population: a 50-row side is
+    // complete evidence, not a thin sample — the verdict must not
+    // abstain on a table that trivially reads broadcast/shuffle
     val rep = exact(left, right)
-    assert(rep.recommendation == "insufficient-sample", rep.recommendation)
-    // the numbers are still reported — only the routing abstains
+    assert(rep.recommendation == "shuffle", rep.recommendation)
     assert(rep.estOutputRows == 50L)
+    // a genuine sample that lands under the floor still abstains
+    val bigL = (0 until 3000).map(i => (s"k${i % 500}", i)).toDF("k", "v")
+    val bigR = (0 until 3000).map(i => (s"k${i % 500}", i)).toDF("k", "w")
+    val thin = JoinPreflight.report(bigL, Seq("k"), bigR, Seq("k"),
+      sampleFraction = 0.01, topK = 64, broadcastBytes = 1L)
+    assert(thin.recommendation == "insufficient-sample",
+      s"~30 sampled rows must abstain: ${thin.recommendation}")
+  }
+
+  test("decimal keys compare on the widened decimal, not a 2^53-lossy double") {
+    import org.apache.spark.sql.types.DecimalType
+    // ids beyond 2^53: doubles collide adjacent values, exact decimal
+    // compare keeps them distinct — matched-keys must NOT over-count
+    val base = BigDecimal("9007199254740992") // 2^53
+    val lVals = (0 until 300).map(i => base + i)          // 2^53 .. 2^53+299
+    val rVals = (0 until 300).map(i => base + 2 * i)      // every other
+    val left = lVals.map(v => (v, 1)).toDF("k", "v")
+      .select(col("k").cast(DecimalType(38, 0)).as("k"), col("v"))
+    val right = rVals.map(v => (v, 1)).toDF("k", "w")
+      .select(col("k").cast("long").as("k"), col("w"))  // DECIMAL(38,0) vs BIGINT
+    val rep = exact(left, right)
+    val actual = left.join(right, "k").count() // 150: the even offsets
+    assert(actual == 150L, s"fixture drift: $actual")
+    assert(rep.estMatchedKeys == actual,
+      s"decimal-vs-bigint matched keys ${rep.estMatchedKeys} != $actual " +
+        "(double rendering would collide the odd offsets into matches)")
+    assert(rep.estOutputRows == actual, s"output ${rep.estOutputRows}")
+    // two decimal scales: trailing zeros must not split equal values
+    val l2 = (0 until 200).map(i => (BigDecimal(i), 1)).toDF("k", "v")
+      .select(col("k").cast(DecimalType(12, 2)).as("k"), col("v"))
+    val r2 = (0 until 400).map(i => (BigDecimal(i % 200), 1)).toDF("k", "w")
+      .select(col("k").cast(DecimalType(20, 0)).as("k"), col("w"))
+    val rep2 = exact(l2, r2)
+    assert(rep2.estMatchedKeys == 200L, s"cross-scale: ${rep2.estMatchedKeys}")
+    assert(rep2.estOutputRows == l2.join(r2, "k").count())
   }
 
   test("the report frame round-trips the verdict for the CLI") {
@@ -195,6 +232,64 @@ class JoinPreflightSpec extends SparkSuite {
     assert(row.getAs[String]("recommendation") == "shuffle")
     assert(row.getAs[Long]("est_matched_keys") == 200L)
     assert(row.getAs[Long]("left_rows") == 2000L)
+  }
+
+  // --- joinAdvised: each verdict class must change the physical plan
+  // accordingly AND the answer must equal the plain inner join ---
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  test("joinAdvised broadcast verdict: hint lands in the plan, answer unchanged") {
+    val left = (0 until 5000).map(i => (s"k${i % 100}", i)).toDF("k", "v")
+    val right = (0 until 100).map(i => (s"k$i", i)).toDF("rk", "w")
+    val (joined, rep) = JoinPreflight.joinAdvised(
+      left, Seq("k"), right, Seq("rk"), sampleFraction = 1.0, topK = 4000)
+    assert(rep.recommendation == "broadcast-right", rep.recommendation)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"broadcast-right verdict must plan a broadcast join:\n$plan")
+    val plain = left.join(right, left("k") === right("rk"), "inner")
+    assert(sortedRows(joined) == sortedRows(plain))
+    assert(joined.columns.toSeq == plain.columns.toSeq)
+  }
+
+  test("joinAdvised salted verdict: salt keys in the exchange, answer unchanged") {
+    // hot on BOTH sides, broadcasting disabled -> salted-shuffle
+    val left = (0 until 10000).map { i =>
+      (if (i < 9000) "hot" else s"k${i % 500}", i)
+    }.toDF("k", "v")
+    val right = (0 until 2000).map { i =>
+      (if (i < 1000) "hot" else s"k${i % 500}", i)
+    }.toDF("rk", "w")
+    val (joined, rep) = JoinPreflight.joinAdvised(
+      left, Seq("k"), right, Seq("rk"),
+      sampleFraction = 1.0, topK = 4000, broadcastBytes = -1L,
+      saltBuckets = 8)
+    assert(rep.recommendation == "salted-shuffle", rep.recommendation)
+    assert(rep.hotKeys == Seq("hot"), rep.hotKeys)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("__jp_salt"),
+      s"salted verdict must carry the salt key into the exchange:\n$plan")
+    assert(!joined.columns.contains("__jp_salt"),
+      "the salt is plumbing — it must not leak into the output schema")
+    val plain = left.join(right, left("k") === right("rk"), "inner")
+    assert(joined.count() == plain.count())
+    assert(sortedRows(joined) == sortedRows(plain))
+    assert(joined.columns.toSeq == plain.columns.toSeq)
+  }
+
+  test("joinAdvised shuffle verdict: plain join, no salt, no broadcast hint") {
+    val left = (0 until 2000).map(i => (s"key${i % 200}", i)).toDF("k", "v")
+    val right = (0 until 600).map(i => (s"key${i % 300}", i)).toDF("rk", "w")
+    val (joined, rep) = JoinPreflight.joinAdvised(
+      left, Seq("k"), right, Seq("rk"),
+      sampleFraction = 1.0, topK = 4000, broadcastBytes = 1L)
+    assert(rep.recommendation == "shuffle", rep.recommendation)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("__jp_salt"), "shuffle verdict must not salt")
+    val plain = left.join(right, left("k") === right("rk"), "inner")
+    assert(sortedRows(joined) == sortedRows(plain))
   }
 
 }

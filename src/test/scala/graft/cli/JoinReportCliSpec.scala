@@ -32,4 +32,25 @@ class JoinReportCliSpec extends SparkSuite {
         "on" -> "k=kk", "out" -> s"$dir/bad", "sample" -> "2.0"))
     }
   }
+
+  test("join-report --apply: executes the advised join, rows equal the plain join") {
+    val dir = tmpDir("jp-cli-apply")
+    (0 until 2000).map(i => (s"key${i % 200}", i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/left")
+    (0 until 600).map(i => (s"key${i % 300}", i)).toDF("kk", "w")
+      .write.mode("overwrite").parquet(s"$dir/right")
+    val (out, verdict) = Main.joinReportCmd(spark, Map(
+      "left" -> s"$dir/left", "right" -> s"$dir/right",
+      "on" -> "k=kk", "out" -> s"$dir/joined",
+      "sample" -> "1.0", "top-k" -> "4000", "broadcast-bytes" -> "1",
+      "apply" -> "true"))
+    assert(out == s"$dir/joined")
+    assert(verdict.startsWith("applied shuffle"), verdict)
+    val joined = spark.read.parquet(out)
+    val l = spark.read.parquet(s"$dir/left")
+    val r = spark.read.parquet(s"$dir/right")
+    val plain = l.join(r, l("k") === r("kk"), "inner")
+    assert(joined.count() == plain.count())
+    assert(joined.columns.sorted.toSeq == plain.columns.sorted.toSeq)
+  }
 }
