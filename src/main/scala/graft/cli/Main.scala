@@ -26,7 +26,8 @@ import java.time.temporal.ChronoUnit
   *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
   *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll
-  *               --in <documents|embeddings parquet; any flat parquet dir for minmax>
+  *               --in <documents|embeddings parquet; any flat OR
+  *                    hive-partitioned parquet dir for minmax>
   *               --out <dir> [--cols a,b  (minmax only: numeric columns to box)]
   *               (hll: per-source HyperLogLog gram sketches — kilobytes
   *               per source, mergeable, feeds the `overlap` verb;
@@ -57,7 +58,10 @@ import java.time.temporal.ChronoUnit
   *        (pruned exact range scan: reads only files whose minmax box
   *        intersects the predicate, residual-filters the rest; refuses a
   *        stale index — new/removed files — loudly. Pair with `layout`
-  *        to make the boxes tight on every queried dimension)
+  *        to make the boxes tight on every queried dimension; on a
+  *        hive-partitioned tree, indexing a numeric partition column
+  *        gives per-leaf pruning that composes with the data-column
+  *        boxes)
   *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
   *         [--stream --checkpoint <dir>]   (probe new files only; resumes)
   *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]

@@ -24,10 +24,18 @@ import graft.queries.IndexArtifact
   * describe). Fold new files in with [[MinMaxIndex.updated]] (the
   * `update-index --kind minmax` path); rewrites rebuild.
   *
-  * Flat directories only (the [[ZOrder.layout]] / plain `write.parquet`
-  * shape): reading a pruned file subset bypasses partition-column
-  * discovery, so hive-partitioned layouts should index each leaf or
-  * use their partition values directly.
+  * Layouts: flat directories (the [[ZOrder.layout]] / plain
+  * `write.parquet` shape) AND hive-partitioned trees. Partitioned
+  * reads keep their partition columns by pinning `basePath` when a
+  * pruned FILE SUBSET is read — without it Spark derives no partition
+  * values from explicit leaf paths and the subset would silently drop
+  * those columns. Numeric partition columns are indexable like any
+  * other (their per-file box is a point: min == max == the leaf's
+  * value), so a range on a partition column prunes files exactly as
+  * hive partition pruning would — and COMPOSES with boxes on interior
+  * columns: each leaf's surviving files are the strict subset whose
+  * data-column stats intersect, which plain partition pruning cannot
+  * do.
   */
 object DataSkipping {
 
@@ -52,7 +60,10 @@ object DataSkipping {
       val fresh = listDataFiles(spark, dataPath).filterNot(f => have(normalize(f)))
       if (fresh.isEmpty) this
       else MinMaxIndex(stats.unionByName(
-        statsOf(spark.read.parquet(fresh: _*), cols)).localCheckpoint(true))
+        // basePath keeps partition-column values derivable from the
+        // explicit leaf paths (indexed partition columns need them)
+        statsOf(spark.read.option("basePath", dataPath).parquet(fresh: _*), cols))
+        .localCheckpoint(true))
     }
 
     /** Files whose stats box intersects every `(col, lo, hi)` range
@@ -94,7 +105,11 @@ object DataSkipping {
       val base =
         if (files.isEmpty) // keep the schema without reading data rows
           spark.read.parquet(dataPath).where(lit(false))
-        else spark.read.parquet(files: _*)
+        else
+          // basePath: a pruned file SUBSET of a hive-partitioned tree
+          // must still derive its partition columns from the paths —
+          // without it the subset read silently drops those columns
+          spark.read.option("basePath", dataPath).parquet(files: _*)
       ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
         df.where(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
       }
@@ -149,17 +164,27 @@ object DataSkipping {
 
   /** Data files under `dataPath` in `input_file_name()` form (URI),
     * resolved through the Hadoop FS API so any supported filesystem
-    * works — not just local paths.
+    * works — not just local paths. RECURSIVE, so hive-partitioned
+    * trees list their leaves; any path segment below the base that
+    * starts with `_` or `.` is hidden by Spark's source convention
+    * (e.g. `_spark_metadata/`, `_tmp.*`) and is skipped here the same
+    * way.
     */
   private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dataPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getLen > 0)
-      .map(_.getPath.toUri.toString)
-      .filterNot { n =>
-        val base = n.substring(n.lastIndexOf('/') + 1)
-        base.startsWith("_") || base.startsWith(".")
+    val basePath = fs.makeQualified(p).toUri.getPath
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getLen > 0) {
+        val rel = s.getPath.toUri.getPath.stripPrefix(basePath).stripPrefix("/")
+        if (!rel.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith(".")))
+          out += s.getPath.toUri.toString
       }
+    }
+    out.result()
   }
 }

@@ -77,6 +77,69 @@ class LayoutCliSpec extends SparkSuite {
     }
   }
 
+  test("minmax over a two-level hive-partitioned tree: per-leaf pruning composes") {
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("cli-skip-part")
+    val data = s"$base/li"
+    // two-level partitioned write; repartitionByRange on the interior
+    // column first, so each leaf's files carry TIGHT l_suppkey boxes
+    // (4 range slices x 6 leaves = 24 leaf files)
+    spark.read.parquet(liPath)
+      .withColumn("pk", pmod(col("l_orderkey"), lit(3)).cast("int"))
+      .withColumn("pk2", pmod(col("l_partkey"), lit(2)).cast("int"))
+      .repartitionByRange(4, col("l_suppkey"))
+      .write.partitionBy("pk", "pk2").mode("overwrite").parquet(data)
+    val idx = s"$base/idx"
+    Main.buildIndexCmd(spark, Map("kind" -> "minmax",
+      "in" -> data, "out" -> idx, "cols" -> "pk,l_suppkey"))
+    val nFiles = graft.operators.DataSkipping.MinMaxIndex
+      .load(spark, idx).stats.count()
+    assert(nFiles == 24, s"expected 24 leaf files indexed, got $nFiles")
+    // range on the PARTITION column + a narrow interior range: the
+    // partition box prunes whole leaves, the l_suppkey box prunes
+    // inside each surviving leaf — a strict subset per leaf
+    val outP = s"$base/hits"
+    val (_, report) = Main.scanCmd(spark, Map("in" -> data, "index" -> idx,
+      "out" -> outP, "where" -> "pk:1:1,l_suppkey:1:2"))
+    val m = "read (\\d+) of (\\d+) files \\((\\d+) rows\\)".r
+      .findFirstMatchIn(report).getOrElse(fail(s"report: $report"))
+    assert(m.group(2).toInt == 24, s"report: $report")
+    assert(m.group(1).toInt < 8,
+      s"pk=1 leaves hold 8 files — the interior box must prune within them: $report")
+    assert(m.group(1).toInt > 0, s"report: $report")
+    // pruned scan == direct filtered read, INCLUDING partition columns
+    val want = spark.read.parquet(data).where(
+      col("pk") === 1 && col("l_suppkey").between(1, 2))
+    val got = spark.read.parquet(outP)
+    assert(got.columns.sorted.toSeq == want.columns.sorted.toSeq,
+      s"partition columns must survive the pruned subset read: ${got.columns.toSeq}")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // append into ONE leaf: scan refuses, the fold equals a rebuild
+    spark.read.parquet(liPath).limit(50)
+      .withColumn("pk", lit(1)).withColumn("pk2", lit(0))
+      .write.partitionBy("pk", "pk2").mode("append").parquet(data)
+    intercept[IllegalArgumentException] {
+      Main.scanCmd(spark, Map("in" -> data, "index" -> idx,
+        "out" -> s"$base/hits2", "where" -> "pk:1:1"))
+    }
+    val idx2 = s"$base/idx2"
+    val (_, _, grew) = Main.updateIndexCmd(spark, Map("kind" -> "minmax",
+      "in" -> data, "index" -> idx, "out" -> idx2))
+    assert(grew > 0)
+    val folded = graft.operators.DataSkipping.MinMaxIndex.load(spark, idx2)
+    val rebuilt = graft.operators.DataSkipping
+      .buildMinMaxIndex(spark, data, Seq("pk", "l_suppkey"))
+    assert(folded.stats.collect().map(_.mkString("|")).sorted.toSeq ==
+      rebuilt.stats.collect().map(_.mkString("|")).sorted.toSeq,
+      "incremental fold must equal a rebuild on the partitioned tree")
+    val (_, r2) = Main.scanCmd(spark, Map("in" -> data, "index" -> idx2,
+      "out" -> s"$base/hits3", "where" -> "pk:1:1,l_suppkey:1:2"))
+    val want2 = spark.read.parquet(data).where(
+      col("pk") === 1 && col("l_suppkey").between(1, 2))
+    assert(spark.read.parquet(s"$base/hits3").count() == want2.count(), r2)
+  }
+
   test("layout: --keep-z persists the clustering key; bad flags die loudly") {
     val out = tmpDir("cli-layout-keep") + "/li"
     Main.layoutCmd(spark, Map("in" -> liPath, "out" -> out,
