@@ -62,8 +62,48 @@ object DataSkipping {
       else MinMaxIndex(stats.unionByName(
         // basePath keeps partition-column values derivable from the
         // explicit leaf paths (indexed partition columns need them)
-        statsOf(spark.read.option("basePath", dataPath).parquet(fresh: _*), cols))
+        statsOf(spark.read.option("basePath", dataPath).parquet(fresh: _*),
+          cols, fresh))
         .localCheckpoint(true))
+    }
+
+    /** Streaming-sink maintenance: drop stats rows for files no longer
+      * on disk, fold stats for unindexed files — the result equals a
+      * rebuild over the CURRENT file set. This exists for
+      * [[graft.streaming.StreamingIngest]], whose foreachBatch replay
+      * OVERWRITES its own `batch_id=<id>` partition dir (the
+      * idempotence contract): the replaced files leave, their
+      * replacements fold in, and the index stays serveable at every
+      * commit. Batch jobs should keep using [[updated]] — it only
+      * adds, so [[scan]]'s staleness refusal still catches rewrites
+      * the index does NOT control. Returns `this` (same instance)
+      * when the file set already matches, so callers can skip a
+      * no-op save.
+      */
+    def reconciled(spark: SparkSession, dataPath: String): MinMaxIndex = {
+      val onDisk = listDataFiles(spark, dataPath)
+      val disk = onDisk.map(normalize).toSet
+      val have = indexedFiles(stats).map(normalize)
+      val fresh = onDisk.filterNot(f => have(normalize(f)))
+      val gone = have -- disk
+      if (fresh.isEmpty && gone.isEmpty) this
+      else {
+        // files-scale: one collected name per DEPARTED file, matched
+        // against the stats' own spelling of it
+        val kept =
+          if (gone.isEmpty) stats
+          else {
+            val goneSpellings = stats.select("file").collect()
+              .map(_.getString(0)).filter(f => gone(normalize(f)))
+            stats.filter(!col("file").isin(goneSpellings.toSeq: _*))
+          }
+        val folded =
+          if (fresh.isEmpty) kept
+          else kept.unionByName(statsOf(
+            spark.read.option("basePath", dataPath).parquet(fresh: _*),
+            cols, fresh))
+        MinMaxIndex(folded.localCheckpoint(true))
+      }
     }
 
     /** Files whose stats box intersects every `(col, lo, hi)` range
@@ -136,10 +176,18 @@ object DataSkipping {
     // action, silently absorbing files appended AFTER the build — the
     // stats must describe the file set as of build time (that is what
     // the staleness check verifies against), so pin them now
-    MinMaxIndex(statsOf(df, cols).localCheckpoint(true))
+    MinMaxIndex(statsOf(df, cols, listDataFiles(spark, dataPath))
+      .localCheckpoint(true))
   }
 
-  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Per-file stats for `df`, covering EVERY file in `files` — a
+    * zero-row parquet file (a writer task that got no rows) yields no
+    * data row to group, but the index must still describe it or the
+    * staleness check would read it as forever-unindexed. Such files
+    * carry `rows = 0` and NULL boxes: a null box intersects no range,
+    * so pruning never reads them. */
+  private def statsOf(df: DataFrame, cols: Seq[String],
+                      files: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("rows") +:
       cols.flatMap(c => Seq(
         min(col(c)).cast("double").as(s"lo_$c"),
@@ -148,8 +196,15 @@ object DataSkipping {
     // read whole but `file:/x` when files were listed explicitly (the
     // updated() fold path) — same URI, different text. Store ONE
     // spelling so an incremental fold is byte-equal to a rebuild.
-    df.groupBy(regexp_replace(input_file_name(), "^file:///", "file:/").as("file"))
+    val computed = df
+      .groupBy(regexp_replace(input_file_name(), "^file:///", "file:/").as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = files.map(f =>
+      f.replaceFirst("^file:///", "file:/")).toDF("file")
+    expected.join(computed, Seq("file"), "left")
+      .withColumn("rows", coalesce(col("rows"), lit(0L)))
   }
 
   private def indexedFiles(stats: DataFrame): Set[String] =

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.DataSkipping
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+/** The streaming minmax maintenance contract: after EVERY micro-batch
+  * commit the index is non-stale (scan serves, no refusal), the folded
+  * stats equal a from-scratch rebuild over the current tree, and the
+  * pruned scan equals the direct filtered read.
+  */
+class StreamingIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streamed batches keep the minmax index scan-serveable; fold == rebuild") {
+    val base = tmpDir("stream-minmax")
+    val data = s"$base/data"
+    val idxDir = s"$base/idx"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.startWithMinMaxIndex(
+      mem.toDF().toDF("k", "v"), data, idxDir, Seq("k"), s"$base/ck")
+    try {
+      // three batches with disjoint key ranges -> tight per-batch boxes
+      val batches = Seq(0L until 100L, 1000L until 1100L, 2000L until 2100L)
+      batches.zipWithIndex.foreach { case (ks, i) =>
+        mem.addData(ks.map(k => (k, k * 10)): _*)
+        q.processAllAvailable()
+        val idx = DataSkipping.MinMaxIndex.load(spark, idxDir)
+        // non-stale after the commit: scan serves instead of refusing
+        val hits = idx.scan(spark, data, Seq(("k", 0.0, 99.0)))
+        val want = spark.read.parquet(data).where(col("k").between(0, 99))
+        assert(hits.count() == want.count() && hits.count() == 100,
+          s"after batch $i: ${hits.count()} vs ${want.count()}")
+        // fold == rebuild over the current tree
+        val rebuilt = DataSkipping.buildMinMaxIndex(spark, data, Seq("k"))
+        assert(idx.stats.collect().map(_.mkString("|")).sorted.toSeq ==
+          rebuilt.stats.collect().map(_.mkString("|")).sorted.toSeq,
+          s"after batch $i the maintained index must equal a rebuild")
+      }
+      // disjoint batch ranges -> a range over ONE batch prunes the rest
+      val idx = DataSkipping.MinMaxIndex.load(spark, idxDir)
+      val pruned = idx.prunedFiles(Seq(("k", 1000.0, 1099.0)))
+      val all = idx.stats.count()
+      assert(pruned.nonEmpty && pruned.size < all,
+        s"disjoint batches must prune: ${pruned.size} of $all")
+      // batch_id partition column survives the pruned subset read
+      val sliced = idx.scan(spark, data, Seq(("k", 1000.0, 1099.0)))
+      assert(sliced.columns.contains("batch_id"),
+        s"partition column lost: ${sliced.columns.toSeq}")
+      assert(sliced.count() == 100)
+    } finally q.stop()
+  }
+
+  test("a replayed (overwritten) batch dir reconciles instead of going stale") {
+    val base = tmpDir("stream-minmax-replay")
+    val data = s"$base/data"
+    // seed two batch dirs + an index over them
+    Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
+      .write.parquet(s"$data/batch_id=0")
+    Seq((10L, 1L), (20L, 2L)).toDF("k", "v")
+      .write.parquet(s"$data/batch_id=1")
+    val idx = DataSkipping.buildMinMaxIndex(spark, data, Seq("k"))
+    // a replay overwrites batch 1 with the same DATA but new files
+    Seq((10L, 1L), (20L, 2L)).toDF("k", "v").repartition(2)
+      .write.mode("overwrite").parquet(s"$data/batch_id=1")
+    // scan refuses the drifted set; reconcile heals it to rebuild-equal
+    intercept[IllegalArgumentException] {
+      idx.scan(spark, data, Seq(("k", 1.0, 20.0)))
+    }
+    val healed = idx.reconciled(spark, data)
+    val rebuilt = DataSkipping.buildMinMaxIndex(spark, data, Seq("k"))
+    assert(healed.stats.collect().map(_.mkString("|")).sorted.toSeq ==
+      rebuilt.stats.collect().map(_.mkString("|")).sorted.toSeq)
+    assert(healed.scan(spark, data, Seq(("k", 1.0, 20.0))).count() == 4)
+    // an unchanged tree reconciles to the SAME instance (no-op save guard)
+    assert(healed.reconciled(spark, data) eq healed)
+  }
+}
