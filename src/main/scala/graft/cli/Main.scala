@@ -62,6 +62,14 @@ import java.time.temporal.ChronoUnit
   *        hive-partitioned tree, indexing a numeric partition column
   *        gives per-leaf pruning that composes with the data-column
   *        boxes)
+  *   stream-ingest --in <parquet dir to watch> --data <output tree>
+  *        --index <minmax artifact dir> --cols a,b --checkpoint <dir>
+  *        (file-stream ingest with LIVE index maintenance: each
+  *        micro-batch lands under data/batch_id=<epoch> — idempotent
+  *        under replay — and the minmax index folds the new files in
+  *        the same commit, so `scan` never hits the staleness refusal
+  *        between nightly rebuilds; AvailableNow, re-run to pick up
+  *        new source files)
   *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
   *         [--stream --checkpoint <dir>]   (probe new files only; resumes)
   *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]
@@ -484,6 +492,24 @@ object Main {
         .start()
       q.awaitTermination()
       println(s"stream-restore: replayed available objects from $dir into $out")
+      spark.stop()
+
+    case "stream-ingest" :: rest =>
+      // Parquet file-stream ingest with LIVE minmax maintenance: each
+      // micro-batch lands under --data/batch_id=<epoch> and the
+      // skipping index at --index folds the new files inside the same
+      // commit hook, so `scan` serves current data between nightly
+      // rebuilds. AvailableNow semantics: processes what's there,
+      // checkpoints, exits; re-running with the same --checkpoint
+      // picks up only source files that appeared since.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val (data, idx) =
+        try streamIngestCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      println(s"stream-ingest: available files ingested into $data " +
+        s"(skipping index $idx current)")
       spark.stop()
 
     case "build-index" :: rest =>
@@ -1419,6 +1445,30 @@ object Main {
     // source-count-scale rows — one file reads back fastest
     res.coalesce(1).write.mode("overwrite").parquet(out)
     (out, spark.read.parquet(out).count())
+  }
+
+  /** `stream-ingest` body, session-injected so specs drive it: watch
+    * a parquet dir as a file stream, land each micro-batch under
+    * `--data/batch_id=<epoch>`, and keep the minmax artifact at
+    * `--index` scan-serveable after every commit
+    * ([[graft.streaming.StreamingIngest]]). */
+  private[cli] def streamIngestCmd(
+      spark: SparkSession, o: Map[String, String]): (String, String) = {
+    val in = o.getOrElse("in", die("--in <parquet dir to watch> is required"))
+    val data = o.getOrElse("data", die("--data <output tree> is required"))
+    val idx = o.getOrElse("index", die("--index <minmax artifact dir> is required"))
+    val ckpt = o.getOrElse("checkpoint", die("--checkpoint <dir> is required"))
+    val cols = o.getOrElse("cols", die("--cols a,b[,...] is required"))
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(cols.nonEmpty, "--cols must name at least one numeric column")
+    val src = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .parquet(in)
+    val q = graft.streaming.StreamingIngest.startWithMinMaxIndex(
+      src, data, idx, cols, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    (data, idx)
   }
 
   /** `join-report` body, session-injected so specs drive it: price an
