@@ -70,6 +70,16 @@ import java.time.temporal.ChronoUnit
   *        the same commit, so `scan` never hits the staleness refusal
   *        between nightly rebuilds; AvailableNow, re-run to pick up
   *        new source files)
+  *   compact-files --in <data tree> [--target-bytes N] [--small-bytes N]
+  *        [--collapse <partition col>] [--index <minmax artifact dir>]
+  *        [--parallelism N]
+  *        (bin-pack each leaf's small files into ~target-size files —
+  *        Spark's own partition packing does the first-fit, no shuffle;
+  *        cost scales with small-file debt, not table size. --collapse
+  *        merges a bookkeeping partition level's sub-target leaves
+  *        (the stream-ingest batch_id tree), always keeping the newest
+  *        leaf for replay safety. --index reconciles the minmax
+  *        artifact afterward so scan serves the compacted tree)
   *   scrub --in <documents parquet> --out <parquet> [--index <scrub index dir>]
   *         [--stream --checkpoint <dir>]   (probe new files only; resumes)
   *   ingest --in <file or dir> --out <parquet> [--format jsonl|csv|text]
@@ -510,6 +520,30 @@ object Main {
         catch { case e: IllegalArgumentException => die(e.getMessage) }
       println(s"stream-ingest: available files ingested into $data " +
         s"(skipping index $idx current)")
+      spark.stop()
+
+    case "compact-files" :: rest =>
+      // Small-file maintenance for a parquet tree: bin-pack each
+      // leaf's small files into ~target-size files (only the debt is
+      // rewritten), optionally collapse a bookkeeping partition level,
+      // then reconcile the minmax index so `scan` serves the result.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val rep =
+        try compactFilesCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      rep.leaves.foreach { l =>
+        val name = if (l.leaf.isEmpty) "." else l.leaf
+        println(f"compact-files:   $name: ${l.filesBefore} -> " +
+          f"${l.filesAfter} files (${l.bytes}%,d bytes repacked)")
+      }
+      rep.newestLeafKept.foreach(l =>
+        println(s"compact-files:   kept newest leaf $l (replay safety)"))
+      println(s"compact-files: ${rep.filesBefore} small files -> " +
+        s"${rep.filesAfter} packed files across ${rep.leaves.size} " +
+        s"leaf rewrite(s); ${rep.untouchedLeaves} leaf(s) untouched" +
+        o.get("index").fold("")(i => s"; index $i reconciled"))
       spark.stop()
 
     case "build-index" :: rest =>
@@ -1469,6 +1503,27 @@ object Main {
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.awaitTermination()
     (data, idx)
+  }
+
+  /** `compact-files` body, session-injected so specs drive it:
+    * bin-pack a tree's small-file debt, then reconcile the minmax
+    * artifact when one is given ([[graft.operators.FileCompaction]]). */
+  private[cli] def compactFilesCmd(
+      spark: SparkSession, o: Map[String, String]): graft.operators.FileCompaction.Report = {
+    val in = o.getOrElse("in", die("--in <data tree> is required"))
+    val rep = graft.operators.FileCompaction.compactTree(
+      spark, in,
+      targetBytes = o.get("target-bytes").map(_.toLong)
+        .getOrElse(128L * 1024 * 1024),
+      smallBytes = o.get("small-bytes").map(_.toLong).getOrElse(-1L),
+      collapse = o.get("collapse"),
+      parallelism = o.get("parallelism").map(_.toInt).getOrElse(4))
+    o.get("index").foreach { idxDir =>
+      val idx = graft.operators.DataSkipping.MinMaxIndex.load(spark, idxDir)
+      val next = idx.reconciled(spark, in)
+      if (!(next eq idx)) next.save(idxDir)
+    }
+    rep
   }
 
   /** `join-report` body, session-injected so specs drive it: price an
