@@ -25,10 +25,13 @@ import java.time.temporal.ChronoUnit
   *                  [--slice ...] [--gzip] [--topic <name>]
   *   stream-restore --dir <backupDir> --out <parquetDir> --checkpoint <dir>
   *                  [--topics a,b] [--from-when ISO] [--override-topics old:new]
-  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll
+  *   build-index --kind neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|bloom|hll|kll
   *               --in <documents|embeddings parquet; any flat OR
-  *                    hive-partitioned parquet dir for minmax>
-  *               --out <dir> [--cols a,b  (minmax only: numeric columns to box)]
+  *                    hive-partitioned parquet dir for minmax/bloom>
+  *               --out <dir> [--cols a,b  (minmax: numeric columns to box;
+  *                    bloom: bigint/int/string key columns to filter)]
+  *               [--expected-items N] [--fpp P]  (bloom sizing: distinct
+  *                    keys per file and false-positive rate)
   *               (hll: per-source HyperLogLog gram sketches — kilobytes
   *               per source, mergeable, feeds the `overlap` verb;
   *               kll: per-source KLL length-distribution sketches —
@@ -53,17 +56,21 @@ import java.time.temporal.ChronoUnit
   *             [--global]
   *           (per-source — or corpus-wide with --global, merged from the
   *           per-source sketches — length percentiles from kilobytes)
-  *   scan --in <data dir> --index <minmax artifact> --where col:lo:hi[,col2:lo:hi]
-  *        --out <parquet>
-  *        (pruned exact range scan: reads only files whose minmax box
-  *        intersects the predicate, residual-filters the rest; refuses a
-  *        stale index — new/removed files — loudly. Pair with `layout`
-  *        to make the boxes tight on every queried dimension; on a
-  *        hive-partitioned tree, indexing a numeric partition column
-  *        gives per-leaf pruning that composes with the data-column
-  *        boxes)
+  *   scan --in <data dir> --index <artifact> --out <parquet>
+  *        --where col:lo:hi[,col2:lo:hi] | --where-eq col:v[,col2:v2]
+  *        (pruned exact scan: --where consults a minmax artifact and
+  *        reads only files whose box intersects the range; --where-eq
+  *        consults a bloom artifact and reads only files whose filter
+  *        admits the key — the point-lookup case minmax boxes are
+  *        blind to on high-cardinality keys in arrival order. Both
+  *        residual-filter exactly and refuse a stale index — new or
+  *        removed files — loudly. Pair --where with `layout` to make
+  *        the boxes tight; on a hive-partitioned tree, indexing a
+  *        numeric partition column gives per-leaf pruning that
+  *        composes with the data-column boxes)
   *   stream-ingest --in <parquet dir to watch> --data <output tree>
   *        --index <minmax artifact dir> --cols a,b --checkpoint <dir>
+  *        [--compact-every N [--target-bytes N]]
   *        (file-stream ingest with LIVE index maintenance: each
   *        micro-batch lands under data/batch_id=<epoch> — idempotent
   *        under replay — and the minmax index folds the new files in
@@ -1082,15 +1089,23 @@ object Main {
     *    arrives — the same drain contract as join-asof's event-time
     *    mode.
     */
-  /** `scan`: pruned range scan through a minmax artifact. Returns
-    * (outPath, "read X of Y files (N rows)").
+  /** `scan`: pruned scan through a skipping artifact — RANGE
+    * predicates (`--where col:lo:hi`) consult a minmax index, POINT
+    * predicates (`--where-eq col:v`) a bloom index; the flag picks the
+    * artifact kind `--index` must hold. Returns (outPath,
+    * "read X of Y files (N rows)").
     */
   private[cli] def scanCmd(
       spark: SparkSession, o: Map[String, String]): (String, String) = {
     val in = o.getOrElse("in", die("--in <data dir> is required"))
-    val idx = o.getOrElse("index", die("--index <minmax artifact dir> is required"))
+    val idx = o.getOrElse("index", die("--index <artifact dir> is required"))
     val out = o.getOrElse("out", die("--out <parquet> is required"))
-    val ranges = o.getOrElse("where", die("--where col:lo:hi[,col2:lo:hi] is required"))
+    require(!(o.contains("where") && o.contains("where-eq")),
+      "--where (minmax ranges) and --where-eq (bloom points) are " +
+        "different artifacts — run two scans to compose them")
+    if (o.contains("where-eq")) return scanEqCmd(spark, o, in, idx, out)
+    val ranges = o.getOrElse("where",
+        die("--where col:lo:hi[,...] or --where-eq col:v[,...] is required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       .map { clause =>
         clause.split(":") match {
@@ -1109,6 +1124,45 @@ object Main {
     val total = index.stats.count()
     val read = index.prunedFiles(ranges).size
     val result = index.scan(spark, in, ranges)
+    result.write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    (out, s"read $read of $total files ($n rows)")
+  }
+
+  /** `scan --where-eq` arm: point-lookup pruning through a bloom
+    * artifact. Values type-follow the DATA schema (a long column
+    * probes the filter's long hashing, a string column the UTF-8
+    * hashing — the same typing the build used). */
+  private def scanEqCmd(spark: SparkSession, o: Map[String, String],
+                        in: String, idx: String, out: String): (String, String) = {
+    val schema = spark.read.parquet(in).schema
+    val eqs: Seq[(String, Any)] = o("where-eq")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { clause =>
+        clause.split(":") match {
+          case Array(c, v) =>
+            require(schema.fieldNames.contains(c),
+              s"--where-eq: column '$c' not in $in " +
+                s"(has: ${schema.fieldNames.mkString(", ")})")
+            schema(c).dataType match {
+              case org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.IntegerType =>
+                (c, v.toLongOption.getOrElse(throw new IllegalArgumentException(
+                  s"--where-eq: '$v' is not an integer for column '$c'")): Any)
+              case org.apache.spark.sql.types.StringType => (c, v: Any)
+              case other => throw new IllegalArgumentException(
+                s"--where-eq: column '$c' has unsupported type $other " +
+                  "(bloom indexes cover bigint/int/string)")
+            }
+          case _ => throw new IllegalArgumentException(
+            s"--where-eq clause '$clause' must be col:value")
+        }
+      }
+    if (eqs.isEmpty) die("--where-eq col:v[,col2:v2] needs at least one clause")
+    val index = graft.operators.BloomSkipping.BloomIndex.load(spark, idx)
+    val total = index.stats.count()
+    val read = index.prunedFiles(eqs).size
+    val result = index.scan(spark, in, eqs)
     result.write.mode("overwrite").parquet(out)
     val n = spark.read.parquet(out).count()
     (out, s"read $read of $total files ($n rows)")
@@ -1444,8 +1498,22 @@ object Main {
               "--cols a,b[,...] is required for --kind minmax"))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         graft.operators.DataSkipping.buildMinMaxIndex(spark, in, cols).save(out)
+      // --in is any parquet DIRECTORY; per-FILE bloom filters over
+      // --cols feed `scan --where-eq` point-lookup pruning — the
+      // equality twin of minmax (whose boxes are blind to
+      // high-cardinality keys in arrival order)
+      case "bloom" =>
+        val cols = o.getOrElse("cols",
+            throw new IllegalArgumentException(
+              "--cols a,b[,...] is required for --kind bloom"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.operators.BloomSkipping.buildBloomIndex(spark, in, cols,
+          expectedItems = o.get("expected-items").map(_.toLong)
+            .getOrElse(graft.functions.BloomFilterAgg.ExpectedItems),
+          fpp = o.get("fpp").map(_.toDouble)
+            .getOrElse(graft.functions.BloomFilterAgg.Fpp)).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll|theta)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|bloom|hll|kll|theta)")
     }
     (kind, out, corpus.count())
   }
@@ -1500,7 +1568,10 @@ object Main {
       .parquet(in)
     val q = graft.streaming.StreamingIngest.startWithMinMaxIndex(
       src, data, idx, cols, ckpt,
-      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      compactEvery = o.get("compact-every").map(_.toInt).getOrElse(0),
+      compactTargetBytes = o.get("target-bytes").map(_.toLong)
+        .getOrElse(128L * 1024 * 1024))
     q.awaitTermination()
     (data, idx)
   }
@@ -1674,8 +1745,11 @@ object Main {
       case "minmax" =>
         graft.operators.DataSkipping.MinMaxIndex.load(spark, idx)
           .updated(spark, in).save(out)
+      case "bloom" =>
+        graft.operators.BloomSkipping.BloomIndex.load(spark, idx)
+          .updated(spark, in).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|hll|kll|theta)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|bloom|hll|kll|theta)")
     }
     // the ivf path drops zero-norm batch vectors during frozen-centroid
     // assignment, so "grew by n" must report the index's actual vectors
@@ -1686,7 +1760,7 @@ object Main {
       case "ivf" =>
         IndexArtifact.frame(spark, out, "vectors").count() -
           IndexArtifact.frame(spark, idx, "vectors").count()
-      case "minmax" =>
+      case "minmax" | "bloom" =>
         IndexArtifact.frame(spark, out, "stats").count() -
           IndexArtifact.frame(spark, idx, "stats").count()
       case _ => batch.count()

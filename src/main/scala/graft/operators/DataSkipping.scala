@@ -186,7 +186,7 @@ object DataSkipping {
     * staleness check would read it as forever-unindexed. Such files
     * carry `rows = 0` and NULL boxes: a null box intersects no range,
     * so pruning never reads them. */
-  private def statsOf(df: DataFrame, cols: Seq[String],
+  private[operators] def statsOf(df: DataFrame, cols: Seq[String],
                       files: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("rows") +:
       cols.flatMap(c => Seq(
@@ -207,14 +207,14 @@ object DataSkipping {
       .withColumn("rows", coalesce(col("rows"), lit(0L)))
   }
 
-  private def indexedFiles(stats: DataFrame): Set[String] =
+  private[operators] def indexedFiles(stats: DataFrame): Set[String] =
     stats.select("file").collect().map(_.getString(0)).toSet
 
   /** `input_file_name()` emits `file:///x` where the Hadoop listing
     * gives `file:/x` — equivalent URIs, different text. Compare on the
     * scheme-normalized path component.
     */
-  private def normalize(uri: String): String =
+  private[operators] def normalize(uri: String): String =
     new org.apache.hadoop.fs.Path(uri).toUri.getPath
 
   /** Data files under `dataPath` in `input_file_name()` form (URI),
@@ -225,7 +225,7 @@ object DataSkipping {
     * (e.g. `_spark_metadata/`, `_tmp.*`) and is skipped here the same
     * way.
     */
-  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
+  private[operators] def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dataPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val basePath = fs.makeQualified(p).toUri.getPath

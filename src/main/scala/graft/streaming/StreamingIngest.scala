@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.DataSkipping
+import graft.operators.{DataSkipping, FileCompaction}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -31,26 +31,46 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * index now serves (per-leaf listing, `basePath`-pinned subset
   * reads).
   *
+  * `compactEvery`: the sink's own shape — one leaf per micro-batch —
+  * is the small-file problem in the making, so the stream can carry
+  * its maintenance with it: whenever the tree holds more than
+  * `compactEvery` batch leaves, the hook collapses the committed ones
+  * ([[FileCompaction]] `--collapse batch_id` semantics) BEFORE
+  * refreshing the index, so one reconcile covers both the new batch
+  * and the rewrite. The leaf being written this batch is the newest
+  * and is excluded by the collapse's replay-safety rule, and every
+  * older leaf is checkpoint-committed — the rewrite can never race a
+  * replay. A crash between collapse and reconcile replays the batch:
+  * the overwrite and the reconcile are both idempotent against the
+  * already-collapsed tree.
+  *
   * Cost per batch: the data write itself, one recursive file listing
   * (metadata-scale), and a stats pass over ONLY the new files — never
-  * a re-scan of the standing corpus.
+  * a re-scan of the standing corpus. A compacting batch adds one
+  * read-once-write-once pass over the sub-target committed leaves.
   */
 object StreamingIngest {
 
   /** Start the parquet ingest with minmax maintenance over `cols`.
     * `records` is any streaming frame; rows land under
     * `dataDir/batch_id=<epoch>` and the index artifact at `indexDir`
-    * stays non-stale (scan-serveable) after every commit. */
+    * stays non-stale (scan-serveable) after every commit. With
+    * `compactEvery > 0`, committed batch leaves collapse whenever more
+    * than that many accumulate (see object scaladoc). */
   def startWithMinMaxIndex(
       records: DataFrame,
       dataDir: String,
       indexDir: String,
       cols: Seq[String],
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 0,
+      compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery = {
     require(cols.nonEmpty, "minmax maintenance needs at least one indexed column")
     cols.foreach(c => require(records.columns.contains(c),
       s"indexed column '$c' not in stream (has: ${records.columns.mkString(", ")})"))
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (0 disables), got $compactEvery")
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -58,6 +78,10 @@ object StreamingIngest {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           batch.write.mode("overwrite").parquet(s"$dataDir/batch_id=$id")
+          if (compactEvery > 0 && leafCount(spark, dataDir) > compactEvery)
+            FileCompaction.compactTree(spark, dataDir,
+              targetBytes = compactTargetBytes,
+              collapse = Some("batch_id"))
           val statsPath = new Path(s"$indexDir/stats")
           val fs = statsPath
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -73,5 +97,13 @@ object StreamingIngest {
         ()
       }
       .start()
+  }
+
+  private def leafCount(spark: org.apache.spark.sql.SparkSession,
+                        dataDir: String): Int = {
+    val p = new Path(dataDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(s => s.isDirectory &&
+      s.getPath.getName.startsWith("batch_id="))
   }
 }

@@ -53,6 +53,39 @@ class StreamingIngestSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("compactEvery: committed batch leaves collapse in-stream, index follows") {
+    val base = tmpDir("stream-minmax-compact")
+    val data = s"$base/data"
+    val idxDir = s"$base/idx"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.startWithMinMaxIndex(
+      mem.toDF().toDF("k", "v"), data, idxDir, Seq("k"), s"$base/ck",
+      compactEvery = 2)
+    try {
+      (0L until 4L).foreach { b =>
+        mem.addData((b * 100 until b * 100 + 100).map(k => (k, k)): _*)
+        q.processAllAvailable()
+      }
+      val fs = new org.apache.hadoop.fs.Path(data)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(data))
+        .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+      // more than 2 leaves triggered collapse; the newest survives and
+      // the census never exceeds compactEvery + 1 for long
+      assert(leaves.size <= 3, s"collapse never ran: $leaves")
+      assert(leaves.contains("batch_id=3"), s"newest leaf missing: $leaves")
+      // every row survived and the index serves the compacted tree
+      val idx = DataSkipping.MinMaxIndex.load(spark, idxDir)
+      val hits = idx.scan(spark, data, Seq(("k", 0.0, 399.0)))
+      assert(hits.count() == 400)
+      val rebuilt = DataSkipping.buildMinMaxIndex(spark, data, Seq("k"))
+      assert(idx.stats.collect().map(_.mkString("|")).sorted.toSeq ==
+        rebuilt.stats.collect().map(_.mkString("|")).sorted.toSeq,
+        "maintained index must equal a rebuild after in-stream compaction")
+    } finally q.stop()
+  }
+
   test("a replayed (overwritten) batch dir reconciles instead of going stale") {
     val base = tmpDir("stream-minmax-replay")
     val data = s"$base/data"
