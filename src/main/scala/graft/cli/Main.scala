@@ -5,6 +5,7 @@ import graft.compact.CompactionEngine
 import graft.model._
 import graft.restore.RestoreEngine
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
 
 import java.time.OffsetDateTime
 import java.time.temporal.ChronoUnit
@@ -58,6 +59,8 @@ import java.time.temporal.ChronoUnit
   *           per-source sketches — length percentiles from kilobytes)
   *   scan --in <data dir> --index <artifact> --out <parquet>
   *        --where col:lo:hi[,col2:lo:hi] | --where-eq col:v[,col2:v2]
+  *        | both (composed: --index <minmax> --bloom-index <bloom>;
+  *          the read touches only files BOTH indexes admit)
   *        (pruned exact scan: --where consults a minmax artifact and
   *        reads only files whose box intersects the range; --where-eq
   *        consults a bloom artifact and reads only files whose filter
@@ -71,6 +74,7 @@ import java.time.temporal.ChronoUnit
   *   stream-ingest --in <parquet dir to watch> --data <output tree>
   *        --index <minmax artifact dir> --cols a,b --checkpoint <dir>
   *        [--compact-every N [--target-bytes N]]
+  *        [--bloom-index <dir> --bloom-cols k[,..] [--expected-items N]]
   *        (file-stream ingest with LIVE index maintenance: each
   *        micro-batch lands under data/batch_id=<epoch> — idempotent
   *        under replay — and the minmax index folds the new files in
@@ -1100,25 +1104,11 @@ object Main {
     val in = o.getOrElse("in", die("--in <data dir> is required"))
     val idx = o.getOrElse("index", die("--index <artifact dir> is required"))
     val out = o.getOrElse("out", die("--out <parquet> is required"))
-    require(!(o.contains("where") && o.contains("where-eq")),
-      "--where (minmax ranges) and --where-eq (bloom points) are " +
-        "different artifacts — run two scans to compose them")
+    if (o.contains("where") && o.contains("where-eq"))
+      return scanBothCmd(spark, o, in, idx, out)
     if (o.contains("where-eq")) return scanEqCmd(spark, o, in, idx, out)
-    val ranges = o.getOrElse("where",
-        die("--where col:lo:hi[,...] or --where-eq col:v[,...] is required"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      .map { clause =>
-        clause.split(":") match {
-          case Array(c, lo, hi) =>
-            (c,
-              lo.toDoubleOption.getOrElse(throw new IllegalArgumentException(
-                s"--where: '$lo' is not a number in '$clause'")),
-              hi.toDoubleOption.getOrElse(throw new IllegalArgumentException(
-                s"--where: '$hi' is not a number in '$clause'")))
-          case _ => throw new IllegalArgumentException(
-            s"--where clause '$clause' must be col:lo:hi")
-        }
-      }
+    val ranges = parseRanges(o.getOrElse("where",
+      die("--where col:lo:hi[,...] or --where-eq col:v[,...] is required")))
     if (ranges.isEmpty) die("--where col:lo:hi[,col2:lo:hi] is required")
     val index = graft.operators.DataSkipping.MinMaxIndex.load(spark, idx)
     val total = index.stats.count()
@@ -1129,14 +1119,13 @@ object Main {
     (out, s"read $read of $total files ($n rows)")
   }
 
-  /** `scan --where-eq` arm: point-lookup pruning through a bloom
-    * artifact. Values type-follow the DATA schema (a long column
-    * probes the filter's long hashing, a string column the UTF-8
-    * hashing — the same typing the build used). */
-  private def scanEqCmd(spark: SparkSession, o: Map[String, String],
-                        in: String, idx: String, out: String): (String, String) = {
+  /** `--where-eq` clauses, value-typed by the DATA schema (a long
+    * column probes the filter's long hashing, a string column the
+    * UTF-8 hashing — the same typing the build used). */
+  private def parseEqs(spark: SparkSession, spec: String,
+                       in: String): Seq[(String, Any)] = {
     val schema = spark.read.parquet(in).schema
-    val eqs: Seq[(String, Any)] = o("where-eq")
+    val eqs: Seq[(String, Any)] = spec
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       .map { clause =>
         clause.split(":") match {
@@ -1159,6 +1148,72 @@ object Main {
         }
       }
     if (eqs.isEmpty) die("--where-eq col:v[,col2:v2] needs at least one clause")
+    eqs
+  }
+
+  private def parseRanges(spec: String): Seq[(String, Double, Double)] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { clause =>
+        clause.split(":") match {
+          case Array(c, lo, hi) =>
+            (c,
+              lo.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+                s"--where: '$lo' is not a number in '$clause'")),
+              hi.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+                s"--where: '$hi' is not a number in '$clause'")))
+          case _ => throw new IllegalArgumentException(
+            s"--where clause '$clause' must be col:lo:hi")
+        }
+      }
+
+  /** `scan --where ... --where-eq ...` arm: COMPOSED pruning — the
+    * minmax artifact at `--index` prices the ranges, the bloom
+    * artifact at `--bloom-index` prices the points, and the read
+    * touches only files BOTH admit (file-list intersection; each
+    * index's staleness check still runs). Both predicates then apply
+    * exactly as residuals on the one subset read — the union of each
+    * index's blind spot is covered by the other's filter. */
+  private def scanBothCmd(spark: SparkSession, o: Map[String, String],
+                          in: String, idx: String, out: String): (String, String) = {
+    // IllegalArgumentException, not die(): the verb dispatcher maps it
+    // to the usage exit, and spec-driven calls must survive it
+    val bloomDir = o.getOrElse("bloom-index",
+      throw new IllegalArgumentException(
+        "composed scan needs --index <minmax artifact> for --where " +
+          "AND --bloom-index <bloom artifact> for --where-eq"))
+    val ranges = parseRanges(o("where"))
+    if (ranges.isEmpty) die("--where col:lo:hi[,col2:lo:hi] is required")
+    val eqs = parseEqs(spark, o("where-eq"), in)
+    val mIdx = graft.operators.DataSkipping.MinMaxIndex.load(spark, idx)
+    val bIdx = graft.operators.BloomSkipping.BloomIndex.load(spark, bloomDir)
+    val total = mIdx.stats.count()
+    // both staleness checks run; the survivors are the intersection
+    val fromRanges = mIdx.scanFiles(spark, in, ranges)
+    val fromEqs = bIdx.scanFiles(spark, in, eqs)
+    val files = fromRanges.intersect(fromEqs.toSet.toSeq)
+    val base =
+      if (files.isEmpty) spark.read.parquet(in).where(F.lit(false))
+      else spark.read.option("basePath", in).parquet(files: _*)
+    val withRanges = ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.where(F.col(c).cast("double") >= lo &&
+        F.col(c).cast("double") <= hi)
+    }
+    val result = eqs.foldLeft(withRanges) { case (df, (c, v)) =>
+      df.where(F.col(c) === F.lit(v))
+    }
+    result.write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    (out, s"read ${files.size} of $total files ($n rows; " +
+      s"ranges kept ${fromRanges.size}, points kept ${fromEqs.size})")
+  }
+
+  /** `scan --where-eq` arm: point-lookup pruning through a bloom
+    * artifact. Values type-follow the DATA schema (a long column
+    * probes the filter's long hashing, a string column the UTF-8
+    * hashing — the same typing the build used). */
+  private def scanEqCmd(spark: SparkSession, o: Map[String, String],
+                        in: String, idx: String, out: String): (String, String) = {
+    val eqs = parseEqs(spark, o("where-eq"), in)
     val index = graft.operators.BloomSkipping.BloomIndex.load(spark, idx)
     val total = index.stats.count()
     val read = index.prunedFiles(eqs).size
@@ -1571,7 +1626,12 @@ object Main {
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       compactEvery = o.get("compact-every").map(_.toInt).getOrElse(0),
       compactTargetBytes = o.get("target-bytes").map(_.toLong)
-        .getOrElse(128L * 1024 * 1024))
+        .getOrElse(128L * 1024 * 1024),
+      bloomIndexDir = o.get("bloom-index"),
+      bloomCols = o.get("bloom-cols").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      bloomExpectedItems = o.get("expected-items").map(_.toLong)
+        .getOrElse(graft.functions.BloomFilterAgg.ExpectedItems))
     q.awaitTermination()
     (data, idx)
   }
@@ -1591,6 +1651,11 @@ object Main {
       parallelism = o.get("parallelism").map(_.toInt).getOrElse(4))
     o.get("index").foreach { idxDir =>
       val idx = graft.operators.DataSkipping.MinMaxIndex.load(spark, idxDir)
+      val next = idx.reconciled(spark, in)
+      if (!(next eq idx)) next.save(idxDir)
+    }
+    o.get("bloom-index").foreach { idxDir =>
+      val idx = graft.operators.BloomSkipping.BloomIndex.load(spark, idxDir)
       val next = idx.reconciled(spark, in)
       if (!(next eq idx)) next.save(idxDir)
     }

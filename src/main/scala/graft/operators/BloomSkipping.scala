@@ -58,6 +58,38 @@ object BloomSkipping {
         cols, fresh, expectedItems, fpp)).localCheckpoint(true))
     }
 
+    /** Streaming-sink / compaction maintenance: drop stats rows for
+      * files no longer on disk, fold stats for unindexed files — the
+      * result equals a rebuild over the CURRENT file set. The bloom
+      * sibling of [[DataSkipping.MinMaxIndex.reconciled]], for sinks
+      * that OWN their rewrites (foreachBatch replay overwrites,
+      * [[FileCompaction]] swaps); batch jobs keep add-only [[updated]]
+      * so [[scan]]'s staleness refusal still catches rewrites the
+      * index does not control. Returns `this` on a no-op. */
+    def reconciled(spark: SparkSession, dataPath: String): BloomIndex = {
+      val onDisk = DataSkipping.listDataFiles(spark, dataPath)
+      val disk = onDisk.map(DataSkipping.normalize).toSet
+      val have = DataSkipping.indexedFiles(stats).map(DataSkipping.normalize)
+      val fresh = onDisk.filterNot(f => have(DataSkipping.normalize(f)))
+      val gone = have -- disk
+      if (fresh.isEmpty && gone.isEmpty) this
+      else {
+        val kept =
+          if (gone.isEmpty) stats
+          else {
+            val goneSpellings = stats.select("file").collect()
+              .map(_.getString(0)).filter(f => gone(DataSkipping.normalize(f)))
+            stats.filter(!col("file").isin(goneSpellings.toSeq: _*))
+          }
+        val folded =
+          if (fresh.isEmpty) kept
+          else kept.unionByName(bloomStats(
+            spark.read.option("basePath", dataPath).parquet(fresh: _*),
+            cols, fresh, expectedItems, fpp))
+        copy(stats = folded.localCheckpoint(true))
+      }
+    }
+
     /** Files that MIGHT hold every `(col, value)` — the distributed
       * membership probe; only names come back to the driver. */
     def prunedFiles(eqs: Seq[(String, Any)]): Seq[String] = {
@@ -73,11 +105,11 @@ object BloomSkipping {
       kept.select("file").collect().map(_.getString(0)).toSeq
     }
 
-    /** Pruned exact point scan: read only files whose filters admit
-      * every key, apply the exact equality as the residual (this is
-      * where false positives die). Refuses a stale index loudly. */
-    def scan(spark: SparkSession, dataPath: String,
-             eqs: Seq[(String, Any)]): DataFrame = {
+    /** Staleness-checked pruned file list — the consult half of
+      * [[scan]], exposed so a composed scan can intersect this
+      * index's survivors with another index's before ONE read. */
+    def scanFiles(spark: SparkSession, dataPath: String,
+                  eqs: Seq[(String, Any)]): Seq[String] = {
       val onDisk = DataSkipping.listDataFiles(spark, dataPath)
         .map(DataSkipping.normalize).toSet
       val indexed = DataSkipping.indexedFiles(stats).map(DataSkipping.normalize)
@@ -87,7 +119,15 @@ object BloomSkipping {
         s"bloom index is stale for $dataPath: ${missing.size} unindexed " +
           s"file(s), ${gone.size} indexed file(s) no longer present — " +
           "fold appends in with update-index --kind bloom, rebuild after rewrites")
-      val files = prunedFiles(eqs)
+      prunedFiles(eqs)
+    }
+
+    /** Pruned exact point scan: read only files whose filters admit
+      * every key, apply the exact equality as the residual (this is
+      * where false positives die). Refuses a stale index loudly. */
+    def scan(spark: SparkSession, dataPath: String,
+             eqs: Seq[(String, Any)]): DataFrame = {
+      val files = scanFiles(spark, dataPath, eqs)
       val base =
         if (files.isEmpty) spark.read.parquet(dataPath).where(lit(false))
         else spark.read.option("basePath", dataPath).parquet(files: _*)

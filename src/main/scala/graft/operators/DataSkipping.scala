@@ -126,13 +126,11 @@ object DataSkipping {
       kept.select("file").collect().map(_.getString(0)).toSeq
     }
 
-    /** Pruned exact range scan of `dataPath`: read only intersecting
-      * files, apply the exact predicate as the residual. Refuses a
-      * stale index loudly (see object scaladoc). Returns the data
-      * schema even when every file prunes away.
-      */
-    def scan(spark: SparkSession, dataPath: String,
-             ranges: Seq[(String, Double, Double)]): DataFrame = {
+    /** Staleness-checked pruned file list — the consult half of
+      * [[scan]], exposed so a composed scan can intersect this
+      * index's survivors with another index's before ONE read. */
+    def scanFiles(spark: SparkSession, dataPath: String,
+                  ranges: Seq[(String, Double, Double)]): Seq[String] = {
       val onDisk = listDataFiles(spark, dataPath).map(normalize).toSet
       val indexed = indexedFiles(stats).map(normalize)
       val missing = onDisk -- indexed
@@ -141,7 +139,17 @@ object DataSkipping {
         s"minmax index is stale for $dataPath: ${missing.size} unindexed " +
           s"file(s), ${gone.size} indexed file(s) no longer present — " +
           "fold appends in with update-index --kind minmax, rebuild after rewrites")
-      val files = prunedFiles(ranges)
+      prunedFiles(ranges)
+    }
+
+    /** Pruned exact range scan of `dataPath`: read only intersecting
+      * files, apply the exact predicate as the residual. Refuses a
+      * stale index loudly (see object scaladoc). Returns the data
+      * schema even when every file prunes away.
+      */
+    def scan(spark: SparkSession, dataPath: String,
+             ranges: Seq[(String, Double, Double)]): DataFrame = {
+      val files = scanFiles(spark, dataPath, ranges)
       val base =
         if (files.isEmpty) // keep the schema without reading data rows
           spark.read.parquet(dataPath).where(lit(false))

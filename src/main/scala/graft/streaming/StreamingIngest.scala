@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{DataSkipping, FileCompaction}
+import graft.operators.{BloomSkipping, DataSkipping, FileCompaction}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -65,12 +65,19 @@ object StreamingIngest {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
       compactEvery: Int = 0,
-      compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery = {
+      compactTargetBytes: Long = 128L * 1024 * 1024,
+      bloomIndexDir: Option[String] = None,
+      bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = graft.functions.BloomFilterAgg.ExpectedItems)
+    : StreamingQuery = {
     require(cols.nonEmpty, "minmax maintenance needs at least one indexed column")
-    cols.foreach(c => require(records.columns.contains(c),
+    (cols ++ bloomCols).foreach(c => require(records.columns.contains(c),
       s"indexed column '$c' not in stream (has: ${records.columns.mkString(", ")})"))
     require(compactEvery >= 0,
       s"compactEvery must be >= 0 (0 disables), got $compactEvery")
+    require(bloomIndexDir.isEmpty == bloomCols.isEmpty,
+      "bloom maintenance needs BOTH an index dir and key columns " +
+        "(got one without the other)")
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -93,6 +100,15 @@ object StreamingIngest {
             if (!(next eq idx)) next.save(indexDir)
           } else
             DataSkipping.buildMinMaxIndex(spark, dataDir, cols).save(indexDir)
+          bloomIndexDir.foreach { bDir =>
+            if (fs.exists(new Path(s"$bDir/stats"))) {
+              val idx = BloomSkipping.BloomIndex.load(spark, bDir)
+              val next = idx.reconciled(spark, dataDir)
+              if (!(next eq idx)) next.save(bDir)
+            } else
+              BloomSkipping.buildBloomIndex(spark, dataDir, bloomCols,
+                expectedItems = bloomExpectedItems).save(bDir)
+          }
         }
         ()
       }

@@ -86,6 +86,40 @@ class StreamingIngestSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bloom maintenance rides the same hook: point scans serve after every batch") {
+    val base = tmpDir("stream-bloom")
+    val data = s"$base/data"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.startWithMinMaxIndex(
+      mem.toDF().toDF("k", "v"), data, s"$base/midx", Seq("v"), s"$base/ck",
+      bloomIndexDir = Some(s"$base/bidx"), bloomCols = Seq("k"),
+      bloomExpectedItems = 1000)
+    try {
+      (0L until 3L).foreach { b =>
+        mem.addData((b * 1000 until b * 1000 + 100).map(k => (k, k)): _*)
+        q.processAllAvailable()
+        val idx = graft.operators.BloomSkipping.BloomIndex
+          .load(spark, s"$base/bidx")
+        // serveable (non-stale) right after the commit, and the probe
+        // finds a key from the OLDEST batch through the newest tree
+        assert(idx.scan(spark, data, Seq(("k", 50L))).count() == 1,
+          s"after batch $b")
+        assert(idx.scan(spark, data, Seq(("k", b * 1000 + 50L))).count() == 1)
+      }
+      // disjoint per-batch key ranges: a point probe prunes to one file
+      val idx = graft.operators.BloomSkipping.BloomIndex
+        .load(spark, s"$base/bidx")
+      assert(idx.prunedFiles(Seq(("k", 1050L))).size < idx.stats.count())
+      // one-sided bloom config refuses loudly
+      intercept[IllegalArgumentException] {
+        StreamingIngest.startWithMinMaxIndex(
+          mem.toDF().toDF("k", "v"), data, s"$base/midx", Seq("v"),
+          s"$base/ck2", bloomIndexDir = Some(s"$base/bidx2"))
+      }
+    } finally q.stop()
+  }
+
   test("a replayed (overwritten) batch dir reconciles instead of going stale") {
     val base = tmpDir("stream-minmax-replay")
     val data = s"$base/data"

@@ -18,8 +18,11 @@ class CompactFilesCliSpec extends SparkSuite {
         .coalesce(1).write.parquet(s"$dir/batch_id=$b")
     }
     DataSkipping.buildMinMaxIndex(spark, dir, Seq("k")).save(idx)
+    graft.operators.BloomSkipping.buildBloomIndex(spark, dir, Seq("k"),
+      expectedItems = 500).save(s"$base/bidx")
     val rep = Main.compactFilesCmd(spark, Map(
-      "in" -> dir, "index" -> idx, "collapse" -> "batch_id",
+      "in" -> dir, "index" -> idx, "bloom-index" -> s"$base/bidx",
+      "collapse" -> "batch_id",
       "target-bytes" -> (10L * 1024 * 1024).toString))
     assert(rep.leaves.nonEmpty)
     // the reconciled index serves the drifted (compacted) file set
@@ -29,5 +32,9 @@ class CompactFilesCliSpec extends SparkSuite {
     assert(got.select("k", "v").exceptAll(want.select("k", "v")).isEmpty)
     assert(want.select("k", "v").exceptAll(got.select("k", "v")).isEmpty)
     assert(got.count() == want.count() && got.count() == 301)
+    // the bloom artifact reconciled through the same verb
+    val bGot = graft.operators.BloomSkipping.BloomIndex
+      .load(spark, s"$base/bidx").scan(spark, dir, Seq(("k", 300L)))
+    assert(bGot.count() == 1)
   }
 }
