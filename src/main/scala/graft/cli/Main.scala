@@ -81,6 +81,11 @@ import java.time.temporal.ChronoUnit
   *        the same commit, so `scan` never hits the staleness refusal
   *        between nightly rebuilds; AvailableNow, re-run to pick up
   *        new source files)
+  *   tree-report --in <data tree> [--target-bytes N] [--small-bytes N]
+  *        (metadata-only layout health: small-file debt by count and
+  *        bytes, per-leaf, file-size deciles, and the measured
+  *        file-count delta a compact-files run would buy — one
+  *        recursive listing, zero data rows)
   *   compact-files --in <data tree> [--target-bytes N] [--small-bytes N]
   *        [--collapse <partition col>] [--index <minmax artifact dir>]
   *        [--parallelism N]
@@ -531,6 +536,19 @@ object Main {
         catch { case e: IllegalArgumentException => die(e.getMessage) }
       println(s"stream-ingest: available files ingested into $data " +
         s"(skipping index $idx current)")
+      spark.stop()
+
+    case "tree-report" :: rest =>
+      // Metadata-only health report for a parquet tree: small-file
+      // debt, size deciles, and what compact-files would buy — one
+      // recursive listing, no data rows read.
+      val o = parseArgs(rest)
+      val cfg = loadConfig(o)
+      val spark = session(cfg)
+      val rep =
+        try treeReportCmd(spark, o)
+        catch { case e: IllegalArgumentException => die(e.getMessage) }
+      rep.lines.foreach(l => println(s"tree-report: $l"))
       spark.stop()
 
     case "compact-files" :: rest =>
@@ -1635,6 +1653,18 @@ object Main {
     q.awaitTermination()
     (data, idx)
   }
+
+  /** `tree-report` body, session-injected so specs drive it: the
+    * metadata-only layout health report
+    * ([[graft.operators.TreeReport]]). */
+  private[cli] def treeReportCmd(
+      spark: SparkSession, o: Map[String, String]): graft.operators.TreeReport.Report =
+    graft.operators.TreeReport.report(
+      spark,
+      o.getOrElse("in", die("--in <data tree> is required")),
+      targetBytes = o.get("target-bytes").map(_.toLong)
+        .getOrElse(128L * 1024 * 1024),
+      smallBytes = o.get("small-bytes").map(_.toLong).getOrElse(-1L))
 
   /** `compact-files` body, session-injected so specs drive it:
     * bin-pack a tree's small-file debt, then reconcile the minmax

@@ -69,7 +69,7 @@ object FileCompaction {
     def bytes: Long = leaves.map(_.bytes).sum
   }
 
-  private final case class DataFile(path: Path, leaf: String, len: Long)
+  private[graft] final case class DataFile(path: Path, leaf: String, len: Long)
 
   /** Bin-pack the tree at `dataPath`. `smallBytes` defaults to half
     * the target (a file past half-target merges into something BIGGER
@@ -211,7 +211,7 @@ object FileCompaction {
   /** Every visible data file with its size and tree-relative leaf dir
     * — the same visibility rule as [[DataSkipping]]'s lister (`_`/`.`
     * segments hidden, zero-length files skipped). */
-  private def listWithSizes(spark: SparkSession, dataPath: String): Seq[DataFile] = {
+  private[graft] def listWithSizes(spark: SparkSession, dataPath: String): Seq[DataFile] = {
     val p = new Path(dataPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val basePath = fs.makeQualified(p).toUri.getPath
