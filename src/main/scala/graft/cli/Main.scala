@@ -75,6 +75,8 @@ import java.time.temporal.ChronoUnit
   *        --index <minmax artifact dir> --cols a,b --checkpoint <dir>
   *        [--compact-every N [--target-bytes N]]
   *        [--bloom-index <dir> --bloom-cols k[,..] [--expected-items N]]
+  *        [--layout-cols a,b [--bits N]]  (z-sort each batch before it
+  *             lands: tight per-file boxes at ingest, batch-scale cost)
   *        (file-stream ingest with LIVE index maintenance: each
   *        micro-batch lands under data/batch_id=<epoch> — idempotent
   *        under replay — and the minmax index folds the new files in
@@ -1649,7 +1651,10 @@ object Main {
       bloomCols = o.get("bloom-cols").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       bloomExpectedItems = o.get("expected-items").map(_.toLong)
-        .getOrElse(graft.functions.BloomFilterAgg.ExpectedItems))
+        .getOrElse(graft.functions.BloomFilterAgg.ExpectedItems),
+      layoutCols = o.get("layout-cols").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      layoutBits = o.get("bits").map(_.toInt).getOrElse(16))
     q.awaitTermination()
     (data, idx)
   }

@@ -68,23 +68,48 @@ object StreamingIngest {
       compactTargetBytes: Long = 128L * 1024 * 1024,
       bloomIndexDir: Option[String] = None,
       bloomCols: Seq[String] = Nil,
-      bloomExpectedItems: Long = graft.functions.BloomFilterAgg.ExpectedItems)
+      bloomExpectedItems: Long = graft.functions.BloomFilterAgg.ExpectedItems,
+      layoutCols: Seq[String] = Nil,
+      layoutBits: Int = 16)
     : StreamingQuery = {
     require(cols.nonEmpty, "minmax maintenance needs at least one indexed column")
-    (cols ++ bloomCols).foreach(c => require(records.columns.contains(c),
-      s"indexed column '$c' not in stream (has: ${records.columns.mkString(", ")})"))
+    (cols ++ bloomCols ++ layoutCols).foreach(c =>
+      require(records.columns.contains(c),
+        s"indexed column '$c' not in stream (has: ${records.columns.mkString(", ")})"))
     require(compactEvery >= 0,
       s"compactEvery must be >= 0 (0 disables), got $compactEvery")
     require(bloomIndexDir.isEmpty == bloomCols.isEmpty,
       "bloom maintenance needs BOTH an index dir and key columns " +
         "(got one without the other)")
+    require(layoutCols.isEmpty || layoutBits * layoutCols.size <= 63,
+      s"layoutBits=$layoutBits x ${layoutCols.size} cols overflows the z long")
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          batch.write.mode("overwrite").parquet(s"$dataDir/batch_id=$id")
+          // tight boxes AT INGEST: z-sort the batch before it lands, so
+          // each file's footer (and the minmax stats row built from it)
+          // covers a narrow cell on every layout column. Batch-scale
+          // sort, no standing-corpus work — the streaming complement of
+          // the offline `layout` verb (whose global range partition a
+          // micro-batch neither needs nor can afford)
+          val shaped =
+            if (layoutCols.isEmpty) batch.toDF()
+            else {
+              // keep the batch's own file count (repartitionByRange
+              // with the default parallelism would shatter a small
+              // batch into shuffle.partitions files — the small-file
+              // disease again); ranges are disjoint per file, so the
+              // boxes do not overlap
+              val k = math.max(1, batch.rdd.getNumPartitions)
+              graft.operators.ZOrder
+                .withZValue(batch.toDF(), layoutCols, layoutBits)
+                .repartitionByRange(k, org.apache.spark.sql.functions.col("_z"))
+                .sortWithinPartitions("_z").drop("_z")
+            }
+          shaped.write.mode("overwrite").parquet(s"$dataDir/batch_id=$id")
           if (compactEvery > 0 && leafCount(spark, dataDir) > compactEvery)
             FileCompaction.compactTree(spark, dataDir,
               targetBytes = compactTargetBytes,

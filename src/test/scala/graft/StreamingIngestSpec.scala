@@ -120,6 +120,43 @@ class StreamingIngestSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("layoutCols: z-sorted batches land with tight per-file boxes") {
+    val base = tmpDir("stream-zsort")
+    val data = s"$base/data"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.startWithMinMaxIndex(
+      mem.toDF().toDF("x", "y"), data, s"$base/idx", Seq("x", "y"),
+      s"$base/ck", layoutCols = Seq("x", "y"), layoutBits = 8)
+    try {
+      // shuffled 2-D grid in ONE batch across several partitions
+      // (each addData block is its own partition, so the z repartition
+      // keeps k = 4 files)
+      val rnd = new scala.util.Random(7)
+      val rows = rnd.shuffle(
+        (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toSeq)
+      rows.grouped(rows.size / 4 + 1)
+        .foreach(chunk => mem.addData(chunk: _*))
+      q.processAllAvailable()
+      val idx = DataSkipping.MinMaxIndex.load(spark, s"$base/idx")
+      val nFiles = idx.stats.count()
+      // every row survived, exactly once
+      assert(spark.read.parquet(data).count() == 64 * 64)
+      assert(spark.read.parquet(data).distinct().count() == 64 * 64)
+      if (nFiles > 1) {
+        // tight boxes: a quarter-range 2-D box must NOT touch every
+        // file (an unsorted batch's per-file boxes all span the domain)
+        val pruned = idx.prunedFiles(
+          Seq(("x", 0.0, 15.0), ("y", 0.0, 15.0)))
+        assert(pruned.size < nFiles,
+          s"z-sorted batch did not tighten boxes: $pruned of $nFiles")
+        // and the pruned scan stays exact
+        assert(idx.scan(spark, data,
+          Seq(("x", 0.0, 15.0), ("y", 0.0, 15.0))).count() == 16 * 16)
+      }
+    } finally q.stop()
+  }
+
   test("a replayed (overwritten) batch dir reconciles instead of going stale") {
     val base = tmpDir("stream-minmax-replay")
     val data = s"$base/data"
