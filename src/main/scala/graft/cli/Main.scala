@@ -178,6 +178,12 @@ import java.time.temporal.ChronoUnit
   *   join-report --left <parquet> --right <parquet> --on k[=rk][,...]
   *             --out <parquet> [--sample 0.01] [--top-k 64]
   *             [--broadcast-bytes N] [--apply]
+  *             | --stats-left <dir> --stats-right <dir> --out <parquet>
+  *               (price from durable keystats artifacts — build-index
+  *               --kind keystats --cols k1[,k2] [--sample P]
+  *               [--hist-k N] — NO scan of either table; key types
+  *               must match pairwise and sample fractions must agree,
+  *               refused loudly otherwise)
   *          (price an equi-join WITHOUT running it: per-side rows /
   *          byte / distinct-key evidence, the theta key-set
   *          intersection, and a sampled multiplicity histogram fold
@@ -1587,8 +1593,19 @@ object Main {
             .getOrElse(graft.functions.BloomFilterAgg.ExpectedItems),
           fpp = o.get("fpp").map(_.toDouble)
             .getOrElse(graft.functions.BloomFilterAgg.Fpp)).save(out)
+      // durable per-table join pre-flight evidence: count + theta key
+      // sketch + top-K sampled histogram; `join-report --stats-left/
+      // --stats-right` then prices a join without scanning either side
+      case "keystats" =>
+        val cols = o.getOrElse("cols",
+            throw new IllegalArgumentException(
+              "--cols k1[,k2...] is required for --kind keystats"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.operators.JoinPreflight.buildKeyStats(corpus, cols,
+          sampleFraction = o.get("sample").map(_.toDouble).getOrElse(0.01),
+          histK = o.get("hist-k").map(_.toInt).getOrElse(8192)).save(out)
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|bloom|hll|kll|theta)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|bloom|keystats|hll|kll|theta)")
     }
     (kind, out, corpus.count())
   }
@@ -1702,6 +1719,30 @@ object Main {
     * ([[graft.operators.JoinPreflight]]). */
   private[cli] def joinReportCmd(
       spark: SparkSession, o: Map[String, String]): (String, String) = {
+    // --stats-left/--stats-right: price from durable keystats
+    // artifacts (build-index --kind keystats) — neither table is read
+    if (o.contains("stats-left") || o.contains("stats-right")) {
+      require(o.contains("stats-left") && o.contains("stats-right"),
+        "stats pricing needs BOTH --stats-left and --stats-right " +
+          "(mixing one artifact with one live table is not supported — " +
+          "the sample fractions and key renderings must pair)")
+      require(!o.contains("apply"),
+        "--apply needs the live tables; price from stats first, then " +
+          "run join-report --apply on the tables the verdict warrants")
+      val statsOut = o.getOrElse("out", die("--out <parquet> is required"))
+      val rep = graft.operators.JoinPreflight.reportFromStats(
+        spark,
+        graft.operators.JoinPreflight.KeyStats.load(spark, o("stats-left")),
+        graft.operators.JoinPreflight.KeyStats.load(spark, o("stats-right")),
+        topK = o.get("top-k").map(_.toInt).getOrElse(64),
+        broadcastBytes = o.get("broadcast-bytes").map(_.toLong)
+          .getOrElse(graft.operators.JoinPreflight.sessionBroadcastBytes))
+      rep.frame(spark).coalesce(1).write.mode("overwrite").parquet(statsOut)
+      return (statsOut,
+        f"${rep.recommendation} (est ${rep.estOutputRows} rows out, " +
+          f"${rep.estMatchedKeys} matched keys, hot pair " +
+          f"${rep.hotPairShare}%.2f; priced from artifacts, no scan)")
+    }
     val leftIn = o.getOrElse("left", die("--left <parquet> is required"))
     val rightIn = o.getOrElse("right", die("--right <parquet> is required"))
     val out = o.getOrElse("out", die("--out <parquet> is required"))
@@ -1848,8 +1889,15 @@ object Main {
       case "bloom" =>
         graft.operators.BloomSkipping.BloomIndex.load(spark, idx)
           .updated(spark, in).save(out)
+      // no fold path on purpose: merging two TRUNCATED top-K histograms
+      // silently loses a key that is mid-tail in both batches but a
+      // hitter combined; the build is one pass over the key columns,
+      // so the nightly refresh is a rebuild
+      case "keystats" => die(
+        "keystats artifacts rebuild rather than fold: run build-index " +
+          "--kind keystats over the grown table (one key-column pass)")
       case other => die(s"unsupported index kind '$other' " +
-        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|bloom|hll|kll|theta)")
+        "(expected neardup|chunk|drift|winnow|scrub|ivf|phash|minmax|bloom|keystats|hll|kll|theta)")
     }
     // the ivf path drops zero-norm batch vectors during frozen-centroid
     // assignment, so "grew by n" must report the index's actual vectors

@@ -162,67 +162,213 @@ object JoinPreflight {
     try {
       val rEv = sideEvidence(right, rightKeys, rKey, sampleFraction)
       try {
-      // distinct keys present on BOTH sides: direct theta intersection
-      // of the two full-pass sketches, on the driver
-      val matchedKeys = math.max(0L, math.round(graft.functions.ThetaSketch
-        .intersectEstimateBytes(lEv.sketch, rEv.sketch)))
-
-      // priced key set = union of both top-K lists; every priced key
-      // reads its sampled count from BOTH histograms, so a one-sided
-      // hitter prices by its true sampled count on the other side
-      val priced = (topKeys(lEv, topK) ++ topKeys(rEv, topK)).distinct
-      val lCnt = countsFor(lEv, priced)
-      val rCnt = countsFor(rEv, priced)
-
-      val scale = 1.0 / sampleFraction
-      val pricedBoth = priced.filter(k => lCnt.contains(k) && rCnt.contains(k))
-      val products = pricedBoth.map(k => (lCnt(k) * scale) * (rCnt(k) * scale))
-      val pricedOut = products.sum
-      // tail: matched keys the priced term does not cover, at each
-      // side's average tail multiplicity (tail = everything outside
-      // the priced keys present on that side)
-      val tailMatched = math.max(0L, matchedKeys - pricedBoth.size)
-      val tailOut = tailMatched.toDouble *
-        tailAvg(lEv, lCnt, sampleFraction) * tailAvg(rEv, rCnt, sampleFraction)
-      val estOut = math.round(pricedOut + tailOut)
-      val hotShare =
-        if (estOut <= 0L) 0.0
-        else products.sorted.lastOption.getOrElse(0.0) / estOut.toDouble
-      // the keys the salted arm would isolate: each priced pair that
-      // individually crosses the threshold (bounded by the priced set)
-      val hotKeys =
-        if (estOut <= 0L) Nil
-        else pricedBoth.zip(products)
-          .filter { case (_, p) => p / estOut.toDouble >= hotShareThreshold }
-          .map(_._1)
-
-      // sampleFraction >= 1.0 IS the full population — a tiny exact
-      // side (a 20-row dimension) is complete evidence, not a thin
-      // sample, so the floor applies only to genuine samples
-      val enough = sampleFraction >= 1.0 ||
-        (lEv.stats.sampledRows >= minSampleRows &&
-          rEv.stats.sampledRows >= minSampleRows)
-      // the threshold this session's planner would actually apply;
-      // <= 0 means broadcasting is disabled and must not be advised
-      val bb =
-        if (broadcastBytes != sessionBroadcastBytes) broadcastBytes
-        else left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      val rec =
-        if (!enough) "insufficient-sample"
-        else if (bb > 0 && rEv.stats.estBytes <= bb &&
-          rEv.stats.estBytes <= lEv.stats.estBytes) "broadcast-right"
-        else if (bb > 0 && lEv.stats.estBytes <= bb) "broadcast-left"
-        else if (hotShare >= hotShareThreshold) "salted-shuffle"
-        else "shuffle"
-      Report(lEv.stats, rEv.stats, matchedKeys, estOut, hotShare, rec, hotKeys)
+        val bb =
+          if (broadcastBytes != sessionBroadcastBytes) broadcastBytes
+          else left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+        verdict(lEv, rEv, sampleFraction, topK, bb, hotShareThreshold)
       } finally rEv.hist.unpersist()
     } finally lEv.hist.unpersist()
+  }
+
+  /** The pricing math over two sides' evidence — shared by [[report]]
+    * (live scans) and [[reportFromStats]] (durable artifacts). */
+  private def verdict(
+      lEv: SideEvidence, rEv: SideEvidence, sampleFraction: Double,
+      topK: Int, bb: Long, hotShareThreshold: Double): Report = {
+    // distinct keys present on BOTH sides: direct theta intersection
+    // of the two full-pass sketches, on the driver
+    val matchedKeys = math.max(0L, math.round(graft.functions.ThetaSketch
+      .intersectEstimateBytes(lEv.sketch, rEv.sketch)))
+
+    // priced key set = union of both top-K lists; every priced key
+    // reads its sampled count from BOTH histograms, so a one-sided
+    // hitter prices by its true sampled count on the other side
+    val priced = (topKeys(lEv, topK) ++ topKeys(rEv, topK)).distinct
+    val lCnt = countsFor(lEv, priced)
+    val rCnt = countsFor(rEv, priced)
+
+    val scale = 1.0 / sampleFraction
+    val pricedBoth = priced.filter(k => lCnt.contains(k) && rCnt.contains(k))
+    val products = pricedBoth.map(k => (lCnt(k) * scale) * (rCnt(k) * scale))
+    val pricedOut = products.sum
+    // tail: matched keys the priced term does not cover, at each
+    // side's average tail multiplicity (tail = everything outside
+    // the priced keys present on that side)
+    val tailMatched = math.max(0L, matchedKeys - pricedBoth.size)
+    val tailOut = tailMatched.toDouble *
+      tailAvg(lEv, lCnt, sampleFraction) * tailAvg(rEv, rCnt, sampleFraction)
+    val estOut = math.round(pricedOut + tailOut)
+    val hotShare =
+      if (estOut <= 0L) 0.0
+      else products.sorted.lastOption.getOrElse(0.0) / estOut.toDouble
+    // the keys the salted arm would isolate: each priced pair that
+    // individually crosses the threshold (bounded by the priced set)
+    val hotKeys =
+      if (estOut <= 0L) Nil
+      else pricedBoth.zip(products)
+        .filter { case (_, p) => p / estOut.toDouble >= hotShareThreshold }
+        .map(_._1)
+
+    // sampleFraction >= 1.0 IS the full population — a tiny exact
+    // side (a 20-row dimension) is complete evidence, not a thin
+    // sample, so the floor applies only to genuine samples
+    val enough = sampleFraction >= 1.0 ||
+      (lEv.stats.sampledRows >= minSampleRows &&
+        rEv.stats.sampledRows >= minSampleRows)
+    // bb <= 0 means broadcasting is disabled and must not be advised
+    val rec =
+      if (!enough) "insufficient-sample"
+      else if (bb > 0 && rEv.stats.estBytes <= bb &&
+        rEv.stats.estBytes <= lEv.stats.estBytes) "broadcast-right"
+      else if (bb > 0 && lEv.stats.estBytes <= bb) "broadcast-left"
+      else if (hotShare >= hotShareThreshold) "salted-shuffle"
+      else "shuffle"
+    Report(lEv.stats, rEv.stats, matchedKeys, estOut, hotShare, rec, hotKeys)
   }
 
   private final case class SideEvidence(
       stats: SideStats,
       sketch: Array[Byte],
       hist: DataFrame)
+
+  /** Durable per-TABLE pre-flight evidence on the [[graft.queries.IndexArtifact]]
+    * layout: full-pass row count, Catalyst byte estimate, theta key
+    * sketch, and the top-`histK` sampled key histogram. Built once per
+    * table per key set (one pass over the key columns), it prices
+    * every future join of that table against any other stats-indexed
+    * table WITHOUT touching either side's data — the recurring-join
+    * complement of [[report]]'s live scans, the same evidence shape
+    * ANALYZE feeds a warehouse CBO.
+    *
+    * Honest scope, enforced loudly by [[reportFromStats]]:
+    *   - key TYPES must match pairwise between the two artifacts —
+    *     the stored rendering is each side's native one, and a
+    *     mixed-type pair joins on a coerced type whose rendering the
+    *     artifacts cannot reconstruct (run the live report there);
+    *   - both artifacts must share a sample fraction (the pricing
+    *     scale is global);
+    *   - the histogram is TRUNCATED at `histK`: a priced key below
+    *     this side's top-histK reads as tail (average multiplicity)
+    *     instead of its true sampled count — size histK well above
+    *     the pricing topK so the one-sided-hitter precision survives;
+    *   - `estBytes` is frozen at build time; a table that grew since
+    *     should rebuild (the build is one pass over the key columns —
+    *     nightly-rebuild cheap, like every artifact on this layout).
+    */
+  final case class KeyStats(
+      keys: Seq[String], keyTypes: Seq[String],
+      rows: Long, estBytes: Long, sampledRows: Long,
+      sampleFraction: Double, histK: Int,
+      sketch: Array[Byte], hist: DataFrame) {
+    def save(path: String): Unit = {
+      val spark = hist.sparkSession
+      import spark.implicits._
+      graft.queries.IndexArtifact.save(path,
+        Map("hist" -> hist,
+          // ordinal column: key PAIRING is positional, and a parquet
+          // read returns rows in any order
+          "keyinfo" -> keys.zip(keyTypes).zipWithIndex
+            .map { case ((k, t), i) => (i, k, t) }.toDF("ord", "key", "type"),
+          "sketch" -> Seq(Tuple1(sketch)).toDF("sk")),
+        meta = Map("rows" -> rows, "est_bytes" -> estBytes,
+          "sampled_rows" -> sampledRows,
+          "sample_ppm" -> math.round(sampleFraction * 1e6),
+          "hist_k" -> histK.toLong))
+    }
+  }
+
+  object KeyStats {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): KeyStats = {
+      val meta = graft.queries.IndexArtifact.meta(spark, path)
+      val info = graft.queries.IndexArtifact.frame(spark, path, "keyinfo")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+      KeyStats(info.map(_._1), info.map(_._2),
+        meta("rows"), meta("est_bytes"), meta("sampled_rows"),
+        meta("sample_ppm") / 1e6, meta("hist_k").toInt,
+        graft.queries.IndexArtifact.frame(spark, path, "sketch")
+          .head().getAs[Array[Byte]](0),
+        graft.queries.IndexArtifact.frame(spark, path, "hist"))
+    }
+  }
+
+  /** Build [[KeyStats]] in the same two passes [[report]] spends per
+    * side: one full aggregate (count + theta sketch), one sampled
+    * histogram kept to its top `histK` keys. Keys render NATIVELY
+    * (`\u0001`-joined string casts) — identical to the live report's
+    * rendering exactly when the joined types match, which is the
+    * contract [[reportFromStats]] enforces. */
+  def buildKeyStats(df: DataFrame, keys: Seq[String],
+                    sampleFraction: Double = 0.01,
+                    histK: Int = 8192): KeyStats = {
+    require(keys.nonEmpty, "key stats need at least one key column")
+    keys.foreach(k => require(df.columns.contains(k),
+      s"key column '$k' not in ${df.columns.mkString(",")}"))
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    require(histK > 0, s"histK must be positive, got $histK")
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+    val keyed = df.filter(keysNotNull(keys))
+      .select(concat_ws("\u0001", keys.map(col(_).cast("string")): _*)
+        .as("__jp_key"))
+    val fullRow = keyed.agg(
+      count(lit(1)).as("n"),
+      graft.functions.ThetaSketch.sketchAgg(col("__jp_key")).as("sk"))
+      .head()
+    val sampled =
+      if (sampleFraction >= 1.0) keyed
+      else keyed.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val histFull = sampled.groupBy("__jp_key")
+      .agg(count(lit(1)).as("c")).persist()
+    try {
+      val sampledN = histFull.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+      val top = histFull.orderBy(col("c").desc, col("__jp_key"))
+        .limit(histK).localCheckpoint(true)
+      KeyStats(keys, keys.map(k => df.schema(k).dataType.catalogString),
+        fullRow.getLong(0), estBytes, sampledN, sampleFraction, histK,
+        fullRow.getAs[Array[Byte]](1), top)
+    } finally histFull.unpersist()
+  }
+
+  /** Price a join from two [[KeyStats]] artifacts — no scan of either
+    * table. Same verdict math as [[report]]; see [[KeyStats]] for the
+    * loud scope checks. */
+  def reportFromStats(
+      spark: org.apache.spark.sql.SparkSession,
+      l: KeyStats, r: KeyStats,
+      topK: Int = 64,
+      broadcastBytes: Long = sessionBroadcastBytes,
+      hotShareThreshold: Double = defaultHotShareThreshold): Report = {
+    require(l.keys.size == r.keys.size,
+      s"key lists differ in arity: ${l.keys} vs ${r.keys}")
+    val mismatched = l.keyTypes.zip(r.keyTypes).zipWithIndex
+      .filter { case ((a, b), _) => a != b }
+    require(mismatched.isEmpty,
+      s"mixed-type key pair(s) ${mismatched.map { case ((a, b), i) =>
+        s"${l.keys(i)}:$a vs ${r.keys(i)}:$b" }.mkString(", ")} — " +
+        "stats artifacts store each side's NATIVE rendering and cannot " +
+        "reconstruct the join's coerced type; run the live join-report")
+    require(l.sampleFraction == r.sampleFraction,
+      s"sample fractions differ (${l.sampleFraction} vs ${r.sampleFraction}) — " +
+        "the pricing scale is global; rebuild one artifact to match")
+    require(topK > 0, s"topK must be positive, got $topK")
+    def ev(a: KeyStats): SideEvidence = {
+      val ndv = math.round(org.apache.datasketches.theta.Sketch
+        .heapify(org.apache.datasketches.memory.Memory.wrap(a.sketch))
+        .getEstimate)
+      val maxC = a.hist.agg(coalesce(max("c"), lit(0L))).head().getLong(0)
+      val topShare =
+        if (a.sampledRows == 0L) 0.0 else maxC.toDouble / a.sampledRows
+      SideEvidence(
+        SideStats(a.rows, a.estBytes, ndv, a.sampledRows, topShare),
+        a.sketch, a.hist)
+    }
+    val bb =
+      if (broadcastBytes != sessionBroadcastBytes) broadcastBytes
+      else spark.sessionState.conf.autoBroadcastJoinThreshold
+    verdict(ev(l), ev(r), l.sampleFraction, topK, bb, hotShareThreshold)
+  }
 
   /** Composite key on the JOIN's comparison semantics where possible:
     * per component pair, same type → as-is; both integral → LONG;
