@@ -1051,10 +1051,24 @@ object AnalyticsQueries {
     * in tests) is also asserted in LlmOpsSpec.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    // Dedup-first instead of countDistinct-next-to-sketch (r14): Spark
+    // plans the mixed distinct/non-distinct aggregate by keying the
+    // partial aggregate on (event_type, user_id) and carrying a partial
+    // HLL++ buffer PER PAIR — at rsd 0.01 that is 1,639 long words
+    // (~13 KB) per distinct pair crossing the exchange (plan dump:
+    // `Results [1641]` on the partial HashAggregate). Deduplicating
+    // first shuffles the bare (event_type, user_id) pairs (~20 B/row,
+    // map-side partial dedup), then builds ONE sketch per event_type.
+    // `approx_count_distinct` is duplicate-insensitive (HLL registers
+    // are max-merged), so n_approx is bit-identical; count over the
+    // deduped pairs (null user_id excluded, as countDistinct does) is
+    // n_exact by definition.
     pq(spark, dir, "events")
+      .select(col("event_type"), col("user_id"))
+      .distinct()
       .groupBy("event_type")
       .agg(
-        countDistinct("user_id").as("n_exact"),
+        count("user_id").as("n_exact"),
         approx_count_distinct("user_id", 0.01).as("n_approx"))
       .orderBy("event_type")
 
@@ -1187,16 +1201,31 @@ object AnalyticsQueries {
     val hourly = ev.groupBy("user_id", "h")
       .agg(count(lit(1)).as("n_events"),
         sum(dec4(col("value"))).cast(DoubleType).as("s"))
-    val grid = ev.groupBy("user_id")
-      .agg(min("h").as("h0"), max("h").as("h1"))
-      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    // Gap-explode instead of grid-join (r14): each OBSERVED hour knows
+    // its carried value (running ignoreNulls last — identical anchor to
+    // the grid formulation, because hours between two observed rows
+    // carry the earlier row's last-known value by definition) and its
+    // successor hour, so the grid rows for (h .. next_h-1) generate
+    // locally from the hourly row itself. This removes the second
+    // events scan (the min/max grid pass), the grid explode, and the
+    // grid⋈hourly join — the window now sorts OBSERVED hours, not the
+    // dense grid. One exchange on (user_id, h) for the hourly
+    // aggregate, one on user_id for the window; values and row set are
+    // identical by construction (the grid spans exactly min..max of the
+    // observed hours, which is exactly what the per-row gap sequences
+    // cover end to end).
     val w = Window.partitionBy("user_id").orderBy("h")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "h"), "left")
-      .withColumn("filled_sum",
-        round(coalesce(last("s", ignoreNulls = true).over(w), lit(0.0)), 6))
-      .select(col("user_id"), (col("h") * 3600000L).as("hour_ms"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"), col("filled_sum"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .select(col("user_id"), col("h"), col("n_events"),
+        last("s", ignoreNulls = true).over(wRun).as("sp"),
+        lead("h", 1).over(w).as("nxt"))
+      .select(col("user_id"), col("h"), col("n_events"), col("sp"),
+        explode(sequence(col("h"),
+          coalesce(col("nxt") - 1L, col("h")))).as("hh"))
+      .select(col("user_id"), (col("hh") * 3600000L).as("hour_ms"),
+        when(col("hh") === col("h"), col("n_events")).otherwise(lit(0L)).as("n_events"),
+        round(coalesce(col("sp"), lit(0.0)), 6).as("filled_sum"))
       .orderBy("user_id", "hour_ms")
   }
 
@@ -1284,36 +1313,59 @@ object AnalyticsQueries {
     val hourly = ev.groupBy("user_id", "h")
       .agg(count(lit(1)).as("n_events"),
         sum(dec4(col("value"))).cast(DoubleType).as("s"))
-    val grid = ev.groupBy("user_id")
-      .agg(min("h").as("h0"), max("h").as("h1"))
-      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    // Gap-explode instead of grid-join (r14, same shape as
+    // [[resampleForwardFill]]): anchors compute on the OBSERVED hourly
+    // rows, then each row generates its own gap hours (h .. next_h-1)
+    // locally. Anchor equivalence to the grid formulation:
+    //   - sp/hp (last observed value/hour ≤ hh): gap hours carry null s,
+    //     so the grid's running ignoreNulls last at any hh in
+    //     [h, next_h) equals the hourly-row value at h — including the
+    //     null-s observed row, where both skip to the previous anchor.
+    //   - sn/hn (first observed value/hour ≥ hh): for hh > h this is
+    //     the NEXT row's descending-running value (lead(sn)); for
+    //     hh == h with null s, sn itself already skips the current row,
+    //     so sn == lead(sn) and the single lead-anchor serves both.
+    // Removes the second events scan, the grid explode and the
+    // grid⋈hourly join; the two direction scans still ride ONE
+    // user-partitioned exchange (desc sort, then asc sort — the
+    // quadratic currentRow→unboundedFollowing frame stays avoided).
     val base = Window.partitionBy("user_id").orderBy("h")
     val before = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Forward anchors via a DESCENDING running frame (linear), not
-    // currentRow→unboundedFollowing (quadratic per-row rescan in Spark).
     val afterRun = Window.partitionBy("user_id").orderBy(col("h").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsH = when(col("s").isNotNull, col("h"))
-    grid.join(hourly, Seq("user_id", "h"), "left")
-      // all four anchors in ONE select so each direction's pair fuses
-      // into a single Window node (withColumn chains insert projections
-      // that defeat CollapseWindow)
+    hourly
+      // both desc-direction anchors in ONE select, then both
+      // asc-direction anchors + leads in the next (each direction's
+      // expressions fuse into a single Window node; withColumn chains
+      // insert projections that defeat CollapseWindow)
+      .select(col("user_id"), col("h"), col("n_events"), col("s"),
+        last("s", ignoreNulls = true).over(afterRun).as("sn"),
+        last(obsH, ignoreNulls = true).over(afterRun).as("hn"))
       .select(col("user_id"), col("h"), col("n_events"), col("s"),
         last("s", ignoreNulls = true).over(before).as("sp"),
         last(obsH, ignoreNulls = true).over(before).as("hp"),
-        last("s", ignoreNulls = true).over(afterRun).as("sn"),
-        last(obsH, ignoreNulls = true).over(afterRun).as("hn"))
-      .select(col("user_id"), (col("h") * 3600000L).as("hour_ms"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("s").isNotNull.cast(LongType).as("observed"),
+        lead("sn", 1).over(base).as("sng"),
+        lead("hn", 1).over(base).as("hng"),
+        lead("h", 1).over(base).as("nxt"))
+      .select(col("user_id"), col("n_events"), col("s"), col("sp"), col("hp"),
+        // the current row's own sn/hn serve only the hh == h null-s
+        // case, where they equal the lead anchors (see above) — so the
+        // lead anchors serve every lerp row and sn/hn drop here
+        col("sng"), col("hng"), col("h"),
+        explode(sequence(col("h"),
+          coalesce(col("nxt") - 1L, col("h")))).as("hh"))
+      .select(col("user_id"), (col("hh") * 3600000L).as("hour_ms"),
+        when(col("hh") === col("h"), col("n_events")).otherwise(lit(0L)).as("n_events"),
+        (col("hh") === col("h") && col("s").isNotNull).cast(LongType).as("observed"),
         // lerp results land on decimal half-boundaries (the anchors are
         // 4-dp sums, gap fractions are small rationals); round through
         // the 12-dp DECIMAL grid so both engines take the same half-up
         // branch instead of their diverging double-round rules
-        round(round(when(col("s").isNotNull, col("s"))
-          .otherwise(col("sp") + (col("sn") - col("sp")) *
-            ((col("h") - col("hp")).cast(DoubleType) /
-              (col("hn") - col("hp")).cast(DoubleType))), 12)
+        round(round(when(col("hh") === col("h") && col("s").isNotNull, col("s"))
+          .otherwise(col("sp") + (col("sng") - col("sp")) *
+            ((col("hh") - col("hp")).cast(DoubleType) /
+              (col("hng") - col("hp")).cast(DoubleType))), 12)
           .cast(DecimalType(38, 12)), 6).cast(DoubleType).as("interp_sum"))
       .orderBy("user_id", "hour_ms")
   }

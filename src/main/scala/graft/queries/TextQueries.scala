@@ -2925,10 +2925,21 @@ object TextQueries {
   private val winnowMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def winnowFrame(spark: SparkSession, dir: String): DataFrame =
-    winnowMemo.getOrElseUpdate((spark, dir),
+  private def winnowFrame(spark: SparkSession, dir: String): DataFrame = {
+    val f = winnowMemo.getOrElseUpdate((spark, dir),
       buildWinnowIndex(docs(spark, dir)).fps
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Re-arm after a session-level `clearCache()` (the bench clears
+    // between queries): the overlap census references this frame from
+    // SEVERAL plan subtrees (df histogram, small arm, hot arm), and an
+    // un-persisted frame recomputes the md5-heavy winnow selection once
+    // PER SUBTREE — measured 1.9x on d_winnow_overlap at sf0.1 (r14).
+    // Each query still computes the selection from parquet exactly once
+    // (the re-armed cache materializes during that query's own run).
+    if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f
+  }
 
   /** Release every memoized winnow frame held by `spark`. */
   def dropWinnowCache(spark: SparkSession): Unit =
