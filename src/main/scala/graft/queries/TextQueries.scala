@@ -1639,14 +1639,30 @@ object TextQueries {
       .orderBy("source")
   }
 
-  /** Per-doc (doc_id, w1, w2) bigram rows with duplicates kept. */
+  /** Per-doc (doc_id, w1, w2) bigram rows with duplicates kept.
+    *
+    * Pairs derive SCAN-SIDE (r14): explode the positions 1..n-1 and read
+    * both words from the materialized token array with `element_at` —
+    * no doc-keyed exchange, no sort, no window. The earlier
+    * posexplode + `lead` form paid one full-data shuffle+sort per USE,
+    * and the LM pipeline derives this frame three times (bigram counts,
+    * history counts, the scoring probe). The token array materializes
+    * once per doc in the Generate's child projection (a `transform`
+    * lambda over the raw `split` would instead be inlined per element
+    * by CollapseProject — the known trap); `element_at` is O(1) per
+    * reference. The `size >= 2` filter keeps `sequence` ascending
+    * (Spark's two-argument sequence INFERS a negative step for
+    * start > stop — sequence(1, 0) is [1, 0], not empty).
+    */
   private def docBigrams(docsDf: DataFrame): DataFrame =
     docsDf
-      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "w1")))
-      .withColumn("w2", lead("w1", 1).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("w2").isNotNull)
-      .select("doc_id", "w1", "w2")
+      .select(col("doc_id"), wsTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("ts"),
+        explode(expr("sequence(1, size(ts) - 1)")).as("i"))
+      .select(col("doc_id"),
+        expr("element_at(ts, i)").as("w1"),
+        expr("element_at(ts, i + 1)").as("w2"))
 
   /** Train-on-corpus / score-new-batch LM probe — the deployment split
     * [[ngramLm]] self-scoring doesn't exercise: bigram and history
@@ -3024,12 +3040,14 @@ object TextQueries {
     * license header, nav chrome — shared by millions of docs at corpus
     * scale), mirroring the simhash path's oversized-bucket arm:
     *
-    *   - fingerprint document frequencies compute first (one hash
-    *     aggregate with map-side partials — a flood of one fingerprint
-    *     is absorbed by combiners, never one task);
+    *   - fingerprint document frequencies and the collectible buckets
+    *     compute in ONE capped-collect aggregate (map-side partials
+    *     with O(maxBucket) buffers — a flood of one fingerprint is
+    *     absorbed by combiners, never one task, and never an unbounded
+    *     array);
     *   - buckets with df <= `maxBucket` keep the in-task sorted
-    *     expansion (one `collect_list` row per fingerprint, per-row
-    *     memory O(bucket));
+    *     expansion (the aggregate's complete id list, per-row memory
+    *     O(bucket));
     *   - bigger buckets route through a DISTRIBUTED self-join on the
     *     fingerprint: the pair expansion streams out of the join
     *     (sort-merge's duplicate-key buffer is spillable), so no single
@@ -3045,11 +3063,13 @@ object TextQueries {
     * The report is one narrow aggregate over the (cached) fingerprint
     * histogram.
     *
-    * Shuffle shape: the df tag join keys on `h`, the same partitioning
-    * the histogram aggregate just produced, so the fingerprint table's
-    * exchange is planned once and reused across the histogram, the tag
-    * join, and both arms (the small arm's `groupBy(h)` inherits the
-    * join's h-partitioning; the hot arm's self-join reuses it twice).
+    * Shuffle shape: the posting table crosses ONE h-keyed exchange into
+    * the capped-collect aggregate; the df-cap report, the routing
+    * decision and the small arm all read the persisted aggregate (a
+    * fingerprint-cardinality frame with O(maxBucket)-bounded rows), and
+    * only an actually-overflowed bucket re-reads the cached winnow
+    * frame through the hot self-join. Release of the persisted
+    * aggregate defers to its consumer ([[graft.operators.CacheRelease]]).
     */
   private[graft] def winnowOverlapRouted(
       index: WinnowIndex, maxBucket: Int, dfCap: Option[Long]): DataFrame = {
@@ -3058,9 +3078,20 @@ object TextQueries {
       s"dfCap must be >= 2 (a 1-cap drops every shared fingerprint), got $c"))
     val fps = index.fps
       .select(col("doc_id"), explode(expr("array_distinct(sel.h)")).as("h"))
-    val hist = fps.groupBy("h").agg(count(lit(1)).as("df"))
+    // ONE aggregate yields both the df signal and, for every bucket the
+    // in-task arm may expand, its complete id list (r14 — replaces the
+    // df histogram + tag-join form, which shuffled the posting table
+    // twice and re-derived it in every broadcast subtree). The capped
+    // collect keeps per-buffer memory O(maxBucket) no matter how hot a
+    // fingerprint is; oversized buckets keep only the exact count and
+    // route through the distributed self-join arm, which re-reads the
+    // (cached) winnow frame for just those fingerprints.
+    val cc = udaf(graft.functions.CappedCollectList(maxBucket))
+    val agg = fps.groupBy("h").agg(cc(col("doc_id")).as("st"))
+      .select(col("h"), col("st._1").as("df"), col("st._2").as("ids"))
+      .persist()
     dfCap.foreach { cap =>
-      val r = hist.filter(col("df") > cap)
+      val r = agg.filter(col("df") > cap)
         .agg(count(lit(1)).as("n"),
           coalesce(max("df"), lit(0L)).as("mx"),
           coalesce(sum("df"), lit(0L)).as("postings"))
@@ -3072,25 +3103,32 @@ object TextQueries {
           "capped fingerprints will not be listed")
     }
     // singleton fingerprints pair with nothing; capped ones are dropped
-    val live = dfCap.foldLeft(hist.filter(col("df") > 1)) { (h, cap) =>
+    val live = dfCap.foldLeft(agg.filter(col("df") > 1)) { (h, cap) =>
       h.filter(col("df") <= cap)
     }
-    val tagged = fps.join(live, "h")
-    // Bucket-grouped pair expansion for the common case: the sorted
-    // in-bucket expansion emits each (id1 < id2) pair directly behind
-    // the exchange the df histogram already paid — staged so per-row
-    // memory stays O(bucket), never O(bucket^2).
-    val small = tagged.filter(col("df") <= maxBucket)
-      .groupBy("h")
-      .agg(expr("sort_array(collect_list(doc_id))").as("ids"))
+    // Bucket-grouped pair expansion for the common case: the collected
+    // bucket sorts in-row and emits each (id1 < id2) pair — staged so a
+    // row never materializes more than one bucket's id list (O(bucket)
+    // memory, never O(bucket^2)).
+    val small = live.filter(col("df") <= maxBucket)
+      .select(expr("array_sort(ids)").as("ids"))
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
       .select(col("id1"),
         explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id2"))
-    val hotFps = tagged.filter(col("df") > maxBucket)
-    val hot = hotFps.as("a").join(hotFps.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-    small.unionAll(hot)
+    // Hot arm only when a live bucket overflowed the collect cap (the
+    // driver check reads the already-persisted aggregate — one narrow
+    // scan, no recompute); its self-join streams pairs out of the join
+    // so no single row ever holds a corpus-scale id list.
+    val hotH = live.filter(col("df") > maxBucket).select("h")
+    val pairs = if (hotH.limit(1).count() == 0L) small else {
+      val hotFps = fps.join(broadcast(hotH), "h")
+      val hot = hotFps.as("a").join(hotFps.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      small.unionAll(hot)
+    }
+    graft.operators.CacheRelease.afterConsumer(agg)
+    pairs
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_shared"))
   }

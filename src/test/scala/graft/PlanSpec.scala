@@ -391,14 +391,14 @@ class PlanSpec extends SparkSuite {
       // re-planned inside the forced broadcast)
       "d_hybrid_verify" -> 0,
       // corpus-trained counts tables + left scoring joins + per-doc agg
-      "t_lm_probe" -> 6,
+      "t_lm_probe" -> 4,
       // guarded probe collects the (output-scale) pairs first, so the
       // folded plan is just the source-matrix aggregate
       "d_overlap_matrix" -> 1,
       // bigram window + two counts tables + two scoring joins + per-doc
       // aggregate — the classic count-then-join LM pipeline; every
       // exchange is vocab- or doc-keyed, nothing corpus-quadratic
-      "t_ngram_lm" -> 6,
+      "t_ngram_lm" -> 4,
       "p_split_assign" -> 0,
       // single scan + rule-key aggregate
       "p_filter_report" -> 1,
@@ -581,17 +581,16 @@ class PlanSpec extends SparkSuite {
       // quantizer training runs at construction
       "p_cluster_sample" -> 1,
       "t_winnow" -> 0, // hash/select/digest all in-row; only the output sort exchanges
-      // winnowed inverted-index census: df histogram agg + tag join on
-      // h (same key — the exchange plans once and reuses; at this static
-      // print the histogram subtree re-prints its h exchange) + small-arm
-      // groupBy(h) + pair aggregate; the hot self-join arm adds one more
-      // printed h exchange that reuses at runtime
-      "d_winnow_overlap" -> 5,
+      // winnowed inverted-index census: ONE capped-collect aggregate on
+      // h (df + collectible bucket in one pass) + the pair aggregate;
+      // the third printed exchange is the persisted aggregate's
+      // materialization subtree re-printed under the routing read
+      "d_winnow_overlap" -> 3,
       // capped variant: same skeleton (the df filter is free)
-      "d_winnow_capped" -> 5,
+      "d_winnow_capped" -> 3,
       // pair core printed TWICE by the symmetrize union + bounded TopK
       // aggregate + output sort; runtime reuses the core's exchanges
-      "d_winnow_topk" -> 11,
+      "d_winnow_topk" -> 7,
       // the LSH pipeline's exchanges unchanged: split membership is
       // column algebra of the pair ids, zero added joins
       "d_split_leak" -> 3,
@@ -605,7 +604,7 @@ class PlanSpec extends SparkSuite {
       // ngramLm's 6 count-then-join exchanges + the per-score tie-break
       // window + the decile aggregate; the rank itself comes from the
       // broadcast histogram offsets, never a global sort
-      "t_ppl_bucket" -> 8,
+      "t_ppl_bucket" -> 6,
       // weight algebra over a collected source-scale LocalRelation —
       // the one corpus pass runs at construction
       "p_doremi_weights" -> 0,
