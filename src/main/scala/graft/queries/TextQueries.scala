@@ -3197,22 +3197,39 @@ object TextQueries {
           .as(Seq("p", "g")))
 
   /** Token positions covered by any gram in `dup`: per-doc position
-    * sets (arrays bounded by doc length, never shuffled per-token). */
+    * sets (arrays bounded by doc length, never shuffled per-token).
+    * The aggregate collects gram START positions only — one row per
+    * duplicated gram, 5x fewer rows through the doc-keyed exchange than
+    * exploding each gram's span — and the [p, p+4] spans expand and
+    * dedupe IN-ROW over the collected array (same set by definition:
+    * `array_distinct ∘ flatten ∘ span` = the union the per-position
+    * `collect_set` built). */
   private def coveredPositions(grams: DataFrame, dup: DataFrame): DataFrame =
     grams.join(dup, "g")
-      .select(col("doc_id"), explode(expr("sequence(p, p + 4)")).as("pos"))
       .groupBy("doc_id")
-      .agg(collect_set("pos").as("cov"))
+      .agg(collect_list("p").as("ps"))
+      .select(col("doc_id"), expr(
+        "array_distinct(flatten(transform(ps, p -> sequence(p, p + 4))))").as("cov"))
 
   /** Rebuild each doc from the positions NOT in its cover set — per-row
-    * array algebra via the indexed `filter` HOF. */
+    * array algebra. The kept positions come from `array_except` (hash
+    * lookup per element, O(n_tokens + |cov|)) rather than an indexed
+    * `filter` probing `array_contains` per token (O(n_tokens * |cov|) —
+    * quadratic per doc once a heavily-duplicated doc's cover approaches
+    * its length); order is preserved, so the rebuilt string is
+    * identical. [[wsTokens]] never yields an empty array (split of an
+    * empty string is [""]), so the 0..size-1 sequence is always
+    * ascending — the two-argument `sequence` would otherwise count DOWN
+    * for start > stop. */
   private def rebuildScrubbed(toks: DataFrame, covered: DataFrame): DataFrame =
     toks.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("ts")).cast(LongType).as("n_tokens"),
         coalesce(size(col("cov")), lit(0)).cast(LongType).as("n_removed"),
         concat_ws(" ", expr(
-          "filter(ts, (t, i) -> cov IS NULL OR NOT array_contains(cov, i))"))
+          """transform(
+            |  array_except(sequence(0, size(ts) - 1), coalesce(cov, array())),
+            |  i -> element_at(ts, i + 1))""".stripMargin))
           .as("scrubbed"))
 
   /** Corpus duplicate-gram reference for INCREMENTAL scrubbing — the
