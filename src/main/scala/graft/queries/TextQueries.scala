@@ -1553,7 +1553,9 @@ object TextQueries {
     * capped. Make the bound explicit: past the cap, rank from a coarser
     * grid (round avg_logp to fewer decimals before the histogram) or an
     * approx-quantile sketch instead of exact decile edges. */
-  private[graft] def requireHistBounded(distinctScores: Long, cap: Long = 2000000L): Unit =
+  private[graft] val histCap = 2000000L
+
+  private[graft] def requireHistBounded(distinctScores: Long, cap: Long = histCap): Unit =
     require(distinctScores <= cap,
       s"pplBuckets: $distinctScores distinct 6-dp scores exceed the " +
         s"driver-histogram cap $cap — coarsen the score grid (fewer " +
@@ -1562,15 +1564,18 @@ object TextQueries {
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scores = ngramLm(spark, dir).select(col("doc_id"), col("avg_logp"))
-    // persist the (distributed) histogram so the bound check is a cheap
-    // count over the aggregate, not a second scoring pass — and the
-    // collect below only runs once the size is proven driver-safe
-    val histDf = scores.groupBy("avg_logp").agg(count(lit(1)).as("c")).persist()
-    requireHistBounded(histDf.count())
-    val hist = histDf.collect()
+    // ONE limited collect serves both the driver-safety bound and the
+    // histogram read (r14 — replaces persist + count + collect +
+    // unpersist, two jobs over the aggregate): `limit(cap + 1)` caps
+    // what can ever reach the driver, a full result means the bound is
+    // broken (raise before using the rows), and any result at or under
+    // the cap is by definition the COMPLETE histogram.
+    val histRows = scores.groupBy("avg_logp").agg(count(lit(1)).as("c"))
+      .limit(histCap.toInt + 1).collect()
+    requireHistBounded(histRows.length.toLong)
+    val hist = histRows
       .map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy(_._1)
-    histDf.unpersist()
     var acc = 0L
     val offs = hist.map { case (v, c) => val o = acc; acc += c; (v, o) }
     val n = acc
