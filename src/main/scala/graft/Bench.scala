@@ -153,7 +153,16 @@ object Bench {
       if (canaryBefore > 0) canaryAfter / canaryBefore else 1.0)},"shuffle_before":${fmt(
       canaryShufBefore)},"shuffle_after":${fmt(canaryShufAfter)},"shuffle_track":${
       canaryTrack.map(fmt).mkString("[", ",", "]")}}"""
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canary,"sf":"$sfDir"}"""
+    // prove the core-count contract in the emitted line: the driver's
+    // low-core probe compares 8c vs 32c runs, and at sf0.1 every query is
+    // overhead-bound (8c ≈ 32c — janino compile, job scheduling, min-of-2
+    // timing dominate), which is indistinguishable from an ignored env var
+    // unless the JSON itself records what the session ran with
+    val parallelism = spark.sparkContext.defaultParallelism
+    // env var is free text ("*" is a legal local master spec): numbers
+    // stay JSON numbers, anything else is emitted quoted
+    val cpusJson = scala.util.Try(cpus.trim.toInt.toString).getOrElse(q(cpus))
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusJson,"parallelism":$parallelism,"queries":$qs,"errors":$errJson,"canary":$canary,"sf":"$sfDir"}"""
     // durable copy the driver (or a human) can read even if stdout is
     // truncated; r5's report was lost to exactly that
     try java.nio.file.Files.write(
@@ -172,6 +181,6 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"errors":$errJson,"canary":$canary,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusJson,"parallelism":$parallelism,"queries":$slowest,"errors":$errJson,"canary":$canary,"sf":"$sfDir"}""")
   }
 }

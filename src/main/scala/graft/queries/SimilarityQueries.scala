@@ -733,9 +733,20 @@ object SimilarityQueries {
   def pcaProject(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dims = 64
+    // The training iteration is four passes over the same quantized
+    // frame (means, two power-iteration steps, final projection), each
+    // a separate job at construction time — unpersisted, every job
+    // re-reads the parquet and re-runs the quantize transform (r14
+    // "not yet optimized" item; guide §5: persist a frame read N
+    // times). MEMORY_AND_DISK so an executor-memory squeeze degrades
+    // to disk, never to a recompute-per-job; released after the
+    // projection's own action completes (CacheRelease), and the bench's
+    // per-query clearCache() means every timed run still materializes
+    // it from parquet inside its own timing.
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"),
         expr("transform(embedding, x -> floor(cast(x as double) * 1048576.0))").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val means = e.select(posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy("i").agg((sum("qi") / count(lit(1))).as("m"))
       .orderBy("i").select("m").as[Double].collect()
@@ -761,10 +772,12 @@ object SimilarityQueries {
     // left fold = the list_dot_product order both engines use in-row
     val norm = math.sqrt(v2.foldLeft(0.0)((a, x) => a + x * x))
     val vl2 = array(v2.map(lit): _*)
-    centered
+    val out = centered
       .select(col("vec_id"),
         round(dotCol(col("c"), vl2) / lit(norm) / lit(1048576.0), 6).as("pc1"))
       .orderBy("vec_id")
+    graft.operators.CacheRelease.afterConsumer(e)
+    out
   }
 
   def ivfTrained(spark: SparkSession, dir: String): DataFrame = {

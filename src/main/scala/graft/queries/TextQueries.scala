@@ -256,6 +256,17 @@ object TextQueries {
     * aggregate + prefix build are linear passes bought to cap a bucket
     * term that is unbounded in the corpus duplicate structure; at the
     * round-11 sf1 point this query scales 10× data → 2.2–7× time.
+    *
+    * r15 re-measured the "prefix loses below its crossover" premise
+    * (tools/ContainAb, same session, min of 2 after warm, sf0.1): the
+    * prefix arm reads 3.0–3.8s while BOTH unbounded candidate forms —
+    * the plain inverted-index self-join and the bucket-grouped
+    * expansion — read 5.5s. The crossover has moved BELOW sf0.1 on the
+    * current corpus (the duplicate structure grew hot gram buckets the
+    * unbounded forms pay quadratically and the prefix kills), so the
+    * r14-verdict idea of routing small corpora to an unbounded arm is
+    * a measured pessimization at every SF we can run: the prefix arm
+    * stays unconditional.
     */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val docsG = gramArrays(docs(spark, dir))
@@ -1556,10 +1567,13 @@ object TextQueries {
   private[graft] val histCap = 2000000L
 
   private[graft] def requireHistBounded(distinctScores: Long, cap: Long = histCap): Unit =
+    // the caller counts a limit(cap + 1) read, so past the cap the
+    // number is a LOWER bound on the true cardinality, not the count
     require(distinctScores <= cap,
-      s"pplBuckets: $distinctScores distinct 6-dp scores exceed the " +
-        s"driver-histogram cap $cap — coarsen the score grid (fewer " +
-        "decimals) or switch the ranking to an approx-quantile sketch")
+      s"pplBuckets: more than $cap distinct 6-dp scores (limited read " +
+        s"saw $distinctScores) exceed the driver-histogram cap — " +
+        "coarsen the score grid (fewer decimals) or switch the ranking " +
+        "to an approx-quantile sketch")
 
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2957,6 +2971,12 @@ object TextQueries {
     // PER SUBTREE — measured 1.9x on d_winnow_overlap at sf0.1 (r14).
     // Each query still computes the selection from parquet exactly once
     // (the re-armed cache materializes during that query's own run).
+    // The check-then-act is deliberately unsynchronized: two concurrent
+    // callers racing past a clearCache() would at worst call persist()
+    // twice, which Spark tolerates with a warning (the second call is a
+    // no-op on an already-persisting plan) — the bench and verify
+    // drivers are single-threaded, and correctness never depends on
+    // the storage level.
     if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     f
@@ -3007,10 +3027,20 @@ object TextQueries {
     */
   def winnowTopOverlaps(spark: SparkSession, dir: String): DataFrame = {
     val pairs = winnowOverlapCore(WinnowIndex(winnowFrame(spark, dir)))
-    val sym = pairs.select(col("id1").as("doc_id"),
-        col("id2").as("partner_id"), col("n_shared"))
-      .unionAll(pairs.select(col("id2").as("doc_id"),
-        col("id1").as("partner_id"), col("n_shared")))
+    // symmetrize IN-ROW (each pair row explodes into its two directed
+    // rows) instead of a unionAll of two projections of `pairs`: the
+    // union form plans the whole pair core — bucket expansion, pair
+    // exchange, count aggregate — once PER ARM (r14 plan: two identical
+    // HashAggregate+Exchange subtrees under the Union), paying the
+    // census twice for the same multiset of rows. Same rows by
+    // construction, and the TopK aggregate is partition-order-free.
+    val sym = pairs.select(
+        explode(array(
+          struct(col("id1").as("doc_id"), col("id2").as("partner_id")),
+          struct(col("id2").as("doc_id"), col("id1").as("partner_id")))).as("e"),
+        col("n_shared"))
+      .select(col("e.doc_id").as("doc_id"),
+        col("e.partner_id").as("partner_id"), col("n_shared"))
     val topk = udaf(graft.functions.TopKAggregator(3))
     sym.groupBy("doc_id")
       .agg(topk(col("n_shared").cast(DoubleType), col("partner_id")).as("top"))
@@ -3181,12 +3211,58 @@ object TextQueries {
     * [[probeScrub]] with an empty index, nothing here broadcasts the
     * input's distinct gram set, so a corpus-sized input cannot OOM the
     * driver on the no-index path. */
-  def scrubCorpus(corpus: DataFrame): DataFrame = {
+  /** Oversized-posting threshold for [[scrubCorpus]]'s one-pass census:
+    * grams occurring more often than this keep only their exact count
+    * in the aggregate and route their postings through the re-derive
+    * arm (same 10k rationale as [[winnowMaxBucket]]: below it one
+    * collected posting list per gram is bounded task memory; above it
+    * a boilerplate gram would hold a corpus-scale list in one row). */
+  private[graft] val scrubMaxPostings = 10000
+
+  def scrubCorpus(corpus: DataFrame): DataFrame =
+    scrubCorpusRouted(corpus, scrubMaxPostings)
+
+  /** [[scrubCorpus]] with the posting cap exposed — the arm-equality
+    * spec forces the hot arm on a fixture and pins it identical.
+    *
+    * One-pass census (r15, the [[winnowOverlapRouted]] pattern): ONE
+    * capped-collect aggregate yields each gram's exact multiplicity AND
+    * its complete (doc_id, p) posting list up to the cap, so the
+    * duplicated-gram marks read straight out of the aggregate — where
+    * the count-then-mark form derived the positional gram table TWICE
+    * (count pass + mark-join probe pass; at sf0.1 each derivation is a
+    * ~0.55s single-split scan pipeline, and at scale the mark join
+    * stops broadcasting and shuffles the full positional table a
+    * second time on top of re-deriving it). Only grams that overflowed
+    * the cap — actual boilerplate — pay the re-derivation, for just
+    * their keys, via a broadcast semi-join (driver check on the
+    * persisted aggregate, exactly like the winnow hot arm). The
+    * aggregate retains only duplicated grams (ct >= 2) — output-scale,
+    * bounded by the corpus duplication rate — and releases after the
+    * consumer's action ([[graft.operators.CacheRelease]]).
+    */
+  private[graft] def scrubCorpusRouted(
+      corpus: DataFrame, maxPostings: Int): DataFrame = {
+    require(maxPostings >= 2, s"maxPostings must be >= 2, got $maxPostings")
     val toks = tokArrays(corpus)
     val grams = positionalGrams5(toks)
-    val dup = grams.groupBy("g").agg(count(lit(1)).as("ct"))
-      .filter(col("ct") >= 2).select("g")
-    rebuildScrubbed(toks, coveredPositions(grams, dup))
+    val cc = udaf(graft.functions.CappedCollectPairs(maxPostings))
+    val agg = grams.groupBy("g").agg(cc(col("doc_id"), col("p")).as("st"))
+      .select(col("g"), col("st._1").as("ct"), col("st._2").as("dps"))
+      .filter(col("ct") >= 2)
+      .persist()
+    val small = agg.filter(col("ct") <= maxPostings)
+      .select(explode(col("dps")).as("dp"))
+      .select(col("dp._1").as("doc_id"), col("dp._2").as("p"))
+    // Hot arm only when a duplicated gram overflowed the collect cap
+    // (driver check reads the persisted aggregate — one narrow scan);
+    // its postings re-derive by key through a broadcast semi-join, so
+    // no aggregation buffer ever holds a corpus-scale posting list.
+    val hotG = agg.filter(col("ct") > maxPostings).select("g")
+    val marks = if (hotG.limit(1).count() == 0L) small else
+      small.unionAll(grams.join(broadcast(hotG), "g").select("doc_id", "p"))
+    graft.operators.CacheRelease.afterConsumer(agg)
+    rebuildScrubbed(toks, covFromStarts(marks))
   }
 
   private def tokArrays(docsDf: DataFrame): DataFrame =
@@ -3210,7 +3286,15 @@ object TextQueries {
     * `array_distinct ∘ flatten ∘ span` = the union the per-position
     * `collect_set` built). */
   private def coveredPositions(grams: DataFrame, dup: DataFrame): DataFrame =
-    grams.join(dup, "g")
+    covFromStarts(grams.join(dup, "g").select("doc_id", "p"))
+
+  /** Per-doc cover sets from duplicated-gram START marks: collect the
+    * starts (one row per gram, 5x fewer than exploding spans through
+    * the doc-keyed exchange) and expand/dedupe the [p, p+4] spans
+    * in-row (`array_distinct ∘ flatten ∘ span` = the union a
+    * per-position `collect_set` would build). */
+  private def covFromStarts(marks: DataFrame): DataFrame =
+    marks
       .groupBy("doc_id")
       .agg(collect_list("p").as("ps"))
       .select(col("doc_id"), expr(

@@ -32,15 +32,26 @@ object MetricsDump {
       spark.catalog.clearCache()
     }
     // the write action runs its OWN QueryExecution — capture it so the
-    // walked plan is the one whose metrics were actually populated
+    // walked plan is the one whose metrics were actually populated.
+    // Arm the capture only for the noop write's window: construction-
+    // eager queries fire their own driver actions both before (their
+    // collects) and potentially after it (deferred cache-release
+    // probes), and either would otherwise overwrite `captured` with
+    // the wrong plan (r14 advice item).
     @volatile var captured: org.apache.spark.sql.execution.QueryExecution = null
+    @volatile var armed = false
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
-          d: Long): Unit = captured = qe
+          d: Long): Unit = if (armed && captured == null) captured = qe
       override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()
     })
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    // construction actions completed synchronously above; their async
+    // listener events may still be in flight — give the bus a moment
+    // to drain before arming so none of them can win the capture
+    Thread.sleep(500)
+    armed = true
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(f"[metrics] $name total ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -584,13 +584,20 @@ class PlanSpec extends SparkSuite {
       // winnowed inverted-index census: ONE capped-collect aggregate on
       // h (df + collectible bucket in one pass) + the pair aggregate;
       // the third printed exchange is the persisted aggregate's
-      // materialization subtree re-printed under the routing read
+      // materialization subtree re-printed under the routing read.
+      // NOTE: the routing decision is EAGER at construction, so these
+      // counts assume no bucket in the ledger corpus overflows
+      // winnowMaxBucket — a data change that overflows one adds the hot
+      // self-join arm's exchanges and fails this budget loudly, which
+      // is intended (same for d_substring_scrub's posting cap)
       "d_winnow_overlap" -> 3,
       // capped variant: same skeleton (the df filter is free)
       "d_winnow_capped" -> 3,
-      // pair core printed TWICE by the symmetrize union + bounded TopK
-      // aggregate + output sort; runtime reuses the core's exchanges
-      "d_winnow_topk" -> 7,
+      // pair core planned ONCE (r15: in-row explode symmetrize replaced
+      // the unionAll that printed the whole core per arm): census +
+      // pair aggregate + bounded TopK aggregate, plus the persisted
+      // census subtree re-printed under the routing read
+      "d_winnow_topk" -> 4,
       // the LSH pipeline's exchanges unchanged: split membership is
       // column algebra of the pair ids, zero added joins
       "d_split_leak" -> 3,
@@ -608,9 +615,14 @@ class PlanSpec extends SparkSuite {
       // weight algebra over a collected source-scale LocalRelation —
       // the one corpus pass runs at construction
       "p_doremi_weights" -> 0,
-      // gram multiplicity agg (partials absorb boilerplate-gram skew)
-      // + per-doc cover collect_set; the mark join broadcasts
-      "d_substring_scrub" -> 2,
+      // r15 one-pass census: capped posting-collect aggregate on g
+      // (multiplicity + complete postings in one exchange; partials
+      // absorb boilerplate-gram skew) + per-doc cover collect — the
+      // count-pass + re-derived-grams mark join is gone. 2 -> 3 is
+      // TEXTUAL only: the third line is the persisted census subtree
+      // re-printed under the routing read (runtime shuffles: 2, one
+      // fewer corpus scan)
+      "d_substring_scrub" -> 3,
       // + the corpus index aggregate on the probe path, + the dup-set
       // union distinct (output-scale rows) — bought so the probe's
       // corpus check builds on the BROADCAST batch-gram set and the
