@@ -2960,7 +2960,7 @@ object TextQueries {
   private val winnowMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def winnowFrame(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowFrame(spark: SparkSession, dir: String): DataFrame = {
     val f = winnowMemo.getOrElseUpdate((spark, dir),
       buildWinnowIndex(docs(spark, dir)).fps
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -3211,65 +3211,35 @@ object TextQueries {
     * [[probeScrub]] with an empty index, nothing here broadcasts the
     * input's distinct gram set, so a corpus-sized input cannot OOM the
     * driver on the no-index path. */
-  /** Oversized-posting threshold for [[scrubCorpus]]'s one-pass census:
-    * grams occurring more often than this keep only their exact count
-    * in the aggregate and route their postings through the re-derive
-    * arm (same 10k rationale as [[winnowMaxBucket]]: below it one
-    * collected posting list per gram is bounded task memory; above it
-    * a boilerplate gram would hold a corpus-scale list in one row). */
-  private[graft] val scrubMaxPostings = 10000
-
-  def scrubCorpus(corpus: DataFrame): DataFrame =
-    scrubCorpusRouted(corpus, scrubMaxPostings)
-
-  /** [[scrubCorpus]] with the posting cap exposed — the arm-equality
-    * spec forces the hot arm on a fixture and pins it identical.
-    *
-    * One-pass census (r15, the [[winnowOverlapRouted]] pattern): ONE
-    * capped-collect aggregate yields each gram's exact multiplicity AND
-    * its complete (doc_id, p) posting list up to the cap, so the
-    * duplicated-gram marks read straight out of the aggregate — where
-    * the count-then-mark form derived the positional gram table TWICE
-    * (count pass + mark-join probe pass; at sf0.1 each derivation is a
-    * ~0.55s single-split scan pipeline, and at scale the mark join
-    * stops broadcasting and shuffles the full positional table a
-    * second time on top of re-deriving it). Only grams that overflowed
-    * the cap — actual boilerplate — pay the re-derivation, for just
-    * their keys, via a broadcast semi-join (driver check on the
-    * persisted aggregate, exactly like the winnow hot arm). The
-    * aggregate retains only duplicated grams (ct >= 2) — output-scale,
-    * bounded by the corpus duplication rate — and releases after the
-    * consumer's action ([[graft.operators.CacheRelease]]).
-    */
-  private[graft] def scrubCorpusRouted(
-      corpus: DataFrame, maxPostings: Int): DataFrame = {
-    require(maxPostings >= 2, s"maxPostings must be >= 2, got $maxPostings")
+  /** Count-then-mark, deliberately TWO gram derivations (r15 A/B): the
+    * tempting one-pass form — a capped posting-collect aggregate
+    * yielding multiplicity + complete (doc_id, p) postings in one
+    * exchange, the [[winnowOverlapRouted]] pattern — was built and
+    * measured 1.4–1.6× SLOWER here (tools/R15Ab, same session,
+    * construction + noop action, min of 2: mark form 3.0–3.6s vs
+    * census 4.9s at sf0.1). The census pays a typed ObjectHashAggregate
+    * with per-buffer list encoders over EVERY gram occurrence
+    * (singletons included — ct is unknowable until aggregated), and
+    * Spark's object-hash aggregate falls back to sort-based past 128
+    * in-memory keys, so the positional table gets sorted per partition;
+    * the count pass it replaces is a codegen'd long-count HashAggregate
+    * whose map-side partials collapse to distinct grams. Unlike the
+    * winnow census (whose input is the already-winnowed ~2/(w+1)
+    * selection and which removed TWO posting shuffles), the scrub
+    * census adds buffer CPU exceeding the saved second derivation. */
+  def scrubCorpus(corpus: DataFrame): DataFrame = {
     val toks = tokArrays(corpus)
     val grams = positionalGrams5(toks)
-    val cc = udaf(graft.functions.CappedCollectPairs(maxPostings))
-    val agg = grams.groupBy("g").agg(cc(col("doc_id"), col("p")).as("st"))
-      .select(col("g"), col("st._1").as("ct"), col("st._2").as("dps"))
-      .filter(col("ct") >= 2)
-      .persist()
-    val small = agg.filter(col("ct") <= maxPostings)
-      .select(explode(col("dps")).as("dp"))
-      .select(col("dp._1").as("doc_id"), col("dp._2").as("p"))
-    // Hot arm only when a duplicated gram overflowed the collect cap
-    // (driver check reads the persisted aggregate — one narrow scan);
-    // its postings re-derive by key through a broadcast semi-join, so
-    // no aggregation buffer ever holds a corpus-scale posting list.
-    val hotG = agg.filter(col("ct") > maxPostings).select("g")
-    val marks = if (hotG.limit(1).count() == 0L) small else
-      small.unionAll(grams.join(broadcast(hotG), "g").select("doc_id", "p"))
-    graft.operators.CacheRelease.afterConsumer(agg)
-    rebuildScrubbed(toks, covFromStarts(marks))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("ct"))
+      .filter(col("ct") >= 2).select("g")
+    rebuildScrubbed(toks, coveredPositions(grams, dup))
   }
 
-  private def tokArrays(docsDf: DataFrame): DataFrame =
+  private[graft] def tokArrays(docsDf: DataFrame): DataFrame =
     docsDf.select(col("doc_id"), wsTokens(col("text")).as("ts"))
 
   /** Positional word-5-grams: (doc_id, 0-based start position, gram). */
-  private def positionalGrams5(toks: DataFrame): DataFrame =
+  private[graft] def positionalGrams5(toks: DataFrame): DataFrame =
     toks
       .filter(size(col("ts")) >= 5)
       .select(col("doc_id"),
@@ -3293,7 +3263,7 @@ object TextQueries {
     * the doc-keyed exchange) and expand/dedupe the [p, p+4] spans
     * in-row (`array_distinct ∘ flatten ∘ span` = the union a
     * per-position `collect_set` would build). */
-  private def covFromStarts(marks: DataFrame): DataFrame =
+  private[graft] def covFromStarts(marks: DataFrame): DataFrame =
     marks
       .groupBy("doc_id")
       .agg(collect_list("p").as("ps"))
@@ -3310,7 +3280,7 @@ object TextQueries {
     * empty string is [""]), so the 0..size-1 sequence is always
     * ascending — the two-argument `sequence` would otherwise count DOWN
     * for start > stop. */
-  private def rebuildScrubbed(toks: DataFrame, covered: DataFrame): DataFrame =
+  private[graft] def rebuildScrubbed(toks: DataFrame, covered: DataFrame): DataFrame =
     toks.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("ts")).cast(LongType).as("n_tokens"),

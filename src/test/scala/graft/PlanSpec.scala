@@ -615,14 +615,12 @@ class PlanSpec extends SparkSuite {
       // weight algebra over a collected source-scale LocalRelation —
       // the one corpus pass runs at construction
       "p_doremi_weights" -> 0,
-      // r15 one-pass census: capped posting-collect aggregate on g
-      // (multiplicity + complete postings in one exchange; partials
-      // absorb boilerplate-gram skew) + per-doc cover collect — the
-      // count-pass + re-derived-grams mark join is gone. 2 -> 3 is
-      // TEXTUAL only: the third line is the persisted census subtree
-      // re-printed under the routing read (runtime shuffles: 2, one
-      // fewer corpus scan)
-      "d_substring_scrub" -> 3,
+      // gram multiplicity agg (partials absorb boilerplate-gram skew)
+      // + per-doc cover collect; the mark join broadcasts. r15 built
+      // and A/B-rejected a one-pass posting-census form (tools/R15Ab:
+      // 1.4-1.6x slower — typed-buffer aggregate over every occurrence
+      // beats the saved second derivation only in the winnowed family)
+      "d_substring_scrub" -> 2,
       // + the corpus index aggregate on the probe path, + the dup-set
       // union distinct (output-scale rows) — bought so the probe's
       // corpus check builds on the BROADCAST batch-gram set and the

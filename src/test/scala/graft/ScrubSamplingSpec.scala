@@ -57,36 +57,6 @@ class ScrubSamplingSpec extends SparkSuite {
     assert(bad == 0L)
   }
 
-  test("scrub one-pass census: forced-hot posting cap equals the all-small plan") {
-    // one 5-gram repeated across four docs (ct=4): with the cap forced
-    // to 2 it must overflow the capped collect and route through the
-    // re-derive arm, and the union must equal the all-small plan
-    val d = tmpDir("scrub-hot")
-    val run = "alpha beta gamma delta epsilon"
-    Seq(
-      (1L, s"$run one two", "en", "src0"),
-      (2L, s"zz yy $run", "en", "src1"),
-      (3L, s"qq $run ww", "en", "src0"),
-      (4L, s"pp oo $run nn", "en", "src1"),
-      (5L, "nothing shared in this one at all", "en", "src0"))
-      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$d/documents.parquet")
-    val corpus = spark.read.parquet(s"$d/documents.parquet")
-    val all = TextQueries.scrubCorpusRouted(corpus, 10000).orderBy("doc_id")
-    val hot = TextQueries.scrubCorpusRouted(corpus, 2).orderBy("doc_id")
-    // the hot arm is a real union + re-derive join in the plan
-    val plan = hot.queryExecution.executedPlan.toString
-    assert(plan.contains("Union"),
-      s"forced-hot plan must union the re-derive arm in:\n$plan")
-    val want = all.as[(Long, Long, Long, String)].collect().toSeq
-    val got = hot.as[(Long, Long, Long, String)].collect().toSeq
-    assert(want.nonEmpty && got == want, s"want $want\ngot $got")
-    // and the hot gram's every occurrence was scrubbed through that arm
-    assert(got.filter(_._1 <= 4L).forall(_._3 >= 5L),
-      s"each run-carrying doc must remove >= 5 positions: $got")
-  }
-
   test("aggressive-norm dedup collapses punctuation/case/digit variants") {
     val d = tmpDir("norm-docs")
     Seq(
