@@ -3122,8 +3122,17 @@ object TextQueries {
     // route through the distributed self-join arm, which re-reads the
     // (cached) winnow frame for just those fingerprints.
     val cc = udaf(graft.functions.CappedCollectList(maxBucket))
+    // filter BEFORE persist: singleton fingerprints — the vocabulary
+    // tail, the vast majority of buckets at corpus scale — pair with
+    // nothing and no consumer (df-cap report needs df > cap >= 2,
+    // routing needs df > maxBucket, small arm needs 2 <= df) ever
+    // reads them, yet r14 cached them all: at sf1 that materialized
+    // the ENTIRE fingerprint posting table (sf1 sweep read 27s vs the
+    // r13 form's 17s; dropping singletons from the cache recovers it —
+    // see OPTIMIZATION_r15.md for the A/B)
     val agg = fps.groupBy("h").agg(cc(col("doc_id")).as("st"))
       .select(col("h"), col("st._1").as("df"), col("st._2").as("ids"))
+      .filter(col("df") > 1)
       .persist()
     dfCap.foreach { cap =>
       val r = agg.filter(col("df") > cap)
@@ -3137,8 +3146,8 @@ object TextQueries {
           "postings) from the overlap census — pairs sharing ONLY " +
           "capped fingerprints will not be listed")
     }
-    // singleton fingerprints pair with nothing; capped ones are dropped
-    val live = dfCap.foldLeft(agg.filter(col("df") > 1)) { (h, cap) =>
+    // capped fingerprints are dropped (singletons already filtered above)
+    val live = dfCap.foldLeft(agg) { (h, cap) =>
       h.filter(col("df") <= cap)
     }
     // Bucket-grouped pair expansion for the common case: the collected
